@@ -1,0 +1,49 @@
+"""The distributed embed stage: text column -> vector column.
+
+Reference semantics: one batched ``embed()`` call per window of objects
+(src/wagtail_vector_index/storage/django.py:351-360, batch_size=100 at
+django.py:394). In Spark the batching is Arrow's: ``mapInPandas`` hands each
+worker an iterator of record batches (sized by
+``spark.sql.execution.arrow.maxRecordsPerBatch``) and the backend embeds one
+batch per call — same external-call batching shape, but parallel across
+executors and with no driver-side loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from wagtail_vector_index_spark.embedding.base import EmbeddingBackend
+
+
+def embed_dataframe(
+    df: DataFrame,
+    *,
+    backend: EmbeddingBackend,
+    text_col: str = "content",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Append ``vector_col`` (array<double>) by embedding ``text_col``.
+
+    The backend is pickled to the workers; each Arrow batch becomes one
+    ``embed_batch`` call. Column pruning still applies upstream — only the
+    columns of ``df`` are shipped.
+    """
+    schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(vector_col, T.ArrayType(T.DoubleType()), False)]
+    )
+
+    def _embed(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: F401 — worker-side import
+
+        for pdf in batches:
+            vectors = backend.embed_batch(pdf[text_col].fillna("").tolist())
+            pdf = pdf.copy()
+            pdf[vector_col] = list(vectors)
+            yield pdf
+
+    return df.mapInPandas(_embed, schema=schema)

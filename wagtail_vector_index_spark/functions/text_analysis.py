@@ -1,0 +1,207 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+These are north-star extensions (BASELINE.json: "add the LLM-data-pipeline
+operators") built purely on JVM-side Spark expressions so they survive a
+100 TB scan without a Python round-trip:
+
+- tokenization / shingling (word n-grams)
+- deterministic string hashing via sha2 (portable to the DuckDB oracle —
+  hex strings of fixed length order identically to their numeric values)
+- MinHash signatures + LSH band keys
+- SimHash (32-bit) via conditional bit-vote aggregation
+- language-ID heuristic (stopword hit ratio)
+- quality scoring (length / punctuation / stopword / repetition ratios)
+- document fingerprinting (content hash + hash bucket)
+
+Everything here is deliberately expressible in ANSI SQL so each operator
+can be verified against the DuckDB oracle at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Tokenization & shingles
+# --------------------------------------------------------------------------
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def word_shingles_col(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles ("a b c" style), distinct.
+
+    Uses slice over the token array; a doc with fewer than n tokens yields
+    its full token-join as the single shingle.
+    """
+    toks = tokens_col(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+# --------------------------------------------------------------------------
+# Portable deterministic hashing
+# --------------------------------------------------------------------------
+
+
+def sha_hash64(s: Column) -> Column:
+    """First 8 hex chars of sha256 as a bigint in [0, 2^32) — identical in
+    DuckDB via ('0x' || substr(sha256(s), 1, 8))::UBIGINT."""
+    return F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature_col(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of hex-string minima.
+
+    For seed j, the j-th signature element is
+    min(substr(sha256(j || '|' || shingle), 1, 16)). Fixed-length lowercase
+    hex compares lexicographically in numeric order, so string-min is a
+    valid minhash — and computes identically in Spark and DuckDB.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles,
+                lambda sh: F.substring(
+                    F.sha2(F.concat(j.cast("string"), F.lit("|"), sh), 256), 1, 16
+                ),
+            )
+        ),
+    )
+
+
+def lsh_band_keys_col(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: hash each contiguous ``rows_per_band`` slice of the
+    signature. Docs sharing any band key are near-dup candidates."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit(":"),
+            F.sha2(
+                F.concat_ws(",", F.slice(signature, b * rows_per_band + 1, rows_per_band)),
+                256,
+            ),
+        ),
+    )
+
+
+def simhash32_col(text: Column) -> Column:
+    """32-bit SimHash over whitespace tokens, as a bigint.
+
+    Per token t: h = sha_hash64(t) (32 significant bits). Bit b of the
+    simhash is 1 iff sum over tokens of (+1 if bit b of h else -1) > 0.
+    Computed as a fold over the token array — one pass, no explode.
+    """
+    def _vote_vec(t: Column) -> Column:
+        h = sha_hash64(t)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda b: F.when(
+                F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .cast("long"),
+        )
+
+    votes = F.aggregate(
+        tokens_col(text),
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, t: F.zip_with(acc, _vote_vec(t), lambda a, v: a + v),
+    )
+    bits = F.zip_with(
+        votes,
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def hamming32_col(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------------------------
+# Language ID / quality / fingerprint
+# --------------------------------------------------------------------------
+
+# Tiny per-language stopword marker lists; a real pipeline would load a
+# proper table, the operator shape (array_intersect ratio) is what scales.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "nicht", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "por", "que", "en"],
+}
+
+
+def stopword_hits_col(text: Column, lang: str = "en") -> Column:
+    toks = tokens_col(text)
+    return F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Pick the language whose stopword list scores the most hits; 'und'
+    (undetermined) when nothing hits."""
+    toks = tokens_col(text)
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t, _l=lang: t.isin(*STOPWORDS[_l]))))
+        for lang in sorted(STOPWORDS)
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # Ties resolve to the alphabetically-first language (deterministic).
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def quality_metrics_cols(text: Column) -> dict[str, Column]:
+    """Quality-scoring metric columns (rounded by the caller)."""
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.when(
+            n_tokens > 0,
+            (n_chars - (n_tokens - 1)) / n_tokens,  # chars net of single spaces
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            n_chars > 0,
+            F.length(F.regexp_replace(text, r"[^.,;:!?]", "")) / n_chars,
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_tokens > 0, stopword_hits_col(text, "en") / n_tokens
+        ).otherwise(F.lit(0.0)),
+        "distinct_token_ratio": F.when(
+            n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic document fingerprint: sha256 of the
+    whitespace-normalized, lowercased content."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.sha2(normalized, 256)
+
+
+def fingerprint_bucket_col(text: Column, buckets: int = 1024) -> Column:
+    return sha_hash64(fingerprint_col(text)) % buckets

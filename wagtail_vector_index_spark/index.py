@@ -1,0 +1,266 @@
+"""VectorIndex — the user-facing API.
+
+Mirrors the reference's VectorIndex surface
+(src/wagtail_vector_index/storage/base.py:174-354): ``query`` (RAG),
+``search`` (retrieve only), ``find_similar`` (object-to-object), plus
+storage ops ``rebuild_index`` / ``upsert`` / ``clear`` / ``delete`` /
+``get_similar_documents``. Differences made consciously (SURVEY §7 risk
+register):
+
+- ``sources_limit`` is honored (dead parameter in the reference,
+  base.py:198 vs :208-212)
+- cosine is true cosine (numpy provider bug, numpy/provider.py:46-51)
+- ``delete`` works uniformly (weaviate raises NotImplementedError,
+  weaviate/provider.py:61-63)
+
+Single-query calls stay driver-light: embed the probe once driver-side,
+then one DataFrame program (filter → similarity → threshold → top-k →
+fetch-back). Batch variants take a DataFrame of queries and run the same
+plan shape with the probe side as a broadcast table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.chat import ChatBackend, get_chat_backend
+from wagtail_vector_index_spark.config import (
+    DEFAULT_RETRIEVAL_LIMIT,
+    DEFAULT_SIMILARITY_THRESHOLD,
+    IndexConfig,
+)
+from wagtail_vector_index_spark.embedding.base import (
+    EmbeddingBackend,
+    get_embedding_backend,
+)
+from wagtail_vector_index_spark.operators.fetchback import dedup_keep_best
+from wagtail_vector_index_spark.operators.knn import similarity_join, topk_similar
+from wagtail_vector_index_spark.plans.indexing import (
+    build_documents,
+    incremental_build_documents,
+)
+from wagtail_vector_index_spark.sources.tables import DocumentStore
+
+DEFAULT_QUERY_PROMPT = (
+    "You are a helpful assistant. Use the following context to answer the "
+    "question. Don't mention the context in your reply."
+)
+
+
+@dataclass
+class QueryResponse:
+    """RAG result (reference base.py:156-171)."""
+
+    response: str
+    sources: list
+
+
+class VectorIndex:
+    """A named, queryable set of documents backed by a DocumentStore."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: IndexConfig,
+        store: DocumentStore,
+        *,
+        embedding_backend: EmbeddingBackend | None = None,
+        chat_backend: ChatBackend | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = store
+        self.embedding_backend = embedding_backend or get_embedding_backend()
+        self.chat_backend = chat_backend or get_chat_backend()
+        self._sources_df: DataFrame | None = None
+
+    # -- storage ops --------------------------------------------------------
+
+    def rebuild_index(self, sources: DataFrame, *, text_col: str = "text") -> None:
+        docs = build_documents(
+            sources, self.cfg, self.embedding_backend, text_col=text_col
+        )
+        self.store.overwrite_index(self.cfg.index_name, docs)
+        self._sources_df = sources
+
+    def update_index(self, sources: DataFrame, *, text_col: str = "text") -> None:
+        """Incremental rebuild: embed only stale objects (reference T7)."""
+        try:
+            stored = self.store.read(self.cfg.index_name)
+        except FileNotFoundError:
+            return self.rebuild_index(sources, text_col=text_col)
+        docs, _fresh = incremental_build_documents(
+            sources, stored, self.cfg, self.embedding_backend, text_col=text_col
+        )
+        stale_keys = [r[0] for r in docs.select("doc_key").distinct().collect()]
+        if stale_keys:
+            self.store.delete(self.cfg.index_name, stale_keys)
+            self.store.upsert(docs)
+        self._sources_df = sources
+
+    def upsert(self, documents: DataFrame) -> None:
+        self.store.upsert(documents)
+
+    def delete(self, doc_keys: list[str]) -> None:
+        self.store.delete(self.cfg.index_name, doc_keys)
+
+    def clear(self) -> None:
+        self.store.clear(self.cfg.index_name)
+
+    def documents(self) -> DataFrame:
+        return self.store.read(self.cfg.index_name)
+
+    # -- retrieval ----------------------------------------------------------
+
+    def get_similar_documents(
+        self,
+        query_vector,
+        *,
+        limit: int = DEFAULT_RETRIEVAL_LIMIT,
+        similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+    ) -> DataFrame:
+        return topk_similar(
+            self.documents(),
+            query_vector,
+            vector_col="vector",
+            id_col="doc_key",
+            limit=limit,
+            similarity_threshold=similarity_threshold,
+            method=self.cfg.distance,
+        )
+
+    def search(
+        self,
+        query: str,
+        *,
+        limit: int = DEFAULT_RETRIEVAL_LIMIT,
+        similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+    ) -> DataFrame:
+        """Semantic search: query text -> ranked source-document rows
+        (reference base.py:303-316). One driver-side embed, then one job."""
+        qvec = self.embedding_backend.embed_batch([query])[0].tolist()
+        hits = self.get_similar_documents(
+            qvec, limit=limit, similarity_threshold=similarity_threshold
+        )
+        return dedup_keep_best(hits, key_col="doc_key", rank_col="similarity")
+
+    def find_similar(
+        self,
+        object_key: str,
+        *,
+        include_self: bool = False,
+        limit: int = DEFAULT_RETRIEVAL_LIMIT,
+        similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+    ) -> DataFrame:
+        """Object-to-object similarity (reference base.py:278-301): use the
+        object's stored chunk vectors as probes, k-NN each (limit per
+        chunk, accumulated), dedup keeping best, drop self unless asked."""
+        docs = self.documents()
+        probes = docs.where(F.col("doc_key") == object_key).select(
+            F.col("doc_key").alias("probe_id"),
+            F.col("chunk_no").alias("probe_chunk"),
+            F.col("vector").alias("probe_vec"),
+        )
+        hits = similarity_join(
+            probes.withColumn(
+                "probe_id", F.concat_ws("#", "probe_id", "probe_chunk")
+            ).drop("probe_chunk"),
+            docs,
+            probe_id="probe_id",
+            probe_vec="probe_vec",
+            index_id="doc_key",
+            index_vec="vector",
+            limit=limit,
+            similarity_threshold=similarity_threshold,
+            method=self.cfg.distance,
+        )
+        if not include_self:
+            hits = hits.where(F.col("doc_key") != object_key)
+        return dedup_keep_best(hits, key_col="doc_key", rank_col="similarity")
+
+    # -- RAG ----------------------------------------------------------------
+
+    def query(
+        self,
+        query: str,
+        *,
+        sources_limit: int = DEFAULT_RETRIEVAL_LIMIT,
+        similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+        system_prompt: str = DEFAULT_QUERY_PROMPT,
+    ) -> QueryResponse:
+        """RAG (reference base.py:194-228): retrieve -> merge contexts with
+        '\\n' -> 3-message prompt -> chat. ``sources_limit`` is honored."""
+        hits = self.search(
+            query, limit=sources_limit, similarity_threshold=similarity_threshold
+        )
+        rows = hits.select("content", "doc_key").collect()
+        context = "\n".join(r["content"] for r in rows)
+        messages = [
+            {"role": "system", "content": system_prompt},
+            {"role": "system", "content": context},
+            {"role": "user", "content": query},
+        ]
+        response = self.chat_backend.chat(messages=messages)
+        return QueryResponse(
+            response=response.text(), sources=[r["doc_key"] for r in rows]
+        )
+
+    def batch_query(
+        self,
+        queries: DataFrame,
+        *,
+        query_col: str = "query",
+        sources_limit: int = DEFAULT_RETRIEVAL_LIMIT,
+        similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+        system_prompt: str = DEFAULT_QUERY_PROMPT,
+    ) -> DataFrame:
+        """Batch RAG: a DataFrame of queries in, responses + sources out —
+        all five lifecycle steps as stages of one job (SURVEY §3.1)."""
+        from wagtail_vector_index_spark.chat import chat_dataframe
+        from wagtail_vector_index_spark.embedding.stage import embed_dataframe
+
+        embedded = embed_dataframe(
+            queries.select(F.col(query_col).alias("query")),
+            backend=self.embedding_backend,
+            text_col="query",
+            vector_col="probe_vec",
+        ).withColumn("probe_id", F.col("query"))
+
+        hits = similarity_join(
+            embedded.select("probe_id", "probe_vec"),
+            self.documents(),
+            probe_id="probe_id",
+            probe_vec="probe_vec",
+            index_id="doc_key",
+            index_vec="vector",
+            limit=sources_limit,
+            similarity_threshold=similarity_threshold,
+            method=self.cfg.distance,
+        )
+        # collect_list order is nondeterministic: gather (sim, key, content)
+        # structs and sort_array for a deterministic best-first context.
+        ranked = F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("similarity")).alias("neg_sim"),
+                    F.col("doc_key").alias("doc_key"),
+                    F.col("content").alias("content"),
+                )
+            )
+        )
+        contexts = hits.groupBy("probe_id").agg(
+            F.concat_ws(
+                "\n", F.transform(ranked, lambda r: r["content"])
+            ).alias("context"),
+            F.transform(ranked, lambda r: r["doc_key"]).alias("sources"),
+        )
+        prompts = contexts.select(
+            F.col("probe_id").alias("query"),
+            F.concat(F.lit(system_prompt + "\n"), F.col("context")).alias("system"),
+            F.col("probe_id").alias("prompt"),
+            "sources",
+        )
+        return chat_dataframe(prompts, backend=self.chat_backend)

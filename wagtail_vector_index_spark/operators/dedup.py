@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines (north-star EXT).
+
+Five strategies, all shuffle-disciplined for 100 TB:
+
+- exact:          groupBy(content hash) — one shuffle on a 64-hex key, the
+                  map-side partial agg collapses duplicates early.
+- minhash LSH:    shingle → minhash signature → band keys → self-join on
+                  band buckets (shuffle on short band-hash keys only) →
+                  exact-Jaccard verify on the candidate pairs. Signature
+                  and band hashing are sha2-based and portable to the
+                  DuckDB oracle.
+- simhash:        32-bit fingerprint per doc, near-dup = small hamming
+                  distance; candidates via rotate-and-band or (small N)
+                  direct pair join.
+- n-gram Jaccard: exact all-pairs via shingle-explode co-count join —
+                  quadratic only in docs *sharing a shingle*, not all docs.
+- embedding:      cosine near-dup pairs over an embedding column, via the
+                  same banded-candidate or GEMM paths as the knn operators.
+
+Every function returns a DataFrame; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.functions.text_analysis import (
+    fingerprint_col,
+    lsh_band_keys_col,
+    minhash_signature_col,
+    simhash32_col,
+    word_shingles_col,
+)
+from wagtail_vector_index_spark.functions.vector import cosine_similarity
+
+
+def exact_duplicates(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by normalized-content fingerprint; keep the representative
+    (min id) and the duplicate count. Output: fingerprint, keep_id, n_docs."""
+    return (
+        df.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _exact_jaccard_pairs(
+    shingled: DataFrame, *, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over pre-shingled rows (id, shingles array<string>).
+
+    Co-count join: explode distinct shingles, self-join on shingle (only
+    docs sharing a shingle ever pair), count intersections, divide by
+    |A|+|B|-|A∩B|. One shuffle on the shingle key + one on the pair key.
+    """
+    sizes = shingled.select(
+        F.col(id_col), F.size("shingles").alias("n_sh"), F.col("shingles")
+    )
+    ex = sizes.select(id_col, "n_sh", F.explode("shingles").alias("sh"))
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), F.col("sh")
+    )
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= F.lit(threshold))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-duplicate pairs (id_a < id_b)."""
+    shingled = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    )
+    return _exact_jaccard_pairs(shingled, id_col=id_col, threshold=threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Candidate generation never compares all pairs: docs meet only inside a
+    band bucket. At scale the band-key join is the only wide shuffle, and
+    its key is a 64-hex band hash — skew-free by construction. Verified
+    pairs carry their exact Jaccard, so output ⊆ ngram_jaccard_pairs with
+    LSH-probabilistic recall.
+    """
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    )
+    sig = shingled.withColumn(
+        "sig", minhash_signature_col(F.col("shingles"), num_hashes)
+    )
+    banded = sig.select(
+        id_col,
+        "shingles",
+        F.explode(lsh_band_keys_col(F.col("sig"), bands, rows_per_band)).alias("band"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "band"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "band"
+    )
+    candidates = (
+        left.join(right, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc 32-bit SimHash fingerprint (bigint)."""
+    return df.select(F.col(id_col), simhash32_col(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 4,
+    band_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming distance <= max_hamming).
+
+    Candidates via banding the 32-bit fingerprint into ``32/band_bits``
+    bands — a pair within hamming distance (bands-1) shares at least one
+    exact band (pigeonhole), so recall is exact for
+    max_hamming < 32/band_bits bands. Join key = (band index, band value).
+    """
+    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    n_bands = 32 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_no", "band.band_val")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band_no", "band_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band_no", "band_val"
+    )
+    return (
+        left.join(right, ["band_no", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    Declarative self-join; Catalyst broadcasts the smaller side. For index
+    sizes beyond broadcast, route through operators.knn.gemm_topk_join with
+    the table as both probes and index.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop the higher-id member of every duplicate pair (single-pass
+    approximation of connected components — exact when duplicate clusters
+    are cliques, the common case for near-dup text)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

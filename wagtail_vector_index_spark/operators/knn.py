@@ -1,0 +1,201 @@
+"""k-NN retrieval operators.
+
+Reference semantics (threshold-then-limit, stable ordering):
+- brute-force scan + sort + limit: numpy provider
+  (src/wagtail_vector_index/storage/numpy/provider.py:38-59) — but with
+  *correct* cosine (see functions/vector.py docstring re the reference bug)
+- SQL top-k with dim + index-name filters: pgvector provider
+  (src/wagtail_vector_index/storage/pgvector/provider.py:106-123)
+- threshold ∈ [0,1], 0 == off, applied BEFORE the limit
+  (docs/vector-indexes.md:195-229)
+
+Physical shape in Spark:
+- single probe:  filter(dim) → similarity column (whole-stage codegen) →
+  filter(threshold) → orderBy(sim desc, id) → limit(k). Catalyst plans
+  TakeOrderedAndProject — per-partition top-k heaps + a single-partition
+  merge of k-row heads, never a global sort. Scales to any index size.
+- many probes (similarity join): broadcast the probe side when small, else
+  block GEMM inside mapInPandas emitting per-partition per-probe top-k,
+  then one Window to cut the global top-k per probe. The GEMM path turns
+  N·M scalar expression evaluations into numpy matrix multiplies — the
+  vectorization the reference gets from numpy (numpy/provider.py:46-51),
+  but per-partition and parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wagtail_vector_index_spark.functions.vector import similarity_col
+
+
+def topk_similar(
+    index_df: DataFrame,
+    query_vector: Sequence[float],
+    *,
+    vector_col: str = "vector",
+    id_col: str = "doc_id",
+    limit: int = 5,
+    similarity_threshold: float = 0.0,
+    method: str = "cosine",
+    sim_alias: str = "similarity",
+) -> DataFrame:
+    """Top-k rows of ``index_df`` most similar to one probe vector.
+
+    Dimension filter first (partition-prunable when the table is
+    partitioned by dim), threshold before limit, ties broken on id for
+    determinism.
+    """
+    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+    out = (
+        index_df.where(F.array_size(F.col(vector_col)) == len(query_vector))
+        .withColumn(sim_alias, similarity_col(F.col(vector_col), q, method))
+    )
+    if similarity_threshold:
+        out = out.where(F.col(sim_alias) >= F.lit(float(similarity_threshold)))
+    return out.orderBy(F.col(sim_alias).desc(), F.col(id_col).asc()).limit(limit)
+
+
+def similarity_join(
+    probes_df: DataFrame,
+    index_df: DataFrame,
+    *,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    index_id: str = "doc_id",
+    index_vec: str = "vector",
+    limit: int = 5,
+    similarity_threshold: float = 0.0,
+    method: str = "cosine",
+    sim_alias: str = "similarity",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Top-k join: for every probe row, the k most-similar index rows.
+
+    Declarative path: broadcast-cross-join + codegen'd similarity + window
+    top-k. The cross join is NOT quadratic shuffle — the probe side is
+    broadcast, so each index partition streams once past the in-memory
+    probe table. For probe sets too big to broadcast, use
+    :func:`gemm_topk_join`.
+    """
+    p = probes_df.select(
+        F.col(probe_id), F.col(probe_vec).cast("array<double>").alias(probe_vec)
+    )
+    if broadcast_probes:
+        p = F.broadcast(p)
+    joined = index_df.join(
+        p, F.array_size(F.col(index_vec)) == F.array_size(F.col(probe_vec)), "inner"
+    ).withColumn(sim_alias, similarity_col(F.col(index_vec), F.col(probe_vec), method))
+    if similarity_threshold:
+        joined = joined.where(F.col(sim_alias) >= F.lit(float(similarity_threshold)))
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col(sim_alias).desc(), F.col(index_id).asc()
+    )
+    return (
+        joined.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= limit)
+        .drop("__rank", probe_vec)
+    )
+
+
+def gemm_topk_join(
+    probes_df: DataFrame,
+    index_df: DataFrame,
+    *,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    index_id: str = "doc_id",
+    index_vec: str = "vector",
+    limit: int = 5,
+    similarity_threshold: float = 0.0,
+    sim_alias: str = "similarity",
+) -> DataFrame:
+    """Cosine top-k similarity join via per-partition numpy GEMM.
+
+    The probe matrix is collected to the driver, L2-normalized once, and
+    shipped to every partition (an explicit broadcast of a dense ndarray —
+    far smaller than the row-form probe table). Each index partition is
+    normalized and multiplied (``index @ probes.T``) in one BLAS call;
+    per-partition top-k candidates (argpartition, k per probe per
+    partition) stream out, and a final Window cuts the exact global top-k.
+    Shuffle volume is O(num_partitions · N_probes · k), independent of
+    index size — this is the 100 TB scale path.
+    """
+    probe_rows = probes_df.select(probe_id, probe_vec).collect()
+    if not probe_rows:
+        spark = probes_df.sparkSession
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(probe_id, T.LongType()),
+                    T.StructField(index_id, T.LongType()),
+                    T.StructField(sim_alias, T.DoubleType()),
+                ]
+            ),
+        )
+    probe_ids = np.array([r[0] for r in probe_rows])
+    P = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    P_unit = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-300)
+    sc = probes_df.sparkSession.sparkContext
+    bc = sc.broadcast((probe_ids, P_unit))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(probe_id, T.LongType()),
+            T.StructField(index_id, T.LongType()),
+            T.StructField(sim_alias, T.DoubleType()),
+        ]
+    )
+
+    dim = P.shape[1]
+    k = limit
+    threshold = float(similarity_threshold)
+
+    def _partition_topk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        p_ids, p_unit = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[index_id].to_numpy()
+            M = np.array(pdf[index_vec].tolist(), dtype=np.float64)
+            if M.shape[1] != dim:
+                continue
+            M_unit = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            sims = M_unit @ p_unit.T  # (n_index, n_probes)
+            n = sims.shape[0]
+            take = min(k, n)
+            # per-probe candidate top-k within this batch
+            top_idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, n_probes)
+            rows_probe = np.repeat(p_ids[np.newaxis, :], take, axis=0).ravel()
+            rows_index = ids[top_idx].ravel()
+            rows_sim = np.take_along_axis(sims, top_idx, axis=0).ravel()
+            if threshold:
+                keep = rows_sim >= threshold
+                rows_probe, rows_index, rows_sim = (
+                    rows_probe[keep],
+                    rows_index[keep],
+                    rows_sim[keep],
+                )
+            yield pd.DataFrame(
+                {probe_id: rows_probe, index_id: rows_index, sim_alias: rows_sim}
+            )
+
+    candidates = index_df.select(index_id, index_vec).mapInPandas(
+        _partition_topk, schema=out_schema
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col(sim_alias).desc(), F.col(index_id).asc()
+    )
+    return (
+        candidates.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= limit)
+        .drop("__rank")
+    )

@@ -1,0 +1,133 @@
+"""Sources & sinks: table readers + the parquet-backed DocumentStore.
+
+Reference surface (SURVEY §2.1 S1-S10): queryset scans in, four vector
+stores out, with upsert / delete-by-id / clear / rebuild per index. Spark
+is the single storage provider: a canonical ``documents`` table partitioned
+by ``(index_name, dim)`` — the pgvector dual-table pattern
+(src/wagtail_vector_index/storage/pgvector/models.py:65-88) collapses into
+partition layout, and the dimension filter at query time
+(pgvector/provider.py:112) becomes static partition pruning.
+
+Write semantics on plain parquet (no Delta in this container):
+- upsert  = append + last-write-wins on read (dedup by key, max batch_id),
+  mirroring ``ignore_conflicts=True`` bulk inserts
+  (pgvector/provider.py:65-75)
+- delete/clear = partition-scoped anti-join rewrite
+- rebuild = INSERT OVERWRITE of the index partition
+  (pgvector/provider.py:61-63)
+
+``spark.sql.sources.partitionOverwriteMode=dynamic`` keeps overwrites
+scoped to the touched partitions — at 100 TB a rebuild of one index never
+rewrites its neighbors.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DOCUMENT_COLUMNS = ("object_keys", "content", "vector", "metadata", "index_name")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+class DocumentStore:
+    """Parquet-backed document store partitioned by (index_name, dim)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(self.path)
+        )
+
+    def read(self, index_name: str | None = None) -> DataFrame:
+        if not self._exists():
+            raise FileNotFoundError(f"document store at {self.path} is empty")
+        df = self.spark.read.parquet(self.path)
+        if index_name is not None:
+            df = df.where(F.col("index_name") == index_name)
+        # last-write-wins over upsert generations
+        w = Window.partitionBy("doc_key", "index_name").orderBy(
+            F.col("batch_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & (~F.col("deleted")))
+            .drop("__rn", "batch_id", "deleted")
+        )
+
+    def _stamp(self, documents: DataFrame, deleted: bool = False) -> DataFrame:
+        return documents.withColumn(
+            "batch_id", F.lit(time.time_ns()).cast("long")
+        ).withColumn("deleted", F.lit(deleted))
+
+    def upsert(self, documents: DataFrame) -> None:
+        """Append a new generation; conflicts resolve at read (S3-S5)."""
+        (
+            self._stamp(documents)
+            .withColumn("dim", F.array_size("vector"))
+            .write.mode("append")
+            .partitionBy("index_name", "dim")
+            .parquet(self.path)
+        )
+
+    def delete(self, index_name: str, doc_keys: list[str]) -> None:
+        """Tombstone the given doc keys (S6) — append-only delete."""
+        existing = self.read(index_name).where(F.col("doc_key").isin(doc_keys))
+        (
+            self._stamp(existing, deleted=True)
+            .withColumn("dim", F.array_size("vector"))
+            .write.mode("append")
+            .partitionBy("index_name", "dim")
+            .parquet(self.path)
+        )
+
+    def clear(self, index_name: str) -> None:
+        """Drop the whole index partition (S7) — dynamic partition
+        overwrite with an empty frame keyed to the index partition."""
+        if not self._exists():
+            return
+        df = self.spark.read.parquet(self.path)
+        remaining = df.where(F.col("index_name") != index_name)
+        # parquet cannot overwrite-in-place the table being read: stage it,
+        # and use static overwrite so the cleared partitions disappear.
+        staged = remaining.cache()
+        staged.count()
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            staged.write.mode("overwrite").partitionBy("index_name", "dim").parquet(
+                self.path
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        staged.unpersist()
+
+    def overwrite_index(self, index_name: str, documents: DataFrame) -> None:
+        """Rebuild (S8): INSERT OVERWRITE the index's partitions only."""
+        (
+            self._stamp(documents)
+            .withColumn("dim", F.array_size("vector"))
+            .write.mode("overwrite")
+            .partitionBy("index_name", "dim")
+            .parquet(self.path)
+        )
