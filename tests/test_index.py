@@ -1,0 +1,137 @@
+"""End-to-end VectorIndex tests, mirroring the reference suite contracts:
+- rebuild creates >= 1 document per source object
+  (tests/test_model_index.py:45-49)
+- search returns the default-limit sources (test_model_index.py:24-32)
+- find_similar dedups and respects include_self (test_index.py:170-191)
+- RAG passes the joined context verbatim to the chat backend
+  (test_index.py:194-227)
+- incremental update embeds only stale objects (django.py:320-383)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.chat import EchoChatBackend
+from wagtail_vector_index_spark.config import EmbeddingConfig, IndexConfig
+from wagtail_vector_index_spark.embedding.hash_backend import HashEmbeddingBackend
+from wagtail_vector_index_spark.index import VectorIndex
+from wagtail_vector_index_spark.sources.tables import DocumentStore
+
+
+@pytest.fixture()
+def sources(spark, documents_df):
+    return documents_df.limit(50).select(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id")).alias("object_key"),
+        F.array(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))).alias(
+            "object_keys"
+        ),
+        "text",
+    )
+
+
+@pytest.fixture()
+def index(spark, tmp_path, sources):
+    cfg = IndexConfig(index_name="test_index")
+    store = DocumentStore(spark, str(tmp_path / "docstore"))
+    idx = VectorIndex(
+        spark, cfg, store, embedding_backend=HashEmbeddingBackend(dimensions=8)
+    )
+    idx.rebuild_index(sources)
+    return idx
+
+
+def test_rebuild_creates_documents(index, sources):
+    n_sources = sources.count()
+    n_docs = index.documents().count()
+    assert n_docs >= n_sources
+
+
+def test_search_returns_default_limit(index):
+    out = index.search("spark query").collect()
+    assert len(out) == 5
+    sims = [r["similarity"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_search_sources_limit_honored(index):
+    assert len(index.search("spark query", limit=3).collect()) == 3
+
+
+def test_find_similar_excludes_self_by_default(index):
+    probe = index.documents().select("doc_key").first()["doc_key"]
+    out = index.find_similar(probe).collect()
+    assert probe not in {r["doc_key"] for r in out}
+    out_with_self = index.find_similar(probe, include_self=True).collect()
+    keys = {r["doc_key"] for r in out_with_self}
+    assert probe in keys
+
+
+def test_query_rag_roundtrip(index):
+    resp = index.query("what is a spark table?")
+    assert resp.response.startswith("This is an echo backend:")
+    assert "what is a spark table?" in resp.response
+    assert len(resp.sources) == 5
+
+
+def test_rag_context_is_joined_contents(index):
+    captured = {}
+
+    class CapturingChat(EchoChatBackend):
+        def chat(self, *, messages, **params):
+            captured["messages"] = messages
+            return super().chat(messages=messages, **params)
+
+    index.chat_backend = CapturingChat()
+    index.query("q?")
+    context_msg = captured["messages"][1]["content"]
+    hit_contents = [
+        r["content"] for r in index.search("q?").select("content").collect()
+    ]
+    assert context_msg == "\n".join(hit_contents)
+
+
+def test_incremental_update_skips_unchanged(index, sources, spark):
+    calls = []
+
+    class CountingBackend(HashEmbeddingBackend):
+        def embed_batch(self, texts):
+            calls.append(len(texts))
+            return super().embed_batch(texts)
+
+    # change one object's text; leave the rest
+    changed = sources.withColumn(
+        "text",
+        F.when(
+            F.col("object_key") == sources.first()["object_key"],
+            F.lit("totally new content"),
+        ).otherwise(F.col("text")),
+    )
+    index.embedding_backend = CountingBackend(dimensions=8)
+    index.update_index(changed)
+    # Only the stale object's chunks were embedded (exact count depends on
+    # partitioning; the total embedded rows must be far below the corpus).
+    assert sum(calls) <= 5
+    refreshed = index.documents().where(
+        F.col("content") == "totally new content"
+    )
+    assert refreshed.count() == 1
+
+
+def test_batch_query(index, spark):
+    queries = spark.createDataFrame(
+        [("what is spark?",), ("how do joins work?",)], "query string"
+    )
+    out = index.batch_query(queries).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["response"].startswith("This is an echo backend:")
+        assert len(r["sources"]) == 5
+
+
+def test_delete_and_clear(index):
+    key = index.documents().select("doc_key").first()["doc_key"]
+    index.delete([key])
+    assert index.documents().where(F.col("doc_key") == key).count() == 0
+    index.clear()
+    with pytest.raises(Exception):
+        index.documents().count()

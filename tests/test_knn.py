@@ -1,0 +1,118 @@
+"""k-NN operator tests, including the reference's threshold-sweep contract
+(tests/test_index.py:256-284: with marker vectors, threshold 0.9 -> 0 hits,
+0.6 -> 1, 0.1 -> 2, disabled -> all)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.operators.knn import (
+    gemm_topk_join,
+    similarity_join,
+    topk_similar,
+)
+
+MARKERS = [
+    (1, [0.9, 0.1, 0.0]),   # "Very similar"
+    (2, [0.7, 0.3, 0.0]),   # "Somewhat similar"
+    (3, [1.0, 0.0, 0.0]),   # "test"
+    (4, [0.1, 0.1, 0.8]),   # unrelated
+]
+
+
+@pytest.fixture(scope="module")
+def marker_df(spark):
+    return spark.createDataFrame(MARKERS, "doc_id long, vector array<double>")
+
+
+@pytest.mark.parametrize(
+    "threshold,expected_ids",
+    [(0.999, {3}), (0.9, {1, 3, 2}), (0.6, {1, 2, 3}), (0.0, {1, 2, 3, 4})],
+)
+def test_threshold_then_limit(marker_df, threshold, expected_ids):
+    out = topk_similar(
+        marker_df,
+        [1.0, 0.0, 0.0],
+        limit=10,
+        similarity_threshold=threshold,
+    )
+    assert {r["doc_id"] for r in out.collect()} == expected_ids
+
+
+def test_topk_limit_and_order(marker_df):
+    out = topk_similar(marker_df, [1.0, 0.0, 0.0], limit=2).collect()
+    assert [r["doc_id"] for r in out] == [3, 1]
+    assert out[0]["similarity"] == pytest.approx(1.0)
+
+
+def test_topk_dimension_filter(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])], "doc_id long, vector array<double>"
+    )
+    out = topk_similar(df, [1.0, 0.0], limit=10).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_topk_plans_take_ordered(marker_df):
+    # physical plan must use TakeOrderedAndProject, not a global Sort
+    explained = (
+        topk_similar(marker_df, [1.0, 0.0, 0.0], limit=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in explained
+
+
+def test_similarity_join_topk_per_probe(spark, marker_df):
+    probes = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (20, [0.0, 0.0, 1.0])],
+        "probe_id long, probe_vec array<double>",
+    )
+    out = similarity_join(probes, marker_df, limit=2).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r["doc_id"])
+    assert by_probe[10] == [3, 1]
+    assert by_probe[20] == [4, 1]  # 4 is closest to z-axis; tie at 0 broken by id
+
+
+def test_gemm_matches_declarative(spark, embeddings_df):
+    probes = (
+        embeddings_df.limit(8)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").cast("array<double>").alias("probe_vec"),
+        )
+    )
+    index = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    declarative = similarity_join(
+        probes, index, index_id="vec_id", index_vec="vector", limit=5
+    ).select("probe_id", "vec_id")
+    gemm = gemm_topk_join(
+        probes, index, index_id="vec_id", index_vec="vector", limit=5
+    ).select("probe_id", "vec_id")
+    d = {(r["probe_id"], r["vec_id"]) for r in declarative.collect()}
+    g = {(r["probe_id"], r["vec_id"]) for r in gemm.collect()}
+    assert d == g
+
+
+def test_gemm_sim_values_match_numpy(spark, embeddings_df):
+    rows = embeddings_df.limit(20).collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(ids, M)], "vec_id long, vector array<double>"
+    )
+    probes = df.select(
+        F.col("vec_id").alias("probe_id"), F.col("vector").alias("probe_vec")
+    ).limit(3)
+    out = gemm_topk_join(
+        probes, df, index_id="vec_id", index_vec="vector", limit=1
+    ).collect()
+    for r in out:
+        # top-1 of each probe is itself with sim 1.0
+        assert r["probe_id"] == r["vec_id"]
+        assert r["similarity"] == pytest.approx(1.0)

@@ -104,13 +104,14 @@ def simhash32_col(text: Column) -> Column:
     """
     def _vote_vec(t: Column) -> Column:
         h = sha_hash64(t)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda b: F.when(
-                F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            )
-            .otherwise(F.lit(-1))
-            .cast("long"),
+        # bit positions are static — unroll (shift amounts must be literals)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(32)
+            ]
         )
 
     votes = F.aggregate(
@@ -118,12 +119,9 @@ def simhash32_col(text: Column) -> Column:
         F.array_repeat(F.lit(0).cast("long"), 32),
         lambda acc, t: F.zip_with(acc, _vote_vec(t), lambda a, v: a + v),
     )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
     bits = F.zip_with(
-        votes,
-        F.sequence(F.lit(0), F.lit(31)),
-        lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(
-            F.lit(0).cast("long")
-        ),
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 

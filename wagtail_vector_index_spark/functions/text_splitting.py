@@ -27,6 +27,7 @@ import math
 import re
 from collections.abc import Callable, Sequence
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -196,11 +197,10 @@ def chunk_with_important_prefix(
 def split_text_udf(chunk_size: int, chunk_overlap: int = 100):
     """Arrow-batched pandas UDF returning array<string> of chunks; pair with
     ``posexplode`` for (chunk ordinal, chunk) rows."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
-    def _split(texts: pd.Series) -> pd.Series:
+    def _split(texts: "pd.Series") -> "pd.Series":
         return texts.map(
             lambda t: split_text(
                 t or "", chunk_size=chunk_size, chunk_overlap=chunk_overlap

@@ -145,7 +145,9 @@ class VectorIndex:
         hits = self.get_similar_documents(
             qvec, limit=limit, similarity_threshold=similarity_threshold
         )
-        return dedup_keep_best(hits, key_col="doc_key", rank_col="similarity")
+        return dedup_keep_best(
+            hits, key_col="doc_key", rank_col="similarity"
+        ).orderBy(F.col("similarity").desc(), F.col("doc_key").asc())
 
     def find_similar(
         self,
@@ -179,7 +181,9 @@ class VectorIndex:
         )
         if not include_self:
             hits = hits.where(F.col("doc_key") != object_key)
-        return dedup_keep_best(hits, key_col="doc_key", rank_col="similarity")
+        return dedup_keep_best(
+            hits, key_col="doc_key", rank_col="similarity"
+        ).orderBy(F.col("similarity").desc(), F.col("doc_key").asc())
 
     # -- RAG ----------------------------------------------------------------
 
