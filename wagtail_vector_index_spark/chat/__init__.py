@@ -80,6 +80,9 @@ def chat_dataframe(
     response_col: str = "response",
 ) -> DataFrame:
     """Batch chat: one response row per prompt row (Arrow-batched)."""
+    from wagtail_vector_index_spark._workerenv import ensure_worker_imports
+
+    ensure_worker_imports(prompts)
     schema = T.StructType(
         prompts.schema.fields + [T.StructField(response_col, T.StringType())]
     )

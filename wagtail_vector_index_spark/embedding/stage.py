@@ -32,6 +32,9 @@ def embed_dataframe(
     ``embed_batch`` call. Column pruning still applies upstream — only the
     columns of ``df`` are shipped.
     """
+    from wagtail_vector_index_spark._workerenv import ensure_worker_imports
+
+    ensure_worker_imports(df)
     schema = T.StructType(
         df.schema.fields
         + [T.StructField(vector_col, T.ArrayType(T.DoubleType()), False)]

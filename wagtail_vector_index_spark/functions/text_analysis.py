@@ -155,10 +155,12 @@ def lang_id_col(text: Column) -> Column:
     """Pick the language whose stopword list scores the most hits; 'und'
     (undetermined) when nothing hits."""
     toks = tokens_col(text)
-    scores = [
-        (lang, F.size(F.filter(toks, lambda t, _l=lang: t.isin(*STOPWORDS[_l]))))
-        for lang in sorted(STOPWORDS)
-    ]
+
+    def _score(lang: str) -> Column:
+        words = STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [(lang, _score(lang)) for lang in sorted(STOPWORDS)]
     best_score = F.greatest(*[s for _, s in scores])
     result = F.lit("und")
     # Ties resolve to the alphabetically-first language (deterministic).

@@ -35,6 +35,18 @@ from wagtail_vector_index_spark.functions.text_analysis import (
 from wagtail_vector_index_spark.functions.vector import cosine_similarity
 
 
+def _ensure_parallelism(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the source arrived
+    in fewer partitions (e.g. one small parquet file) — the hash/shingle
+    stages below are CPU-bound per row, and a single input file must not
+    serialize them onto one core. No-op when the input is already wide
+    (the 100 TB case), so no extra shuffle at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -62,7 +74,9 @@ def _exact_jaccard_pairs(
     sizes = shingled.select(
         F.col(id_col), F.size("shingles").alias("n_sh"), F.col("shingles")
     )
-    ex = sizes.select(id_col, "n_sh", F.explode("shingles").alias("sh"))
+    # materialize before the self-join: otherwise projection collapse
+    # inlines the shingle construction into both join sides
+    ex = sizes.select(id_col, "n_sh", F.explode("shingles").alias("sh")).cache()
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
     )
@@ -93,6 +107,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-duplicate pairs (id_a < id_b)."""
+    df = _ensure_parallelism(df, id_col)
     shingled = df.select(
         F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
     )
@@ -118,12 +133,15 @@ def minhash_lsh_pairs(
     LSH-probabilistic recall.
     """
     rows_per_band = num_hashes // bands
+    df = _ensure_parallelism(df, id_col)
     shingled = df.select(
         F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
     )
+    # cache: the signature (num_hashes * |shingles| sha256 calls per row)
+    # must compute once, not re-inline into every band/join reference
     sig = shingled.withColumn(
         "sig", minhash_signature_col(F.col("shingles"), num_hashes)
-    )
+    ).cache()
     banded = sig.select(
         id_col,
         "shingles",
@@ -172,7 +190,10 @@ def simhash_pairs(
     exact band (pigeonhole), so recall is exact for
     max_hamming < 32/band_bits bands. Join key = (band index, band value).
     """
-    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    # cache: the fingerprint fold is the expensive part; without a
+    # materialization barrier it recomputes once per band per join side
+    df = _ensure_parallelism(df, id_col)
+    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col).cache()
     n_bands = 32 // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(
@@ -230,6 +251,65 @@ def embedding_neardup_pairs(
         .where(F.col("cos_sim") >= F.lit(threshold))
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def gemm_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    sim_alias: str = "cos_sim",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via per-partition numpy GEMM.
+
+    The (broadcastable) full matrix ships to every partition once; each
+    partition multiplies its slice against it in one BLAS call and emits
+    only pairs (id_a < id_b) above the threshold — work per partition is
+    O(rows_part · N · d) vectorized, output is only the survivors. ~50×
+    faster than the expression-fold pair join for d=64. For tables beyond
+    broadcast size, generate candidates with an LSH/band bucketing first
+    (see minhash_lsh_pairs) and verify only candidates.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    M_unit = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bc = df.sparkSession.sparkContext.broadcast((ids, M_unit))
+    thr = float(threshold)
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField(sim_alias, T.DoubleType()),
+        ]
+    )
+
+    def _pairs(batches):
+        all_ids, all_unit = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            part_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            P = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            P_unit = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-300)
+            sims = P_unit @ all_unit.T  # (rows_part, N)
+            ra, ca = np.where(sims >= thr)
+            keep = part_ids[ra] < all_ids[ca]
+            yield pd.DataFrame(
+                {
+                    "id_a": part_ids[ra[keep]],
+                    "id_b": all_ids[ca[keep]],
+                    sim_alias: sims[ra[keep], ca[keep]],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_pairs, schema=schema)
 
 
 def keep_representatives(

@@ -42,6 +42,9 @@ def chunk_sources(
     """source rows -> one row per chunk: (doc_key, object_keys, chunk_no,
     content). ``important_col`` text is prefixed onto every chunk
     (reference T1 semantics, django.py:405-432)."""
+    from wagtail_vector_index_spark._workerenv import ensure_worker_imports
+
+    ensure_worker_imports(sources)
     splitter = split_text_udf(chunk_size, cfg.chunk_overlap)
     chunks = sources.select(
         F.col(cfg.key_column).alias("doc_key"),

@@ -1,0 +1,277 @@
+"""Text-analysis + dedup query catalog (north-star EXT operators) over the
+``documents`` table, each with a value-identical DuckDB oracle.
+
+The oracle SQL re-derives the exact same sha256-based hashing, token and
+shingle definitions as the Spark column functions in
+functions/text_analysis.py — down to separator bytes — so the value-hash
+comparison is exact, not approximate. Jaccard/LSH/simhash parameters are
+chosen so the planted near-duplicates in the synthetic corpus surface
+(max pairwise 3-gram Jaccard ≈ 0.99 at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.catalog import _t, register
+from wagtail_vector_index_spark.functions.text_analysis import STOPWORDS
+
+# --- shared SQL fragments (must mirror functions/text_analysis.py) ---------
+
+TOKS_SQL = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+def _shingles_sql(toks: str = TOKS_SQL, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform(range(0, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string(({toks})[i + 1:i + {n}], ' ')))"
+    )
+
+
+def _in_list(words: list[str]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _minhash_sig_sql(shingles: str, num_hashes: int = 16) -> str:
+    elems = ", ".join(
+        f"list_aggregate(list_transform({shingles}, "
+        f"s -> substr(sha256('{j}|' || s), 1, 16)), 'min')"
+        for j in range(num_hashes)
+    )
+    return f"[{elems}]"
+
+
+def _band_keys_sql(sig: str, bands: int = 8, rpb: int = 2) -> str:
+    keys = ", ".join(
+        f"'{b}:' || sha256(array_to_string(({sig})[{b * rpb + 1}:{b * rpb + rpb}], ','))"
+        for b in range(bands)
+    )
+    return f"[{keys}]"
+
+
+def _simhash_sql() -> str:
+    """32 conditional bit-vote aggregates recombined into one bigint —
+    mirrors simhash32_col's fold exactly."""
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return terms
+
+
+FINGERPRINT_SQL = "sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {FINGERPRINT_SQL} AS fingerprint,
+           min(doc_id)       AS keep_id,
+           count(*)::BIGINT  AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    from wagtail_vector_index_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_exact",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, round(ni::DOUBLE / (n_a + n_b - ni), 6) AS jaccard
+    FROM inter WHERE ni::DOUBLE / (n_a + n_b - ni) >= 0.1
+    """,
+)
+def dedup_jaccard_exact(spark, sf_dir):
+    from wagtail_vector_index_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.1
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    sig AS (SELECT doc_id, shingles, {_minhash_sig_sql('shingles')} AS sig FROM sh),
+    bands AS (SELECT doc_id, shingles,
+                     unnest({_band_keys_sql('sig')}) AS band FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.1
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    from wagtail_vector_index_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=16,
+        bands=8,
+        threshold=0.1,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    hashes AS (SELECT doc_id,
+                      ('0x' || substr(sha256(tok), 1, 8))::UBIGINT::BIGINT AS h
+               FROM toks),
+    fp AS (SELECT doc_id, ({_simhash_sql()})::BIGINT AS simhash
+           FROM hashes GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    from wagtail_vector_index_spark.operators.dedup import simhash_pairs
+
+    # band_bits=8 -> 4 bands; pigeonhole guarantees exact recall for
+    # hamming <= 3, so the banded candidates equal the all-pairs oracle.
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, band_bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           greatest(ceil(length(text) / 4),
+                    ceil(len(regexp_extract_all(text, '[^\w\s]|\w+')) * 0.75)
+           )::BIGINT AS est_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        estimated_tokens_col,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", estimated_tokens_col(F.col("text")).alias("est_tokens")
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(toks)::BIGINT    AS n_tokens,
+           round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 4)
+             AS avg_token_len,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                 / length(text), 4) AS punct_ratio,
+           round(len(list_filter(toks, t -> t IN {_in_list(STOPWORDS['en'])}))::DOUBLE
+                 / len(toks), 4) AS stopword_ratio,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 4)
+             AS distinct_token_ratio
+    FROM q
+    """,
+)
+def text_quality(spark, sf_dir):
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        quality_metrics_cols,
+    )
+
+    m = quality_metrics_cols(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["avg_token_len"], 4).alias("avg_token_len"),
+        F.round(m["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(m["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(m["distinct_token_ratio"], 4).alias("distinct_token_ratio"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    return ", ".join(
+        f"len(list_filter(toks, t -> t IN {_in_list(STOPWORDS[lang])})) AS s_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_lang_scores_sql()}
+      FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents))
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    from wagtail_vector_index_spark.functions.text_analysis import lang_id_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {FINGERPRINT_SQL} AS fingerprint,
+           (('0x' || substr(sha256({FINGERPRINT_SQL}), 1, 8))::UBIGINT
+             % 1024)::BIGINT AS bucket
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        fingerprint_bucket_col,
+        fingerprint_col,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint_col(F.col("text")).alias("fingerprint"),
+        fingerprint_bucket_col(F.col("text"), 1024).alias("bucket"),
+    )

@@ -1,0 +1,348 @@
+"""Vector-search + pipeline query catalog: exact k-NN in all three
+distance methods (reference pgvector types.py:4-7), threshold semantics,
+the batch similarity join, embedding near-dup, the full
+chunk->embed->k-NN->fetch-back search pipeline, find_similar, and the
+multimodal decode plumbing — each with a value-identical DuckDB oracle.
+
+Oracle fidelity notes:
+- cosine is spelled dot/(sqrt(dot_aa)*sqrt(dot_bb)) on DOUBLE[] in DuckDB —
+  the same sequential double arithmetic as functions/vector.py's fold.
+- the hash embedder is re-derived in SQL from sha256 hex substrings
+  (FIXTURES §6), so the *whole pipeline* — chunker included — is verified
+  end-to-end, not just the k-NN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.catalog import _t, register
+from wagtail_vector_index_spark.config import IndexConfig
+from wagtail_vector_index_spark.embedding.hash_backend import HashEmbeddingBackend
+from wagtail_vector_index_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+)
+from wagtail_vector_index_spark.operators.knn import similarity_join, topk_similar
+
+# --- SQL fragments ----------------------------------------------------------
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+def _hash_emb_sql(expr: str, dims: int = 8) -> str:
+    """DuckDB twin of HashEmbeddingBackend.embed_one for dims <= 8."""
+    elems = ", ".join(
+        f"('0x' || substr(sha256({expr}), {8 * i + 1}, 8))::UBIGINT / 4294967296.0"
+        for i in range(dims)
+    )
+    return f"[{elems}]"
+
+
+SEARCH_QUERY = "spark join stream table"
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN over embeddings.parquet (Q1/Q2/Q5 semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label, round(sim, 6) AS cos_sim FROM (
+      SELECT e.vec_id, e.label, {_cos_sql('e.v', 'p.pv')} AS sim
+      FROM e, p WHERE e.vec_id <> 0)
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def knn_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    hits = topk_similar(
+        emb.where(F.col("vec_id") != 0),
+        list(probe),
+        vector_col="embedding",
+        id_col="vec_id",
+        limit=10,
+        method="cosine",
+    )
+    return hits.select(
+        "vec_id", "label", F.round("similarity", 6).alias("cos_sim")
+    )
+
+
+@register(
+    "knn_l2",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label, round(dist, 6) AS l2_dist FROM (
+      SELECT e.vec_id, e.label, list_distance(e.v, p.pv) AS dist
+      FROM e, p WHERE e.vec_id <> 0)
+    ORDER BY dist ASC, vec_id LIMIT 10
+    """,
+)
+def knn_l2(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    q = F.lit(probe).cast("array<double>")
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .withColumn("l2", euclidean_distance(F.col("embedding"), q))
+        .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("l2", 6).alias("l2_dist"))
+    )
+
+
+@register(
+    "knn_mip",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label, round(ip, 6) AS inner_product FROM (
+      SELECT e.vec_id, e.label, list_inner_product(e.v, p.pv) AS ip
+      FROM e, p WHERE e.vec_id <> 0)
+    ORDER BY ip DESC, vec_id LIMIT 10
+    """,
+)
+def knn_mip(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    hits = topk_similar(
+        emb.where(F.col("vec_id") != 0),
+        list(probe),
+        vector_col="embedding",
+        id_col="vec_id",
+        limit=10,
+        method="max_inner_product",
+    )
+    return hits.select(
+        "vec_id", "label", F.round("similarity", 6).alias("inner_product")
+    )
+
+
+@register(
+    "knn_threshold",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+    SELECT vec_id, round(sim, 6) AS cos_sim FROM (
+      SELECT e.vec_id, {_cos_sql('e.v', 'p.pv')} AS sim
+      FROM e, p WHERE e.vec_id <> 0)
+    WHERE sim >= 0.2
+    ORDER BY sim DESC, vec_id LIMIT 100
+    """,
+)
+def knn_threshold(spark, sf_dir):
+    """Threshold-then-limit semantics (Q5, docs/vector-indexes.md:229)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    hits = topk_similar(
+        emb.where(F.col("vec_id") != 0),
+        list(probe),
+        vector_col="embedding",
+        id_col="vec_id",
+        limit=100,
+        similarity_threshold=0.2,
+        method="cosine",
+    )
+    return hits.select("vec_id", F.round("similarity", 6).alias("cos_sim"))
+
+
+@register(
+    "similarity_join_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+    s AS (SELECT p.probe_id, e.vec_id, {_cos_sql('e.v', 'p.pv')} AS sim FROM p, e)
+    SELECT probe_id, vec_id, round(sim, 6) AS cos_sim
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) <= 5
+    """,
+)
+def similarity_join_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    hits = similarity_join(
+        probes,
+        emb,
+        probe_id="probe_id",
+        probe_vec="probe_vec",
+        index_id="vec_id",
+        index_vec="embedding",
+        limit=5,
+        method="cosine",
+    )
+    return hits.select(
+        "probe_id", "vec_id", F.round("similarity", 6).alias("cos_sim")
+    )
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT id_a, id_b, round(sim, 6) AS cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a.v', 'b.v')} AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    WHERE sim >= 0.4
+    """,
+)
+def embedding_neardup(spark, sf_dir):
+    # GEMM path: one BLAS multiply per partition against the broadcast
+    # matrix instead of a 2M-row expression-fold pair join (~50x faster;
+    # float64 matmul agrees with the oracle's sequential fold within 1e-14,
+    # far inside the round-to-6 comparison).
+    from wagtail_vector_index_spark.operators.dedup import gemm_neardup_pairs
+
+    pairs = gemm_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline: chunk -> hash-embed -> k-NN -> fetch-back (SURVEY §3.1/§3.3)
+# ---------------------------------------------------------------------------
+
+
+def _indexed_documents(spark, sf_dir):
+    """Run the real indexing pipeline (chunk UDF + mapInPandas embed) over
+    the documents table — the oracle re-derives the same values in SQL."""
+    from wagtail_vector_index_spark.plans.indexing import build_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = docs.select(
+        F.concat_ws(":", "source", "doc_id").alias("object_key"),
+        F.array(F.concat_ws(":", "source", "doc_id")).alias("object_keys"),
+        "text",
+    )
+    cfg = IndexConfig(index_name="docs")
+    backend = HashEmbeddingBackend(dimensions=8)
+    return build_documents(sources, cfg, backend), docs
+
+
+@register(
+    "search_hash_knn",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, lang, trim(text) AS content FROM documents),
+    emb AS (SELECT doc_id, source, lang,
+                   {_hash_emb_sql('content')}::DOUBLE[] AS v FROM d),
+    q AS (SELECT {_hash_emb_sql("'" + SEARCH_QUERY + "'")}::DOUBLE[] AS qv)
+    SELECT doc_id, source, lang, round(sim, 6) AS similarity FROM (
+      SELECT emb.doc_id, emb.source, emb.lang, {_cos_sql('emb.v', 'q.qv')} AS sim
+      FROM emb, q)
+    ORDER BY sim DESC, doc_id LIMIT 10
+    """,
+)
+def search_hash_knn(spark, sf_dir):
+    """End-to-end semantic search: the driver-side embed of the query
+    string, the chunk+embed pipeline over sources, brute-force cosine
+    top-k, and the fetch-back join to source rows (Q6) — all verified
+    against a pure-SQL re-derivation."""
+    documents, source_table = _indexed_documents(spark, sf_dir)
+    backend = HashEmbeddingBackend(dimensions=8)
+    qvec = backend.embed_one(SEARCH_QUERY).tolist()
+    hits = topk_similar(
+        documents, qvec, vector_col="vector", id_col="doc_key", limit=10
+    )
+    keyed = hits.select(
+        F.substring_index("doc_key", ":", -1).cast("long").alias("hit_id"),
+        "similarity",
+    )
+    joined = F.broadcast(keyed).join(
+        source_table, keyed.hit_id == source_table.doc_id, "inner"
+    )
+    return joined.select(
+        "doc_id", "source", "lang", F.round("similarity", 6).alias("similarity")
+    )
+
+
+@register(
+    "find_similar_hash",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, trim(text) AS content FROM documents),
+    emb AS (SELECT doc_id, source, {_hash_emb_sql('content')}::DOUBLE[] AS v FROM d),
+    q AS (SELECT v AS qv FROM emb WHERE doc_id = 0)
+    SELECT doc_id, source, round(sim, 6) AS similarity FROM (
+      SELECT emb.doc_id, emb.source, {_cos_sql('emb.v', 'q.qv')} AS sim
+      FROM emb, q WHERE emb.doc_id <> 0)
+    ORDER BY sim DESC, doc_id LIMIT 10
+    """,
+)
+def find_similar_hash(spark, sf_dir):
+    """find_similar (Q8): probe = object's own stored vector, self
+    excluded (reference base.py:278-301)."""
+    documents, source_table = _indexed_documents(spark, sf_dir)
+    probe_key = (
+        source_table.where(F.col("doc_id") == 0)
+        .select(F.concat_ws(":", "source", "doc_id"))
+        .first()[0]
+    )
+    probe_vec = (
+        documents.where(F.col("doc_key") == probe_key).first()["vector"]
+    )
+    hits = topk_similar(
+        documents.where(F.col("doc_key") != probe_key),
+        list(probe_vec),
+        vector_col="vector",
+        id_col="doc_key",
+        limit=10,
+    )
+    keyed = hits.select(
+        F.substring_index("doc_key", ":", -1).cast("long").alias("hit_id"),
+        "similarity",
+    )
+    joined = F.broadcast(keyed).join(
+        source_table, keyed.hit_id == source_table.doc_id, "inner"
+    )
+    return joined.select(
+        "doc_id", "source", F.round("similarity", 6).alias("similarity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode, real Spark dataflow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS byte_len,
+           sha256(text) AS content_sha,
+           (('0x' || substr(sha256(text), 1, 8))::UBIGINT % 1920)::BIGINT AS width,
+           (('0x' || substr(sha256(text), 9, 8))::UBIGINT % 1080)::BIGINT AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """Binary-column plumbing: text bytes stand in for an image payload;
+    decode runs as a deterministic stub inside mapInPandas (see
+    operators/multimodal.py) so the Arrow batch shape is real."""
+    from wagtail_vector_index_spark.operators.multimodal import (
+        decode_binary_column,
+    )
+
+    blobs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    decoded = decode_binary_column(blobs, binary_col="payload")
+    return decoded.select("doc_id", "byte_len", "content_sha", "width", "height")
