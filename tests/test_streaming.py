@@ -1,0 +1,84 @@
+"""Structured Streaming extension tests: windowed aggregation over a
+file-source stream of the events table, and incremental index maintenance
+via foreachBatch (SURVEY §2.4 streaming EXT)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.catalog import _t
+from wagtail_vector_index_spark.config import IndexConfig
+from wagtail_vector_index_spark.embedding.hash_backend import HashEmbeddingBackend
+from wagtail_vector_index_spark.index import VectorIndex
+from wagtail_vector_index_spark.sources.tables import DocumentStore
+from wagtail_vector_index_spark.streaming.maintenance import (
+    incremental_index_stream,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir, tmp_path):
+    # stage the (nanos-fixed) events as a one-file parquet dir to stream from
+    staged = str(tmp_path / "events_staged")
+    _t(spark, sf_dir, "events").coalesce(1).write.parquet(staged)
+    batch = spark.read.parquet(staged)
+    return spark.readStream.schema(batch.schema).parquet(staged), batch
+
+
+def test_windowed_event_counts_matches_batch(spark, events_stream, tmp_path):
+    stream_df, batch_df = events_stream
+    agg = windowed_event_counts(stream_df, window_duration="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    expected = (
+        batch_df.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .count()
+    )
+    assert len(got) == expected
+    assert all(r["n_events"] > 0 for r in got)
+
+
+def test_incremental_index_stream(spark, documents_df, tmp_path):
+    sources = documents_df.limit(30).select(
+        F.concat_ws(":", "source", "doc_id").alias("object_key"),
+        F.array(F.concat_ws(":", "source", "doc_id")).alias("object_keys"),
+        "text",
+    )
+    src_dir = str(tmp_path / "stream_src")
+    sources.coalesce(1).write.parquet(src_dir)
+
+    cfg = IndexConfig(index_name="stream_index")
+    store = DocumentStore(spark, str(tmp_path / "docstore"))
+    idx = VectorIndex(
+        spark, cfg, store, embedding_backend=HashEmbeddingBackend(dimensions=8)
+    )
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+    q = incremental_index_stream(
+        stream, idx, checkpoint_dir=str(tmp_path / "ckpt2"), trigger_once=True
+    )
+    q.awaitTermination(180)
+    assert idx.documents().count() == 30
+
+    # second run over the same data: no stale objects -> store unchanged
+    q2 = incremental_index_stream(
+        spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir),
+        idx,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        trigger_once=True,
+    )
+    q2.awaitTermination(180)
+    assert idx.documents().count() == 30

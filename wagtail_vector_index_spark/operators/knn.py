@@ -103,6 +103,84 @@ def similarity_join(
     )
 
 
+def ivf_assign(
+    index_df: DataFrame,
+    centroids_df: DataFrame,
+    *,
+    index_id: str = "vec_id",
+    index_vec: str = "vector",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """Assign every index row to its most-cosine-similar centroid.
+
+    Broadcast the (small) codebook, one codegen'd similarity per
+    (row, centroid), window argmax with deterministic tie-break on
+    centroid id. At 100 TB this is the partitioning step of an IVF index:
+    the output (id, cid) keys a repartition/bucketing so each posting
+    list is co-located.
+    """
+    c = F.broadcast(centroids_df.select(centroid_id, centroid_vec))
+    w = Window.partitionBy(index_id).orderBy(
+        F.col("__csim").desc(), F.col(centroid_id).asc()
+    )
+    return (
+        index_df.join(c, F.array_size(F.col(index_vec)) == F.array_size(F.col(centroid_vec)))
+        .withColumn("__csim", similarity_col(F.col(index_vec), F.col(centroid_vec), "cosine"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__csim", "__rn", centroid_vec)
+    )
+
+
+def ivf_topk(
+    index_df: DataFrame,
+    centroids_df: DataFrame,
+    query_vector: Sequence[float],
+    *,
+    index_id: str = "vec_id",
+    index_vec: str = "vector",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+    nprobe: int = 2,
+    limit: int = 10,
+    sim_alias: str = "similarity",
+) -> DataFrame:
+    """IVF-style approximate top-k: search only the ``nprobe`` clusters
+    whose centroids are closest to the query.
+
+    Scan cost drops to ~nprobe/n_centroids of the index; with the index
+    table partitioned by cluster id, the non-probed partitions are pruned
+    at the file level. Recall is approximate (vectors assigned elsewhere
+    are invisible) — the classic IVF trade, deterministic given a fixed
+    codebook.
+    """
+    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+    probed = (
+        centroids_df.withColumn("__qsim", similarity_col(F.col(centroid_vec), q, "cosine"))
+        .orderBy(F.col("__qsim").desc(), F.col(centroid_id).asc())
+        .limit(nprobe)
+        .select(centroid_id)
+    )
+    assigned = ivf_assign(
+        index_df,
+        centroids_df,
+        index_id=index_id,
+        index_vec=index_vec,
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+    )
+    candidates = assigned.join(F.broadcast(probed), centroid_id, "left_semi")
+    return topk_similar(
+        candidates,
+        query_vector,
+        vector_col=index_vec,
+        id_col=index_id,
+        limit=limit,
+        sim_alias=sim_alias,
+    )
+
+
 def gemm_topk_join(
     probes_df: DataFrame,
     index_df: DataFrame,

@@ -482,3 +482,102 @@ def q_events_json(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged)
+    SELECT user_id, session_no::INT AS session_no,
+           count(*)::BIGINT AS n_events,
+           (max(epoch_ms(ts)) - min(epoch_ms(ts)))::BIGINT AS duration_ms
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap starts a new session —
+    lag + conditional flag + running sum + group, all window built-ins."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ms = F.unix_millis("ts")
+    flagged = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.when(
+            (ms - F.lag(ms).over(w) > 1800000) | F.lag("ts").over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wrun).cast("int").alias("session_no"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias(
+            "duration_ms"
+        ),
+    )
+
+
+@register(
+    "q_stats_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           round(stddev_samp(o_totalprice), 4) AS std_price,
+           round(var_samp(o_totalprice), 2)    AS var_price,
+           round(min(o_totalprice), 2)         AS min_price,
+           round(max(o_totalprice), 2)         AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT custkey, count(*)::BIGINT AS n_rows FROM (
+      SELECT o_custkey AS custkey FROM orders
+      UNION ALL
+      SELECT c_custkey AS custkey FROM customer) GROUP BY custkey
+    """,
+)
+def q_union_all(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        orders.unionByName(cust)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -346,3 +346,106 @@ def multimodal_decode_meta(spark, sf_dir):
     )
     decoded = decode_binary_column(blobs, binary_col="payload")
     return decoded.select("doc_id", "byte_len", "content_sha", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (the scale path for similarity search)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+        FROM e, c) WHERE rn = 1),
+    p AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probed AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {_cos_sql('c.cv', 'p.qv')} DESC, c.cid) AS rn
+        FROM c, p) WHERE rn <= 2)
+    SELECT vec_id, round(sim, 6) AS cos_sim FROM (
+      SELECT e.vec_id, {_cos_sql('e.v', 'p.qv')} AS sim
+      FROM e JOIN assign USING (vec_id), p
+      WHERE assign.cid IN (SELECT cid FROM probed) AND e.vec_id <> 0)
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivf_cosine(spark, sf_dir):
+    """IVF ANN: deterministic 16-centroid codebook (first 16 vectors),
+    nprobe=2 — the cluster-pruned scale path, oracle-verified cell by
+    cell (assignment, probe selection, and in-cluster top-k)."""
+    from wagtail_vector_index_spark.operators.knn import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    centroids = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    probe = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    hits = ivf_topk(
+        index.where(F.col("vec_id") != 0),
+        centroids,
+        list(probe),
+        nprobe=2,
+        limit=10,
+    )
+    return hits.select("vec_id", F.round("similarity", 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: stream result == batch oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_str,
+           event_type,
+           count(*)::BIGINT     AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_events_hourly(spark, sf_dir):
+    """Tumbling-window streaming aggregation (availableNow file stream)
+    whose final state must equal the batch SQL over the same data — the
+    strongest correctness statement a streaming operator can make."""
+    import tempfile
+    import uuid
+
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        windowed_event_counts,
+    )
+
+    staged = tempfile.mkdtemp(prefix="wvi_stream_")
+    events = _t(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    agg = windowed_event_counts(stream, window_duration="1 hour")
+    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wvi_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour_str"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
