@@ -65,6 +65,8 @@ def main() -> None:
         "search_hash_knn",
         "text_quality",
         "multimodal_decode_meta",
+        "ann_ivf_cosine",
+        "q_sessionize",
     ]
 
     timings: dict[str, float] = {}

@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the plans that make these operators
+scale must not silently degrade. Checks predicate pushdown, column
+pruning, broadcast join selection, TakeOrderedAndProject top-k, and
+broadcast semi/anti joins (SURVEY §4)."""
+
+import re
+
+import pytest
+
+from wagtail_vector_index_spark.queries import QUERY_FNS
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return (
+        QUERY_FNS[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, "no ReadSchema in plan"
+    # only the 7 needed columns reach the scan — not the full table
+    assert m.group(1).count(":") <= 8
+    assert "l_orderkey" not in m.group(1)
+
+
+def test_q3_broadcasts_and_topk(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_star_join_all_broadcast(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "knn_cosine")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_are_broadcast(spark):
+    semi = _plan(spark, "q_semi_join")
+    anti = _plan(spark, "q_anti_join")
+    assert "LeftSemi" in semi and "BroadcastHashJoin" in semi
+    assert "LeftAnti" in anti and "BroadcastHashJoin" in anti
+
+
+def test_search_pipeline_broadcasts_fetchback(spark):
+    plan = _plan(spark, "search_hash_knn")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
