@@ -58,25 +58,48 @@ def sha_hash64(s: Column) -> Column:
     return F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signature_col(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of hex-string minima.
+MINHASH_MOD = 1 << 32
 
-    For seed j, the j-th signature element is
-    min(substr(sha256(j || '|' || shingle), 1, 16)). Fixed-length lowercase
-    hex compares lexicographically in numeric order, so string-min is a
-    valid minhash — and computes identically in Spark and DuckDB.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
+
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-hash coefficients shared by the Spark columns
+    and the generated oracle SQL (single source of truth). a_j < 2^30 and
+    odd, so a_j * h < 2^62 never overflows a signed 64-bit int in either
+    engine."""
+    a = [(2654435761 * (j + 1)) % (1 << 30) | 1 for j in range(num_hashes)]
+    b = [(1013904223 * (j + 1)) % (1 << 30) for j in range(num_hashes)]
+    return a, b
+
+
+def shingle_hashes_col(shingles: Column) -> Column:
+    """One 32-bit sha256-derived integer per shingle — computed ONCE; the
+    per-seed minhash values derive from it with cheap affine arithmetic.
+    Keep this in its own projection (withColumn) so CollapseProject cannot
+    inline the sha256 into every downstream reference."""
+    return F.transform(shingles, lambda sh: sha_hash64(sh))
+
+
+def minhash_signature_col(hashes: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<bigint>) over pre-hashed shingles:
+    sig[j] = min over shingles of (a_j * h + b_j) mod 2^32.
+
+    Affine derivation gives num_hashes independent permutation
+    approximations from a single sha256 per shingle — 16x fewer digest
+    computations than hashing per (seed, shingle), same guarantees, and
+    the arithmetic reproduces exactly in DuckDB (both sides are positive
+    64-bit ints, no overflow by construction)."""
+    a, b = minhash_params(num_hashes)
+
+    def _min_affine(aj: int, bj: int) -> Column:
+        # closure, not lambda defaults: pyspark binds a Column to every
+        # lambda parameter, defaults included
+        return F.array_min(
             F.transform(
-                shingles,
-                lambda sh: F.substring(
-                    F.sha2(F.concat(j.cast("string"), F.lit("|"), sh), 256), 1, 16
-                ),
+                hashes, lambda h: (F.lit(aj) * h + F.lit(bj)) % F.lit(MINHASH_MOD)
             )
-        ),
-    )
+        )
+
+    return F.array(*[_min_affine(a[j], b[j]) for j in range(num_hashes)])
 
 
 def lsh_band_keys_col(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -88,7 +111,13 @@ def lsh_band_keys_col(signature: Column, bands: int, rows_per_band: int) -> Colu
             b.cast("string"),
             F.lit(":"),
             F.sha2(
-                F.concat_ws(",", F.slice(signature, b * rows_per_band + 1, rows_per_band)),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
                 256,
             ),
         ),

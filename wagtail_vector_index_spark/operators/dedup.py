@@ -29,7 +29,10 @@ from wagtail_vector_index_spark.functions.text_analysis import (
     fingerprint_col,
     lsh_band_keys_col,
     minhash_signature_col,
+    sha_hash64,
+    shingle_hashes_col,
     simhash32_col,
+    tokens_col,
     word_shingles_col,
 )
 from wagtail_vector_index_spark.functions.vector import cosine_similarity
@@ -77,6 +80,7 @@ def _exact_jaccard_pairs(
     # materialize before the self-join: otherwise projection collapse
     # inlines the shingle construction into both join sides
     ex = sizes.select(id_col, "n_sh", F.explode("shingles").alias("sh")).cache()
+    ex.count()  # eager: concurrent downstream stages must not race to fill it
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
     )
@@ -137,32 +141,39 @@ def minhash_lsh_pairs(
     shingled = df.select(
         F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
     )
-    # cache: the signature (num_hashes * |shingles| sha256 calls per row)
-    # must compute once, not re-inline into every band/join reference
-    sig = shingled.withColumn(
-        "sig", minhash_signature_col(F.col("shingles"), num_hashes)
-    ).cache()
+    # hash each shingle ONCE (separate projection so CollapseProject
+    # can't inline the sha256 into all 16 seed derivations), then derive
+    # the signature with affine arithmetic; cache before the band join
+    sig = (
+        shingled.withColumn("hs", shingle_hashes_col(F.col("shingles")))
+        .withColumn("sig", minhash_signature_col(F.col("hs"), num_hashes))
+        .drop("hs")
+        .cache()
+    )
+    sig.count()  # eager: banding + both verify joins reuse it without racing
+    # band join on bare (id, band) keys — the wide shuffle carries two
+    # longs + a short hash, never the shingle arrays
     banded = sig.select(
         id_col,
-        "shingles",
         F.explode(lsh_band_keys_col(F.col("sig"), bands, rows_per_band)).alias("band"),
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "band"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "band"
-    )
     candidates = (
-        left.join(right, "band")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        banded.alias("a")
+        .join(banded.alias("b"), "band")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # fetch shingles back only for the (few) candidate pairs
+    sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        candidates.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
@@ -171,8 +182,42 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-doc 32-bit SimHash fingerprint (bigint)."""
-    return df.select(F.col(id_col), simhash32_col(F.col(text_col)).alias("simhash"))
+    """Per-doc 32-bit SimHash fingerprint (bigint).
+
+    Bulk path: explode tokens -> one sha256-derived int per token (its own
+    projection, hashed once) -> 32 conditional-sum bit votes as codegen'd
+    partial aggregates -> recombine. Identical output to the column-level
+    fold ``simhash32_col`` (kept for per-row use), but the aggregation is
+    whole-stage-codegen'd and map-side partial — the shape that survives a
+    100 TB corpus.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    hashed = toks.select(id_col, sha_hash64(F.col("tok")).alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    combined = votes.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(32)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return combined
 
 
 def simhash_pairs(
@@ -194,6 +239,7 @@ def simhash_pairs(
     # materialization barrier it recomputes once per band per join side
     df = _ensure_parallelism(df, id_col)
     fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col).cache()
+    fp.count()  # eager: both join sides reuse it without racing
     n_bands = 32 // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(
@@ -323,3 +369,70 @@ def keep_representatives(
     are cliques, the common case for near-dup text)."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def simhash_pairs_dense(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via broadcast fingerprints + vectorized
+    numpy XOR/popcount — the dense counterpart of the banded
+    :func:`simhash_pairs` for corpora whose fingerprint table broadcasts
+    (8 bytes/doc: 10^8 docs is still <1 GB). Exact, not approximate: all
+    pairs are evaluated, vectorized per partition, and the integer ops
+    carry zero float risk against the all-pairs oracle. Use the banded
+    variant when even the fingerprint table is too large to broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fp = simhash_fingerprints(
+        _ensure_parallelism(df, id_col), id_col=id_col, text_col=text_col
+    ).cache()
+    rows = fp.collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    all_fps = np.array([r[1] for r in rows], dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((all_ids, all_fps))
+    k = int(max_hamming)
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("hamming", T.IntegerType()),
+        ]
+    )
+
+    def _popcount32(x):
+        # SWAR popcount for 32-bit values held in int64 — the final
+        # multiply must be masked to 32 bits (C code relies on uint32
+        # overflow truncation that int64 arithmetic doesn't provide)
+        x = x - ((x >> 1) & 0x55555555)
+        x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+        x = (x + (x >> 4)) & 0x0F0F0F0F
+        return ((x * 0x01010101) & 0xFFFFFFFF) >> 24
+
+    def _pairs(batches):
+        ids_all, fps_all = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            part_ids = pdf["__id"].to_numpy(dtype=np.int64)
+            part_fps = pdf["__fp"].to_numpy(dtype=np.int64)
+            ham = _popcount32(part_fps[:, None] ^ fps_all[None, :])
+            ra, ca = np.where(ham <= k)
+            keep = part_ids[ra] < ids_all[ca]
+            yield pd.DataFrame(
+                {
+                    "id_a": part_ids[ra[keep]],
+                    "id_b": ids_all[ca[keep]],
+                    "hamming": ham[ra[keep], ca[keep]].astype(np.int32),
+                }
+            )
+
+    src = fp.select(F.col(id_col).alias("__id"), F.col("simhash").alias("__fp"))
+    return src.mapInPandas(_pairs, schema=schema)

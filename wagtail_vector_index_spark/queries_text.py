@@ -32,10 +32,20 @@ def _in_list(words: list[str]) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
 
 
-def _minhash_sig_sql(shingles: str, num_hashes: int = 16) -> str:
+HS_SQL = (
+    "list_transform(shingles, s -> "
+    "('0x' || substr(sha256(s), 1, 8))::UBIGINT::BIGINT)"
+)
+
+
+def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    """Affine minhash over pre-hashed shingles (column ``hs``) — constants
+    come from the same minhash_params() the Spark columns use."""
+    from wagtail_vector_index_spark.functions.text_analysis import minhash_params
+
+    a, b = minhash_params(num_hashes)
     elems = ", ".join(
-        f"list_aggregate(list_transform({shingles}, "
-        f"s -> substr(sha256('{j}|' || s), 1, 16)), 'min')"
+        f"list_aggregate(list_transform(hs, h -> ({a[j]} * h + {b[j]}) % 4294967296), 'min')"
         for j in range(num_hashes)
     )
     return f"[{elems}]"
@@ -110,7 +120,8 @@ def dedup_jaccard_exact(spark, sf_dir):
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
-    sig AS (SELECT doc_id, shingles, {_minhash_sig_sql('shingles')} AS sig FROM sh),
+    hashed AS (SELECT doc_id, shingles, {HS_SQL} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_minhash_sig_sql()} AS sig FROM hashed),
     bands AS (SELECT doc_id, shingles,
                      unnest({_band_keys_sql('sig')}) AS band FROM sig),
     cand AS (
@@ -155,13 +166,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    from wagtail_vector_index_spark.operators.dedup import simhash_pairs
+    # dense path: this corpus is near-dup-heavy (34k qualifying pairs at
+    # sf0.1), which blows up banded candidate buckets; broadcast
+    # fingerprints + vectorized XOR/popcount evaluates all pairs exactly.
+    from wagtail_vector_index_spark.operators.dedup import simhash_pairs_dense
 
-    # band_bits=8 -> 4 bands; pigeonhole guarantees exact recall for
-    # hamming <= 3, so the banded candidates equal the all-pairs oracle.
-    return simhash_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3, band_bits=8
-    )
+    return simhash_pairs_dense(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
