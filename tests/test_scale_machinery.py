@@ -1,0 +1,60 @@
+"""Tests for the 100 TB machinery: salted joins/aggregations (skew) and
+bucketed tables (shuffle-free co-located joins)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.operators.skew import salted_count, salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed big side: 90% of rows share one key
+    big = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    plain = big.join(small, "k").select("k", "payload", "dim_val")
+    salted = salted_join(big, small, "k", buckets=8).select(
+        "k", "payload", "dim_val"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_count_matches_group_count(spark):
+    df = spark.range(0, 5000).select((F.col("id") % 7).alias("k"))
+    plain = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["k"]: r["n"] for r in salted_count(df, "k", buckets=16).collect()}
+    assert plain == salted
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed saveAsTable: a join between co-bucketed tables must not
+    shuffle either side (no Exchange above the scans)."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("orders_bkt")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("lineitem_bkt")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("lineitem_bkt").join(
+            spark.table("orders_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")

@@ -27,6 +27,17 @@ class EmbeddingBackend(Protocol):
         ...
 
 
+def load_backend_from_config(cfg) -> EmbeddingBackend:
+    """Instantiate the backend class named by an EmbeddingConfig's dotted
+    path — the reference's swappable-settings mechanism
+    (storage/__init__.py:29-49, ai_utils/backends/__init__.py:61-101)."""
+    import importlib
+
+    module_path, _, class_name = cfg.backend_class.rpartition(".")
+    cls = getattr(importlib.import_module(module_path), class_name)
+    return cls(dimensions=cfg.dimensions)
+
+
 _REGISTRY: dict[str, EmbeddingBackend] = {}
 
 

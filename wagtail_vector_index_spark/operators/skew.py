@@ -1,0 +1,58 @@
+"""Skew- and layout-aware join utilities (100 TB machinery).
+
+AQE's skew-join handling (spark.sql.adaptive.skewJoin) covers sort-merge
+joins at runtime; these helpers cover the cases it can't:
+
+- ``salted_join``: explicit key salting for aggregation-after-join or
+  broadcast-infeasible hot keys. The big side gets a random salt in
+  [0, buckets); the small side is exploded ``buckets``-fold so every
+  (key, salt) partner exists. Correctness is unchanged — the join key
+  becomes (key, salt) and the salt is dropped after.
+- ``salted_count``: hot-key aggregation in two stages (partial per salt,
+  then final) — the groupBy equivalent.
+
+Salting multiplies the small side by ``buckets``; pick the smallest
+bucket count that flattens the skew (AQE's advisory partition size is a
+good guide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on column ``on`` with salted keys.
+
+    Use when a handful of hot key values dominate ``big`` and the small
+    side can't broadcast: the hot key's rows spread over ``buckets``
+    partitions instead of one straggler task.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted_big.join(salted_small, [on, "__salt"], how).drop("__salt")
+
+
+def salted_count(
+    df: DataFrame, key: str, *, buckets: int = 32
+) -> DataFrame:
+    """Two-stage count per key: partial count on (key, salt), then final
+    sum on key — the hot key never lands in a single reduce task."""
+    partial = (
+        df.withColumn("__salt", (F.rand(seed=42) * buckets).cast("int"))
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("__partial").alias("n"))

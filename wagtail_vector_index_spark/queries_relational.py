@@ -581,3 +581,83 @@ def q_union_all(spark, sf_dir):
         .groupBy("custkey")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "q_outer_join_counts",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey)::BIGINT AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_outer_join_counts(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+)
+def q_having(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "q_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_upper,
+           substr(p_name, 1, 5)                             AS name_prefix,
+           length(p_name)::BIGINT                           AS name_len,
+           concat(p_brand, '#', p_type)                     AS brand_type,
+           abs(p_size - 25)::INT                            AS size_dist,
+           round(pow(p_retailprice, 2), 2)                  AS price_sq,
+           round(ln(p_retailprice + 1), 6)                  AS log_price,
+           round(sqrt(p_size), 6)                           AS sqrt_size,
+           CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS size_parity
+    FROM part
+    """,
+)
+def q_scalar_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dist"),
+        F.round(F.pow("p_retailprice", F.lit(2)), 2).alias("price_sq"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("p_size"), 6).alias("sqrt_size"),
+        F.when(F.col("p_size") % 2 == 0, "even").otherwise("odd").alias(
+            "size_parity"
+        ),
+    )

@@ -449,3 +449,68 @@ def streaming_events_hourly(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch RAG with a full SQL oracle (Q10 semantics, echo chat backend)
+# ---------------------------------------------------------------------------
+
+RAG_QUERIES = ["what is a hash join", "spark window functions", "stream batch"]
+
+
+def _rag_oracle() -> str:
+    qvals = ", ".join(f"('{q}')" for q in RAG_QUERIES)
+    return f"""
+    WITH d AS (SELECT doc_id, source, trim(text) AS content FROM documents),
+    emb AS (SELECT doc_id, source, content,
+                   {_hash_emb_sql('content')}::DOUBLE[] AS v FROM d),
+    qs AS (SELECT q, {_hash_emb_sql('q')}::DOUBLE[] AS qv
+           FROM (VALUES {qvals}) t(q)),
+    scored AS (
+      SELECT qs.q, emb.doc_id, emb.source, emb.content,
+             {_cos_sql('emb.v', 'qs.qv')} AS sim
+      FROM emb, qs),
+    topk AS (
+      SELECT * FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q ORDER BY sim DESC, doc_id) <= 5)
+    SELECT q AS query,
+           'This is an echo backend: ' || q AS response,
+           string_agg(content, chr(10) ORDER BY sim DESC, doc_id) AS context
+    FROM topk GROUP BY q
+    """
+
+
+@register("rag_batch_echo", oracle=_rag_oracle())
+def rag_batch_echo(spark, sf_dir):
+    """Batch RAG end-to-end (SURVEY §3.1 as one job): embed queries via
+    mapInPandas, broadcast similarity join, best-first context assembly,
+    batch chat — response AND the exact assembled context are
+    oracle-verified (the reference passes the joined context verbatim,
+    base.py:216-225)."""
+    from wagtail_vector_index_spark.chat import EchoChatBackend
+    from wagtail_vector_index_spark.config import IndexConfig
+    from wagtail_vector_index_spark.index import VectorIndex
+    from wagtail_vector_index_spark.sources.tables import DocumentStore
+
+    documents, _src = _indexed_documents(spark, sf_dir)
+
+    # run the index's batch_query machinery against the in-memory documents
+    class _MemIndex(VectorIndex):
+        def documents(self):
+            return documents
+
+    idx = _MemIndex(
+        spark,
+        IndexConfig(index_name="docs"),
+        store=None,
+        embedding_backend=HashEmbeddingBackend(dimensions=8),
+        chat_backend=EchoChatBackend(),
+    )
+    queries_df = spark.createDataFrame([(q,) for q in RAG_QUERIES], "query string")
+    out = idx.batch_query(queries_df)
+    # context travels in the "system" column (system prompt + '\n' + context)
+    return out.select(
+        "query",
+        "response",
+        F.expr("substring(system, instr(system, '\n') + 1)").alias("context"),
+    )
