@@ -514,3 +514,76 @@ def rag_batch_echo(spark, sf_dir):
         "response",
         F.expr("substring(system, instr(system, '\n') + 1)").alias("context"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only pipeline entries (genuinely non-SQL-expressible operators:
+# the recursive chunker's boundaries and the incremental staleness pass;
+# the driver records a weaker rows-only check for these by design)
+# ---------------------------------------------------------------------------
+
+
+@register("pipeline_chunk_explode")
+def pipeline_chunk_explode(spark, sf_dir):
+    """T2 at real chunk sizes: recursive splitter with chunk_size=60 est
+    tokens + overlap 10 over the corpus — multi-chunk explode with
+    ordinals. Chunk boundaries come from the ported recursive algorithm,
+    which SQL cannot express (hence no oracle; correctness of the
+    splitter itself is differentially tested against the reference in
+    tests/test_splitter_parity.py)."""
+    from wagtail_vector_index_spark.config import IndexConfig
+    from wagtail_vector_index_spark.plans.indexing import chunk_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = docs.select(
+        F.concat_ws(":", "source", "doc_id").alias("object_key"),
+        F.array(F.concat_ws(":", "source", "doc_id")).alias("object_keys"),
+        "text",
+    )
+    cfg = IndexConfig(index_name="chunks", chunk_overlap=10)
+    chunks = chunk_sources(sources, cfg, chunk_size=60)
+    return chunks.select(
+        "doc_key",
+        "chunk_no",
+        F.length("content").cast("long").alias("chunk_chars"),
+        F.sha2("content", 256).alias("chunk_sha"),
+    )
+
+
+@register("pipeline_incremental_staleness")
+def pipeline_incremental_staleness(spark, sf_dir):
+    """T6/T7 staleness detection: after changing 10 documents' text, the
+    full-outer content-hash compare must mark exactly those as stale.
+    Returns (doc_key, is_stale) for every object."""
+    from wagtail_vector_index_spark.config import IndexConfig
+    from wagtail_vector_index_spark.embedding.hash_backend import (
+        HashEmbeddingBackend,
+    )
+    from wagtail_vector_index_spark.plans.indexing import (
+        build_documents,
+        incremental_build_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = docs.select(
+        F.concat_ws(":", "source", "doc_id").alias("object_key"),
+        F.array(F.concat_ws(":", "source", "doc_id")).alias("object_keys"),
+        "text",
+        "doc_id",
+    )
+    cfg = IndexConfig(index_name="stale_test")
+    backend = HashEmbeddingBackend(dimensions=8)
+    stored = build_documents(sources.drop("doc_id"), cfg, backend)
+    changed = sources.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 10, F.concat(F.lit("CHANGED "), F.col("text")))
+        .otherwise(F.col("text")),
+    ).drop("doc_id")
+    stale_docs, fresh_keys = incremental_build_documents(
+        changed, stored, cfg, backend
+    )
+    stale = stale_docs.select("doc_key").distinct().withColumn(
+        "is_stale", F.lit(True)
+    )
+    fresh = fresh_keys.withColumn("is_stale", F.lit(False))
+    return stale.unionByName(fresh)
