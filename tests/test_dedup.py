@@ -78,3 +78,23 @@ def test_keep_representatives(docs_df):
     ids = {r["doc_id"] for r in kept.collect()}
     assert 1 in ids and 4 in ids
     assert 2 not in ids
+
+
+def test_simhash_column_matches_bulk_path(spark, docs_df):
+    """simhash32_col (per-row fold) and simhash_fingerprints (explode +
+    codegen aggregates) must produce identical fingerprints."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.functions.text_analysis import simhash32_col
+    from wagtail_vector_index_spark.operators.dedup import simhash_fingerprints
+
+    col_path = {
+        r["doc_id"]: r["sh"]
+        for r in docs_df.select(
+            "doc_id", simhash32_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    bulk_path = {
+        r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs_df).collect()
+    }
+    assert col_path == bulk_path

@@ -41,8 +41,6 @@ def embed_dataframe(
     )
 
     def _embed(batches: Iterator) -> Iterator:
-        import pandas as pd  # noqa: F401 — worker-side import
-
         for pdf in batches:
             vectors = backend.embed_batch(pdf[text_col].fillna("").tolist())
             pdf = pdf.copy()

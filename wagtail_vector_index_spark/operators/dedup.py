@@ -22,7 +22,7 @@ Every function returns a DataFrame; nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wagtail_vector_index_spark.functions.text_analysis import (
@@ -31,7 +31,6 @@ from wagtail_vector_index_spark.functions.text_analysis import (
     minhash_signature_col,
     sha_hash64,
     shingle_hashes_col,
-    simhash32_col,
     tokens_col,
     word_shingles_col,
 )

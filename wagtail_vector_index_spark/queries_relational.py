@@ -707,3 +707,36 @@ def q_big_orders(spark, sf_dir):
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_above_nation_avg",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+           round(nation_avg, 4) AS nation_avg
+    FROM (
+      SELECT c_custkey, c_acctbal,
+             avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+      FROM customer)
+    WHERE c_acctbal > nation_avg
+    """,
+)
+def q_above_nation_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape (customers above their nation's
+    average balance) expressed as a window aggregate — one pass, no
+    re-scan per group."""
+    w = Window.partitionBy("c_nationkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.avg("c_acctbal").over(w).alias("nation_avg"),
+        )
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("nation_avg", 4).alias("nation_avg"),
+        )
+    )

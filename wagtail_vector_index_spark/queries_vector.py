@@ -19,11 +19,7 @@ from pyspark.sql import functions as F
 from wagtail_vector_index_spark.catalog import _t, register
 from wagtail_vector_index_spark.config import IndexConfig
 from wagtail_vector_index_spark.embedding.hash_backend import HashEmbeddingBackend
-from wagtail_vector_index_spark.functions.vector import (
-    cosine_similarity,
-    dot_product,
-    euclidean_distance,
-)
+from wagtail_vector_index_spark.functions.vector import euclidean_distance
 from wagtail_vector_index_spark.operators.knn import similarity_join, topk_similar
 
 # --- SQL fragments ----------------------------------------------------------
@@ -490,7 +486,6 @@ def rag_batch_echo(spark, sf_dir):
     from wagtail_vector_index_spark.chat import EchoChatBackend
     from wagtail_vector_index_spark.config import IndexConfig
     from wagtail_vector_index_spark.index import VectorIndex
-    from wagtail_vector_index_spark.sources.tables import DocumentStore
 
     documents, _src = _indexed_documents(spark, sf_dir)
 
@@ -587,3 +582,56 @@ def pipeline_incremental_staleness(spark, sf_dir):
     )
     fresh = fresh_keys.withColumn("is_stale", F.lit(False))
     return stale.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregation: per-label centroids (IVF codebook training step)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_oracle(dims: int = 64) -> str:
+    avgs = ", ".join(f"avg(v[{i + 1}]) AS a{i}" for i in range(dims))
+    sq = " + ".join(f"a{i} * a{i}" for i in range(dims))
+    first4 = ", ".join(f"round(a{i}, 6) AS c{i}" for i in range(4))
+    return f"""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT label, count(*) AS n_vectors, {avgs} FROM e GROUP BY label)
+    SELECT label, n_vectors::BIGINT AS n_vectors,
+           round(sqrt({sq}), 6) AS centroid_norm, {first4}
+    FROM c
+    """
+
+
+@register("vector_centroids", oracle=_centroid_oracle())
+def vector_centroids(spark, sf_dir):
+    """Element-wise mean vector per label — the training step an IVF/
+    k-means codebook needs. posexplode + (label, pos) aggregation keeps
+    the shuffle key cardinality at labels x dims and the combine
+    map-side; the centroid is reassembled with an ordered collect."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.avg("col").alias("mean_val"), F.count(F.lit(1)).alias("n")
+    )
+    centroids = per_pos.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
+            ),
+            lambda s: s["mean_val"],
+        ).alias("centroid"),
+    )
+    from wagtail_vector_index_spark.functions.vector import l2_norm
+
+    return centroids.select(
+        "label",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round(l2_norm(F.col("centroid")), 6).alias("centroid_norm"),
+        *[
+            F.round(F.element_at("centroid", i + 1), 6).alias(f"c{i}")
+            for i in range(4)
+        ],
+    )
