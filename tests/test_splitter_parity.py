@@ -99,3 +99,20 @@ def test_split_matches_reference_on_testdata():
             assert split_text(text, chunk_size=size, chunk_overlap=100) == (
                 _reference_split(text, size, 100)
             )
+
+
+def test_important_prefix_matches_reference_semantics():
+    """The reference prefixes f'{important}\n' at FULL chunk_size
+    (django.py:429-432) — including the empty-important lone-newline
+    quirk."""
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        chunk_with_important_prefix,
+    )
+
+    body = " ".join(f"w{i}" for i in range(300))
+    for important in ("My Important Title", ""):
+        ours = chunk_with_important_prefix(important, body, chunk_size=60)
+        reference = [
+            f"{important}\n{chunk}" for chunk in _reference_split(body, 60, 100)
+        ]
+        assert ours == reference

@@ -180,18 +180,18 @@ def chunk_with_important_prefix(
     chunk_size: int,
     chunk_overlap: int = 100,
 ) -> list[str]:
-    """Reference field-extraction semantics: the joined *important* field
-    values are prefixed onto every chunk of the remaining text
-    (src/wagtail_vector_index/storage/django.py:405-432)."""
-    if important_text:
-        effective = chunk_size - estimate_tokens(important_text)
-        return [
-            f"{important_text}\n{chunk}"
-            for chunk in split_text(
-                body_text, chunk_size=max(effective, 1), chunk_overlap=chunk_overlap
-            )
-        ]
-    return split_text(body_text, chunk_size=chunk_size, chunk_overlap=chunk_overlap)
+    """Reference chunk_object semantics, exactly
+    (src/wagtail_vector_index/storage/django.py:405-432): split the body
+    at the FULL chunk_size and prefix ``f"{important}\\n"`` onto every
+    chunk. The reference neither shrinks chunk_size to make room for the
+    prefix nor skips the ``\\n`` when the important text is empty — chunk
+    content defines document identity, so we reproduce both quirks."""
+    return [
+        f"{important_text}\n{chunk}"
+        for chunk in split_text(
+            body_text, chunk_size=chunk_size, chunk_overlap=chunk_overlap
+        )
+    ]
 
 
 def split_text_udf(chunk_size: int, chunk_overlap: int = 100):

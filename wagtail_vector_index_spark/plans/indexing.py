@@ -40,8 +40,11 @@ def chunk_sources(
     chunk_size: int,
 ) -> DataFrame:
     """source rows -> one row per chunk: (doc_key, object_keys, chunk_no,
-    content). ``important_col`` text is prefixed onto every chunk
-    (reference T1 semantics, django.py:405-432)."""
+    content). ``important_col`` text is prefixed onto every chunk at full
+    chunk_size (reference T1 semantics, django.py:405-432). Conscious
+    deviation: with no important column we emit the bare chunk, where the
+    reference's f-string prefixes a lone "\\n" even for models without
+    important fields."""
     from wagtail_vector_index_spark._workerenv import ensure_worker_imports
 
     ensure_worker_imports(sources)
