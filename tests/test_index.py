@@ -135,3 +135,17 @@ def test_delete_and_clear(index):
     index.clear()
     with pytest.raises(Exception):
         index.documents().count()
+
+
+def test_compact_preserves_resolved_state(index, spark):
+    docs_before = {
+        r["doc_key"]: r["content"] for r in index.documents().collect()
+    }
+    key = sorted(docs_before)[0]
+    index.delete([key])
+    expected = {k: v for k, v in docs_before.items() if k != key}
+    index.store.compact(index.cfg.index_name)
+    docs_after = {
+        r["doc_key"]: r["content"] for r in index.documents().collect()
+    }
+    assert docs_after == expected

@@ -285,3 +285,34 @@ def doc_fingerprint(spark, sf_dir):
         fingerprint_col(F.col("text")).alias("fingerprint"),
         fingerprint_bucket_col(F.col("text"), 1024).alias("bucket"),
     )
+
+
+@register(
+    "dedup_apply",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    losers AS (
+      SELECT DISTINCT id_b FROM inter
+      WHERE ni::DOUBLE / (n_a + n_b - ni) >= 0.5)
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """,
+)
+def dedup_apply(spark, sf_dir):
+    """End-to-end dedup application: find near-dup pairs (exact Jaccard
+    >= 0.5), drop the higher-id member of each, return the surviving
+    corpus — the keep_representatives anti-join."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        keep_representatives,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return keep_representatives(docs, pairs).select("doc_id", "source")

@@ -122,6 +122,17 @@ class DocumentStore:
             )
         staged.unpersist()
 
+    def compact(self, index_name: str) -> None:
+        """Rewrite the index partition to its resolved state (one row per
+        key, tombstones dropped). ``read`` pays a window shuffle per
+        generation layer; at scale, compact after a burst of upserts so
+        subsequent reads scan a single clean generation."""
+        resolved = self.read(index_name)
+        staged = resolved.cache()
+        staged.count()
+        self.overwrite_index(index_name, staged)
+        staged.unpersist()
+
     def overwrite_index(self, index_name: str, documents: DataFrame) -> None:
         """Rebuild (S8): INSERT OVERWRITE the index's partitions only."""
         (
