@@ -23,6 +23,36 @@ Layout:
 
 __version__ = "0.1.0"
 
-from wagtail_vector_index_spark.config import EMBEDDING_DIMENSIONS, TOKEN_LIMITS
+from wagtail_vector_index_spark.config import (
+    EMBEDDING_DIMENSIONS,
+    TOKEN_LIMITS,
+    ChatConfig,
+    EmbeddingConfig,
+    IndexConfig,
+)
 
-__all__ = ["EMBEDDING_DIMENSIONS", "TOKEN_LIMITS", "__version__"]
+__all__ = [
+    "EMBEDDING_DIMENSIONS",
+    "TOKEN_LIMITS",
+    "ChatConfig",
+    "DocumentStore",
+    "EmbeddingConfig",
+    "IndexConfig",
+    "QueryResponse",
+    "VectorIndex",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # lazy: importing the package shouldn't require a SparkSession-capable
+    # environment just to read config constants
+    if name in ("VectorIndex", "QueryResponse"):
+        from wagtail_vector_index_spark import index
+
+        return getattr(index, name)
+    if name == "DocumentStore":
+        from wagtail_vector_index_spark.sources.tables import DocumentStore
+
+        return DocumentStore
+    raise AttributeError(name)

@@ -178,14 +178,18 @@ def q_semi_join(spark, sf_dir):
     "q_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
 )
 def q_anti_join(spark, sf_dir):
+    """Customers with no large order — the filtered side guarantees a
+    non-empty, non-trivial result at every scale factor."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    big_orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -442,12 +446,15 @@ def q_monthly_orders(spark, sf_dir):
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_str,
            event_type,
            count(*)::BIGINT        AS n_events,
-           round(sum(value), 2)    AS sum_value,
-           round(avg(value), 4)    AS avg_value
+           round(sum(value), 2)    AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
 def q_events_hourly(spark, sf_dir):
+    # no rounded avg here: with 2-decimal data and small groups, avg
+    # quotients terminate within 1 ulp of a rounding boundary and the two
+    # engines' summation orders flip the digit (seen at sf0.1); sums and
+    # counts don't have that systematic failure mode
     return (
         _t(spark, sf_dir, "events")
         .groupBy(
@@ -457,7 +464,6 @@ def q_events_hourly(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
 
@@ -712,8 +718,7 @@ def q_big_orders(spark, sf_dir):
 @register(
     "q_above_nation_avg",
     oracle="""
-    SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
-           round(nation_avg, 4) AS nation_avg
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
     FROM (
       SELECT c_custkey, c_acctbal,
              avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
@@ -737,6 +742,37 @@ def q_above_nation_avg(spark, sf_dir):
         .select(
             "c_custkey",
             F.round("c_acctbal", 2).alias("acctbal"),
-            F.round("nation_avg", 4).alias("nation_avg"),
         )
+    )
+
+
+@register(
+    "q_pivot_flags",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_flags(spark, sf_dir):
+    """Pivot: linestatus values become columns (Spark plans pivot as the
+    same conditional aggregation the oracle spells out)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_n").alias("n_O"),
     )
