@@ -776,3 +776,31 @@ def q_pivot_flags(spark, sf_dir):
         F.col("F_n").alias("n_F"),
         F.col("O_n").alias("n_O"),
     )
+
+
+@register(
+    "q_median_price",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_median_price(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont` bit-for-bit — both sort-and-interpolate)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias(
+                "p90_price"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -316,3 +316,29 @@ def dedup_apply(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     return keep_representatives(docs, pairs).select("doc_id", "source")
+
+
+@register(
+    "text_wordcount",
+    oracle=f"""
+    SELECT tok, count(*)::BIGINT AS n
+    FROM (SELECT unnest({TOKS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 25
+    """,
+)
+def text_wordcount(spark, sf_dir):
+    """Corpus vocabulary: explode tokens -> count -> top-k. Map-side
+    partial aggregation collapses the token stream before the shuffle;
+    TakeOrderedAndProject cuts the top-k without a global sort."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(25)
+    )
