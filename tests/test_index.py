@@ -149,3 +149,21 @@ def test_compact_preserves_resolved_state(index, spark):
         r["doc_key"]: r["content"] for r in index.documents().collect()
     }
     assert docs_after == expected
+
+
+def test_aquery_streams_chunks(index):
+    """Q11: async retrieval + streamed generation; concatenated stream
+    equals the sync response (reference base.py:230-276 contract)."""
+    import asyncio
+
+    async def run():
+        resp = await index.aquery("what is a spark table?")
+        parts = [chunk async for chunk in resp.response]
+        return resp, parts
+
+    resp, parts = asyncio.run(run())
+    assert len(parts) > 1
+    full = "".join(parts)
+    sync = index.query("what is a spark table?")
+    assert full == sync.response
+    assert resp.sources == sync.sources

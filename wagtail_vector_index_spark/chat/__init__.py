@@ -55,6 +55,13 @@ class EchoChatBackend:
         )
         return AIResponse(choices=[f"This is an echo backend: {user_text}"])
 
+    def chat_stream(self, *, messages: list[dict], **params):
+        """Streaming variant: yields whitespace-delimited parts of the
+        full response (reference echo streaming shape, echo.py:66-99)."""
+        full = self.chat(messages=messages, **params).text()
+        for i, part in enumerate(full.split(" ")):
+            yield part if i == 0 else " " + part
+
 
 _REGISTRY: dict[str, ChatBackend] = {}
 

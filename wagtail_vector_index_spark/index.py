@@ -58,6 +58,15 @@ class QueryResponse:
     sources: list
 
 
+@dataclass
+class AsyncQueryResponse:
+    """Async RAG result: ``response`` is an async generator of content
+    chunks (reference base.py:156-171 AsyncQueryResponse)."""
+
+    response: object
+    sources: list
+
+
 class VectorIndex:
     """A named, queryable set of documents backed by a DocumentStore."""
 
@@ -210,6 +219,49 @@ class VectorIndex:
         response = self.chat_backend.chat(messages=messages)
         return QueryResponse(
             response=response.text(), sources=[r["doc_key"] for r in rows]
+        )
+
+    async def aquery(
+        self,
+        query: str,
+        *,
+        sources_limit: int = DEFAULT_RETRIEVAL_LIMIT,
+        similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+        system_prompt: str = DEFAULT_QUERY_PROMPT,
+    ) -> "AsyncQueryResponse":
+        """Async streaming RAG (reference base.py:230-276): retrieval runs
+        in a thread (Spark jobs are blocking), generation streams chunk by
+        chunk. The single-query online path stays driver-side by design
+        (SURVEY non-goal: Spark is the batch plane); batch workloads use
+        ``batch_query``."""
+        import asyncio
+
+        def _retrieve():
+            hits = self.search(
+                query,
+                limit=sources_limit,
+                similarity_threshold=similarity_threshold,
+            )
+            return hits.select("content", "doc_key").collect()
+
+        rows = await asyncio.to_thread(_retrieve)
+        context = "\n".join(r["content"] for r in rows)
+        messages = [
+            {"role": "system", "content": system_prompt},
+            {"role": "system", "content": context},
+            {"role": "user", "content": query},
+        ]
+
+        async def _stream():
+            stream_fn = getattr(self.chat_backend, "chat_stream", None)
+            if stream_fn is None:
+                yield self.chat_backend.chat(messages=messages).text()
+                return
+            for chunk in stream_fn(messages=messages):
+                yield chunk
+
+        return AsyncQueryResponse(
+            response=_stream(), sources=[r["doc_key"] for r in rows]
         )
 
     def batch_query(
