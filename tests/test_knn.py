@@ -116,3 +116,31 @@ def test_gemm_sim_values_match_numpy(spark, embeddings_df):
         # top-1 of each probe is itself with sim 1.0
         assert r["probe_id"] == r["vec_id"]
         assert r["similarity"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_results_subset_of_brute_force(spark, embeddings_df):
+    """LSH ANN candidates re-rank by exact cosine, so every returned row
+    must appear in the brute-force ranking with the same similarity."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.operators.knn import lsh_topk
+
+    index = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    probe = list(embeddings_df.where(F.col("vec_id") == 0).first()["embedding"])
+    approx = lsh_topk(
+        index.where(F.col("vec_id") != 0), probe, num_planes=12, limit=10
+    ).collect()
+    exact = topk_similar(
+        index.where(F.col("vec_id") != 0),
+        probe,
+        vector_col="vector",
+        id_col="vec_id",
+        limit=500,
+    ).collect()
+    exact_sims = {r["vec_id"]: r["similarity"] for r in exact}
+    assert 0 < len(approx) <= 10
+    for r in approx:
+        assert r["vec_id"] in exact_sims
+        assert abs(r["similarity"] - exact_sims[r["vec_id"]]) < 1e-12

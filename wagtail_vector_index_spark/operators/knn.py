@@ -181,6 +181,81 @@ def ivf_topk(
     )
 
 
+def hyperplane_lsh_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random hyperplanes for cosine LSH, derived from the
+    sha256 hash embedder (values centered to [-0.5, 0.5)). Reproducible
+    anywhere — including as float literals in the DuckDB oracle."""
+    from wagtail_vector_index_spark.embedding.hash_backend import (
+        HashEmbeddingBackend,
+    )
+
+    backend = HashEmbeddingBackend(dimensions=dim)
+    return [
+        [v - 0.5 for v in backend.embed_one(f"plane|{j}")]
+        for j in range(num_planes)
+    ]
+
+
+def lsh_bucket_col(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bucket key: bit j = 1 iff dot(vec, plane_j) > 0. Vectors in
+    the same bucket are likely cosine-close; multiprobe = small hamming
+    distance between bucket keys."""
+    from wagtail_vector_index_spark.functions.vector import dot_product
+
+    terms = [
+        F.when(
+            dot_product(vec, F.lit([float(x) for x in p]).cast("array<double>"))
+            > 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j, p in enumerate(planes)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def lsh_topk(
+    index_df: DataFrame,
+    query_vector: Sequence[float],
+    *,
+    index_id: str = "vec_id",
+    index_vec: str = "vector",
+    num_planes: int = 12,
+    max_probe_hamming: int = 2,
+    limit: int = 10,
+    sim_alias: str = "similarity",
+) -> DataFrame:
+    """Hyperplane-LSH approximate cosine top-k: candidates are rows whose
+    sign-bucket is within ``max_probe_hamming`` bits of the query's
+    bucket (multiprobe), exact-cosine re-ranked. With the index table
+    clustered by bucket, the non-probed buckets never leave the scan —
+    the LSH sibling of ivf_topk."""
+    dim = len(query_vector)
+    planes = hyperplane_lsh_planes(num_planes, dim)
+    q = [float(x) for x in query_vector]
+    q_bucket = 0
+    for j, p in enumerate(planes):
+        if sum(a * b for a, b in zip(q, p)) > 0:
+            q_bucket |= 1 << j
+    bucketed = index_df.withColumn(
+        "__bucket", lsh_bucket_col(F.col(index_vec), planes)
+    )
+    candidates = bucketed.where(
+        F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(q_bucket)))
+        <= max_probe_hamming
+    ).drop("__bucket")
+    return topk_similar(
+        candidates,
+        query_vector,
+        vector_col=index_vec,
+        id_col=index_id,
+        limit=limit,
+        sim_alias=sim_alias,
+    )
+
+
 def gemm_topk_join(
     probes_df: DataFrame,
     index_df: DataFrame,

@@ -635,3 +635,60 @@ def vector_centroids(spark, sf_dir):
             for i in range(4)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH ANN (the LSH sibling of the IVF scale path)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_oracle() -> str:
+    from wagtail_vector_index_spark.operators.knn import hyperplane_lsh_planes
+
+    planes = hyperplane_lsh_planes(12, 64)
+    def plane_lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {plane_lit(p)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    qbucket = " + ".join(
+        f"(CASE WHEN list_inner_product(qv, {plane_lit(p)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    pb AS (SELECT qv, ({qbucket})::BIGINT AS qbucket FROM p),
+    b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
+    cand AS (
+      SELECT b.vec_id, b.v, pb.qv FROM b, pb
+      WHERE bit_count(xor(b.bucket, pb.qbucket)) <= 2 AND b.vec_id <> 0)
+    SELECT vec_id, round(sim, 6) AS cos_sim FROM (
+      SELECT vec_id, {_cos_sql('v', 'qv')} AS sim FROM cand)
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """
+
+
+@register("ann_lsh_cosine", oracle=_lsh_oracle())
+def ann_lsh_cosine(spark, sf_dir):
+    """Random-hyperplane LSH ANN: 12 deterministic sha256-derived planes,
+    hamming<=2 multiprobe, exact-cosine re-rank — bucket assignment,
+    probing, and re-ranking all oracle-verified."""
+    from wagtail_vector_index_spark.operators.knn import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    probe = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    hits = lsh_topk(
+        index.where(F.col("vec_id") != 0),
+        list(probe),
+        num_planes=12,
+        max_probe_hamming=2,
+        limit=10,
+    )
+    return hits.select("vec_id", F.round("similarity", 6).alias("cos_sim"))
