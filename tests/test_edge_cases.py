@@ -1,0 +1,63 @@
+"""Edge-case robustness: nulls, empties, degenerate inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.config import IndexConfig
+from wagtail_vector_index_spark.embedding.hash_backend import HashEmbeddingBackend
+from wagtail_vector_index_spark.plans.indexing import build_documents
+from wagtail_vector_index_spark.operators.knn import topk_similar
+from wagtail_vector_index_spark.session import build_session
+
+
+def test_build_session_applies_conf():
+    spark = build_session("edge-tests", master="local[2]", shuffle_partitions=4)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_chunk_pipeline_handles_null_and_empty_text(spark):
+    sources = spark.createDataFrame(
+        [("k1", ["k1"], None), ("k2", ["k2"], ""), ("k3", ["k3"], "real content")],
+        "object_key string, object_keys array<string>, text string",
+    )
+    docs = build_documents(
+        sources, IndexConfig(index_name="edge"), HashEmbeddingBackend(8)
+    ).collect()
+    # null/empty texts produce no chunks; the real one produces one
+    assert [r["doc_key"] for r in docs] == ["k3"]
+    assert docs[0]["content"] == "real content"
+
+
+def test_topk_on_empty_index(spark):
+    empty = spark.createDataFrame([], "doc_id long, vector array<double>")
+    out = topk_similar(empty, [1.0, 0.0], limit=5).collect()
+    assert out == []
+
+
+def test_embed_empty_dataframe(spark):
+    from wagtail_vector_index_spark.embedding.stage import embed_dataframe
+
+    empty = spark.createDataFrame([], "content string")
+    out = embed_dataframe(empty, backend=HashEmbeddingBackend(8)).collect()
+    assert out == []
+
+
+def test_dedup_on_single_doc(spark):
+    from wagtail_vector_index_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    one = spark.createDataFrame([(1, "only one document here")], "doc_id long, text string")
+    assert ngram_jaccard_pairs(one, threshold=0.1).collect() == []
+    assert minhash_lsh_pairs(one, threshold=0.1).collect() == []
+
+
+def test_hash_embedder_dimension_blocks():
+    """dims > 8 extend through extra sha256 blocks deterministically."""
+    b8, b20 = HashEmbeddingBackend(8), HashEmbeddingBackend(20)
+    v8, v20 = b8.embed_one("abc"), b20.embed_one("abc")
+    assert list(v20[:8]) == list(v8)
+    assert len(set(round(x, 12) for x in v20)) == 20  # no repeated blocks

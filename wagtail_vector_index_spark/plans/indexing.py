@@ -115,13 +115,20 @@ def incremental_build_documents(
     skip-if-unchanged fast path, as one anti-join instead of N queries.
     """
     chunk_size = cfg.chunk_size or backend.token_limit
-    chunked = chunk_sources(
-        sources,
-        cfg,
-        text_col=text_col,
-        important_col=important_col,
-        chunk_size=chunk_size,
-    ).withColumn("content_hash", F.sha2(F.col("content"), 256))
+    # cache: the chunk UDF output feeds three consumers (mismatch compare,
+    # stale selection, fresh-key anti-join) — without a materialization
+    # barrier the splitter would run three times over the corpus
+    chunked = (
+        chunk_sources(
+            sources,
+            cfg,
+            text_col=text_col,
+            important_col=important_col,
+            chunk_size=chunk_size,
+        )
+        .withColumn("content_hash", F.sha2(F.col("content"), 256))
+        .cache()
+    )
 
     stored_hashes = stored.select(
         "doc_key", F.sha2(F.col("content"), 256).alias("content_hash")
