@@ -105,3 +105,31 @@ def test_word_regex_matches_reference_semantics():
     # word = runs of word chars, or single non-word non-space chars
     assert len(re.findall(r"[^\w\s]|\w+", "don't stop!")) == 5
     assert estimate_tokens("don't stop!") == max(-(-11 // 4), -(-5 * 3 // 4))
+
+
+def test_estimated_tokens_col_matches_python_on_ascii(spark):
+    """The JVM column twin must equal the Python estimator on ASCII text
+    (the unicode divergence — Java \\w is ASCII-only — is documented)."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        estimated_tokens_col,
+    )
+
+    texts = [
+        SAMPLE_0,
+        SAMPLE_1,
+        "",
+        "word",
+        "a b, c!",
+        "don't stop! 42 times...",
+        " ".join(f"w{i}" for i in range(100)),
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["est"]
+        for r in df.select(
+            estimated_tokens_col(F.col("text")).alias("est")
+        ).collect()
+    ]
+    assert got == [estimate_tokens(t) for t in texts]

@@ -57,9 +57,14 @@ def text_length(text: str) -> int:
 
 
 def estimated_tokens_col(text: Column) -> Column:
-    """JVM-side column twin of :func:`estimate_tokens` — whole-stage-codegen
-    friendly, no Python round-trip. Matches the UDF bit-for-bit on ASCII and
-    general unicode word chars.
+    """JVM-side column twin of :func:`estimate_tokens` — no Python
+    round-trip. Identical to the Python estimator on ASCII text.
+
+    Caveat: Java regex ``\\w`` is ASCII-only while Python's is unicode, so
+    on non-ASCII words this column counts each letter-run as punctuation
+    chars where Python counts one word. Chunking always uses the Python
+    estimator (it must match the reference bit-for-bit); use this column
+    for analytics over ASCII-dominant corpora, where it is exact.
     """
     words = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]|\w+"), 0))
     char_tokens = F.ceil(F.length(text) / F.lit(CHARACTERS_PER_TOKEN))
