@@ -342,3 +342,44 @@ def text_wordcount(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("tok").asc())
         .limit(25)
     )
+
+
+@register(
+    "streaming_stateful_dedup",
+    oracle=f"""
+    SELECT {FINGERPRINT_SQL} AS fingerprint, min(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def streaming_stateful_dedup(spark, sf_dir):
+    """applyInPandasWithState cross-batch dedup, run as an availableNow
+    stream over the corpus — the emitted first-seen rows must equal the
+    batch min-per-fingerprint oracle (stream == batch, again)."""
+    import tempfile
+    import uuid
+
+    from wagtail_vector_index_spark.functions.text_analysis import fingerprint_col
+    from wagtail_vector_index_spark.streaming.stateful import streaming_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = tempfile.mkdtemp(prefix="wvi_sdedup_")
+    docs.write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(staged)
+        .select(
+            fingerprint_col(F.col("text")).alias("fingerprint"), F.col("doc_id")
+        )
+    )
+    sink = f"stateful_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wvi_sdk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
