@@ -104,10 +104,13 @@ class VectorIndex:
         docs, _fresh = incremental_build_documents(
             sources, stored, self.cfg, self.embedding_backend, text_col=text_col
         )
-        stale_keys = [r[0] for r in docs.select("doc_key").distinct().collect()]
-        if stale_keys:
-            self.store.delete(self.cfg.index_name, stale_keys)
+        # stale keys stay distributed — at 100 TB the stale set after a
+        # crawl refresh can itself be huge; never collect it to the driver
+        stale_keys = docs.select("doc_key").distinct().cache()
+        if not stale_keys.isEmpty():
+            self.store.delete_keys_df(self.cfg.index_name, stale_keys)
             self.store.upsert(docs)
+        stale_keys.unpersist()
         self._sources_df = sources
 
     def upsert(self, documents: DataFrame) -> None:

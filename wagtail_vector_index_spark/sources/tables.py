@@ -90,8 +90,24 @@ class DocumentStore:
         )
 
     def delete(self, index_name: str, doc_keys: list[str]) -> None:
-        """Tombstone the given doc keys (S6) — append-only delete."""
+        """Tombstone the given doc keys (S6) — append-only delete.
+
+        For key sets too large for a driver-side list, use
+        :meth:`delete_keys_df` — same tombstone mechanics, keys stay
+        distributed."""
         existing = self.read(index_name).where(F.col("doc_key").isin(doc_keys))
+        self._write_tombstones(existing)
+
+    def delete_keys_df(self, index_name: str, keys_df: DataFrame) -> None:
+        """Tombstone every key in ``keys_df`` (single column ``doc_key``)
+        without materializing the key set on the driver — a semi join
+        against the resolved store, broadcast when small."""
+        existing = self.read(index_name).join(
+            keys_df.select("doc_key"), "doc_key", "left_semi"
+        )
+        self._write_tombstones(existing)
+
+    def _write_tombstones(self, existing: DataFrame) -> None:
         (
             self._stamp(existing, deleted=True)
             .withColumn("dim", F.array_size("vector"))
