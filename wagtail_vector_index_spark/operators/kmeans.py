@@ -1,0 +1,100 @@
+"""K-means codebook training (Lloyd's algorithm) as DataFrame iterations.
+
+The IVF index (operators/knn.py::ivf_topk) needs a codebook; a trained
+one beats the first-k-vectors placeholder on recall. Each iteration is
+two declarative stages — assignment (broadcast codebook argmax, the same
+ivf_assign shape) and re-estimation (posexplode + (cluster, pos) mean) —
+so the full training runs without any driver-side math beyond collecting
+k centroids per round (k × dim doubles, tiny by construction).
+
+Iterative refinement has no single-query SQL equivalent, so this
+operator is exercised by tests (inertia must decrease monotonically)
+rather than the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.functions.vector import similarity_col
+
+
+def _assign(index_df: DataFrame, centroids: list[tuple[int, list[float]]],
+            *, vec_col: str) -> DataFrame:
+    """Best-centroid id per row (cosine argmax, tie -> lowest cid)."""
+    spark = index_df.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(centroids, "cid int, cv array<double>")
+    )
+    w = Window.partitionBy("__row").orderBy(
+        F.col("__csim").desc(), F.col("cid").asc()
+    )
+    return (
+        index_df.withColumn("__row", F.monotonically_increasing_id())
+        .join(cdf)
+        .withColumn("__csim", similarity_col(F.col(vec_col), F.col("cv"), "cosine"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "cv", "__row")
+    )
+
+
+def train_codebook(
+    df: DataFrame,
+    *,
+    k: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "vector",
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Train a k-centroid cosine codebook; returns (centroids, assigned).
+
+    Deterministic: initial centroids are the k lowest-id vectors; each
+    round re-estimates centroids as the element-wise mean of their
+    cluster (posexplode + group — the vector_centroids shape). The
+    returned ``assigned`` DataFrame carries the final (row, cid, __csim)
+    assignment for bucketing/partitioning the index.
+    """
+    init = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
+
+    assigned = None
+    for _ in range(iterations):
+        assigned = _assign(df, centroids, vec_col=vec_col)
+        per_pos = (
+            assigned.select("cid", F.posexplode(F.col(vec_col)))
+            .groupBy("cid", "pos")
+            .agg(F.avg("col").alias("mean_val"))
+        )
+        new_rows = (
+            per_pos.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
+                    ),
+                    lambda s: s["mean_val"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        updated = {r["cid"]: [float(x) for x in r["cv"]] for r in new_rows}
+        # empty clusters keep their previous centroid
+        centroids = [
+            (cid, updated.get(cid, cv)) for cid, cv in centroids
+        ]
+    return centroids, assigned
+
+
+def inertia(assigned: DataFrame) -> float:
+    """Mean cosine distance of rows to their centroid (lower is better)."""
+    row = assigned.select(
+        F.avg(F.lit(1.0) - F.col("__csim")).alias("inertia")
+    ).first()
+    return float(row["inertia"])
