@@ -804,3 +804,43 @@ def q_median_price(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "q_window_analytics",
+    oracle="""
+    WITH w AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             ntile(4) OVER sw AS quartile,
+             round(percent_rank() OVER sw, 6) AS pct_rank,
+             lead(c_custkey) OVER sw AS next_custkey
+      FROM customer
+      WINDOW sw AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+    SELECT c_mktsegment, quartile::INT AS quartile,
+           count(*)::BIGINT AS n_customers,
+           round(sum(c_acctbal), 2) AS quartile_balance,
+           count(next_custkey)::BIGINT AS n_with_next,
+           round(max(pct_rank), 6) AS max_pct_rank
+    FROM w GROUP BY c_mktsegment, quartile
+    """,
+)
+def q_window_analytics(spark, sf_dir):
+    """Remaining window family: ntile quartiles, percent_rank, lead —
+    one window spec, aggregated per (segment, quartile)."""
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    )
+    enriched = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.lead("c_custkey").over(w).alias("next_custkey"),
+    )
+    return enriched.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("quartile_balance"),
+        F.count("next_custkey").alias("n_with_next"),
+        F.round(F.max("pct_rank"), 6).alias("max_pct_rank"),
+    )
