@@ -58,3 +58,17 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_partitioned_store_prunes_at_scan(spark, tmp_path):
+    """A lang-partitioned write must show PartitionFilters (file-level
+    pruning) when filtered on the partition column — the layout that
+    makes index_name/dim filters free at 100 TB."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+    filtered = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert filtered.count() == n_en

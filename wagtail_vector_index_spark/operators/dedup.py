@@ -391,7 +391,7 @@ def simhash_pairs_dense(
 
     fp = simhash_fingerprints(
         _ensure_parallelism(df, id_col), id_col=id_col, text_col=text_col
-    ).cache()
+    )
     rows = fp.collect()
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     all_fps = np.array([r[1] for r in rows], dtype=np.int64)
@@ -433,5 +433,10 @@ def simhash_pairs_dense(
                 }
             )
 
-    src = fp.select(F.col(id_col).alias("__id"), F.col("simhash").alias("__fp"))
+    # the fingerprints are already on the driver (8 bytes/doc) — scan the
+    # collected rows instead of recomputing the fingerprint job
+    src = df.sparkSession.createDataFrame(
+        [(int(i), int(f)) for i, f in zip(all_ids, all_fps)],
+        "__id long, __fp long",
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     return src.mapInPandas(_pairs, schema=schema)
