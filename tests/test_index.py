@@ -167,3 +167,34 @@ def test_aquery_streams_chunks(index):
     sync = index.query("what is a spark table?")
     assert full == sync.response
     assert resp.sources == sync.sources
+
+
+def test_find_similar_multichunk_probe(spark, tmp_path, documents_df):
+    """With a small chunk_size, a probe object has several chunk vectors;
+    find_similar must k-NN each chunk (limit per chunk, accumulated) and
+    dedup to one row per object (reference base.py:278-301)."""
+    sources = documents_df.limit(30).select(
+        F.concat_ws(":", "source", "doc_id").alias("object_key"),
+        F.array(F.concat_ws(":", "source", "doc_id")).alias("object_keys"),
+        "text",
+    )
+    cfg = IndexConfig(index_name="multichunk", chunk_size=30, chunk_overlap=5)
+    store = DocumentStore(spark, str(tmp_path / "mc_store"))
+    idx = VectorIndex(
+        spark, cfg, store, embedding_backend=HashEmbeddingBackend(dimensions=8)
+    )
+    idx.rebuild_index(sources)
+    docs = idx.documents()
+    probe_key = (
+        docs.groupBy("doc_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .first()["doc_key"]
+    )
+    n_chunks = docs.where(F.col("doc_key") == probe_key).count()
+    assert n_chunks > 1
+    out = idx.find_similar(probe_key, limit=3).collect()
+    keys = [r["doc_key"] for r in out]
+    assert probe_key not in keys
+    assert len(keys) == len(set(keys))  # dedup across per-chunk probes
+    assert len(keys) >= 3  # accumulation: more than one chunk's worth

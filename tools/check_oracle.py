@@ -68,6 +68,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            sdf_dtypes = sdf.dtypes
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -87,6 +88,22 @@ def main():
         status = []
         if sorted(s_cols) != sorted(d_cols):
             status.append(f"schema {sorted(s_cols)} != {sorted(d_cols)}")
+        else:
+            # dtype parity (duckdb logical -> spark simpleString)
+            type_map = {
+                "BIGINT": "bigint", "UBIGINT": "bigint", "HUGEINT": "bigint",
+                "INTEGER": "int", "DOUBLE": "double", "FLOAT": "float",
+                "VARCHAR": "string", "BOOLEAN": "boolean",
+            }
+            d_desc = {
+                r[0]: r[1] for r in con.execute(f"DESCRIBE {ORACLE[name]}").fetchall()
+            }
+            s_dtypes = dict(sdf_dtypes)
+            for col, st in s_dtypes.items():
+                dt = d_desc.get(col, "MISSING")
+                expected = type_map.get(dt.split("(")[0], dt.lower())
+                if expected != st:
+                    status.append(f"dtype {col}: spark={st} duckdb={dt}")
         if len(s_rows) != len(d_rows):
             status.append(f"rows {len(s_rows)} != {len(d_rows)}")
         if not status:

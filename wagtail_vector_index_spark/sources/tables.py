@@ -64,8 +64,9 @@ class DocumentStore:
         df = self.spark.read.parquet(self.path)
         if index_name is not None:
             df = df.where(F.col("index_name") == index_name)
-        # last-write-wins over upsert generations
-        w = Window.partitionBy("doc_key", "index_name").orderBy(
+        # last-write-wins over upsert generations, per chunk — keying on
+        # doc_key alone would collapse multi-chunk documents to one row
+        w = Window.partitionBy("doc_key", "chunk_no", "index_name").orderBy(
             F.col("batch_id").desc()
         )
         return (
