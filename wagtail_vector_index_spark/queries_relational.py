@@ -844,3 +844,55 @@ def q_window_analytics(spark, sf_dir):
         F.count("next_custkey").alias("n_with_next"),
         F.round(F.max("pct_rank"), 6).alias("max_pct_rank"),
     )
+
+
+@register(
+    "q_above_global_avg",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q_above_global_avg(spark, sf_dir):
+    """Scalar-subquery shape: compare each row against a global aggregate
+    (broadcast single-row cross join — no per-row re-scan). The 1.5x
+    margin keeps the float threshold far from any row's value, so the
+    engines' different summation orders can't flip membership."""
+    orders = _t(spark, sf_dir, "orders")
+    global_avg = orders.agg(F.avg("o_totalprice").alias("g_avg"))
+    return (
+        orders.crossJoin(F.broadcast(global_avg))
+        .where(F.col("o_totalprice") > 1.5 * F.col("g_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@register(
+    "q_ship_delay",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_items,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_delay_days,
+           min(date_diff('day', o_orderdate, l_shipdate))::INT AS min_delay,
+           max(date_diff('day', o_orderdate, l_shipdate))::INT AS max_delay
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_ship_delay(spark, sf_dir):
+    """Date arithmetic: integer day deltas sum exactly, so the rounded
+    average is engine-order-independent (unlike float-valued avgs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg(delay), 4).alias("avg_delay_days"),
+            F.min(delay).cast("int").alias("min_delay"),
+            F.max(delay).cast("int").alias("max_delay"),
+        )
+    )
