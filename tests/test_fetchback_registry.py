@@ -91,3 +91,52 @@ def test_registry_roundtrip(spark, tmp_path, documents_df):
     register_index(idx)
     assert get_index("reg_test") is idx
     assert "reg_test" in all_indexes()
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    """CSV source (SURVEY §2.4 scans EXT): header + schema inference."""
+    path = str(tmp_path / "src_csv")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select("doc_id", "lang", "source").write.option("header", True).csv(path)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "lang", "source"}
+    assert dict(back.dtypes)["doc_id"] == "int"  # inferred numeric
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL) must land within its rsd of exact —
+    the sketch path for cardinalities too large to count exactly."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_metadata_map_column_roundtrip(spark, tmp_path):
+    """Document metadata is map<string,string> (reference JSONField dict,
+    models.py:40): store it, read it, filter on a key."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.sources.tables import DocumentStore
+
+    docs = spark.createDataFrame(
+        [
+            ("k1", ["k1"], 0, "text a", [0.1, 0.2], {"lang": "en", "tier": "hi"}, "m"),
+            ("k2", ["k2"], 0, "text b", [0.3, 0.4], {"lang": "de"}, "m"),
+        ],
+        "doc_key string, object_keys array<string>, chunk_no int, content string, "
+        "vector array<double>, metadata map<string,string>, index_name string",
+    )
+    store = DocumentStore(spark, str(tmp_path / "meta_store"))
+    store.upsert(docs)
+    back = store.read("m")
+    en = back.where(F.col("metadata")["lang"] == "en").collect()
+    assert len(en) == 1 and en[0]["doc_key"] == "k1"
+    assert en[0]["metadata"]["tier"] == "hi"
+    keys = back.select(F.explode(F.map_keys("metadata")).alias("k"))
+    assert {r["k"] for r in keys.collect()} == {"lang", "tier"}
