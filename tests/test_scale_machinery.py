@@ -72,3 +72,26 @@ def test_partitioned_store_prunes_at_scan(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan
     n_en = docs.where(F.col("lang") == "en").count()
     assert filtered.count() == n_en
+
+
+def test_stratified_sample_controls_mixture(spark):
+    from wagtail_vector_index_spark.operators.skew import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fractions = {"en": 1.0, "de": 0.5, "zh": 0.0}
+    sampled = stratified_sample(docs, "lang", fractions)
+    counts = {
+        r["lang"]: r["n"]
+        for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts.get("en") == full["en"]          # keep all
+    assert "zh" not in counts                      # drop stratum
+    assert "fr" not in counts                      # absent from map -> dropped
+    assert 0 < counts.get("de", 0) < full["de"]    # thinned
+    # deterministic per seed
+    again = stratified_sample(docs, "lang", fractions).count()
+    assert again == sampled.count()

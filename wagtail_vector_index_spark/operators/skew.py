@@ -56,3 +56,17 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
     return partial.groupBy(key).agg(F.sum("__partial").alias("n"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (training-data mixture control):
+    ``fractions`` maps stratum value -> keep probability. Deterministic
+    per seed; strata absent from the map are dropped — the shape used to
+    rebalance source/language/quality mixes in a training corpus."""
+    return df.sampleBy(strata_col, fractions, seed=seed)

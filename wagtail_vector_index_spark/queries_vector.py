@@ -692,3 +692,33 @@ def ann_lsh_cosine(spark, sf_dir):
         limit=10,
     )
     return hits.select("vec_id", F.round("similarity", 6).alias("cos_sim"))
+
+
+@register(
+    "q_array_functions",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           len(v)::INT AS dim,
+           round(v[1] + v[2] + v[3], 6) AS sum_first3,
+           len(list_filter(v, x -> x > 0.3))::INT AS n_above,
+           round(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 6)
+             AS max_abs
+    FROM e
+    """,
+)
+def q_array_functions(spark, sf_dir):
+    """Array-function battery over the embedding column: size, slice-sum,
+    filtered count, transform+max — all codegen'd higher-order functions."""
+    v = F.col("embedding").cast("array<double>")
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.array_size(v).alias("dim"),
+        F.round(
+            F.element_at(v, 1) + F.element_at(v, 2) + F.element_at(v, 3), 6
+        ).alias("sum_first3"),
+        F.size(F.filter(v, lambda x: x > 0.3)).alias("n_above"),
+        F.round(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), 6
+        ).alias("max_abs"),
+    )
