@@ -61,6 +61,13 @@ def test_simhash_pairs(docs_df):
     assert not any(4 in p for p in pairs)
 
 
+def test_simhash_pairs_rejects_leaky_banding(docs_df):
+    # band_bits=8 -> 4 bands, exact only for hamming <= 3: asking for
+    # hamming 4 would silently drop qualifying pairs (pigeonhole violated)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs_df, max_hamming=4, band_bits=8)
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0]),

@@ -117,6 +117,18 @@ def test_incremental_update_skips_unchanged(index, sources, spark):
     assert refreshed.count() == 1
 
 
+def test_incremental_update_removes_deleted_sources(index, sources):
+    """A source object dropped from ``sources`` must be tombstoned by
+    update_index — same end state as rebuild_index on the same input."""
+    before = index.documents().count()
+    removed_key = sources.first()["object_key"]
+    remaining = sources.where(F.col("object_key") != removed_key)
+    index.update_index(remaining)
+    docs = index.documents()
+    assert docs.where(F.col("doc_key") == removed_key).count() == 0
+    assert docs.count() == before - 1  # unchanged objects stay untouched
+
+
 def test_batch_query(index, spark):
     queries = spark.createDataFrame(
         [("what is spark?",), ("how do joins work?",)], "query string"

@@ -118,6 +118,29 @@ def test_gemm_sim_values_match_numpy(spark, embeddings_df):
         assert r["similarity"] == pytest.approx(1.0)
 
 
+def test_gemm_string_ids(spark):
+    """gemm_topk_join must carry string keys (the document store's
+    doc_key) through the scale path, not assume long ids."""
+    rows = [(f"doc:{i}", v) for i, v in MARKERS]
+    df = spark.createDataFrame(rows, "doc_key string, vector array<double>")
+    probes = df.select(
+        F.col("doc_key").alias("probe_id"), F.col("vector").alias("probe_vec")
+    ).limit(2)
+    out = gemm_topk_join(
+        probes, df, index_id="doc_key", index_vec="vector", limit=1
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert isinstance(r["probe_id"], str) and isinstance(r["doc_key"], str)
+        assert r["probe_id"] == r["doc_key"]  # top-1 is itself
+    # empty probe set keeps the string schema too
+    empty = gemm_topk_join(
+        probes.limit(0), df, index_id="doc_key", index_vec="vector", limit=1
+    )
+    assert dict(empty.dtypes)["probe_id"] == "string"
+    assert empty.count() == 0
+
+
 def test_lsh_topk_results_subset_of_brute_force(spark, embeddings_df):
     """LSH ANN candidates re-rank by exact cosine, so every returned row
     must appear in the brute-force ranking with the same similarity."""

@@ -101,16 +101,22 @@ class VectorIndex:
             stored = self.store.read(self.cfg.index_name)
         except FileNotFoundError:
             return self.rebuild_index(sources, text_col=text_col)
-        docs, _fresh = incremental_build_documents(
+        docs, stale_keys, _fresh = incremental_build_documents(
             sources, stored, self.cfg, self.embedding_backend, text_col=text_col
         )
         # stale keys stay distributed — at 100 TB the stale set after a
-        # crawl refresh can itself be huge; never collect it to the driver
-        stale_keys = docs.select("doc_key").distinct().cache()
-        if not stale_keys.isEmpty():
-            self.store.delete_keys_df(self.cfg.index_name, stale_keys)
-            self.store.upsert(docs)
-        stale_keys.unpersist()
+        # crawl refresh can itself be huge; never collect it to the driver.
+        # The set comes from the content-hash compare (NOT from the embedded
+        # docs): it therefore covers sources *removed* since the last build,
+        # and listing it doesn't force the embed stage, which runs exactly
+        # once inside upsert().
+        stale_keys = stale_keys.cache()
+        try:
+            if not stale_keys.isEmpty():
+                self.store.delete_keys_df(self.cfg.index_name, stale_keys)
+                self.store.upsert(docs)
+        finally:
+            stale_keys.unpersist()
         self._sources_df = sources
 
     def upsert(self, documents: DataFrame) -> None:

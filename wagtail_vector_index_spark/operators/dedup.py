@@ -17,7 +17,12 @@ Five strategies, all shuffle-disciplined for 100 TB:
 - embedding:      cosine near-dup pairs over an embedding column, via the
                   same banded-candidate or GEMM paths as the knn operators.
 
-Every function returns a DataFrame; nothing collects to the driver.
+Every function returns a DataFrame. The banded/bucketed paths keep all
+data distributed; the two explicitly-dense variants
+(:func:`simhash_pairs_dense`, :func:`gemm_neardup_pairs`) collect a
+broadcastable summary (8-byte fingerprints / the normalized matrix) to the
+driver by design and say so in their docstrings — use the banded/LSH
+siblings when even that summary outgrows the driver.
 """
 
 from __future__ import annotations
@@ -44,9 +49,13 @@ def _ensure_parallelism(df: DataFrame, key_col: str) -> DataFrame:
     serialize them onto one core. No-op when the input is already wide
     (the 100 TB case), so no extra shuffle at scale."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key_col))
-    return df
+    # width via the source file listing — touching df.rdd would force plan
+    # analysis and an RDD-conversion node into every dedup plan. A source
+    # spread over >= target files is already wide; anything narrower (one
+    # small parquet file, a local relation) gets one hash repartition.
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
 
 
 def exact_duplicates(
@@ -225,15 +234,23 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 4,
-    band_bits: int = 8,
+    band_bits: int = 4,
 ) -> DataFrame:
     """SimHash near-duplicate pairs (hamming distance <= max_hamming).
 
     Candidates via banding the 32-bit fingerprint into ``32/band_bits``
     bands — a pair within hamming distance (bands-1) shares at least one
-    exact band (pigeonhole), so recall is exact for
-    max_hamming < 32/band_bits bands. Join key = (band index, band value).
+    exact band (pigeonhole), so recall is exact iff
+    ``max_hamming <= 32/band_bits - 1``. The default band_bits=4 gives 8
+    bands, exact up to hamming 7; configurations that would silently drop
+    qualifying pairs are rejected.
     """
+    if max_hamming > 32 // band_bits - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"{32 // band_bits} bands (exact only for hamming <= "
+            f"{32 // band_bits - 1}); lower band_bits or max_hamming"
+        )
     # cache: the fingerprint fold is the expensive part; without a
     # materialization barrier it recomputes once per band per join side
     df = _ensure_parallelism(df, id_col)

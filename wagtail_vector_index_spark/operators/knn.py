@@ -279,32 +279,24 @@ def gemm_topk_join(
     Shuffle volume is O(num_partitions · N_probes · k), independent of
     index size — this is the 100 TB scale path.
     """
+    # id columns keep their source types (doc keys are strings, vec ids are
+    # longs) — the output schema mirrors the inputs instead of assuming long
+    out_schema = T.StructType(
+        [
+            T.StructField(probe_id, probes_df.schema[probe_id].dataType),
+            T.StructField(index_id, index_df.schema[index_id].dataType),
+            T.StructField(sim_alias, T.DoubleType()),
+        ]
+    )
+
     probe_rows = probes_df.select(probe_id, probe_vec).collect()
     if not probe_rows:
-        spark = probes_df.sparkSession
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField(probe_id, T.LongType()),
-                    T.StructField(index_id, T.LongType()),
-                    T.StructField(sim_alias, T.DoubleType()),
-                ]
-            ),
-        )
+        return probes_df.sparkSession.createDataFrame([], out_schema)
     probe_ids = np.array([r[0] for r in probe_rows])
     P = np.array([r[1] for r in probe_rows], dtype=np.float64)
     P_unit = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-300)
     sc = probes_df.sparkSession.sparkContext
     bc = sc.broadcast((probe_ids, P_unit))
-
-    out_schema = T.StructType(
-        [
-            T.StructField(probe_id, T.LongType()),
-            T.StructField(index_id, T.LongType()),
-            T.StructField(sim_alias, T.DoubleType()),
-        ]
-    )
 
     dim = P.shape[1]
     k = limit

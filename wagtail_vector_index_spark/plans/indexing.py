@@ -104,8 +104,9 @@ def incremental_build_documents(
     *,
     text_col: str = "text",
     important_col: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Incremental T7: returns (stale_documents_to_write, fresh_doc_keys).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental T7: returns (stale_documents_to_write, stale_doc_keys,
+    fresh_doc_keys).
 
     A source object is *stale* iff its current chunk-content multiset
     differs from what's stored (django.py:267-277). We compare per-chunk
@@ -113,6 +114,12 @@ def incremental_build_documents(
     granularity: any unmatched row on either side marks the doc_key stale.
     Only stale objects' chunks are embedded — the reference's
     skip-if-unchanged fast path, as one anti-join instead of N queries.
+
+    ``stale_doc_keys`` comes from the full-outer compare itself, so it
+    includes objects *removed* from ``sources`` (present only on the stored
+    side) — the delete set a caller must tombstone. Deriving it from the
+    returned documents would both miss removals and force the embed stage
+    to run just to list keys (mapInPandas is opaque to column pruning).
     """
     chunk_size = cfg.chunk_size or backend.token_limit
     # cache: the chunk UDF output feeds three consumers (mismatch compare,
@@ -166,4 +173,4 @@ def incremental_build_documents(
         F.create_map().cast("map<string,string>").alias("metadata"),
         F.lit(cfg.index_name).alias("index_name"),
     )
-    return documents, fresh_keys
+    return documents, mismatched, fresh_keys

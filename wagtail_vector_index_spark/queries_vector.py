@@ -574,12 +574,10 @@ def pipeline_incremental_staleness(spark, sf_dir):
         F.when(F.col("doc_id") < 10, F.concat(F.lit("CHANGED "), F.col("text")))
         .otherwise(F.col("text")),
     ).drop("doc_id")
-    stale_docs, fresh_keys = incremental_build_documents(
+    _stale_docs, stale_keys, fresh_keys = incremental_build_documents(
         changed, stored, cfg, backend
     )
-    stale = stale_docs.select("doc_key").distinct().withColumn(
-        "is_stale", F.lit(True)
-    )
+    stale = stale_keys.withColumn("is_stale", F.lit(True))
     fresh = fresh_keys.withColumn("is_stale", F.lit(False))
     return stale.unionByName(fresh)
 

@@ -24,6 +24,7 @@ rewrites its neighbors.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -117,38 +118,43 @@ class DocumentStore:
             .parquet(self.path)
         )
 
+    def _swap_rewrite(self, df: DataFrame) -> None:
+        """Rewrite the whole store from ``df`` safely: write to a staging
+        directory first, then atomically swap it into place.
+
+        Never overwrite the path being read via a cache barrier — cached
+        partitions can be evicted (memory pressure, executor loss) and
+        Spark would recompute from the path mid-overwrite, corrupting the
+        store. The staging write reads only from the intact original; the
+        two renames are filesystem-atomic, so a crash leaves either the old
+        or the new store, never a half-written one."""
+        staging = f"{self.path}.staging-{time.time_ns()}"
+        df.write.mode("overwrite").partitionBy("index_name", "dim").parquet(staging)
+        trash = f"{self.path}.trash-{time.time_ns()}"
+        os.rename(self.path, trash)
+        os.rename(staging, self.path)
+        shutil.rmtree(trash, ignore_errors=True)
+
     def clear(self, index_name: str) -> None:
-        """Drop the whole index partition (S7) — dynamic partition
-        overwrite with an empty frame keyed to the index partition."""
+        """Drop the whole index partition (S7)."""
         if not self._exists():
             return
         df = self.spark.read.parquet(self.path)
-        remaining = df.where(F.col("index_name") != index_name)
-        # parquet cannot overwrite-in-place the table being read: stage it,
-        # and use static overwrite so the cleared partitions disappear.
-        staged = remaining.cache()
-        staged.count()
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        try:
-            staged.write.mode("overwrite").partitionBy("index_name", "dim").parquet(
-                self.path
-            )
-        finally:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-        staged.unpersist()
+        self._swap_rewrite(df.where(F.col("index_name") != index_name))
 
     def compact(self, index_name: str) -> None:
         """Rewrite the index partition to its resolved state (one row per
         key, tombstones dropped). ``read`` pays a window shuffle per
         generation layer; at scale, compact after a burst of upserts so
         subsequent reads scan a single clean generation."""
-        resolved = self.read(index_name)
-        staged = resolved.cache()
-        staged.count()
-        self.overwrite_index(index_name, staged)
-        staged.unpersist()
+        raw = self.spark.read.parquet(self.path)
+        others = raw.where(F.col("index_name") != index_name)
+        resolved = (
+            self._stamp(self.read(index_name))
+            .withColumn("dim", F.array_size("vector"))
+            .select(*others.columns)
+        )
+        self._swap_rewrite(others.unionByName(resolved))
 
     def overwrite_index(self, index_name: str, documents: DataFrame) -> None:
         """Rebuild (S8): INSERT OVERWRITE the index's partitions only."""
