@@ -1,0 +1,117 @@
+"""Materialized ANN index tests: result parity with the in-flight
+operators, and file-level pruning evidence (the point of materializing —
+a query must scan only the probed posting lists, never the full index)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.operators.ann_index import IvfIndex, LshIndex
+from wagtail_vector_index_spark.operators.knn import ivf_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def index_df(spark, embeddings_df):
+    return embeddings_df.where(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+
+
+@pytest.fixture(scope="module")
+def probe(embeddings_df):
+    return list(embeddings_df.where(F.col("vec_id") == 0).first()["embedding"])
+
+
+@pytest.fixture(scope="module")
+def centroids_df(embeddings_df):
+    return embeddings_df.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, index_df, centroids_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_idx"))
+    return IvfIndex.build(index_df, path=path, centroids_df=centroids_df)
+
+
+@pytest.fixture(scope="module")
+def lsh(spark, index_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lsh_idx"))
+    return LshIndex.build(index_df, path=path, num_planes=12, dim=64)
+
+
+def test_ivf_matches_inflight_operator(ivf, index_df, centroids_df, probe):
+    materialized = ivf.topk(probe, nprobe=2, limit=10).collect()
+    inflight = ivf_topk(
+        index_df, centroids_df, probe, nprobe=2, limit=10
+    ).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in materialized] == [
+        (r["vec_id"], r["similarity"]) for r in inflight
+    ]
+
+
+def test_lsh_matches_inflight_operator(lsh, index_df, probe):
+    materialized = lsh.topk(probe, max_probe_hamming=2, limit=10).collect()
+    inflight = lsh_topk(
+        index_df, probe, num_planes=12, max_probe_hamming=2, limit=10
+    ).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in materialized] == [
+        (r["vec_id"], r["similarity"]) for r in inflight
+    ]
+
+
+def test_ivf_scan_prunes_nonprobed_clusters(ivf, probe):
+    """The probed scan must carry a partition filter on cid and touch
+    fewer posting lists than exist — non-probed clusters are eliminated
+    at file listing, which is what makes nprobe sub-linear at 100 TB."""
+    import re
+
+    cand = ivf.candidates(probe, nprobe=2)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # the cid IN (...) predicate must land in PartitionFilters (file-level
+    # pruning), not PushedFilters or a post-scan Filter
+    assert re.search(r"PartitionFilters: \[[^\]]*cid#\d+ (IN \(|INSET )", plan), plan
+    n_partitions = sum(
+        1 for d in os.listdir(ivf.vectors_path) if d.startswith("cid=")
+    )
+    assert n_partitions > 2  # the corpus spreads over many clusters
+    assert set(ivf.probed_cids(probe, 2)) == {
+        r["cid"] for r in cand.select("cid").distinct().collect()
+    }
+
+
+def test_lsh_scan_prunes_nonprobed_buckets(lsh, probe):
+    import re
+
+    cand = lsh.candidates(probe, max_probe_hamming=2)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*bucket#\d+ (IN \(|INSET )", plan
+    ), plan
+    probed = set(lsh.probed_buckets(probe, 2))
+    assert len(probed) == 1 + 12 + 66  # C(12,0)+C(12,1)+C(12,2)
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(lsh.vectors_path)
+        if d.startswith("bucket=")
+    }
+    assert on_disk - probed, "some buckets must be non-probed (pruned)"
+    scanned = {r["bucket"] for r in cand.select("bucket").distinct().collect()}
+    assert scanned <= probed
+
+
+def test_ivf_build_one_file_per_cluster(ivf):
+    """The pre-write repartition co-locates each posting list: every cid
+    partition holds exactly one parquet file (no small-file shatter)."""
+    for d in os.listdir(ivf.vectors_path):
+        if not d.startswith("cid="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(ivf.vectors_path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1

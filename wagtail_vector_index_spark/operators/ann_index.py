@@ -1,0 +1,300 @@
+"""Materialized ANN indexes: build once, prune at the file level per query.
+
+The in-flight variants (operators/knn.py::ivf_topk / lsh_topk) re-derive
+cluster/bucket assignments over the full index on every query — the right
+shape for ad-hoc exploration, the wrong one for a served index: at 100 TB
+an "approximate" query that still scans (and re-assigns) 100% of the
+vectors does strictly more work than brute force. These classes split the
+work the way a real ANN index does:
+
+- **build time** (once per corpus version): assign every vector to its
+  IVF cluster (broadcast-codebook argmax) or LSH sign-bucket, then write
+  the table *partitioned by* ``cid`` / ``bucket`` — one file per posting
+  list after an explicit repartition on the partition key.
+- **query time**: pick the probed clusters/buckets driver-side from the
+  tiny codebook/plane metadata, and read the vectors table with a
+  partition-column ``isin`` filter. Catalyst turns that into
+  PartitionFilters — the non-probed posting lists never leave the file
+  listing, let alone the scan (evidence: tests/test_ann_index.py).
+
+The reference ships no ANN at all (pgvector models.py:86-87 leaves index
+creation as a TODO and brute-forces `<=>`); this is the north-star EXT
+scale path, so the semantics are pinned by our own DuckDB oracles
+(`ann_ivf_cosine`, `ann_lsh_cosine`) instead of reference parity: given
+the same codebook/planes, the materialized path returns byte-identical
+results to the in-flight operators.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.operators.knn import (
+    hyperplane_lsh_planes,
+    ivf_assign,
+    lsh_bucket_col,
+    topk_similar,
+)
+
+
+# One DataFrame per vectors path, reused across queries: each fresh
+# spark.read.parquet() rebuilds the InMemoryFileIndex, and with thousands
+# of bucket partitions that listing job costs more than the pruned scan
+# itself. A real deployment gets this for free from the metastore (the
+# catalog caches the partition listing); this dict is the local stand-in.
+# build() invalidates its path so a rebuilt index is re-listed.
+_VECTORS_DF_CACHE: dict[str, DataFrame] = {}
+
+
+def _vectors_df(spark: SparkSession, path: str) -> DataFrame:
+    if path not in _VECTORS_DF_CACHE:
+        _VECTORS_DF_CACHE[path] = spark.read.parquet(path)
+    return _VECTORS_DF_CACHE[path]
+
+
+def _seq_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    # sequential fold, matching Spark's aggregate() and DuckDB's
+    # list_inner_product summation order (oracle determinism invariant)
+    total = 0.0
+    for x, y in zip(a, b):
+        total += x * y
+    return total
+
+
+class IvfIndex:
+    """IVF index persisted as ``{path}/vectors`` (partitioned by ``cid``)
+    plus ``{path}/codebook`` (k rows)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "vector",
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def vectors_path(self) -> str:
+        return f"{self.path}/vectors"
+
+    @property
+    def codebook_path(self) -> str:
+        return f"{self.path}/codebook"
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        *,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "vector",
+        centroids_df: DataFrame | None = None,
+        k: int = 16,
+        iterations: int = 5,
+    ) -> "IvfIndex":
+        """Assign every row to its cosine-nearest centroid and persist the
+        table partitioned by cluster id.
+
+        ``centroids_df`` (columns ``cid``, ``cv``) pins an explicit
+        codebook; otherwise one is trained with Lloyd's iterations
+        (operators/kmeans.py). The pre-write repartition on ``cid``
+        co-locates each posting list into one file — the layout that makes
+        ``nprobe`` pruning a file-listing operation at any scale.
+        """
+        spark = df.sparkSession
+        if centroids_df is None:
+            from wagtail_vector_index_spark.operators.kmeans import train_codebook
+
+            centroids, _ = train_codebook(
+                df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+            )
+            centroids_df = spark.createDataFrame(
+                centroids, "cid int, cv array<double>"
+            )
+        assigned = ivf_assign(
+            df.select(id_col, vec_col),
+            centroids_df,
+            index_id=id_col,
+            index_vec=vec_col,
+        )
+        (
+            assigned.repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(f"{path}/vectors")
+        )
+        centroids_df.write.mode("overwrite").parquet(f"{path}/codebook")
+        _VECTORS_DF_CACHE.pop(f"{path}/vectors", None)
+        return cls(spark, path, id_col=id_col, vec_col=vec_col)
+
+    def probed_cids(self, query_vector: Sequence[float], nprobe: int) -> list[int]:
+        """The ``nprobe`` cluster ids cosine-closest to the query — picked
+        driver-side from the k-row codebook (k × dim doubles, tiny by
+        construction), so probing costs zero Spark jobs."""
+        q = [float(x) for x in query_vector]
+        qn = math.sqrt(_seq_dot(q, q))
+        scored = []
+        for r in self.spark.read.parquet(self.codebook_path).collect():
+            cv = [float(x) for x in r["cv"]]
+            sim = _seq_dot(cv, q) / (math.sqrt(_seq_dot(cv, cv)) * qn)
+            scored.append((-sim, int(r["cid"])))
+        return [cid for _, cid in sorted(scored)[:nprobe]]
+
+    def candidates(
+        self, query_vector: Sequence[float], *, nprobe: int = 2
+    ) -> DataFrame:
+        """The probed posting lists as a DataFrame — a partition-pruned
+        scan (``cid`` is the partition column, so non-probed clusters are
+        eliminated during file listing)."""
+        probed = self.probed_cids(query_vector, nprobe)
+        return _vectors_df(self.spark, self.vectors_path).where(
+            F.col("cid").isin(probed)
+        )
+
+    def topk(
+        self,
+        query_vector: Sequence[float],
+        *,
+        nprobe: int = 2,
+        limit: int = 10,
+        sim_alias: str = "similarity",
+    ) -> DataFrame:
+        """IVF ANN top-k: exact cosine rank over the probed clusters only.
+        Identical results to knn.ivf_topk given the same codebook, at
+        ~nprobe/k of the scan."""
+        cand = self.candidates(query_vector, nprobe=nprobe).drop("cid")
+        return topk_similar(
+            cand,
+            query_vector,
+            vector_col=self.vec_col,
+            id_col=self.id_col,
+            limit=limit,
+            sim_alias=sim_alias,
+        )
+
+
+class LshIndex:
+    """Hyperplane-LSH index persisted as ``{path}/vectors`` (partitioned
+    by ``bucket``) plus ``{path}/meta`` (plane count + dim; the planes
+    themselves are re-derived deterministically from sha256)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "vector",
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def vectors_path(self) -> str:
+        return f"{self.path}/vectors"
+
+    @property
+    def meta_path(self) -> str:
+        return f"{self.path}/meta"
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        *,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "vector",
+        num_planes: int = 12,
+        dim: int | None = None,
+    ) -> "LshIndex":
+        """Stamp every row's sign-bucket and persist partitioned by it.
+
+        2^num_planes possible buckets; only non-empty ones materialize as
+        partition directories. The planes are sha256-derived
+        (knn.hyperplane_lsh_planes), so rebuilding the index — or an
+        oracle — from (num_planes, dim) alone reproduces them exactly.
+        """
+        spark = df.sparkSession
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = hyperplane_lsh_planes(num_planes, dim)
+        bucketed = df.select(id_col, vec_col).withColumn(
+            "bucket", lsh_bucket_col(F.col(vec_col), planes)
+        )
+        (
+            bucketed.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/vectors")
+        )
+        spark.createDataFrame(
+            [(num_planes, dim)], "num_planes int, dim int"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        _VECTORS_DF_CACHE.pop(f"{path}/vectors", None)
+        return cls(spark, path, id_col=id_col, vec_col=vec_col)
+
+    def probed_buckets(
+        self, query_vector: Sequence[float], max_probe_hamming: int
+    ) -> list[int]:
+        """Multiprobe bucket set: the query's own bucket plus every bucket
+        within ``max_probe_hamming`` bit flips — sum(C(planes, 0..h))
+        values, enumerated driver-side."""
+        meta = self.spark.read.parquet(self.meta_path).first()
+        planes = hyperplane_lsh_planes(meta["num_planes"], meta["dim"])
+        q = [float(x) for x in query_vector]
+        q_bucket = 0
+        for j, p in enumerate(planes):
+            if _seq_dot(q, p) > 0:
+                q_bucket |= 1 << j
+        buckets = []
+        for h in range(max_probe_hamming + 1):
+            for flips in combinations(range(meta["num_planes"]), h):
+                mask = 0
+                for j in flips:
+                    mask |= 1 << j
+                buckets.append(q_bucket ^ mask)
+        return buckets
+
+    def candidates(
+        self, query_vector: Sequence[float], *, max_probe_hamming: int = 2
+    ) -> DataFrame:
+        probed = self.probed_buckets(query_vector, max_probe_hamming)
+        return _vectors_df(self.spark, self.vectors_path).where(
+            F.col("bucket").isin(probed)
+        )
+
+    def topk(
+        self,
+        query_vector: Sequence[float],
+        *,
+        max_probe_hamming: int = 2,
+        limit: int = 10,
+        sim_alias: str = "similarity",
+    ) -> DataFrame:
+        """LSH ANN top-k: exact cosine rank over the probed buckets only.
+        Identical results to knn.lsh_topk given the same planes."""
+        cand = self.candidates(
+            query_vector, max_probe_hamming=max_probe_hamming
+        ).drop("bucket")
+        return topk_similar(
+            cand,
+            query_vector,
+            vector_col=self.vec_col,
+            id_col=self.id_col,
+            limit=limit,
+            sim_alias=sim_alias,
+        )

@@ -146,14 +146,16 @@ def ivf_topk(
     limit: int = 10,
     sim_alias: str = "similarity",
 ) -> DataFrame:
-    """IVF-style approximate top-k: search only the ``nprobe`` clusters
-    whose centroids are closest to the query.
+    """IVF-style approximate top-k, computed *in-flight*: assignment runs
+    over the full index as part of the query. Use this for ad-hoc/one-shot
+    exploration only — a served index should be built once with
+    :class:`~wagtail_vector_index_spark.operators.ann_index.IvfIndex`,
+    whose queries scan only the ``nprobe`` probed partitions (file-level
+    pruning) instead of re-assigning every row per query.
 
-    Scan cost drops to ~nprobe/n_centroids of the index; with the index
-    table partitioned by cluster id, the non-probed partitions are pruned
-    at the file level. Recall is approximate (vectors assigned elsewhere
-    are invisible) — the classic IVF trade, deterministic given a fixed
-    codebook.
+    Recall is approximate (vectors assigned elsewhere are invisible) —
+    the classic IVF trade, deterministic given a fixed codebook, and
+    byte-identical between this and the materialized path.
     """
     q = F.lit([float(x) for x in query_vector]).cast("array<double>")
     probed = (
@@ -227,11 +229,13 @@ def lsh_topk(
     limit: int = 10,
     sim_alias: str = "similarity",
 ) -> DataFrame:
-    """Hyperplane-LSH approximate cosine top-k: candidates are rows whose
-    sign-bucket is within ``max_probe_hamming`` bits of the query's
-    bucket (multiprobe), exact-cosine re-ranked. With the index table
-    clustered by bucket, the non-probed buckets never leave the scan —
-    the LSH sibling of ivf_topk."""
+    """Hyperplane-LSH approximate cosine top-k, computed *in-flight*:
+    candidates are rows whose sign-bucket is within ``max_probe_hamming``
+    bits of the query's bucket (multiprobe), exact-cosine re-ranked —
+    but every row's bucket is recomputed per query. For a served index use
+    :class:`~wagtail_vector_index_spark.operators.ann_index.LshIndex`,
+    which persists the buckets as partitions so non-probed buckets are
+    pruned at file listing. The LSH sibling of ivf_topk."""
     dim = len(query_vector)
     planes = hyperplane_lsh_planes(num_planes, dim)
     q = [float(x) for x in query_vector]
