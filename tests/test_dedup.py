@@ -61,11 +61,92 @@ def test_simhash_pairs(docs_df):
     assert not any(4 in p for p in pairs)
 
 
+def test_simhash_fold_matches_vote_aggregation(documents_df):
+    """The per-row fold (simhash32_col) and the explode+vote aggregation
+    (simhash_fingerprints) must produce bit-identical fingerprints — the
+    dense pair path relies on swapping between them freely."""
+    from wagtail_vector_index_spark.functions.text_analysis import simhash32_col
+    from wagtail_vector_index_spark.operators.dedup import simhash_fingerprints
+
+    docs = documents_df.limit(200)
+    fold = {
+        r["doc_id"]: r["simhash"]
+        for r in docs.select(
+            "doc_id", simhash32_col(F.col("text")).alias("simhash")
+        ).collect()
+    }
+    votes = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs, id_col="doc_id").collect()
+    }
+    assert fold == votes
+
+
 def test_simhash_pairs_rejects_leaky_banding(docs_df):
     # band_bits=8 -> 4 bands, exact only for hamming <= 3: asking for
     # hamming 4 would silently drop qualifying pairs (pigeonhole violated)
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(docs_df, max_hamming=4, band_bits=8)
+
+
+def test_block_neardup_matches_gemm(spark, embeddings_df):
+    """The distributed block-GEMM path (no driver collect) must return
+    exactly the broadcast-GEMM answer — same pairs, same similarities."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        block_neardup_pairs,
+        gemm_neardup_pairs,
+    )
+
+    emb = embeddings_df.limit(300)
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in block_neardup_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3, blocks=5
+        ).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in gemm_neardup_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    }
+    assert set(blocked) == set(gemm)
+    for k in blocked:
+        assert blocked[k] == pytest.approx(gemm[k], abs=1e-12)
+    assert all(a < b for a, b in blocked)
+
+
+def test_lsh_neardup_subset_of_exact(spark, embeddings_df):
+    """LSH candidates -> verify returns a subset of the exact answer,
+    with identical similarities on the pairs it does return, and always
+    finds identical vectors (same bucket in every band)."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        gemm_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    emb = embeddings_df.limit(300)
+    # plant an exact duplicate of vec 1 under a fresh id
+    dup = emb.where(F.col("vec_id") == 1).select(
+        F.lit(999999).alias("vec_id"), F.col("embedding"), F.col("label")
+    )
+    corpus = emb.unionByName(dup)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in gemm_neardup_pairs(
+            corpus, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_neardup_pairs(
+            corpus, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert (1, 999999) in approx  # identical vectors always collide
+    for k, v in approx.items():
+        assert v == pytest.approx(exact[k], abs=1e-9)
 
 
 def test_embedding_neardup(spark):
@@ -105,3 +186,49 @@ def test_simhash_column_matches_bulk_path(spark, docs_df):
         r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs_df).collect()
     }
     assert col_path == bulk_path
+
+
+def test_connected_components_chain(spark):
+    """Chained near-dups (1-2, 2-3, no 1-3 edge) collapse to one
+    component; a disjoint pair stays separate; min id labels each."""
+    from wagtail_vector_index_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_and_strings(spark):
+    """A 9-hop path graph converges (diameter-bounded propagation) and
+    string ids order lexicographically."""
+    from wagtail_vector_index_spark.operators.dedup import connected_components
+
+    chain = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(9)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    comp = connected_components(pairs).collect()
+    assert {r["component"] for r in comp} == {"d00"}
+    assert len(comp) == 10
+
+
+def test_keep_representatives_exact_beats_clique_approx(spark):
+    """On a chain 1~3~2 (hub 3 is the max id, no 1~2 pair), the
+    single-pass approximation keeps both chain ends {1, 2}; the
+    connected-components version keeps only the component minimum {1}."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        keep_representatives_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    approx = {r["doc_id"] for r in keep_representatives(docs, pairs).collect()}
+    exact = {
+        r["doc_id"] for r in keep_representatives_exact(docs, pairs).collect()
+    }
+    assert approx == {1, 2, 4}
+    assert exact == {1, 4}

@@ -374,6 +374,180 @@ def gemm_neardup_pairs(
     return df.select(id_col, vec_col).mapInPandas(_pairs, schema=schema)
 
 
+def block_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    blocks: int = 8,
+    sim_alias: str = "cos_sim",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs via *distributed* block GEMM —
+    the scale-safe sibling of :func:`gemm_neardup_pairs` (which broadcasts
+    the full matrix from the driver and therefore caps out at driver
+    memory).
+
+    Rows are hashed into ``blocks`` blocks; every unordered block pair
+    (i <= j) becomes one group holding block i's rows (side a) and block
+    j's (side b), and each group runs one BLAS multiply emitting only the
+    pairs above threshold. Work is O(N²/B²) per group spread over B(B+1)/2
+    groups; shuffle volume is ~B copies of each row — choose B ~ cluster
+    width at 100 TB. Nothing ever collects to the driver, no side needs to
+    broadcast, and the result is exactly the all-pairs answer (each
+    unordered row pair lands in exactly one block-pair group).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    pairs_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, j) for i in range(blocks) for j in range(i, blocks)],
+            "bi int, bj int",
+        )
+    )
+    tagged = df.select(id_col, vec_col).withColumn(
+        "blk",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(blocks)).cast(
+            "int"
+        ),
+    )
+    a_side = tagged.join(pairs_df, tagged["blk"] == pairs_df["bi"]).select(
+        "bi", "bj", F.col(id_col), F.col(vec_col), F.lit("a").alias("side")
+    )
+    b_side = (
+        tagged.join(pairs_df, tagged["blk"] == pairs_df["bj"])
+        .where(F.col("bi") != F.col("bj"))
+        .select("bi", "bj", F.col(id_col), F.col(vec_col), F.lit("b").alias("side"))
+    )
+    union = a_side.unionByName(b_side)
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField(sim_alias, T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], sim_alias: []})
+
+    def _block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        is_diagonal = int(pdf["bi"].iloc[0]) == int(pdf["bj"].iloc[0])
+        if not len(a) or (not is_diagonal and not len(b)):
+            return empty
+        ids_a = a[id_col].to_numpy()
+        Ma = np.array(a[vec_col].tolist(), dtype=np.float64)
+        Ma /= np.maximum(np.linalg.norm(Ma, axis=1, keepdims=True), 1e-300)
+        if is_diagonal:
+            # within-block: upper triangle of the self-product
+            sims = Ma @ Ma.T
+            ra, cb = np.where(sims >= thr)
+            keep = ids_a[ra] < ids_a[cb]
+            lo, hi = ids_a[ra[keep]], ids_a[cb[keep]]
+            vals = sims[ra[keep], cb[keep]]
+        else:
+            # cross between disjoint blocks: keep all, normalize id order
+            ids_b = b[id_col].to_numpy()
+            Mb = np.array(b[vec_col].tolist(), dtype=np.float64)
+            Mb /= np.maximum(np.linalg.norm(Mb, axis=1, keepdims=True), 1e-300)
+            sims = Ma @ Mb.T
+            ra, cb = np.where(sims >= thr)
+            xa, xb = ids_a[ra], ids_b[cb]
+            swap = xa > xb
+            lo = np.where(swap, xb, xa)
+            hi = np.where(swap, xa, xb)
+            vals = sims[ra, cb]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, sim_alias: vals})
+
+    return union.groupBy("bi", "bj").applyInPandas(_block_pair, schema=out_schema)
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    bands: int = 3,
+    sim_alias: str = "cos_sim",
+) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane-LSH candidates +
+    exact-cosine verification — the sub-quadratic scale path.
+
+    Each vector gets a ``num_planes``-bit sign-bucket (sha256-derived
+    planes, knn.hyperplane_lsh_planes); the bits split into ``bands``
+    bands and pairs agreeing on at least one whole band become candidates
+    (pigeonhole: covers bucket-hamming <= bands-1). Only candidates fetch
+    their vectors back for the exact cosine filter, so no quadratic join
+    and no driver collect. Recall is LSH-probabilistic — pairs whose
+    buckets differ in every band are invisible, the classic trade; use
+    :func:`block_neardup_pairs` when exact recall is required.
+    """
+    from wagtail_vector_index_spark.operators.knn import (
+        hyperplane_lsh_planes,
+        lsh_bucket_col,
+    )
+
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+            f"id_b {df.schema[id_col].dataType.simpleString()}, {sim_alias} double"
+        )
+    dim = len(first[0])
+    planes = hyperplane_lsh_planes(num_planes, dim)
+    bits_per_band = num_planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    src = _ensure_parallelism(df.select(id_col, vec_col), id_col)
+    bucketed = src.withColumn(
+        "__bucket", lsh_bucket_col(F.col(vec_col), planes)
+    ).cache()
+    bucketed.count()  # eager: banding + both verify joins reuse it
+    banded = bucketed.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.shiftright(F.col("__bucket"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_no", "band.band_val")
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_no", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(sim_alias, cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .where(F.col(sim_alias) >= F.lit(float(threshold)))
+        .select("id_a", "id_b", sim_alias)
+    )
+
+
 def keep_representatives(
     df: DataFrame,
     pairs: DataFrame,
@@ -382,8 +556,101 @@ def keep_representatives(
 ) -> DataFrame:
     """Drop the higher-id member of every duplicate pair (single-pass
     approximation of connected components — exact when duplicate clusters
-    are cliques, the common case for near-dup text)."""
+    are cliques, the common case for near-dup text). For chained near-dups
+    (A≈B≈C but A̸≈C) use :func:`keep_representatives_exact`, which
+    clusters first."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "id",
+    out_comp: str = "component",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph via
+    iterative min-label propagation: every node repeatedly takes the
+    minimum of its own label and its neighbors' labels until fixpoint.
+    Returns one row per node that appears in a pair: (``out_id``,
+    ``out_comp``) where the component label is the smallest node id
+    reachable from it. Nodes in no pair are their own component — callers
+    wanting the full corpus should left-join and ``coalesce(component,
+    id)`` (see the ``dedup_components`` catalog query).
+
+    Scale shape: each round is one shuffle join of the (cached) symmetric
+    edge list against the label table plus one map-side-combinable
+    ``groupBy(min)`` — both keyed on node id, so AQE can reuse the
+    partitioning. The label table holds only nodes that occur in a pair,
+    which for dedup workloads is a small fraction of the corpus.
+    Convergence takes O(graph diameter) rounds; duplicate clusters are
+    near-cliques in practice (diameter 1-2), so 2-4 rounds is typical.
+    Labels decrease monotonically, so the fixpoint test (no label
+    strictly decreased this round) is exact. For adversarially long
+    chains, raise ``max_iter`` (the propagation is still correct at any
+    cutoff for all nodes within ``max_iter`` hops of their component
+    minimum).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    adj = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    # localCheckpoint (not cache) each round: an iterative self-referencing
+    # plan otherwise grows exponentially — by ~10 rounds the driver OOMs
+    # just *printing* the plan. Checkpointing truncates lineage so every
+    # round starts from a materialized leaf. (On a real cluster with
+    # unreliable executors, set a checkpoint dir and swap in checkpoint().)
+    lbl = (
+        adj.select(F.col("src").alias(out_id))
+        .distinct()
+        .withColumn(out_comp, F.col(out_id))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = lbl.select(
+                F.col(out_id).alias("dst"), F.col(out_comp).alias("nbr_comp")
+            )
+            msgs = adj.join(nbr, "dst").select(
+                F.col("src").alias(out_id), F.col("nbr_comp").alias(out_comp)
+            )
+            new = (
+                msgs.unionByName(lbl)
+                .groupBy(out_id)
+                .agg(F.min(out_comp).alias(out_comp))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.select(F.col(out_id), F.col(out_comp).alias("new_comp"))
+                .join(lbl, out_id)
+                .where(F.col("new_comp") < F.col(out_comp))
+                .count()
+            )
+            lbl = new
+            if changed == 0:
+                break
+    finally:
+        adj.unpersist()
+    return lbl
+
+
+def keep_representatives_exact(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-cluster pruning: connected components over the
+    pairs graph, then keep only each component's minimum id. Unlike
+    :func:`keep_representatives`, chained near-dups (A≈B≈C with A̸≈C)
+    collapse to a single representative."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, id_col, "left_anti")
 
 
@@ -406,8 +673,14 @@ def simhash_pairs_dense(
     import pandas as pd
     from pyspark.sql import types as T
 
-    fp = simhash_fingerprints(
-        _ensure_parallelism(df, id_col), id_col=id_col, text_col=text_col
+    from wagtail_vector_index_spark.functions.text_analysis import simhash32_col
+
+    # per-row fold: one narrow codegen'd pass (sha256 per token, in-array
+    # vote accumulate), no explode and no 32-accumulator hash aggregate —
+    # ~3x faster than the simhash_fingerprints explode path at sf0.1 and
+    # bit-identical to it (asserted in tests)
+    fp = _ensure_parallelism(df, id_col).select(
+        F.col(id_col), simhash32_col(F.col(text_col)).alias("simhash")
     )
     rows = fp.collect()
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -451,9 +724,11 @@ def simhash_pairs_dense(
             )
 
     # the fingerprints are already on the driver (8 bytes/doc) — scan the
-    # collected rows instead of recomputing the fingerprint job
+    # collected rows instead of recomputing the fingerprint job. No
+    # repartition: parallelize already slices into defaultParallelism
+    # partitions, so adding one would only insert a shuffle stage.
     src = df.sparkSession.createDataFrame(
-        [(int(i), int(f)) for i, f in zip(all_ids, all_fps)],
+        pd.DataFrame({"__id": all_ids, "__fp": all_fps}),
         "__id long, __fp long",
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
     return src.mapInPandas(_pairs, schema=schema)

@@ -319,6 +319,55 @@ def dedup_apply(spark, sf_dir):
 
 
 @register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE ni::DOUBLE / (n_a + n_b - ni) >= 0.1),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    walk(u, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component FROM walk GROUP BY u)
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster labeling: near-dup pairs (exact 3-gram Jaccard
+    >= 0.1, the loose threshold so clusters chain) -> connected components
+    by iterative min-label propagation -> every document labeled with its
+    cluster's minimum doc_id (singletons label themselves). The oracle
+    re-derives the same clustering with a recursive transitive-closure
+    CTE, so chained near-dups (A~B~C without A~C) are pinned exactly —
+    the case the single-pass keep_representatives approximation gets
+    wrong."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+
+
+@register(
     "text_wordcount",
     oracle=f"""
     SELECT tok, count(*)::BIGINT AS n

@@ -198,17 +198,72 @@ def similarity_join_topk(spark, sf_dir):
     """,
 )
 def embedding_neardup(spark, sf_dir):
-    # GEMM path: one BLAS multiply per partition against the broadcast
-    # matrix instead of a 2M-row expression-fold pair join (~50x faster;
-    # float64 matmul agrees with the oracle's sequential fold within 1e-14,
-    # far inside the round-to-6 comparison).
-    from wagtail_vector_index_spark.operators.dedup import gemm_neardup_pairs
+    # Distributed block GEMM: rows hash into blocks, every block pair runs
+    # one BLAS multiply inside applyInPandas — exact all-pairs answer with
+    # NO driver collect and no broadcast of the full matrix (the
+    # gemm_neardup_pairs fast path caps out at driver memory; this one
+    # only caps out at cluster size). float64 matmul agrees with the
+    # oracle's sequential fold within 1e-14, far inside round-to-6.
+    from wagtail_vector_index_spark.operators.dedup import block_neardup_pairs
 
-    pairs = gemm_neardup_pairs(
+    pairs = block_neardup_pairs(
         _t(spark, sf_dir, "embeddings"),
         id_col="vec_id",
         vec_col="embedding",
         threshold=0.4,
+        blocks=4,
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _lsh_neardup_oracle(threshold: float = 0.4, num_planes: int = 12,
+                        bands: int = 3) -> str:
+    from wagtail_vector_index_spark.operators.knn import hyperplane_lsh_planes
+
+    planes = hyperplane_lsh_planes(num_planes, 64)
+    bits = num_planes // bands
+    mask = (1 << bits) - 1
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, "
+        f"[{', '.join(repr(x) for x in p)}]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
+    banded AS (
+      SELECT vec_id, v, r.band_no,
+             (bucket >> (r.band_no::INT * {bits})) & {mask} AS band_val
+      FROM b, range({bands}) r(band_no)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_no = b.band_no AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(sim, 6) AS cos_sim FROM (
+      SELECT c.id_a, c.id_b, {_cos_sql('ea.v', 'eb.v')} AS sim
+      FROM cand c JOIN e ea ON c.id_a = ea.vec_id
+                  JOIN e eb ON c.id_b = eb.vec_id)
+    WHERE sim >= {threshold}
+    """
+
+
+@register("embedding_neardup_lsh", oracle=_lsh_neardup_oracle())
+def embedding_neardup_lsh(spark, sf_dir):
+    """Sub-quadratic embedding near-dup: banded hyperplane-LSH candidate
+    generation -> exact-cosine verify. Candidate banding and the verify
+    filter are both re-derived in the DuckDB oracle, so the probabilistic
+    recall is pinned, not hand-waved — output is a strict, deterministic
+    subset of embedding_neardup."""
+    from wagtail_vector_index_spark.operators.dedup import lsh_neardup_pairs
+
+    pairs = lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+        num_planes=12,
+        bands=3,
     )
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
