@@ -7,9 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from wagtail_vector_index_spark.operators.multimodal import (
+    byte_slice_demux,
     decode_binary_column,
     decode_stub,
-    frame_sample_stub,
+    frame_sample,
 )
 
 
@@ -41,10 +42,68 @@ def test_decode_keeps_input_columns(spark):
     )
 
 
-def test_frame_sample_is_declared_stub(spark):
-    df = spark.createDataFrame([(1, b"b")], "id long, payload binary")
-    with pytest.raises(NotImplementedError):
-        frame_sample_stub(df)
+def test_byte_slice_demux():
+    frames = byte_slice_demux(b"0123456789", every_n_bytes=4, max_frames=2)
+    assert frames == [b"0123", b"4567"]  # max_frames caps the tail
+    frames = byte_slice_demux(b"0123456", every_n_bytes=4, max_frames=8)
+    assert frames == [b"0123", b"456"]  # short tail frame survives
+
+
+def test_frame_sample_fanout(spark):
+    df = spark.createDataFrame(
+        [(1, b"0123456789"), (2, b"ab")], "doc_id long, payload binary"
+    )
+    out = frame_sample(df, every_n_bytes=4, max_frames=2).collect()
+    got = {(r["doc_id"], r["frame_no"]): bytes(r["frame_bytes"]) for r in out}
+    assert got == {
+        (1, 0): b"0123",
+        (1, 1): b"4567",
+        (2, 0): b"ab",
+    }
+
+
+def test_decode_image_pil_gated_or_real(spark):
+    """When PIL is installed the real decoder parses an actual PNG
+    header; otherwise the import gate raises cleanly. Both paths keep
+    the decode_stub output contract."""
+    from wagtail_vector_index_spark.operators.multimodal import (
+        decode_image_pil,
+    )
+
+    pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (17, 23)).save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    meta = decode_image_pil(payload)
+    assert (meta["width"], meta["height"]) == (17, 23)
+    assert meta["byte_len"] == len(payload)
+    assert meta["content_sha"] == hashlib.sha256(payload).hexdigest()
+
+    df = spark.createDataFrame([(1, payload)], "id long, payload binary")
+    row = decode_binary_column(
+        df, binary_col="payload", decoder=decode_image_pil
+    ).collect()[0]
+    assert (row["width"], row["height"]) == (17, 23)
+
+
+def test_decode_image_pil_import_gate():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; gate test not applicable")
+    except ImportError:
+        pass
+    from wagtail_vector_index_spark.operators.multimodal import (
+        decode_image_pil,
+    )
+
+    with pytest.raises(ImportError):
+        decode_image_pil(b"not-an-image")
 
 
 def test_backend_loader_roundtrip():

@@ -4,9 +4,10 @@ Reference surface (src/wagtail_vector_index/ai_utils/backends/base.py:
 169-213): ``chat(messages=[{role, content}, ...]) -> AIResponse`` with
 default-parameter merging; the echo backend
 (ai_utils/backends/echo.py:66-99) returns the user messages back and is
-the deterministic test double. Real API clients (litellm etc.) plug in by
-implementing the same protocol — they are not bundled here (no network in
-this environment).
+the deterministic test double. A real client twin lives in
+``chat.litellm_backend`` (import-gated — litellm is not in this
+container; it mirrors the reference's LiteLLMChatBackend incl. streaming
+and default-parameter merge, tested under a mocked SDK).
 
 Batch generation for pipelines: ``chat_dataframe`` runs the backend inside
 ``mapInPandas`` — one worker-side client per partition, Arrow-batched

@@ -45,14 +45,45 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
+def decode_image_pil(payload: bytes) -> dict:
+    """Real image decode via PIL — import-gated (PIL is not in this
+    container). Same output contract as :func:`decode_stub`: the stage
+    schema, batching and partitioning do not change when swapping the
+    decoder, which is the point of the contract. Unparseable payloads
+    yield width/height -1 rather than failing the whole Arrow batch."""
+    from io import BytesIO
+
+    from PIL import Image  # gated: raises ImportError where PIL is absent
+
+    hexdig = hashlib.sha256(payload).hexdigest()
+    try:
+        with Image.open(BytesIO(payload)) as img:
+            width, height = img.size
+    except Exception:
+        width, height = -1, -1
+    return {
+        "byte_len": len(payload),
+        "content_sha": hexdig,
+        "width": width,
+        "height": height,
+    }
+
+
 def decode_binary_column(
-    df: DataFrame, *, binary_col: str = "payload", out_prefix: str = ""
+    df: DataFrame,
+    *,
+    binary_col: str = "payload",
+    out_prefix: str = "",
+    decoder=decode_stub,
 ) -> DataFrame:
     """Append decoded-metadata columns for a binary column.
 
     ``mapInPandas`` so each worker sees Arrow record batches of raw bytes —
     the shape a real image/audio decode stage needs (batch the codec calls,
-    keep bytes off the driver).
+    keep bytes off the driver). ``decoder`` is any ``bytes -> dict``
+    producing the DECODED_FIELDS keys: ``decode_stub`` (deterministic,
+    oracle-reproducible) by default, :func:`decode_image_pil` for real
+    image headers where PIL is installed.
     """
     from wagtail_vector_index_spark._workerenv import ensure_worker_imports
 
@@ -64,13 +95,77 @@ def decode_binary_column(
 
     def _decode(batches: Iterator) -> Iterator:
         for pdf in batches:
-            metas = [decode_stub(b) for b in pdf[binary_col]]
+            metas = [decoder(b) for b in pdf[binary_col]]
             pdf = pdf.copy()
             for f in DECODED_FIELDS:
                 pdf[out_prefix + f.name] = [m[f.name] for m in metas]
             yield pdf
 
     return df.mapInPandas(_decode, schema=schema)
+
+
+def byte_slice_demux(
+    payload: bytes, *, every_n_bytes: int, max_frames: int
+) -> list[bytes]:
+    """Deterministic demuxer stand-in: one "frame" per every_n_bytes
+    offset (a real implementation would parse the container and decode
+    I-frames — ffmpeg is not in this container). Keeps the fan-out
+    plumbing honest: variable frames-per-row, bytes in, bytes out."""
+    return [
+        payload[off : off + every_n_bytes]
+        for off in range(
+            0, min(len(payload), every_n_bytes * max_frames), every_n_bytes
+        )
+    ]
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    binary_col: str = "payload",
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    demux=byte_slice_demux,
+) -> DataFrame:
+    """Video frame-sampling plumbing: (key, payload) -> one row per
+    sampled frame (key, frame_no, frame_bytes). Partition-local fan-out
+    inside ``mapInPandas`` — no shuffle, no driver round-trip; frames
+    stream out in Arrow batches. ``demux`` is any ``bytes -> list[bytes]``;
+    the default :func:`byte_slice_demux` is the deterministic stand-in,
+    a real ffmpeg-backed demuxer plugs into the same contract."""
+    import pandas as pd
+
+    from wagtail_vector_index_spark._workerenv import ensure_worker_imports
+
+    ensure_worker_imports(df)
+    schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            keys, nos, frames = [], [], []
+            for key, payload in zip(pdf[key_col], pdf[binary_col]):
+                for i, fr in enumerate(
+                    demux(
+                        payload,
+                        every_n_bytes=every_n_bytes,
+                        max_frames=max_frames,
+                    )
+                ):
+                    keys.append(key)
+                    nos.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {key_col: keys, "frame_no": nos, "frame_bytes": frames}
+            )
+
+    return df.select(key_col, binary_col).mapInPandas(_sample, schema=schema)
 
 
 def frame_sample_stub(
@@ -80,10 +175,12 @@ def frame_sample_stub(
     every_n_bytes: int = 1024,
     max_frames: int = 8,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled "frame"
-    (here: per every_n_bytes offset — a real impl would demux). Shows the
-    explode shape: partition-local fan-out, no shuffle."""
-    raise NotImplementedError(
-        "frame sampling requires a real demuxer; plumbing contract: "
-        "input (key, payload) -> output (key, frame_no, frame_bytes)"
+    """Deprecated name — the plumbing is now real, see
+    :func:`frame_sample` (the demux step remains a deterministic
+    stand-in)."""
+    return frame_sample(
+        df,
+        binary_col=binary_col,
+        every_n_bytes=every_n_bytes,
+        max_frames=max_frames,
     )

@@ -399,6 +399,43 @@ def multimodal_decode_meta(spark, sf_dir):
     return decoded.select("doc_id", "byte_len", "content_sha", "width", "height")
 
 
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+    offs AS (
+      SELECT doc_id, payload,
+             unnest(range(0, least(octet_length(payload), 1024), 256)) AS off
+      FROM p)
+    SELECT doc_id, (off // 256)::INT AS frame_no,
+           substr(hex(payload), off::INT * 2 + 1, 512) AS frame_hex
+    FROM offs
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one row per sampled frame via the
+    partition-local mapInPandas fan-out in operators/multimodal.py
+    (deterministic byte-slice demux stands in for ffmpeg; the dataflow —
+    variable fan-out, Arrow-batched binary in and out — is the real
+    contract). Frames surface as hex so the DuckDB oracle can re-derive
+    them (DuckDB cannot slice BLOBs directly)."""
+    from wagtail_vector_index_spark.operators.multimodal import frame_sample
+
+    blobs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    frames = frame_sample(
+        blobs,
+        key_col="doc_id",
+        binary_col="payload",
+        every_n_bytes=256,
+        max_frames=4,
+    )
+    return frames.select(
+        "doc_id", "frame_no", F.hex("frame_bytes").alias("frame_hex")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN (the scale path for similarity search)
 # ---------------------------------------------------------------------------
