@@ -63,6 +63,7 @@ def main() -> None:
         "embedding_neardup",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_components",
         "search_hash_knn",
         "text_quality",
         "multimodal_decode_meta",

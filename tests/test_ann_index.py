@@ -84,21 +84,28 @@ def test_ivf_scan_prunes_nonprobed_clusters(ivf, probe):
 
 
 def test_lsh_scan_prunes_nonprobed_buckets(lsh, probe):
+    """Two-level pruning: prefix directories are eliminated at file
+    listing (PartitionFilters), and inside surviving files the full
+    bucket predicate is pushed to the parquet reader (PushedFilters +
+    sorted-by-bucket row groups)."""
     import re
 
     cand = lsh.candidates(probe, max_probe_hamming=2)
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert re.search(
-        r"PartitionFilters: \[[^\]]*bucket#\d+ (IN \(|INSET )", plan
+        r"PartitionFilters: \[[^\]]*bucket_pfx#\d+ (IN \(|INSET )", plan
     ), plan
+    assert re.search(r"PushedFilters: \[[^\]]*In\(bucket", plan), plan
     probed = set(lsh.probed_buckets(probe, 2))
     assert len(probed) == 1 + 12 + 66  # C(12,0)+C(12,1)+C(12,2)
+    shift = lsh.meta["num_planes"] - lsh.meta["prefix_bits"]
+    probed_pfx = {b >> shift for b in probed}
     on_disk = {
         int(d.split("=", 1)[1])
         for d in os.listdir(lsh.vectors_path)
-        if d.startswith("bucket=")
+        if d.startswith("bucket_pfx=")
     }
-    assert on_disk - probed, "some buckets must be non-probed (pruned)"
+    assert on_disk - probed_pfx, "some prefix dirs must be non-probed"
     scanned = {r["bucket"] for r in cand.select("bucket").distinct().collect()}
     assert scanned <= probed
 

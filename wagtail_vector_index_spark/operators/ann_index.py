@@ -186,8 +186,19 @@ class IvfIndex:
 
 class LshIndex:
     """Hyperplane-LSH index persisted as ``{path}/vectors`` (partitioned
-    by ``bucket``) plus ``{path}/meta`` (plane count + dim; the planes
-    themselves are re-derived deterministically from sha256)."""
+    by ``bucket_pfx``, the top bits of the sign-bucket; the full
+    ``bucket`` rides as an ordinary sorted column) plus ``{path}/meta``
+    (plane count + dim + prefix width; the planes themselves are
+    re-derived deterministically from sha256).
+
+    Partitioning by the raw bucket would shatter the table into up to
+    2^num_planes directories of tiny files — slow to write, slow to
+    list, and the classic small-files failure at scale. The prefix keeps
+    the directory count at 2^prefix_bits while queries still skip
+    non-probed data twice: PartitionFilters eliminate whole prefix
+    directories at file listing, and because each file is sorted by
+    ``bucket``, the pushed ``bucket IN (...)`` filter prunes row groups
+    via parquet min/max stats inside the surviving files."""
 
     def __init__(
         self,
@@ -201,6 +212,7 @@ class LshIndex:
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
+        self._meta = None
 
     @property
     def vectors_path(self) -> str:
@@ -209,6 +221,12 @@ class LshIndex:
     @property
     def meta_path(self) -> str:
         return f"{self.path}/meta"
+
+    @property
+    def meta(self):
+        if self._meta is None:
+            self._meta = self.spark.read.parquet(self.meta_path).first()
+        return self._meta
 
     @classmethod
     def build(
@@ -220,29 +238,34 @@ class LshIndex:
         vec_col: str = "vector",
         num_planes: int = 12,
         dim: int | None = None,
+        prefix_bits: int = 6,
     ) -> "LshIndex":
-        """Stamp every row's sign-bucket and persist partitioned by it.
-
-        2^num_planes possible buckets; only non-empty ones materialize as
-        partition directories. The planes are sha256-derived
+        """Stamp every row's sign-bucket and persist partitioned by the
+        bucket's top ``prefix_bits`` bits, sorted by full bucket within
+        each partition (one file per prefix). The planes are sha256-derived
         (knn.hyperplane_lsh_planes), so rebuilding the index — or an
         oracle — from (num_planes, dim) alone reproduces them exactly.
         """
         spark = df.sparkSession
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
+        prefix_bits = min(prefix_bits, num_planes)
+        shift = num_planes - prefix_bits
         planes = hyperplane_lsh_planes(num_planes, dim)
         bucketed = df.select(id_col, vec_col).withColumn(
             "bucket", lsh_bucket_col(F.col(vec_col), planes)
         )
         (
-            bucketed.repartition("bucket")
+            bucketed.withColumn("bucket_pfx", F.shiftright("bucket", shift))
+            .repartition("bucket_pfx")
+            .sortWithinPartitions("bucket")
             .write.mode("overwrite")
-            .partitionBy("bucket")
+            .partitionBy("bucket_pfx")
             .parquet(f"{path}/vectors")
         )
         spark.createDataFrame(
-            [(num_planes, dim)], "num_planes int, dim int"
+            [(num_planes, dim, prefix_bits)],
+            "num_planes int, dim int, prefix_bits int",
         ).write.mode("overwrite").parquet(f"{path}/meta")
         _VECTORS_DF_CACHE.pop(f"{path}/vectors", None)
         return cls(spark, path, id_col=id_col, vec_col=vec_col)
@@ -253,7 +276,7 @@ class LshIndex:
         """Multiprobe bucket set: the query's own bucket plus every bucket
         within ``max_probe_hamming`` bit flips — sum(C(planes, 0..h))
         values, enumerated driver-side."""
-        meta = self.spark.read.parquet(self.meta_path).first()
+        meta = self.meta
         planes = hyperplane_lsh_planes(meta["num_planes"], meta["dim"])
         q = [float(x) for x in query_vector]
         q_bucket = 0
@@ -273,8 +296,10 @@ class LshIndex:
         self, query_vector: Sequence[float], *, max_probe_hamming: int = 2
     ) -> DataFrame:
         probed = self.probed_buckets(query_vector, max_probe_hamming)
+        shift = self.meta["num_planes"] - self.meta["prefix_bits"]
+        prefixes = sorted({b >> shift for b in probed})
         return _vectors_df(self.spark, self.vectors_path).where(
-            F.col("bucket").isin(probed)
+            F.col("bucket_pfx").isin(prefixes) & F.col("bucket").isin(probed)
         )
 
     def topk(
@@ -289,7 +314,7 @@ class LshIndex:
         Identical results to knn.lsh_topk given the same planes."""
         cand = self.candidates(
             query_vector, max_probe_hamming=max_probe_hamming
-        ).drop("bucket")
+        ).drop("bucket", "bucket_pfx")
         return topk_similar(
             cand,
             query_vector,
