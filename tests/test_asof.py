@@ -1,0 +1,82 @@
+"""As-of join operator tests: backward/forward inclusive matching,
+left-join nulls, tolerance, and atomic right-row payloads."""
+
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.operators.asof import asof_join
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 15)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "x"), ("a", 18, "y"), ("b", 99, "z")],
+        "k string, t long, payload string",
+    )
+    out = asof_join(left, right, on="t", by=["k"])
+    got = {r["id"]: (r["t_asof"], r["payload_asof"]) for r in out.collect()}
+    assert got == {
+        1: (10, "x"),  # inclusive: right at the same t matches
+        2: (18, "y"),  # most recent, not first
+        3: (None, None),  # nothing at-or-before -> left-join nulls
+        4: (None, None),  # right key exists but only in the future
+    }
+
+
+def test_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 50)], "id long, t long"
+    )
+    right = spark.createDataFrame(
+        [(12, "x"), (20, "y"), (90, "z")], "t long, payload string"
+    )
+    fwd = asof_join(left, right, on="t", direction="forward")
+    got = {r["id"]: (r["t_asof"], r["payload_asof"]) for r in fwd.collect()}
+    assert got == {1: (12, "x"), 2: (20, "y"), 3: (90, "z")}
+
+    tol = asof_join(left, right, on="t", direction="forward", tolerance=5)
+    got = {r["id"]: r["payload_asof"] for r in tol.collect()}
+    assert got == {1: "x", 2: "y", 3: None}  # 90-50 > 5 -> nulled
+
+
+def test_matched_payload_is_atomic(spark):
+    """A right row with a null payload field must not be 'patched' by an
+    earlier row's non-null value — the match carries one struct, not
+    per-column last()."""
+    left = spark.createDataFrame([(1, 30)], "id long, t long")
+    right = spark.createDataFrame(
+        [(10, "old", 1.0), (20, None, 2.0)], "t long, a string, b double"
+    )
+    row = asof_join(left, right, on="t").collect()[0]
+    assert row["t_asof"] == 20
+    assert row["a_asof"] is None  # from the matched row, NOT "old"
+    assert row["b_asof"] == 2.0
+
+
+def test_timestamp_tolerance(spark, sf_dir):
+    from wagtail_vector_index_spark.catalog import _t
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    tight = asof_join(
+        clicks, views, on="ts", by=["user_id"], tolerance=3600
+    )
+    loose = asof_join(clicks, views, on="ts", by=["user_id"])
+    n_tight = tight.where(F.col("ts_asof").isNotNull()).count()
+    n_loose = loose.where(F.col("ts_asof").isNotNull()).count()
+    assert 0 < n_tight < n_loose
+    # every surviving match is inside the bound
+    bad = tight.where(
+        F.col("ts_asof").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("ts_asof") > 3600 * 1_000_000)
+    ).count()
+    assert bad == 0

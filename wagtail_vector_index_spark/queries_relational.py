@@ -295,6 +295,82 @@ def q_events_user_gaps(spark, sf_dir):
     )
 
 
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts, value AS click_value
+               FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts, value AS view_value
+          FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.click_value, v.view_value,
+           (epoch_us(c.ts) - epoch_us(v.ts)) AS lag_us
+    FROM c ASOF LEFT JOIN v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join: every click matched to the user's most recent view at
+    or before it (left-join semantics — clicks with no prior view keep
+    nulls). The Spark side is the union-and-window composition in
+    operators/asof.py (one shuffle+sort on (user_id, ts)); the oracle is
+    DuckDB's native ASOF LEFT JOIN, pinning the backward-inclusive match
+    and null behavior value-for-value."""
+    from wagtail_vector_index_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    j = asof_join(clicks, views, on="ts", by=["user_id"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "click_value",
+        F.col("view_value_asof").alias("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("lag_us"),
+    )
+
+
+@register(
+    "q_range_join_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT r AS band_id, (r * 500)::DOUBLE AS lo,
+             (r * 500 + 749)::DOUBLE AS hi
+      FROM range(-2, 20) t(r))
+    SELECT band_id, count(*)::BIGINT AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN bands ON c_acctbal BETWEEN lo AND hi
+    GROUP BY band_id
+    """,
+)
+def q_range_join_bands(spark, sf_dir):
+    """Interval containment via the binned equi-join in
+    operators/rangejoin.py: overlapping account-balance bands (width 750,
+    stride 500 — rows can match two bands) aggregated per band. The
+    oracle is a plain BETWEEN join, pinning the containment semantics
+    that the bin-bucketed plan must reproduce exactly."""
+    from wagtail_vector_index_spark.operators.rangejoin import range_join
+
+    bands = spark.range(-2, 20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 500).cast("double").alias("lo"),
+        (F.col("id") * 500 + 749).cast("double").alias("hi"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = range_join(
+        cust, bands, value_col="c_acctbal", lo_col="lo", hi_col="hi",
+        bin_width=500,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets / distinct aggregates / conditional aggregates
 # ---------------------------------------------------------------------------

@@ -368,6 +368,44 @@ def dedup_components(spark, sf_dir):
 
 
 @register(
+    "text_bm25",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      WHERE tok IN ('vector', 'join', 'scan')
+      GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok)
+    SELECT tf.doc_id,
+           round(sum(
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq d USING (tok) JOIN dl USING (doc_id)
+         CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """Lexical retrieval: Okapi BM25 over the corpus for a fixed query
+    term set — document length rides the token explode (no corpus
+    re-join), document frequencies and corpus stats broadcast. Every
+    scored doc is returned (no top-k) so the comparison is
+    order-insensitive; the oracle computes the identical smoothed-idf
+    expression."""
+    from wagtail_vector_index_spark.operators.bm25 import bm25_scores
+
+    scores = bm25_scores(
+        _t(spark, sf_dir, "documents"), ["vector", "join", "scan"]
+    )
+    return scores.select("doc_id", F.round("score", 6).alias("bm25"))
+
+
+@register(
     "text_wordcount",
     oracle=f"""
     SELECT tok, count(*)::BIGINT AS n
