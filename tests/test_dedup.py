@@ -232,3 +232,54 @@ def test_keep_representatives_exact_beats_clique_approx(spark):
     }
     assert approx == {1, 2, 4}
     assert exact == {1, 4}
+
+
+def test_pack_sequences_greedy(spark):
+    """Greedy fill: new pack when the budget would overflow; oversized
+    docs get their own pack; offsets are the running fill."""
+    from wagtail_vector_index_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, 400), (8, 500), (16, 200), (24, 1500), (32, 100)],
+        "doc_id long, est_tokens long",
+    )
+    out = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(
+            docs, budget=1000, num_shards=1
+        ).collect()
+    }
+    assert out == {
+        0: (0, 0, 0),     # 400
+        8: (0, 0, 400),   # 900
+        16: (0, 1, 0),    # 200 would overflow -> pack 1
+        24: (0, 2, 0),    # oversized 1500 -> own pack
+        32: (0, 3, 0),    # previous pack full
+    }
+
+
+def test_pack_sequences_budget_invariant(spark, documents_df):
+    """No pack exceeds the budget unless it is a single oversized doc,
+    and offsets tile each pack contiguously."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        estimated_tokens_col,
+    )
+    from wagtail_vector_index_spark.operators.packing import pack_sequences
+
+    docs = documents_df.select(
+        "doc_id", estimated_tokens_col(F.col("text")).alias("est_tokens")
+    )
+    packed = pack_sequences(docs, budget=1024, num_shards=4)
+    agg = packed.groupBy("shard", "pack_id").agg(
+        F.sum("est_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("pack_offset").alias("min_off"),
+        F.max(F.col("pack_offset") + F.col("est_tokens")).alias("end"),
+    )
+    bad = agg.where((F.col("total") > 1024) & (F.col("n") > 1)).count()
+    assert bad == 0
+    assert agg.where(F.col("min_off") != 0).count() == 0
+    assert agg.where(F.col("end") != F.col("total")).count() == 0
+    assert packed.count() == docs.count()

@@ -406,6 +406,55 @@ def text_bm25(spark, sf_dir):
 
 
 @register(
+    "pipeline_pack_sequences",
+    oracle=r"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id,
+             greatest(ceil(length(text) / 4),
+                      ceil(len(regexp_extract_all(text, '[^\w\s]|\w+')) * 0.75)
+             )::BIGINT AS t
+      FROM documents),
+    d AS (
+      SELECT doc_id, t, (doc_id % 8)::INT AS shard,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM toks),
+    walk(shard, rn, doc_id, t, pack, fill) AS (
+      SELECT shard, rn, doc_id, t, 0::BIGINT, t FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.t,
+             CASE WHEN w.fill > 0 AND w.fill + d.t > 1024
+                  THEN w.pack + 1 ELSE w.pack END,
+             CASE WHEN w.fill > 0 AND w.fill + d.t > 1024
+                  THEN d.t ELSE w.fill + d.t END
+      FROM d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1)
+    SELECT doc_id, t AS est_tokens, shard, pack AS pack_id,
+           (fill - t) AS pack_offset
+    FROM walk
+    """,
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (LLM context-window prep): estimated token
+    counts -> shard by doc_id % 8 -> greedy fold into 1024-token packs in
+    id order, partition-locally inside applyInPandas (packing is
+    inherently sequential per shard — a window function cannot express
+    the running-fill decision). The oracle replays the identical greedy
+    fold with a recursive CTE, so every (shard, pack_id, pack_offset)
+    assignment is value-pinned."""
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        estimated_tokens_col,
+    )
+    from wagtail_vector_index_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", estimated_tokens_col(F.col("text")).alias("est_tokens")
+    )
+    return pack_sequences(
+        docs, id_col="doc_id", tokens="est_tokens", budget=1024, num_shards=8
+    )
+
+
+@register(
     "text_wordcount",
     oracle=f"""
     SELECT tok, count(*)::BIGINT AS n
