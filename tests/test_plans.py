@@ -57,3 +57,38 @@ def test_search_pipeline_broadcasts_fetchback(spark):
     plan = _plan(spark, "search_hash_knn")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_window_no_nested_loop(spark):
+    """The as-of join must plan as union + one windowed sort per key —
+    never a BroadcastNestedLoopJoin over the inequality predicate."""
+    plan = _plan(spark, "q_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The binned range join must hash-join on the bin key; a raw BETWEEN
+    theta join would plan BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "q_range_join_bands")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """Corpus stats and document frequencies are broadcast — the only
+    wide shuffles are the two doc-id aggregations."""
+    plan = _plan(spark, "text_bm25")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2  # df join + single-row stats cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_dense_is_jvm_broadcast_join(spark):
+    """No Python stage and no shuffle exchange: fingerprints broadcast,
+    pairs evaluated by the codegen'd bit_count(xor) predicate."""
+    plan = _plan(spark, "dedup_simhash")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan and "FlatMapsInPandas" not in plan

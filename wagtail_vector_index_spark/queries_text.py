@@ -234,6 +234,40 @@ def text_quality(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_quality_filter",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, len(list_distinct(toks))::DOUBLE / len(toks) AS r
+      FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents))
+    SELECT doc_id, round(r, 6) AS diversity
+    FROM q
+    WHERE r > (SELECT quantile_cont(r, 0.25) FROM q)
+    """,
+)
+def pipeline_quality_filter(spark, sf_dir):
+    """Corpus curation composition: per-doc quality score (distinct-token
+    diversity) -> corpus 25th percentile (exact interpolated — Spark
+    `percentile` and DuckDB `quantile_cont` agree bitwise) -> keep docs
+    strictly above it. The threshold travels as a broadcast single-row
+    crossJoin, the same scalar-subquery shape as q_above_global_avg —
+    no second scan, no collect."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        quality_metrics_cols,
+    )
+
+    m = quality_metrics_cols(F.col("text"))
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id", m["distinct_token_ratio"].alias("r")
+    )
+    thr = scored.agg(F.percentile("r", F.lit(0.25)).alias("__thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("r") > F.col("__thr"))
+        .select("doc_id", F.round("r", 6).alias("diversity"))
+    )
+
+
 def _lang_scores_sql() -> str:
     return ", ".join(
         f"len(list_filter(toks, t -> t IN {_in_list(STOPWORDS[lang])})) AS s_{lang}"
