@@ -82,3 +82,59 @@ def test_incremental_index_stream(spark, documents_df, tmp_path):
     )
     q2.awaitTermination(180)
     assert idx.documents().count() == 30
+
+
+def test_stream_stream_interval_join_matches_batch(
+    spark, events_stream, tmp_path
+):
+    """The watermarked stream-stream join must emit exactly the batch
+    inequality-join match set once both streams drain."""
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        stream_stream_interval_join,
+    )
+
+    stream, batch = events_stream
+
+    def _sides(df, renamed):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        views = df.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("user_id" if not renamed else "u2"),
+            F.col("ts").alias("view_ts"),
+        )
+        if renamed:
+            views = views.withColumnRenamed("u2", "user_id")
+        return clicks, views
+
+    c_s, v_s = _sides(stream, renamed=True)
+    joined = stream_stream_interval_join(
+        c_s, v_s, by="user_id", left_ts="ts", right_ts="view_ts",
+        interval_seconds=1800,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["event_id"], r["view_id"])
+        for r in spark.table("ssj_test").collect()
+    }
+
+    c_b, v_b = _sides(batch, renamed=True)
+    want = {
+        (r["event_id"], r["view_id"])
+        for r in c_b.join(
+            v_b,
+            (c_b["user_id"] == v_b["user_id"])
+            & (F.col("view_ts") <= F.col("ts"))
+            & (F.col("ts") <= F.col("view_ts") + F.expr("INTERVAL 1800 SECONDS")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -574,6 +574,112 @@ def streaming_events_hourly(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_click_view_join",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM events
+          WHERE event_type = 'view')
+    SELECT c.event_id, v.view_id, c.user_id,
+           (epoch_us(c.ts) - epoch_us(v.view_ts)) AS lag_us
+    FROM c JOIN v ON c.user_id = v.user_id
+     AND v.view_ts <= c.ts
+     AND c.ts <= v.view_ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_click_view_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (clicks x views within an
+    hour, per user) run as two availableNow file streams — the emitted
+    match set must equal the batch inequality join over the same data.
+    The time-range condition plus watermarks is what lets Spark evict
+    join state on unbounded streams; the oracle pins the match semantics."""
+    import tempfile
+    import uuid
+
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        stream_stream_interval_join,
+    )
+
+    staged = tempfile.mkdtemp(prefix="wvi_ssj_")
+    events = _t(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = stream.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withColumnRenamed("v_user", "user_id")
+    joined = stream_stream_interval_join(
+        clicks,
+        views,
+        by="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        interval_seconds=3600,
+    )
+    sink = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wvi_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "event_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s)
+    SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+           count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark, sf_dir):
+    """Native session windows (F.session_window, 30-minute gap) — the
+    merge-on-overlap semantics Spark implements in one operator, pinned
+    against the hand-rolled lag + running-sum sessionization in SQL
+    (sessions split when the gap is >= the timeout, i.e. windows merge
+    only on strict overlap)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch RAG with a full SQL oracle (Q10 semantics, echo chat backend)
 # ---------------------------------------------------------------------------

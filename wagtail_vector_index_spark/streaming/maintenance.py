@@ -52,6 +52,38 @@ def incremental_index_stream(
     return writer.start()
 
 
+def stream_stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    *,
+    by: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    interval_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: left rows matched to right
+    rows with the same ``by`` key whose timestamp falls in
+    ``[left_ts - interval, left_ts]`` (right happened at-or-before left,
+    within the interval).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict join state once the watermark passes —
+    bounded memory on unbounded streams, the thing a batch join cannot
+    do. Column names must be disjoint apart from ``by``."""
+    lw = left_stream.withWatermark(left_ts, watermark)
+    rw = right_stream.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[by] == rw[by])
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (
+            F.col(left_ts)
+            <= F.col(right_ts) + F.expr(f"INTERVAL {interval_seconds} SECONDS")
+        )
+    )
+    return lw.join(rw, cond).drop(rw[by])
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     *,
