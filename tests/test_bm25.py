@@ -45,3 +45,24 @@ def test_bm25_matches_reference(spark):
         assert abs(got[k] - want[k]) < 1e-12
     # repeated terms score higher than single occurrences, all else equal
     assert got[4] > got[1] or got[4] > got[2]
+
+
+def test_rrf_fuse_golden(spark):
+    from wagtail_vector_index_spark.operators.hybrid import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(2, 5.0), (4, 4.0)], "doc_id long, t double"
+    )
+    got = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse([(a, "s"), (b, "t")], k=60).collect()
+    }
+    assert got[1] == 1 / 61
+    assert got[2] == 1 / 62 + 1 / 61  # rank 2 in a, rank 1 in b
+    assert got[3] == 1 / 63
+    assert got[4] == 1 / 62
+    # candidate union: doc 4 appears though absent from ranker a
+    assert set(got) == {1, 2, 3, 4}

@@ -574,6 +574,98 @@ def streaming_events_hourly(spark, sf_dir):
     )
 
 
+def _hybrid_oracle() -> str:
+    from wagtail_vector_index_spark.queries_text import TOKS_SQL
+
+    terms = "'spark', 'join', 'stream', 'table'"
+    return f"""
+    WITH d AS (SELECT doc_id, trim(text) AS content FROM documents),
+    emb AS (SELECT doc_id, {_hash_emb_sql('content')}::DOUBLE[] AS v FROM d),
+    q AS (SELECT {_hash_emb_sql("'" + SEARCH_QUERY + "'")}::DOUBLE[] AS qv),
+    vec AS (
+      SELECT doc_id, {_cos_sql('emb.v', 'q.qv')} AS sim FROM emb, q
+      QUALIFY row_number() OVER (ORDER BY sim DESC, doc_id) <= 50),
+    vrank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rv
+      FROM vec),
+    toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      WHERE tok IN ({terms}) GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+    bm AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (s.n - dd.df + 0.5) / (dd.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ), 6) AS bscore
+      FROM tf JOIN dfreq dd USING (tok) JOIN dl USING (doc_id)
+           CROSS JOIN stats s
+      GROUP BY tf.doc_id),
+    bm50 AS (
+      SELECT doc_id, bscore FROM bm
+      QUALIFY row_number() OVER (ORDER BY bscore DESC, doc_id) <= 50),
+    brank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bscore DESC, doc_id) AS rb
+      FROM bm50),
+    fused AS (
+      SELECT doc_id,
+             coalesce(1.0 / (60 + rv), 0) + coalesce(1.0 / (60 + rb), 0)
+               AS rrf
+      FROM vrank FULL OUTER JOIN brank USING (doc_id))
+    SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@register("hybrid_search_rrf", oracle=_hybrid_oracle())
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: vector top-50 (hash-embed + cosine) and BM25
+    top-50 fused with reciprocal ranks (k=60), final top-10. Fusion runs
+    over candidate lists only — each ranker cuts with
+    TakeOrderedAndProject before the tiny ranking window. BM25 ranks use
+    6dp-rounded scores so shuffle-order float jitter on the planted
+    exact-duplicate docs cannot flip ranks between engines; cosine ranks
+    use raw sims (the sequential fold is bit-deterministic in both)."""
+    from wagtail_vector_index_spark.operators.bm25 import bm25_scores
+    from wagtail_vector_index_spark.operators.hybrid import rrf_fuse
+    from wagtail_vector_index_spark.operators.knn import topk_similar
+
+    documents, _src = _indexed_documents(spark, sf_dir)
+    backend = HashEmbeddingBackend(dimensions=8)
+    qvec = backend.embed_one(SEARCH_QUERY).tolist()
+    vec = (
+        topk_similar(
+            documents, qvec, vector_col="vector", id_col="doc_key", limit=50
+        )
+        .select(
+            F.substring_index("doc_key", ":", -1).cast("long").alias("doc_id"),
+            "similarity",
+        )
+    )
+    bm = (
+        bm25_scores(
+            _t(spark, sf_dir, "documents"),
+            ["spark", "join", "stream", "table"],
+        )
+        .select("doc_id", F.round("score", 6).alias("bscore"))
+        .orderBy(F.col("bscore").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    fused = rrf_fuse(
+        [(vec, "similarity"), (bm, "bscore")], id_col="doc_id", k=60
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"))
+    )
+
+
 @register(
     "streaming_click_view_join",
     oracle="""
