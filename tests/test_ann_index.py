@@ -122,3 +122,38 @@ def test_ivf_build_one_file_per_cluster(ivf):
             if f.endswith(".parquet")
         ]
         assert len(files) == 1
+
+
+def test_ivf_append_delete_compact(spark, index_df, centroids_df, probe, tmp_path):
+    """Served-index maintenance: append assigns new vectors to posting
+    lists without rewriting standing data; delete_ids anti-joins them
+    out; compact restores one file per posting list."""
+    path = str(tmp_path / "ivf_maint")
+    idx = IvfIndex.build(index_df, path=path, centroids_df=centroids_df)
+    base_ids = {r["vec_id"] for r in idx.topk(probe, nprobe=2, limit=5).collect()}
+
+    # plant a near-exact copy of the probe under a fresh id: must rank #1
+    new = spark.createDataFrame(
+        [(990001, [float(x) for x in probe])], "vec_id long, vector array<double>"
+    )
+    idx.append(new)
+    top = idx.topk(probe, nprobe=2, limit=5).collect()
+    assert top[0]["vec_id"] == 990001
+    assert top[0]["similarity"] == pytest.approx(1.0)
+
+    # appended partitions now hold >1 file; compact restores the layout
+    idx.compact()
+    for d in os.listdir(idx.vectors_path):
+        if d.startswith("cid="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(idx.vectors_path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1
+    assert idx.topk(probe, nprobe=2, limit=5).collect()[0]["vec_id"] == 990001
+
+    idx.delete_ids(spark.createDataFrame([(990001,)], "vec_id long"))
+    after = {r["vec_id"] for r in idx.topk(probe, nprobe=2, limit=5).collect()}
+    assert 990001 not in after
+    assert after == base_ids

@@ -138,6 +138,69 @@ class IvfIndex:
         _VECTORS_DF_CACHE.pop(f"{path}/vectors", None)
         return cls(spark, path, id_col=id_col, vec_col=vec_col)
 
+    def append(self, df: DataFrame) -> None:
+        """Incremental maintenance: assign NEW vectors against the stored
+        codebook and append them to their posting lists (new parquet
+        files inside the existing ``cid=`` partition dirs — no rewrite of
+        standing data). Ids must be new; replacing an id is
+        ``delete_ids`` + ``append``. After a burst of appends, ``compact``
+        restores the one-file-per-posting-list layout."""
+        codebook = self.spark.read.parquet(self.codebook_path)
+        assigned = ivf_assign(
+            df.select(self.id_col, self.vec_col),
+            codebook,
+            index_id=self.id_col,
+            index_vec=self.vec_col,
+        )
+        (
+            assigned.repartition("cid")
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(self.vectors_path)
+        )
+        _VECTORS_DF_CACHE.pop(self.vectors_path, None)
+
+    def delete_ids(self, ids_df: DataFrame) -> None:
+        """Remove vectors by id (distributed anti-join — ids never
+        collect to the driver). Rewrites via a staging directory + atomic
+        swap: the staging write reads only the intact original, so a
+        crash leaves either the old or the new index, never half."""
+        import os
+        import shutil
+        import time
+
+        ids = ids_df.select(F.col(ids_df.columns[0]).alias(self.id_col))
+        survivors = self.spark.read.parquet(self.vectors_path).join(
+            ids, self.id_col, "left_anti"
+        )
+        staging = f"{self.vectors_path}.staging-{time.time_ns()}"
+        survivors.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(staging)
+        trash = f"{self.vectors_path}.trash-{time.time_ns()}"
+        os.rename(self.vectors_path, trash)
+        os.rename(staging, self.vectors_path)
+        shutil.rmtree(trash, ignore_errors=True)
+        _VECTORS_DF_CACHE.pop(self.vectors_path, None)
+
+    def compact(self) -> None:
+        """Merge appended files back to one file per posting list (same
+        staging + atomic swap as ``delete_ids``)."""
+        import os
+        import shutil
+        import time
+
+        vec = self.spark.read.parquet(self.vectors_path)
+        staging = f"{self.vectors_path}.staging-{time.time_ns()}"
+        vec.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(staging)
+        trash = f"{self.vectors_path}.trash-{time.time_ns()}"
+        os.rename(self.vectors_path, trash)
+        os.rename(staging, self.vectors_path)
+        shutil.rmtree(trash, ignore_errors=True)
+        _VECTORS_DF_CACHE.pop(self.vectors_path, None)
+
     def probed_cids(self, query_vector: Sequence[float], nprobe: int) -> list[int]:
         """The ``nprobe`` cluster ids cosine-closest to the query — picked
         driver-side from the k-row codebook (k × dim doubles, tiny by
