@@ -80,3 +80,30 @@ def test_timestamp_tolerance(spark, sf_dir):
         & (F.unix_micros("ts") - F.unix_micros("ts_asof") > 3600 * 1_000_000)
     ).count()
     assert bad == 0
+
+
+def test_weighted_mix_deterministic_and_rate_accurate(spark, documents_df):
+    from wagtail_vector_index_spark.operators.skew import weighted_mix
+
+    weights = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+    out = weighted_mix(
+        documents_df, weights, group_col="source", key_col="doc_id"
+    )
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in out.repartition(7).collect()}
+    assert a == b  # membership is content-addressed, not partition-seeded
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in documents_df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_src.get("src0", 0) == totals["src0"]  # rate 1.0 keeps all
+    assert "src1" not in by_src  # rate 0.0 drops all
+    assert set(by_src) <= {"src0", "src2"}  # unlisted sources dropped
+    if "src2" in by_src:
+        assert 0 < by_src["src2"] < totals["src2"]

@@ -70,3 +70,44 @@ def stratified_sample(
     per seed; strata absent from the map are dropped — the shape used to
     rebalance source/language/quality mixes in a training corpus."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def deterministic_keep_col(key, rate: float, *, buckets: int = 100000):
+    """Content-addressed Bernoulli filter: keep a row iff the first 8 hex
+    chars of sha256(key) land below ``rate`` of the bucket space.
+
+    Unlike ``df.sample`` (seeded per-partition RNG — resplit the data and
+    membership changes), this is a pure function of the key: stable
+    across runs, partitionings, and engines, so samples are reproducible
+    and the same row never flips in or out between pipeline versions.
+    Portable to SQL oracles (sha256 hex is engine-neutral)."""
+    bucket = (
+        F.conv(F.substring(F.sha2(key.cast("string"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    return bucket < int(round(rate * buckets))
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    buckets: int = 100000,
+) -> DataFrame:
+    """Deterministic dataset mixing: per-group keep rates (0..1) applied
+    via the content-addressed filter — the curation step that rebalances
+    a training corpus (e.g. downweight crawl, upweight reference text).
+    Groups absent from ``weights`` are dropped. One narrow filter, no
+    shuffle, no RNG."""
+    keep = None
+    for group, rate in sorted(weights.items()):
+        cond = (F.col(group_col) == group) & deterministic_keep_col(
+            F.col(key_col), rate, buckets=buckets
+        )
+        keep = cond if keep is None else keep | cond
+    if keep is None:
+        raise ValueError("weights must not be empty")
+    return df.where(keep)

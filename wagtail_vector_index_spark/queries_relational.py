@@ -335,6 +335,42 @@ def q_asof_join(spark, sf_dir):
 
 
 @register(
+    "q_asof_join_forward",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts, value AS view_value
+          FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, v.view_value,
+           (epoch_us(v.ts) - epoch_us(c.ts)) AS lead_us
+    FROM c ASOF LEFT JOIN v
+      ON c.user_id = v.user_id AND v.ts >= c.ts
+    """,
+)
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of: every click matched to the user's EARLIEST view at
+    or after it — the mirror direction of q_asof_join, exercising the
+    operator's first(ignorenulls) / following-window path against
+    DuckDB's native forward ASOF."""
+    from wagtail_vector_index_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    j = asof_join(clicks, views, on="ts", by=["user_id"], direction="forward")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("view_value_asof").alias("view_value"),
+        (F.unix_micros("ts_asof") - F.unix_micros("ts")).alias("lead_us"),
+    )
+
+
+@register(
     "q_range_join_bands",
     oracle="""
     WITH bands AS (

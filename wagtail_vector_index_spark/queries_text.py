@@ -268,6 +268,39 @@ def pipeline_quality_filter(spark, sf_dir):
     )
 
 
+_MIX_WEIGHTS = {f"src{i}": (0.9 if i < 10 else 0.3) for i in range(20)}
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(round(w * 100000))}"
+        for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT % 100000
+          < (CASE {cases} ELSE 0 END)
+    """
+
+
+@register("pipeline_dataset_mix", oracle=_mix_oracle())
+def pipeline_dataset_mix(spark, sf_dir):
+    """Deterministic dataset mixing: per-source keep rates (downweight
+    half the sources to 0.3, keep the rest at 0.9) applied through the
+    content-addressed sha256 filter — reproducible across runs,
+    partitionings, and engines, unlike seeded RNG sampling. One narrow
+    JVM filter, no shuffle; the oracle re-derives membership from the
+    same hex prefix."""
+    from wagtail_vector_index_spark.operators.skew import weighted_mix
+
+    return weighted_mix(
+        _t(spark, sf_dir, "documents"),
+        _MIX_WEIGHTS,
+        group_col="source",
+        key_col="doc_id",
+    ).select("doc_id", "source")
+
+
 def _lang_scores_sql() -> str:
     return ", ".join(
         f"len(list_filter(toks, t -> t IN {_in_list(STOPWORDS[lang])})) AS s_{lang}"
