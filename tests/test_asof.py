@@ -107,3 +107,65 @@ def test_weighted_mix_deterministic_and_rate_accurate(spark, documents_df):
     assert set(by_src) <= {"src0", "src2"}  # unlisted sources dropped
     if "src2" in by_src:
         assert 0 < by_src["src2"] < totals["src2"]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential test: on random keyed series with unique timestamps,
+    asof_join must agree with pandas.merge_asof in both directions and
+    under tolerance."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    keys = ["a", "b", "c"]
+    left_rows = sorted(
+        {(rng.choice(keys), rng.randrange(0, 10000)) for _ in range(200)}
+    )
+    right_rows = sorted(
+        {(rng.choice(keys), rng.randrange(0, 10000)) for _ in range(150)}
+    )
+    lpdf = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        columns=["lid", "k", "t"],
+    )
+    rpdf = pd.DataFrame(
+        [(k, t, f"p{j}") for j, (k, t) in enumerate(right_rows)],
+        columns=["k", "t", "payload"],
+    )
+    # pandas requires global sort by the on-key
+    lpdf, rpdf = lpdf.sort_values("t"), rpdf.sort_values("t")
+
+    ldf = spark.createDataFrame(
+        lpdf.assign(t=lpdf.t.astype("int64")), "lid long, k string, t long"
+    )
+    rdf = spark.createDataFrame(
+        rpdf.assign(t=rpdf.t.astype("int64")), "k string, t long, payload string"
+    )
+
+    from wagtail_vector_index_spark.operators.asof import asof_join
+
+    for direction, tol in [
+        ("backward", None),
+        ("forward", None),
+        ("backward", 500),
+        ("forward", 500),
+    ]:
+        want_pdf = pd.merge_asof(
+            lpdf,
+            rpdf.rename(columns={"t": "rt"}),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            direction=direction,
+            tolerance=tol,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.payload) else r.payload)
+            for r in want_pdf.itertuples()
+        }
+        got_df = asof_join(
+            ldf, rdf, on="t", by=["k"], direction=direction, tolerance=tol
+        )
+        got = {r["lid"]: r["payload_asof"] for r in got_df.collect()}
+        assert got == want, f"mismatch for {direction}, tol={tol}"

@@ -66,3 +66,29 @@ def test_rrf_fuse_golden(spark):
     assert got[4] == 1 / 62
     # candidate union: doc 4 appears though absent from ranker a
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_redact_pii_col(spark):
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        redact_pii_col,
+    )
+
+    rows = [
+        (1, "contact jane.doe+spam@example.co.uk for details"),
+        (2, "call (555) 123-4567 or +1 555.987.6543 now"),
+        (3, "server at 192.168.0.1 and 8.8.8.8 responded"),
+        (4, "no pii here, just 1234 and version 2.5"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["clean"]
+        for r in df.select(
+            "id", redact_pii_col(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert got[1] == "contact <EMAIL> for details"
+    assert got[2] == "call <PHONE> or <PHONE> now"  # +1 prefix consumed
+    assert got[3] == "server at <IP> and <IP> responded"
+    assert got[4] == rows[3][1]  # untouched

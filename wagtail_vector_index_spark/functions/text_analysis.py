@@ -242,3 +242,26 @@ def fingerprint_col(text: Column) -> Column:
 
 def fingerprint_bucket_col(text: Column, buckets: int = 1024) -> Column:
     return sha_hash64(fingerprint_col(text)) % buckets
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (curation EXT — regex redaction, all JVM-side)
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"(\+?\d{1,3}[-. ])?(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}"
+_IPV4_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"
+)
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Replace emails, NANP-style phone numbers, and IPv4 addresses with
+    typed placeholder tokens — the standard curation scrub, as three
+    chained JVM regexp_replace passes (no UDF). The patterns are the
+    common-case recall set, not an anonymization guarantee; swap in a
+    dedicated scanner where compliance requires one."""
+    out = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, _PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, _IPV4_RE, "<IP>")

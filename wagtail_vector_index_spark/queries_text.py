@@ -268,6 +268,81 @@ def pipeline_quality_filter(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, source, {_shingles_sql()} AS shingles
+                FROM documents),
+    ex AS (SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS s
+           FROM sh),
+    inter AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+             t.n AS n_t, e.n AS n_e, count(*) AS ni
+      FROM ex t JOIN ex e ON t.s = e.s
+      WHERE t.source NOT IN ('src0', 'src1') AND e.source IN ('src0', 'src1')
+      GROUP BY 1, 2, 3, 4),
+    contaminated AS (
+      SELECT DISTINCT train_id FROM inter
+      WHERE ni::DOUBLE / (n_t + n_e - ni) >= 0.5)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.source NOT IN ('src0', 'src1')
+      AND d.doc_id NOT IN (SELECT train_id FROM contaminated)
+    """,
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Train/eval decontamination: treat src0+src1 as the held-out eval
+    set, flag every training doc whose 3-gram Jaccard against ANY eval
+    doc reaches 0.5, and return the clean training corpus. The overlap
+    detection is the shingle co-count join restricted to cross-set pairs
+    — candidates only meet on shared shingles, so the join never goes
+    quadratic in corpus size; the drop is a broadcast-able anti-join on
+    the (small) contaminated-id set."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        word_shingles_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = {"src0", "src1"}
+    # shingle ONCE into a cached exploded frame — referencing the shingle
+    # expression from both size() and explode() lets CollapseProject
+    # inline (= recompute) it per consumer, and the train/eval branches
+    # below would double that again
+    shingled = docs.select(
+        "doc_id", "source", word_shingles_col(F.col("text"), 3).alias("shingles")
+    )
+    ex = shingled.select(
+        "doc_id",
+        "source",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+    ).cache()
+    ex.count()  # eager: both branches read the materialized explode
+    train = ex.where(~F.col("source").isin(eval_set)).select(
+        F.col("doc_id").alias("train_id"), F.col("n_sh").alias("n_t"), "sh"
+    )
+    ev = ex.where(F.col("source").isin(eval_set)).select(
+        F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("n_e"), "sh"
+    )
+    inter = (
+        train.join(ev, "sh")
+        .groupBy("train_id", "eval_id", "n_t", "n_e")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    contaminated = (
+        inter.where(
+            F.col("ni") / (F.col("n_t") + F.col("n_e") - F.col("ni"))
+            >= F.lit(0.5)
+        )
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.where(~F.col("source").isin(eval_set))
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
 _MIX_WEIGHTS = {f"src{i}": (0.9 if i < 10 else 0.3) for i in range(20)}
 
 
