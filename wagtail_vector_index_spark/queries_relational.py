@@ -296,6 +296,79 @@ def q_events_user_gaps(spark, sf_dir):
 
 
 @register(
+    "q9_nation_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (minus partsupp, absent from the testdata):
+    supplier-nation revenue by order year for name-filtered parts — a
+    4-dimension star around the lineitem fact. part/supplier/nation
+    broadcast (the LIKE filter prunes part before the build side ships);
+    orders joins on the fact's own key; the only wide shuffle is the
+    final group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q_rolling_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rolling_30d
+    FROM orders
+    """,
+)
+def q_rolling_revenue(spark, sf_dir):
+    """Event-time RANGE-frame window: per customer, the rolling 30-day
+    order revenue — a frame defined by value distance (days), not row
+    count, so same-day peers always share a frame and the result is
+    tie-order independent. One shuffle+sort on (custkey, day), the same
+    cost envelope as any keyed window."""
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_30d"),
+    )
+
+
+@register(
     "q_asof_join",
     oracle="""
     WITH c AS (SELECT event_id, user_id, ts, value AS click_value
