@@ -74,3 +74,22 @@ def test_rejects_overlapping_columns(spark, sides):
         range_join(
             left, left, value_col="v", lo_col="v", hi_col="v", bin_width=1
         )
+
+
+def test_left_join_null_column_not_duplicated(spark):
+    """A matched left row carrying a NULL column must not also surface
+    as unmatched (the anti-join is null-safe)."""
+    left = spark.createDataFrame(
+        [(1, None, 100.0), (2, "x", 9999.0)], "id long, tag string, v double"
+    )
+    right = spark.createDataFrame(
+        [(10, 50.0, 150.0)], "iv long, lo double, hi double"
+    )
+    out = range_join(
+        left, right, value_col="v", lo_col="lo", hi_col="hi",
+        bin_width=100, how="left",
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["iv"])
+    assert by_id == {1: [10], 2: [None]}

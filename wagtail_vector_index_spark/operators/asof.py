@@ -50,6 +50,11 @@ def asof_join(
     ``tolerance`` (seconds for timestamp ``on`` columns, plain difference
     otherwise) null-outs matches farther than the bound, mirroring
     pandas.merge_asof.
+
+    With empty ``by`` the window is unpartitioned — a single global sort,
+    fine for series that fit one executor's sort spill but not for a
+    corpus-wide join; supply keys (or pre-bucket time into coarse ranges
+    as a synthetic key) at scale.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")

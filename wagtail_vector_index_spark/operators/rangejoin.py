@@ -60,10 +60,19 @@ def range_join(
     )
     if how == "inner":
         return lb.join(rb, "__bin").where(contained).drop("__bin")
-    # left join: inner-match first, then re-attach unmatched left rows
+    # left join: inner-match first, then re-attach unmatched left rows.
+    # The anti-join must be null-safe: plain column-equality would treat
+    # NULL as non-matching, so a matched left row carrying a NULL column
+    # would ALSO surface as unmatched (duplicated with null right cols).
     matched = lb.join(rb, "__bin").where(contained).drop("__bin")
-    unmatched = left.join(
-        matched.select(*left.columns), left.columns, "left_anti"
+    m = matched.select(*left.columns).alias("__m")
+    l_alias = left.alias("__l")
+    cond = None
+    for c in left.columns:
+        eq = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        cond = eq if cond is None else cond & eq
+    unmatched = l_alias.join(m, cond, "left_anti").select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns]
     )
     for c in right.columns:
         unmatched = unmatched.withColumn(

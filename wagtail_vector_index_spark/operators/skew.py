@@ -104,6 +104,8 @@ def weighted_mix(
     shuffle, no RNG."""
     keep = None
     for group, rate in sorted(weights.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {group!r} must be in [0, 1], got {rate}")
         cond = (F.col(group_col) == group) & deterministic_keep_col(
             F.col(key_col), rate, buckets=buckets
         )
