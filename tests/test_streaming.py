@@ -138,3 +138,47 @@ def test_stream_stream_interval_join_matches_batch(
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_ann_stream(spark, embeddings_df, tmp_path):
+    """Streaming ANN maintenance: vectors arriving on a file stream land
+    in the materialized IVF index's posting lists; after the stream
+    drains, a probe finds the streamed duplicate at rank 1."""
+    from wagtail_vector_index_spark.operators.ann_index import IvfIndex
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        incremental_ann_stream,
+    )
+
+    base = embeddings_df.where(F.col("vec_id").between(1, 400)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    centroids = embeddings_df.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    idx = IvfIndex.build(
+        base, path=str(tmp_path / "ivf_stream"), centroids_df=centroids
+    )
+    probe = list(
+        embeddings_df.where(F.col("vec_id") == 0).first()["embedding"]
+    )
+
+    staged = str(tmp_path / "new_vectors")
+    spark.createDataFrame(
+        [(880001, [float(x) for x in probe])],
+        "vec_id long, vector array<double>",
+    ).coalesce(1).write.parquet(staged)
+    stream = spark.readStream.schema(
+        "vec_id long, vector array<double>"
+    ).parquet(staged)
+
+    q = incremental_ann_stream(
+        stream,
+        idx,
+        checkpoint_dir=str(tmp_path / "ckpt_ann"),
+        compact_every=1,
+    )
+    q.awaitTermination(300)
+
+    top = idx.topk(probe, nprobe=2, limit=3).collect()
+    assert top[0]["vec_id"] == 880001

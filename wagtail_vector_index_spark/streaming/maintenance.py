@@ -52,6 +52,41 @@ def incremental_index_stream(
     return writer.start()
 
 
+def incremental_ann_stream(
+    vector_stream: DataFrame,
+    index,
+    *,
+    checkpoint_dir: str,
+    compact_every: int = 0,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Maintain a materialized ANN index (operators/ann_index.IvfIndex)
+    from a stream of new vectors: each micro-batch assigns its rows
+    against the stored codebook and appends them to the right posting
+    lists — standing data is never rewritten, so the stream only ever
+    adds files. With ``compact_every`` > 0 the index is compacted back to
+    one file per posting list every N batches (append bursts grow file
+    counts; compaction restores the scan layout). Exactly-once via the
+    checkpoint's source offsets; append is idempotent per batch only if
+    the source replays identical batches, so use a replayable source."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index.append(batch_df)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            index.compact()
+
+    writer = (
+        vector_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_stream_interval_join(
     left_stream: DataFrame,
     right_stream: DataFrame,
