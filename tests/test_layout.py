@@ -1,0 +1,69 @@
+"""Z-order layout tests: exact Morton interleaving, and parquet-footer
+evidence that the written files carry tight min/max stats in BOTH
+z-ordered columns (the property that makes multi-column row-group
+skipping work)."""
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.operators.layout import (
+    morton_interleave_col,
+    zorder_write,
+)
+
+
+def test_morton_interleave_exact(spark):
+    df = spark.createDataFrame([(3, 1), (2, 2), (0, 3)], "x long, y long")
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x",
+            "y",
+            morton_interleave_col([F.col("x"), F.col("y")], bits=2).alias("z"),
+        ).collect()
+    }
+    # bit b of col i -> position b*2+i
+    assert out[(3, 1)] == 0b0111  # x bits at 0,2; y bit at 1
+    assert out[(2, 2)] == 0b1100  # x bit1 -> pos2, y bit1 -> pos3
+    assert out[(0, 3)] == 0b1010  # y bits at 1,3
+
+
+def _avg_rowgroup_spread(path, column):
+    spreads, total = [], 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == column and col.statistics:
+                    s = col.statistics
+                    spreads.append(float(s.max) - float(s.min))
+                    total += 1
+    assert spreads, f"no stats found for {column}"
+    return sum(spreads) / len(spreads)
+
+
+def test_zorder_write_tightens_both_columns(spark, sf_dir, tmp_path):
+    from wagtail_vector_index_spark.catalog import _t
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us"), "value"
+    )
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    # strawman layout: random-ish shuffle (hash repartition), same files
+    ev.repartition(8).write.parquet(plain)
+    zorder_write(ev, zpath, cols=["user_id", "t_us"], num_files=8)
+
+    # identical content
+    assert (
+        spark.read.parquet(zpath).orderBy("event_id").collect()
+        == ev.orderBy("event_id").collect()
+    )
+    # per-row-group min/max spread shrinks substantially in BOTH dims
+    for col in ("user_id", "t_us"):
+        assert _avg_rowgroup_spread(zpath, col) < 0.6 * _avg_rowgroup_spread(
+            plain, col
+        ), col
