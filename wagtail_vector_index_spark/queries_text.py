@@ -346,15 +346,18 @@ def pipeline_decontaminate(spark, sf_dir):
 _MIX_WEIGHTS = {f"src{i}": (0.9 if i < 10 else 0.3) for i in range(20)}
 
 
-def _mix_oracle() -> str:
-    cases = " ".join(
+def _mix_cases_sql() -> str:
+    return " ".join(
         f"WHEN source = '{g}' THEN {int(round(w * 100000))}"
         for g, w in sorted(_MIX_WEIGHTS.items())
     )
+
+
+def _mix_oracle() -> str:
     return f"""
     SELECT doc_id, source FROM documents
     WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT % 100000
-          < (CASE {cases} ELSE 0 END)
+          < (CASE {_mix_cases_sql()} ELSE 0 END)
     """
 
 
@@ -593,6 +596,92 @@ def pipeline_pack_sequences(spark, sf_dir):
     )
     return pack_sequences(
         docs, id_col="doc_id", tokens="est_tokens", budget=1024, num_shards=8
+    )
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=f"""
+    WITH RECURSIVE
+    fp AS (
+      SELECT doc_id, source, text, {FINGERPRINT_SQL} AS fp FROM documents
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+    q AS (
+      SELECT doc_id, source, text,
+             len(list_distinct(toks))::DOUBLE / len(toks) AS r
+      FROM (SELECT doc_id, source, text, {TOKS_SQL} AS toks FROM fp)),
+    quality AS (
+      SELECT doc_id, source, text FROM q
+      WHERE r > (SELECT quantile_cont(r, 0.25) FROM q)),
+    mixed AS (
+      SELECT doc_id, text FROM quality
+      WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT % 100000
+            < (CASE {_mix_cases_sql()} ELSE 0 END)),
+    toks2 AS (
+      SELECT doc_id,
+             greatest(ceil(length(text) / 4),
+                      ceil(len(regexp_extract_all(text, '[^\\w\\s]|\\w+')) * 0.75)
+             )::BIGINT AS t
+      FROM mixed),
+    d AS (
+      SELECT doc_id, t, (doc_id % 8)::INT AS shard,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM toks2),
+    walk(shard, rn, doc_id, t, pack, fill) AS (
+      SELECT shard, rn, doc_id, t, 0::BIGINT, t FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.t,
+             CASE WHEN w.fill > 0 AND w.fill + d.t > 1024
+                  THEN w.pack + 1 ELSE w.pack END,
+             CASE WHEN w.fill > 0 AND w.fill + d.t > 1024
+                  THEN d.t ELSE w.fill + d.t END
+      FROM d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1)
+    SELECT doc_id, t AS est_tokens, shard, pack AS pack_id,
+           (fill - t) AS pack_offset
+    FROM walk
+    """,
+)
+def pipeline_corpus_prep(spark, sf_dir):
+    """The whole training-corpus prep as one composed plan: exact dedup
+    (keep min id per content fingerprint) -> diversity-percentile quality
+    gate over the survivors -> deterministic per-source mixing -> greedy
+    sequence packing into 1024-token context windows. Every stage is the
+    already-verified operator; this gate pins that they compose — the
+    oracle chains the same four stages (incl. the recursive packing
+    replay) in one SQL statement."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        fingerprint_col,
+        quality_metrics_cols,
+    )
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        estimated_tokens_col,
+    )
+    from wagtail_vector_index_spark.operators.packing import pack_sequences
+    from wagtail_vector_index_spark.operators.skew import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", fingerprint_col(F.col("text")).alias("fp")
+    )
+    keep = docs.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = docs.join(keep.select("doc_id"), "doc_id", "semi")
+
+    m = quality_metrics_cols(F.col("text"))
+    scored = surv.select(
+        "doc_id", "source", "text", m["distinct_token_ratio"].alias("r")
+    )
+    thr = scored.agg(F.percentile("r", F.lit(0.25)).alias("__thr"))
+    quality = (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("r") > F.col("__thr"))
+        .select("doc_id", "source", "text")
+    )
+
+    mixed = weighted_mix(
+        quality, _MIX_WEIGHTS, group_col="source", key_col="doc_id"
+    ).select("doc_id", estimated_tokens_col(F.col("text")).alias("est_tokens"))
+
+    return pack_sequences(
+        mixed, id_col="doc_id", tokens="est_tokens", budget=1024, num_shards=8
     )
 
 
