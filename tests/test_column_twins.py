@@ -1,0 +1,92 @@
+"""Differential tests for the Catalyst "column twin" fast paths.
+
+A backend whose math is deterministic and expression-shaped may declare a
+JVM twin (``as_column`` / ``as_chat_column``); the stage functions then
+skip the Arrow round-trip entirely. These tests pin that the twin is
+BIT-IDENTICAL to the Python path — the whole safety argument for taking
+the fast path — and that overridden/instrumented backends still get the
+Arrow path (the twin invalidates itself when ``embed_batch``/``chat`` is
+overridden).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.chat import EchoChatBackend, chat_dataframe
+from wagtail_vector_index_spark.embedding.hash_backend import HashEmbeddingBackend
+from wagtail_vector_index_spark.embedding.stage import embed_dataframe
+
+TRICKY_TEXTS = [
+    "hello world",
+    "",
+    "héllo ☃ snowman \U0001f600",  # multi-byte utf-8
+    "line\nbreak\tand|pipe",
+    "x" * 5000,
+    None,
+]
+
+
+@pytest.mark.parametrize("dims", [8, 20])
+def test_hash_embed_twin_bit_identical(spark, dims):
+    backend = HashEmbeddingBackend(dimensions=dims)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY_TEXTS)], "id long, content string"
+    )
+    out = embed_dataframe(df, backend=backend, text_col="content")
+    # the twin must actually be in the plan: no Python stage
+    assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r["id"]: r["vector"] for r in out.collect()}
+    for i, t in enumerate(TRICKY_TEXTS):
+        expected = backend.embed_batch([t if t is not None else ""])[0]
+        assert list(rows[i]) == list(expected), f"mismatch for text {t!r}"
+
+
+def test_overridden_backend_falls_back_to_arrow(spark):
+    class CountingBackend(HashEmbeddingBackend):
+        def embed_batch(self, texts):
+            return super().embed_batch(texts)
+
+    df = spark.createDataFrame([("a",), ("b",)], "content string")
+    out = embed_dataframe(df, backend=CountingBackend(8), text_col="content")
+    # the twin invalidates itself: the plan must contain the Python stage
+    # (the closure's `calls` lives in the worker process, so assert on the
+    # plan, not the list)
+    assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["content"]: list(r["vector"]) for r in out.collect()}
+    base = HashEmbeddingBackend(8)
+    assert got["a"] == list(base.embed_batch(["a"])[0])
+
+
+def test_echo_chat_twin_matches_python(spark):
+    backend = EchoChatBackend()
+    prompts = spark.createDataFrame(
+        [("sys", "what is spark"), (None, "second prompt")],
+        "system string, prompt string",
+    )
+    got = {
+        r["prompt"]: r["response"]
+        for r in chat_dataframe(prompts, backend=backend).collect()
+    }
+    for p in ["what is spark", "second prompt"]:
+        expected = backend.chat(messages=[{"role": "user", "content": p}]).text()
+        assert got[p] == expected
+
+
+def test_overridden_chat_falls_back_to_arrow(spark):
+    class CapturingEcho(EchoChatBackend):
+        def chat(self, *, messages, **params):
+            return super().chat(messages=messages, **params)
+
+    prompts = spark.createDataFrame([("s", "p")], "system string, prompt string")
+    out = chat_dataframe(prompts, backend=CapturingEcho())
+    assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.collect()[0]["response"] == "This is an echo backend: p"
+
+
+def test_embed_plan_is_jvm_only(spark):
+    """The twin path must keep the plan inside codegen: no ArrowEvalPython
+    / MapInPandas node, and pruning still reaches the scan."""
+    df = spark.createDataFrame([("a", 1)], "content string, extra long")
+    out = embed_dataframe(df, backend=HashEmbeddingBackend(8), text_col="content")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan

@@ -63,6 +63,18 @@ class EchoChatBackend:
         for i, part in enumerate(full.split(" ")):
             yield part if i == 0 else " " + part
 
+    def as_chat_column(self, system, user):
+        """Catalyst twin of :meth:`chat` for the batch stage: the echo
+        response depends only on the user message, so it is one string
+        concat — ``chat_dataframe`` uses it to skip the Arrow round-trip.
+        Real LLM backends have no twin and take the ``mapInPandas`` path.
+        """
+        from pyspark.sql import functions as F
+
+        if type(self).chat is not EchoChatBackend.chat:
+            return None
+        return F.concat(F.lit("This is an echo backend: "), user)
+
 
 _REGISTRY: dict[str, ChatBackend] = {}
 
@@ -87,7 +99,25 @@ def chat_dataframe(
     user_col: str = "prompt",
     response_col: str = "response",
 ) -> DataFrame:
-    """Batch chat: one response row per prompt row (Arrow-batched)."""
+    """Batch chat: one response row per prompt row (Arrow-batched).
+
+    Backends may provide ``as_chat_column(system, user) -> Column`` (a
+    Catalyst twin — the echo backend does); when it returns a Column the
+    stage is pure JVM expressions with no Python workers.
+    """
+    from pyspark.sql import functions as F
+
+    as_chat_column = getattr(backend, "as_chat_column", None)
+    if callable(as_chat_column):
+        sys_col = (
+            F.col(system_col)
+            if system_col and system_col in prompts.columns
+            else F.lit(None).cast("string")
+        )
+        expr = as_chat_column(sys_col, F.col(user_col))
+        if expr is not None:
+            return prompts.withColumn(response_col, expr)
+
     from wagtail_vector_index_spark._workerenv import ensure_worker_imports
 
     ensure_worker_imports(prompts)

@@ -50,3 +50,43 @@ class HashEmbeddingBackend:
         if not texts:
             return np.empty((0, self.dimensions), dtype=np.float64)
         return np.stack([self.embed_one(t) for t in texts])
+
+    def as_column(self, text):
+        """Catalyst column twin of :meth:`embed_one` — bit-identical.
+
+        A deterministic featurizer (feature hashing, random projection by
+        fixed seed, ...) can be expressed as JVM expressions, and then the
+        embed stage stays inside whole-stage codegen with no Arrow
+        round-trip — the same design as the T3 token estimator's column
+        twin (functions/text_splitting.py). ``embed_dataframe`` picks this
+        path automatically when a backend provides it; external-model
+        backends (litellm) have no twin and use the ``mapInPandas`` path.
+
+        Exactness: each 8-hex-char block is an integer < 2**32, exactly
+        representable in float64, and dividing by 2**32 is a power-of-two
+        scale (exact), so the JVM values equal the Python path bit for bit.
+        Subclasses that override ``embed_batch`` (instrumentation, real
+        models) must override ``as_column`` too — set it to ``None`` or
+        return ``None`` to force the Arrow path.
+        """
+        from pyspark.sql import functions as F
+
+        if type(self).embed_batch is not HashEmbeddingBackend.embed_batch:
+            return None  # overridden embed semantics: twin no longer valid
+        t = F.coalesce(text, F.lit(""))
+        cols = []
+        digests: dict[int, object] = {}
+        for i in range(self.dimensions):
+            block, j = divmod(i, 8)
+            if block not in digests:
+                payload = t if block == 0 else F.concat(t, F.lit(f"|{block}"))
+                digests[block] = F.sha2(payload, 256)
+            cols.append(
+                (
+                    F.conv(F.substring(digests[block], 8 * j + 1, 8), 16, 10).cast(
+                        "double"
+                    )
+                    / F.lit(4294967296.0)
+                )
+            )
+        return F.array(*cols)

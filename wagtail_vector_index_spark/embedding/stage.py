@@ -31,7 +31,22 @@ def embed_dataframe(
     The backend is pickled to the workers; each Arrow batch becomes one
     ``embed_batch`` call. Column pruning still applies upstream — only the
     columns of ``df`` are shipped.
+
+    Fast path: a backend may provide ``as_column(text: Column) -> Column``
+    (a Catalyst twin of its embedding math — e.g. the hash embedder, or
+    any deterministic featurizer). When it returns a Column, the stage is
+    pure JVM expressions: no Arrow round-trip, no Python workers, column
+    pruning and whole-stage codegen see straight through it. External-model
+    backends return ``None`` (or omit the hook) and take the Arrow path.
     """
+    from pyspark.sql import functions as F
+
+    as_column = getattr(backend, "as_column", None)
+    if callable(as_column):
+        expr = as_column(F.col(text_col))
+        if expr is not None:
+            return df.withColumn(vector_col, expr)
+
     from wagtail_vector_index_spark._workerenv import ensure_worker_imports
 
     ensure_worker_imports(df)
