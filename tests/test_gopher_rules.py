@@ -1,0 +1,76 @@
+"""Unit tests for the Gopher rule battery and n-gram repetition metrics —
+edge shapes the corpus-backed oracle gate never exercises (the synthetic
+documents are uniformly clean prose)."""
+
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.functions.text_analysis import (
+    gopher_rules_cols,
+    ngram_repetition_cols,
+)
+
+
+def _eval(spark, text, cols):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(
+        *[c.alias(k) for k, c in cols.items()]
+    ).collect()[0].asDict()
+
+
+def test_gopher_flags_short_doc(spark):
+    out = _eval(spark, "too short", gopher_rules_cols(F.col("text")))
+    assert out["n_words"] == 2
+    assert out["r_word_count"] is False
+
+
+def test_gopher_flags_symbol_soup(spark):
+    words = " ".join(["ok#tag"] * 30)
+    out = _eval(spark, words, gopher_rules_cols(F.col("text")))
+    assert out["r_word_count"] is True
+    assert out["r_symbol_ratio"] is False  # 30 '#' / 30 words = 1.0 > 0.1
+
+
+def test_gopher_flags_numeric_words(spark):
+    words = " ".join(str(i) for i in range(40))
+    out = _eval(spark, words, gopher_rules_cols(F.col("text")))
+    assert out["r_alpha_words"] is False
+
+
+def test_gopher_passes_clean_prose(spark):
+    text = (
+        "the quick brown fox jumps over a lazy dog and runs to the wide "
+        "open field for it is happy that the day is warm and bright today"
+    )
+    out = _eval(spark, text, gopher_rules_cols(F.col("text")))
+    assert all(
+        out[k]
+        for k in (
+            "r_word_count",
+            "r_mean_word_len",
+            "r_symbol_ratio",
+            "r_alpha_words",
+            "r_stopwords",
+        )
+    ), out
+
+
+def test_repetition_detects_loops(spark):
+    looped = " ".join(["spam ham eggs"] * 20)
+    out = _eval(spark, looped, ngram_repetition_cols(F.col("text"), n=3))
+    assert out["total_ngrams"] == 58
+    assert out["distinct_ngrams"] == 3
+    assert out["dup_ngram_frac"] > 0.9
+
+
+def test_repetition_zero_on_unique(spark):
+    out = _eval(
+        spark, "each word appears exactly once here",
+        ngram_repetition_cols(F.col("text"), n=3),
+    )
+    assert out["dup_ngram_frac"] == 0.0
+
+
+def test_repetition_short_doc_single_gram(spark):
+    out = _eval(spark, "two words", ngram_repetition_cols(F.col("text"), n=3))
+    assert out["total_ngrams"] == 1
+    assert out["distinct_ngrams"] == 1

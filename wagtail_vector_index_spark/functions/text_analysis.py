@@ -240,6 +240,78 @@ def fingerprint_col(text: Column) -> Column:
     return F.sha2(normalized, 256)
 
 
+# --------------------------------------------------------------------------
+# Gopher-style rule battery / n-gram repetition
+# --------------------------------------------------------------------------
+
+
+def gopher_rules_cols(
+    text: Column,
+    *,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) as pure JVM expressions: word-count bounds,
+    mean word length bounds, symbol-to-word ratio ('#' and '...'),
+    alphabetic-word fraction, and minimum stopword presence.
+
+    Every ratio is an int/int division, so the doubles are bit-identical
+    across engines (no rounding needed for the oracle). One whole-stage-
+    codegen pass per document — the shape that survives a 100 TB scan.
+    """
+    toks = tokens_col(text)
+    n_words = F.size(toks).cast("long")
+    denom = F.greatest(n_words, F.lit(1).cast("long"))
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wlen = char_sum / denom
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipsis_count = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (hash_count + ellipsis_count) / denom
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    ).cast("long")
+    return {
+        "n_words": n_words,
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len),
+        "r_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "r_alpha_words": (n_alpha / denom) >= min_alpha_word_frac,
+        "r_stopwords": stop_hits >= min_stopword_hits,
+    }
+
+
+def ngram_repetition_cols(text: Column, n: int = 3) -> dict[str, Column]:
+    """Within-document n-gram repetition (the Gopher 'duplicate n-gram
+    fraction' family): total vs distinct word n-grams. The duplicate
+    fraction (total-distinct)/total is an int/int division — exact in
+    both engines."""
+    toks = tokens_col(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    return {
+        "total_ngrams": total,
+        "distinct_ngrams": distinct,
+        "dup_ngram_frac": (total - distinct) / F.greatest(total, F.lit(1).cast("long")),
+    }
+
+
 def fingerprint_bucket_col(text: Column, buckets: int = 1024) -> Column:
     return sha_hash64(fingerprint_col(text)) % buckets
 

@@ -711,6 +711,137 @@ def text_wordcount(spark, sf_dir):
     )
 
 
+_GOPHER_STOP_SQL = (
+    "len(list_intersect(list_distinct(toks), "
+    "['the','a','and','of','to','in','is','it','that','for']))"
+)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             greatest(len(toks), 1)::BIGINT AS denom,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')::BIGINT
+               AS char_sum,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT
+               AS n_alpha,
+             (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+             {_GOPHER_STOP_SQL}::BIGINT AS stop_hits
+      FROM t)
+    SELECT doc_id, n_words,
+           (n_words >= 20 AND n_words <= 100000) AS r_word_count,
+           (char_sum / denom >= 3.0 AND char_sum / denom <= 10.0)
+             AS r_mean_word_len,
+           ((n_hash + n_ell) / denom <= 0.1) AS r_symbol_ratio,
+           (n_alpha / denom >= 0.8) AS r_alpha_words,
+           (stop_hits >= 2) AS r_stopwords
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rule battery (Rae et al. 2021, Table A1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, stopword presence — one codegen'd pass per
+    document, every ratio an exact int/int division. At 100 TB this is a
+    single narrow scan stage; the booleans then drive a filter that
+    Catalyst pushes wherever the battery is composed."""
+    from wagtail_vector_index_spark.functions.text_analysis import gopher_rules_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = gopher_rules_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[rules[k].alias(k) for k in (
+            "n_words", "r_word_count", "r_mean_word_len",
+            "r_symbol_ratio", "r_alpha_words", "r_stopwords",
+        )],
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(len(toks) - 2, 1)),
+                            i -> array_to_string((toks)[i + 1:i + 3], ' '))
+               AS grams
+      FROM t)
+    SELECT doc_id,
+           len(grams)::BIGINT AS total_ngrams,
+           len(list_distinct(grams))::BIGINT AS distinct_ngrams,
+           (len(grams) - len(list_distinct(grams)))
+             / greatest(len(grams), 1) AS dup_ngram_frac
+    FROM g
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Within-document n-gram repetition (Gopher's duplicate-n-gram-
+    fraction family): total vs distinct word 3-grams per document, with
+    the duplicate fraction as an exact int/int division. Array-fold
+    shape — no explode, no shuffle; the whole metric rides the scan."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        ngram_repetition_cols,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = ngram_repetition_cols(F.col("text"), n=3)
+    return docs.select(
+        "doc_id",
+        m["total_ngrams"].alias("total_ngrams"),
+        m["distinct_ngrams"].alias("distinct_ngrams"),
+        m["dup_ngram_frac"].alias("dup_ngram_frac"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY tok),
+    tot AS (SELECT count(*)::BIGINT AS n FROM tk)
+    SELECT doc_id, count(*)::BIGINT AS n_toks,
+           round(avg(ln(c::DOUBLE / n)), 4) AS logprob
+    FROM tk JOIN freq USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-level unigram language-model scoring (the CCNet quality
+    signal shape, Wenzek et al. 2019): pass 1 builds the token frequency
+    table, pass 2 scores each document by its mean token log-probability.
+
+    Scale shape: the explode shuffles once to build `freq` (map-side
+    partial agg collapses the Zipf head before the exchange); the score
+    join broadcasts the vocabulary — a natural-language vocab stays
+    broadcastable (~1e6 rows) even at 100 TB corpus size, so the scoring
+    pass is shuffle-free on the big side. avg(ln) is rounded at 4 dp:
+    the summands are transcendental, so engine summation order can't
+    land on a rounding boundary (see memory: int/int + irrational rule).
+    """
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    freq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        tk.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("logprob"),
+        )
+    )
+
+
 @register(
     "streaming_stateful_dedup",
     oracle=f"""
