@@ -167,3 +167,35 @@ def test_lsh_topk_results_subset_of_brute_force(spark, embeddings_df):
     for r in approx:
         assert r["vec_id"] in exact_sims
         assert abs(r["similarity"] - exact_sims[r["vec_id"]]) < 1e-12
+
+
+def test_ivf_topk_batch_matches_single_probe(spark, embeddings_df):
+    """The batch IVF operator must return, for each probe, exactly the
+    rows the single-probe ivf_topk returns with the same codebook."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.operators.knn import ivf_topk, ivf_topk_batch
+
+    vecs = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    index = vecs.where(F.col("vec_id") >= 16)
+    centroids = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("vector").alias("cv")
+    )
+    probes = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("vector").alias("probe_vec")
+    )
+    batch = ivf_topk_batch(probes, index, centroids, nprobe=2, limit=5)
+    got = {
+        (r["probe_id"], r["vec_id"]): r["similarity"] for r in batch.collect()
+    }
+    for p in probes.collect():
+        single = ivf_topk(
+            index, centroids, list(p["probe_vec"]), nprobe=2, limit=5
+        ).collect()
+        for r in single:
+            key = (p["probe_id"], r["vec_id"])
+            assert key in got
+            assert abs(got[key] - r["similarity"]) < 1e-12
+        assert len(single) == sum(1 for k in got if k[0] == p["probe_id"])

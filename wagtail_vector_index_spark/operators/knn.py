@@ -183,6 +183,72 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    probes_df: DataFrame,
+    index_df: DataFrame,
+    centroids_df: DataFrame,
+    *,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "vector",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+    nprobe: int = 2,
+    limit: int = 10,
+    sim_alias: str = "similarity",
+) -> DataFrame:
+    """Batch IVF ANN: top-``limit`` per probe for a whole DataFrame of
+    probes, in one job with no driver loop.
+
+    Plan shape (the 100 TB story): the index is assigned to centroids
+    once (one pass, broadcast codebook); per-probe centroid ranking
+    touches only probes x k rows; the prune is an equi-join of the
+    assignment against the broadcast (probe, cid) pairs — so each index
+    row is scored only for probes that probed its cluster, ~nprobe/k of
+    the brute-force work. Per-probe top-k runs as WindowGroupLimit
+    (partial before the exchange). Against a materialized
+    :class:`~wagtail_vector_index_spark.operators.ann_index.IvfIndex`,
+    skip the assign: its vectors table already carries ``cid``.
+    """
+    p = probes_df.select(
+        F.col(probe_id),
+        F.col(probe_vec).cast("array<double>").alias(probe_vec),
+    )
+    probed = similarity_join(
+        p,
+        centroids_df.select(centroid_id, F.col(centroid_vec).alias("vector")),
+        probe_id=probe_id,
+        probe_vec=probe_vec,
+        index_id=centroid_id,
+        index_vec="vector",
+        limit=nprobe,
+        sim_alias="__csim",
+    ).select(probe_id, centroid_id)
+    assigned = ivf_assign(
+        index_df,
+        centroids_df,
+        index_id=index_id,
+        index_vec=index_vec,
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+    )
+    cands = assigned.join(F.broadcast(probed), centroid_id).join(
+        F.broadcast(p), probe_id
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col(sim_alias).desc(), F.col(index_id).asc()
+    )
+    return (
+        cands.withColumn(
+            sim_alias, similarity_col(F.col(index_vec), F.col(probe_vec), "cosine")
+        )
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= limit)
+        .drop("__rank", probe_vec, centroid_id)
+    )
+
+
 def hyperplane_lsh_planes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic random hyperplanes for cosine LSH, derived from the
     sha256 hash embedder (values centered to [-0.5, 0.5)). Reproducible

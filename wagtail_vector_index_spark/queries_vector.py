@@ -525,6 +525,105 @@ def ann_ivf_cosine(spark, sf_dir):
     return hits.select("vec_id", F.round("similarity", 6).alias("cos_sim"))
 
 
+@register(
+    "ann_recall_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    idx AS (SELECT vec_id, v FROM e WHERE vec_id >= 16),
+    p AS (SELECT vec_id AS probe_id, v AS qv FROM e WHERE vec_id < 5),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT idx.vec_id, c.cid,
+               row_number() OVER (PARTITION BY idx.vec_id
+                                  ORDER BY {_cos_sql('idx.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM idx, c) WHERE rn = 1),
+    probed AS (
+      SELECT probe_id, cid FROM (
+        SELECT p.probe_id, c.cid,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_cos_sql('c.cv', 'p.qv')} DESC, c.cid)
+                 AS rn
+        FROM c, p) WHERE rn <= 2),
+    brute AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, idx.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_cos_sql('idx.v', 'p.qv')} DESC,
+                                           idx.vec_id) AS rn
+        FROM idx, p) WHERE rn <= 10),
+    ivf AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT pr.probe_id, a.vec_id,
+               row_number() OVER (PARTITION BY pr.probe_id
+                                  ORDER BY {_cos_sql('idx.v', 'p.qv')} DESC,
+                                           a.vec_id) AS rn
+        FROM assign a
+        JOIN probed pr USING (cid)
+        JOIN idx ON idx.vec_id = a.vec_id
+        JOIN p ON p.probe_id = pr.probe_id) WHERE rn <= 10)
+    SELECT b.probe_id,
+           sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hits,
+           sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10
+             AS recall_at_10
+    FROM brute b
+    LEFT JOIN ivf i ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id
+    GROUP BY b.probe_id
+    """,
+)
+def ann_recall_ivf(spark, sf_dir):
+    """ANN quality evaluation: recall@10 of the cluster-pruned IVF path
+    against the exact brute-force ranking, per probe, in one job — the
+    standard way to pick nprobe/codebook size before committing a 100 TB
+    index layout. Five probes batched through ivf_topk_batch (no driver
+    loop); the oracle replays assignment, probe selection, both top-10s,
+    and the intersection count cell by cell."""
+    from wagtail_vector_index_spark.operators.knn import (
+        ivf_topk_batch,
+        similarity_join,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    index = vecs.where(F.col("vec_id") >= 16)
+    centroids = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("vector").alias("cv")
+    )
+    probes = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("vector").alias("probe_vec")
+    )
+    brute = similarity_join(
+        probes,
+        index,
+        probe_id="probe_id",
+        probe_vec="probe_vec",
+        index_id="vec_id",
+        index_vec="vector",
+        limit=10,
+    ).select("probe_id", "vec_id")
+    ivf = ivf_topk_batch(
+        probes,
+        index,
+        centroids,
+        nprobe=2,
+        limit=10,
+    ).select("probe_id", "vec_id", F.lit(1).alias("__hit"))
+    return (
+        brute.join(ivf, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(10)
+            ).alias("recall_at_10"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming: stream result == batch oracle
 # ---------------------------------------------------------------------------
