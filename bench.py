@@ -71,13 +71,14 @@ def main() -> None:
         "q_sessionize",
     ]
 
-    # steady-state timing: best of 2 runs per query — the first execution
-    # pays one-time whole-stage-codegen compilation and JVM JIT warmup,
-    # which amortizes away on a long-running cluster
+    # steady-state timing: best of 3 runs per query — the first execution
+    # (or two, for queries with large unrolled codegen like simhash) pays
+    # one-time whole-stage-codegen compilation and JVM JIT warmup, which
+    # amortizes away on a long-running cluster
     timings: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             # fresh intermediate state each run: only codegen/JIT warmup may
             # carry over, not cached operator intermediates
             spark.catalog.clearCache()
