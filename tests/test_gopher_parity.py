@@ -1,0 +1,89 @@
+"""Property-based differential: the JVM gopher/repetition expressions vs
+straightforward pure-Python reference implementations, over adversarial
+generated text. Same strategy as the splitter parity suite — the Python
+twin is the spec, hypothesis hunts the divergence."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.functions.text_analysis import (
+    STOPWORDS,
+    gopher_rules_cols,
+    ngram_repetition_cols,
+)
+
+ALPHABET = "abcdefgh ijkl\tmnop\nqrst#...uvw 0123 the a of é-xyz"
+
+
+def py_tokens(text):
+    return [t for t in text.lower().split() if t]
+
+
+def py_gopher(text):
+    toks = py_tokens(text)
+    n = len(toks)
+    denom = max(n, 1)
+    char_sum = sum(len(t) for t in toks)
+    mean = char_sum / denom
+    n_alpha = sum(1 for t in toks if any("a" <= c <= "z" for c in t))
+    n_hash = text.count("#")
+    n_ell = text.count("...")  # non-overlapping, like replace()
+    symbol_ratio = (n_hash + n_ell) / denom
+    stops = len(set(toks) & set(STOPWORDS["en"]))
+    return {
+        "n_words": n,
+        "r_word_count": 20 <= n <= 100_000,
+        "r_mean_word_len": 3.0 <= mean <= 10.0,
+        "r_symbol_ratio": symbol_ratio <= 0.1,
+        "r_alpha_words": (n_alpha / denom) >= 0.8,
+        "r_stopwords": stops >= 2,
+    }
+
+
+def py_repetition(text, n=3):
+    toks = py_tokens(text)
+    count = max(len(toks) - (n - 1), 1)
+    grams = [" ".join(toks[i : i + n]) for i in range(count)]
+    total, distinct = len(grams), len(set(grams))
+    return {
+        "total_ngrams": total,
+        "distinct_ngrams": distinct,
+        "dup_ngram_frac": (total - distinct) / max(total, 1),
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(st.text(alphabet=ALPHABET, max_size=400), min_size=1, max_size=24)
+)
+def test_gopher_and_repetition_match_python(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    g = gopher_rules_cols(F.col("text"))
+    r = ngram_repetition_cols(F.col("text"), n=3)
+    rows = df.select(
+        "i",
+        *[c.alias(k) for k, c in g.items()],
+        *[c.alias(k) for k, c in r.items()],
+    ).collect()
+    for row in rows:
+        text = texts[row["i"]]
+        for k, v in {**py_gopher(text), **py_repetition(text)}.items():
+            got = row[k]
+            if isinstance(v, float):
+                assert got is not None and math.isclose(got, v, abs_tol=0), (
+                    k,
+                    text,
+                    got,
+                    v,
+                )
+            else:
+                assert got == v, (k, text, got, v)
