@@ -711,6 +711,41 @@ def text_wordcount(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_export_shards",
+    oracle="""
+    SELECT (('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT % 4)::INT
+             AS shard,
+           count(*)::BIGINT AS records
+    FROM documents GROUP BY 1
+    """,
+)
+def pipeline_export_shards(spark, sf_dir):
+    """The export sink, gated end-to-end: write the corpus as sharded
+    JSONL (content-addressed shard ids, bounded files), read it back,
+    and return the per-shard record counts from the distributed manifest.
+    The oracle recomputes the sha-based shard assignment directly from
+    the source table — so the gate proves write, partition discovery,
+    manifest, and membership all agree."""
+    import tempfile
+
+    from wagtail_vector_index_spark.operators.export import (
+        export_jsonl_shards,
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = tempfile.mkdtemp(prefix="wvi_export_")
+    export_jsonl_shards(
+        docs, out, key_col="doc_id", num_shards=4, max_records_per_file=200
+    )
+    return (
+        shard_manifest(spark, out)
+        .groupBy("shard")
+        .agg(F.sum("records").alias("records"))
+    )
+
+
 _GOPHER_STOP_SQL = (
     "len(list_intersect(list_distinct(toks), "
     "['the','a','and','of','to','in','is','it','that','for']))"
