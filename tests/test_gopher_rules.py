@@ -74,3 +74,25 @@ def test_repetition_short_doc_single_gram(spark):
     out = _eval(spark, "two words", ngram_repetition_cols(F.col("text"), n=3))
     assert out["total_ngrams"] == 1
     assert out["distinct_ngrams"] == 1
+
+
+def test_lang_id_ngram_classifies_marker_text(spark):
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        char_trigrams_col,
+        lang_id_from_trigrams_col,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("de", "der hund ist nicht auf der wiese und das ist gut"),
+            ("fr", "le chat est dans la maison pour que les enfants jouent"),
+            ("und", "zzz qqq kkk www"),
+        ],
+        "expected string, text string",
+    ).select(
+        "expected", char_trigrams_col(F.col("text")).alias("__tris")
+    ).select(
+        "expected", lang_id_from_trigrams_col(F.col("__tris")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], (r["expected"], r["got"])

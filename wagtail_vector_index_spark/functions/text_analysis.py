@@ -241,6 +241,64 @@ def fingerprint_col(text: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Char-n-gram language ID (Cavnar & Trenkle 1994 categorization shape)
+# --------------------------------------------------------------------------
+
+
+def char_trigram_profiles() -> dict[str, list[str]]:
+    """Per-language character-trigram profiles, derived deterministically
+    from the marker word lists (word-boundary padded ``_word_``). Single
+    source of truth for the Spark columns AND the generated oracle SQL —
+    a production pipeline would train profiles from labeled text; the
+    operator shape (profile intersect ratio, argmax) is what scales."""
+    out = {}
+    for lang, words in STOPWORDS.items():
+        tris: set[str] = set()
+        for w in words:
+            p = f"_{w}_"
+            tris.update(p[i : i + 3] for i in range(len(p) - 2))
+        out[lang] = sorted(tris)
+    return out
+
+
+def char_trigrams_col(text: Column) -> Column:
+    """Distinct boundary-padded character trigrams of the document
+    (whitespace collapsed to ``_``). Compute this ONCE into its own
+    projection before scoring against several profiles — referencing it
+    from every per-language score inlines the transform per reference
+    (CollapseProject has no common-subexpression reuse)."""
+    padded = F.concat(
+        F.lit("_"), F.regexp_replace(F.lower(text), r"\s+", "_"), F.lit("_")
+    )
+    n = F.greatest(F.length(padded) - F.lit(2), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: padded.substr(i, F.lit(3)))
+    )
+
+
+def lang_id_from_trigrams_col(tris: Column) -> Column:
+    """Language whose trigram profile overlaps the document's trigram set
+    most (normalized by profile size); alphabetically-first on ties,
+    'und' when nothing overlaps. Scores are int/int divisions — exact."""
+    profiles = char_trigram_profiles()
+
+    def _score(lang: str) -> Column:
+        prof = profiles[lang]
+        return F.size(
+            F.array_intersect(tris, F.array(*[F.lit(t) for t in prof]))
+        ) / F.lit(len(prof))
+
+    scores = [(lang, _score(lang)) for lang in sorted(profiles)]
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    for lang, score in reversed(scores):
+        result = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+# --------------------------------------------------------------------------
 # Gopher-style rule battery / n-gram repetition
 # --------------------------------------------------------------------------
 

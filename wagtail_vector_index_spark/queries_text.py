@@ -835,6 +835,64 @@ def text_repetition(spark, sf_dir):
     )
 
 
+def _lang_ngram_oracle() -> str:
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        char_trigram_profiles,
+    )
+
+    profiles = char_trigram_profiles()
+    score_cols = []
+    for lang in sorted(profiles):
+        prof = profiles[lang]
+        arr = ", ".join("'" + t.replace("'", "''") + "'" for t in prof)
+        score_cols.append(
+            f"len(list_intersect(tris, [{arr}])) / {len(prof)} AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(profiles)) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in sorted(profiles)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             '_' || regexp_replace(lower(text), '\\s+', '_', 'g') || '_' AS p
+      FROM documents),
+    tr AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(p) - 2, 1) + 1),
+               i -> substr(p, i, 3))) AS tris
+      FROM t),
+    s AS (SELECT doc_id, {", ".join(score_cols)} FROM tr),
+    b AS (SELECT *, {best} AS best FROM s)
+    SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_ngram FROM b
+    """
+
+
+@register("text_lang_id_ngram", oracle=_lang_ngram_oracle())
+def text_lang_id_ngram(spark, sf_dir):
+    """Character-n-gram language ID (Cavnar & Trenkle 1994 shape):
+    boundary-padded char trigrams of the document, scored against
+    per-language trigram profiles (profile-normalized overlap, argmax,
+    deterministic tie-break). The trigram set is computed once into its
+    own projection and reused by all four language scores — one codegen
+    pass per document, no shuffle. Complements text_lang_id's
+    stopword-hit heuristic with the classic profile method."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        char_trigrams_col,
+        lang_id_from_trigrams_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    withtris = docs.select(
+        "doc_id", char_trigrams_col(F.col("text")).alias("__tris")
+    )
+    return withtris.select(
+        "doc_id", lang_id_from_trigrams_col(F.col("__tris")).alias("lang_ngram")
+    )
+
+
 @register(
     "text_unigram_logprob",
     oracle=f"""
