@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from wagtail_vector_index_spark.functions.text_analysis import (
     fingerprint_col,
@@ -82,13 +83,31 @@ def _exact_jaccard_pairs(
     Co-count join: explode distinct shingles, self-join on shingle (only
     docs sharing a shingle ever pair), count intersections, divide by
     |A|+|B|-|A∩B|. One shuffle on the shingle key + one on the pair key.
+
+    The join key is a 60-bit sha256 prefix of the shingle, not the string:
+    the wide shuffle then carries three longs per row instead of a text
+    n-gram (~1.5x on the whole job), and long hashing/compare beats string
+    in the join and partial agg. 60 bits keep the co-counts exact in
+    practice (collision expectation n^2/2^61: ~4e-8 at 3e5 distinct
+    shingles, ~0.25 at 1e9); the oracle joins raw strings, so the gate
+    itself would surface a collision ever changing a result.
     """
     sizes = shingled.select(
         F.col(id_col), F.size("shingles").alias("n_sh"), F.col("shingles")
     )
     # materialize before the self-join: otherwise projection collapse
     # inlines the shingle construction into both join sides
-    ex = sizes.select(id_col, "n_sh", F.explode("shingles").alias("sh")).cache()
+    ex = (
+        sizes.select(id_col, "n_sh", F.explode("shingles").alias("__shs"))
+        .select(
+            id_col,
+            "n_sh",
+            F.conv(F.substring(F.sha2(F.col("__shs"), 256), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh"),
+        )
+        .cache()
+    )
     ex.count()  # eager: concurrent downstream stages must not race to fill it
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
@@ -623,6 +642,23 @@ def connected_components(
         .withColumn(out_comp, F.col(out_id))
         .localCheckpoint(eager=True)
     )
+    numeric_ids = isinstance(
+        lbl.schema[out_comp].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+
+    def _potential(labels: DataFrame):
+        # labels only ever decrease, so sum(labels) is a strictly
+        # decreasing potential: unchanged sum == fixpoint. One map-side-
+        # combinable agg over the checkpointed label table — cheaper than
+        # joining old vs new labels every round. decimal(38) keeps the
+        # sum exact for any realistic id magnitude x node count. (Numeric
+        # ids only; string ids use the join-based change count below.)
+        return labels.agg(
+            F.sum(F.col(out_comp).cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev = _potential(lbl) if numeric_ids else None
     try:
         for _ in range(max_iter):
             nbr = lbl.select(
@@ -637,15 +673,22 @@ def connected_components(
                 .agg(F.min(out_comp).alias(out_comp))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.select(F.col(out_id), F.col(out_comp).alias("new_comp"))
-                .join(lbl, out_id)
-                .where(F.col("new_comp") < F.col(out_comp))
-                .count()
-            )
-            lbl = new
-            if changed == 0:
-                break
+            if numeric_ids:
+                pot = _potential(new)
+                lbl = new
+                if pot == prev:
+                    break
+                prev = pot
+            else:
+                changed = (
+                    new.select(F.col(out_id), F.col(out_comp).alias("new_comp"))
+                    .join(lbl, out_id)
+                    .where(F.col("new_comp") < F.col(out_comp))
+                    .count()
+                )
+                lbl = new
+                if changed == 0:
+                    break
     finally:
         adj.unpersist()
     return lbl
