@@ -712,6 +712,71 @@ def text_wordcount(spark, sf_dir):
 
 
 @register(
+    "corpus_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, text, {TOKS_SQL} AS toks,
+             {FINGERPRINT_SQL} AS fp
+      FROM documents)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(len(toks))::BIGINT AS n_tokens,
+           count(DISTINCT fp)::BIGINT AS n_distinct,
+           (count(*) - count(DISTINCT fp)) / count(*) AS exact_dup_frac,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / count(*)
+             AS en_frac,
+           round(avg(len(list_distinct(toks))::DOUBLE / len(toks)), 4)
+             AS mean_distinct_ratio
+    FROM base GROUP BY source
+    """,
+)
+def corpus_report(spark, sf_dir):
+    """The curator's report card, per source: volume (docs, tokens),
+    exact-duplicate fraction (content fingerprints), language mix, and
+    mean lexical diversity — the numbers that decide per-source mixing
+    weights before training. One scan, one shuffle on the source key,
+    every aggregate map-side combinable (count-distinct of the
+    fingerprint is Spark's partial-agg distinct, not a collect).
+
+    mean_distinct_ratio is the avg of int/int-exact ratios rounded at
+    4 dp: per-source groups are 100+ docs of irrational-free quotients
+    with magnitudes ~0.9, far from rounding boundaries at engine
+    summation-order noise (~1e-15)."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        fingerprint_col,
+        tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        tokens_col(F.col("text")).alias("toks"),
+        fingerprint_col(F.col("text")).alias("fp"),
+    ).select(
+        "source",
+        "lang",
+        "fp",
+        F.size("toks").alias("n_toks"),
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("dratio"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.count_distinct(F.col("fp")).alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.count_distinct(F.col("fp")))
+            / F.count(F.lit(1))
+        ).alias("exact_dup_frac"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("en_frac"),
+        F.round(F.avg("dratio"), 4).alias("mean_distinct_ratio"),
+    )
+
+
+@register(
     "pipeline_export_shards",
     oracle="""
     SELECT (('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT % 4)::INT
