@@ -613,7 +613,7 @@ def ann_recall_ivf(spark, sf_dir):
         limit=10,
     ).select("probe_id", "vec_id", F.lit(1).alias("__hit"))
     return (
-        brute.join(ivf, ["probe_id", "vec_id"], "left")
+        brute.join(F.broadcast(ivf), ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")
         .agg(
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
