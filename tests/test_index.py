@@ -210,3 +210,46 @@ def test_find_similar_multichunk_probe(spark, tmp_path, documents_df):
     assert probe_key not in keys
     assert len(keys) == len(set(keys))  # dedup across per-chunk probes
     assert len(keys) >= 3  # accumulation: more than one chunk's worth
+
+
+def test_store_time_travel(spark, tmp_path):
+    """read_at pins a historical generation; generations() lists the
+    snapshot points (reference has no analog — EXT storage surface)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_key", T.StringType()),
+            T.StructField("object_keys", T.ArrayType(T.StringType())),
+            T.StructField("chunk_no", T.IntegerType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("vector", T.ArrayType(T.DoubleType())),
+            T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("index_name", T.StringType()),
+        ]
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, schema)
+
+    store = DocumentStore(spark, str(tmp_path / "tt"))
+    store.upsert(
+        docs([("k1", ["k1"], 0, "v1", [1.0, 0.0], {}, "idx"),
+              ("k2", ["k2"], 0, "v1", [0.0, 1.0], {}, "idx")])
+    )
+    gens = store.generations("idx").collect()
+    assert len(gens) == 1
+    g1 = gens[0]["batch_id"]
+
+    store.upsert(docs([("k1", ["k1"], 0, "v2", [0.5, 0.5], {}, "idx")]))
+    store.delete("idx", ["k2"])
+
+    latest = {r["doc_key"]: r["content"] for r in store.read("idx").collect()}
+    assert latest == {"k1": "v2"}
+
+    snap = {r["doc_key"]: r["content"] for r in store.read_at(g1, "idx").collect()}
+    assert snap == {"k1": "v1", "k2": "v1"}
+
+    gens = store.generations("idx").collect()
+    assert len(gens) == 3
+    assert gens[-1]["n_tombstones"] == 1

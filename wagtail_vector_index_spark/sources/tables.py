@@ -60,11 +60,27 @@ class DocumentStore:
         )
 
     def read(self, index_name: str | None = None) -> DataFrame:
+        return self.read_at(None, index_name)
+
+    def read_at(
+        self, batch_id: int | None, index_name: str | None = None
+    ) -> DataFrame:
+        """Snapshot read: the store as of generation ``batch_id``
+        (inclusive); ``None`` reads the latest state.
+
+        Append-only generations make time travel a filter, not a feature:
+        later batches are simply invisible to the last-write-wins window,
+        so a pipeline can pin the exact index state a model was trained
+        against. List snapshot points with :meth:`generations`; note
+        :meth:`compact`/:meth:`clear` rewrite history away.
+        """
         if not self._exists():
             raise FileNotFoundError(f"document store at {self.path} is empty")
         df = self.spark.read.parquet(self.path)
         if index_name is not None:
             df = df.where(F.col("index_name") == index_name)
+        if batch_id is not None:
+            df = df.where(F.col("batch_id") <= int(batch_id))
         # last-write-wins over upsert generations, per chunk — keying on
         # doc_key alone would collapse multi-chunk documents to one row
         w = Window.partitionBy("doc_key", "chunk_no", "index_name").orderBy(
@@ -74,6 +90,24 @@ class DocumentStore:
             df.withColumn("__rn", F.row_number().over(w))
             .where((F.col("__rn") == 1) & (~F.col("deleted")))
             .drop("__rn", "batch_id", "deleted")
+        )
+
+    def generations(self, index_name: str | None = None) -> DataFrame:
+        """The store's snapshot points: one row per write generation —
+        (batch_id, n_rows, n_tombstones). Pass a ``batch_id`` from here
+        to :meth:`read_at`."""
+        if not self._exists():
+            raise FileNotFoundError(f"document store at {self.path} is empty")
+        df = self.spark.read.parquet(self.path)
+        if index_name is not None:
+            df = df.where(F.col("index_name") == index_name)
+        return (
+            df.groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("deleted").cast("long")).alias("n_tombstones"),
+            )
+            .orderBy("batch_id")
         )
 
     def _stamp(self, documents: DataFrame, deleted: bool = False) -> DataFrame:
