@@ -90,3 +90,40 @@ def test_embed_plan_is_jvm_only(spark):
     out = embed_dataframe(df, backend=HashEmbeddingBackend(8), text_col="content")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
+
+
+@pytest.mark.parametrize("dims", [16, 64])
+def test_feature_hash_twin_bit_identical(spark, dims):
+    from wagtail_vector_index_spark.embedding.feature_hash import (
+        FeatureHashEmbeddingBackend,
+    )
+
+    backend = FeatureHashEmbeddingBackend(dimensions=dims)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY_TEXTS)], "id long, content string"
+    )
+    out = embed_dataframe(df, backend=backend, text_col="content")
+    assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r["id"]: r["vector"] for r in out.collect()}
+    for i, t in enumerate(TRICKY_TEXTS):
+        expected = backend.embed_batch([t if t is not None else ""])[0]
+        assert list(rows[i]) == list(expected), f"mismatch for text {t!r}"
+
+
+def test_feature_hash_retrieval_prefers_term_overlap(spark):
+    """Semantic sanity: a doc sharing tokens with the query must outrank
+    a disjoint doc under cosine over the feature-hash embedding."""
+    from wagtail_vector_index_spark.embedding.feature_hash import (
+        FeatureHashEmbeddingBackend,
+    )
+
+    b = FeatureHashEmbeddingBackend(dimensions=64)
+    import numpy as np
+
+    def cos(u, v):
+        return float(np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    q = b.embed_one("spark join strategies")
+    hit = b.embed_one("broadcast join beats shuffle join in spark")
+    miss = b.embed_one("quarterly revenue grew nine percent")
+    assert cos(q, hit) > cos(q, miss)

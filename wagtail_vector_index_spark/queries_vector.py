@@ -525,6 +525,59 @@ def ann_ivf_cosine(spark, sf_dir):
     return hits.select("vec_id", F.round("similarity", 6).alias("cos_sim"))
 
 
+TFIDF_QUERY = "vector join scan spark"
+
+
+def _fh_emb_sql(text_expr: str, dims: int = 64) -> str:
+    """DuckDB twin of FeatureHashEmbeddingBackend: bucket each token once
+    (inner list_transform), then the k-bucket histogram."""
+    toks = f"list_filter(string_split(lower({text_expr}), ' '), t -> t <> '')"
+    bk = (
+        f"list_transform({toks}, t -> "
+        f"('0x' || substr(sha256(t), 1, 8))::UBIGINT % {dims})"
+    )
+    return (
+        f"list_transform(range(0, {dims}), "
+        f"j -> len(list_filter({bk}, b -> b = j))::DOUBLE)"
+    )
+
+
+@register(
+    "search_tfidf_knn",
+    oracle=f"""
+    WITH emb AS (
+      SELECT doc_id, {_fh_emb_sql('text')} AS v FROM documents),
+    q AS (SELECT {_fh_emb_sql("'" + TFIDF_QUERY + "'")} AS qv)
+    SELECT doc_id, round(sim, 6) AS similarity FROM (
+      SELECT emb.doc_id, {_cos_sql('emb.v', 'q.qv')} AS sim
+      FROM emb, q)
+    ORDER BY sim DESC, doc_id LIMIT 10
+    """,
+)
+def search_tfidf_knn(spark, sf_dir):
+    """End-to-end lexical search on the feature-hashing TF embedding
+    (hashing trick, Weinberger et al. 2009): term-overlap retrieval with
+    no external model and no vocabulary build. The embed stage is the
+    backend's Catalyst column twin — the whole query is one codegen'd
+    scan + TakeOrderedAndProject, zero Python stages — and the oracle
+    re-derives the bucketed vectors and cosine bit for bit."""
+    from wagtail_vector_index_spark.embedding.feature_hash import (
+        FeatureHashEmbeddingBackend,
+    )
+    from wagtail_vector_index_spark.embedding.stage import embed_dataframe
+
+    backend = FeatureHashEmbeddingBackend(dimensions=64)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    embedded = embed_dataframe(docs, backend=backend, text_col="text").drop(
+        "text"
+    )
+    qvec = backend.embed_one(TFIDF_QUERY).tolist()
+    hits = topk_similar(
+        embedded, qvec, vector_col="vector", id_col="doc_id", limit=10
+    )
+    return hits.select("doc_id", F.round("similarity", 6).alias("similarity"))
+
+
 @register(
     "ann_recall_ivf",
     oracle=f"""
