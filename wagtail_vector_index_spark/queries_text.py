@@ -959,6 +959,52 @@ def text_lang_id_ngram(spark, sf_dir):
 
 
 @register(
+    "text_top_ngram_frac",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(toks) - 1, 1)),
+                    i -> array_to_string((toks)[i + 1:i + 2], ' '))) AS gram
+      FROM t),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    m AS (
+      SELECT doc_id, max(cnt)::BIGINT AS top_cnt, sum(cnt)::BIGINT AS total
+      FROM c GROUP BY doc_id)
+    SELECT doc_id, top_cnt, total, top_cnt / total AS top_ngram_frac
+    FROM m
+    """,
+)
+def text_top_ngram_frac(spark, sf_dir):
+    """Gopher's top-n-gram-fraction signal (Rae et al. 2021): the share
+    of a document's word 2-grams taken by its single most frequent
+    2-gram — high values flag template/boilerplate text. Explode ->
+    per-(doc, gram) count -> per-doc max: two shuffles both keyed on
+    doc_id (the second reuses the first's partitioning), map-side
+    combine collapses repeated grams before the exchange. The fraction
+    is int/int — exact in both engines."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("total"),
+        (F.max("cnt") / F.sum("cnt")).alias("top_ngram_frac"),
+    )
+
+
+@register(
     "text_unigram_logprob",
     oracle=f"""
     WITH tk AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
