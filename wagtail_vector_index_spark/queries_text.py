@@ -11,6 +11,7 @@ chosen so the planted near-duplicates in the synthetic corpus surface
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from wagtail_vector_index_spark.catalog import _t, register
@@ -708,6 +709,30 @@ def text_wordcount(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("tok").asc())
         .limit(25)
+    )
+
+
+@register(
+    "pipeline_shuffle_rank",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY sha256(doc_id::VARCHAR), doc_id) AS shuffle_rank
+    FROM documents
+    """,
+)
+def pipeline_shuffle_rank(spark, sf_dir):
+    """Deterministic global shuffle for training order: rank documents by
+    sha256 of their id — a reproducible permutation that is a pure
+    function of the key (re-runs, resplits, and engines all agree),
+    unlike seeded per-partition RNG. At scale the total order is exactly
+    the range-partitioned sort Spark already does for write-ordered
+    export; the hash key makes it a uniform shuffle rather than an id
+    sort."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.sha2(F.col("doc_id").cast("string"), 256), F.col("doc_id"))
+    return docs.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("shuffle_rank")
     )
 
 
