@@ -127,3 +127,55 @@ def test_feature_hash_retrieval_prefers_term_overlap(spark):
     hit = b.embed_one("broadcast join beats shuffle join in spark")
     miss = b.embed_one("quarterly revenue grew nine percent")
     assert cos(q, hit) > cos(q, miss)
+
+
+def test_feature_hash_twin_unicode_whitespace_parity(spark):
+    """Non-breaking space: Java regex \\s is ASCII-only, so the Python
+    path must tokenize with re.ASCII to stay bit-identical (regression:
+    str.split() splits on all Unicode whitespace and diverged)."""
+    from wagtail_vector_index_spark.embedding.feature_hash import (
+        FeatureHashEmbeddingBackend,
+    )
+
+    backend = FeatureHashEmbeddingBackend(dimensions=8)
+    text = "spark join normal pair"
+    df = spark.createDataFrame([(text,)], "content string")
+    got = embed_dataframe(df, backend=backend, text_col="content").collect()[0][
+        "vector"
+    ]
+    assert list(got) == list(backend.embed_batch([text])[0])
+
+
+def test_embed_one_override_falls_back_to_arrow(spark):
+    """Overriding embed_one (the natural extension point) must invalidate
+    the twin, not silently return base-class vectors."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.embedding.feature_hash import (
+        FeatureHashEmbeddingBackend,
+    )
+
+    class Tweaked(FeatureHashEmbeddingBackend):
+        def embed_one(self, text):
+            return np.ones(self.dimensions)
+
+    df = spark.createDataFrame([("a",)], "content string")
+    out = embed_dataframe(df, backend=Tweaked(4), text_col="content")
+    assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()
+    assert list(out.collect()[0]["vector"]) == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_chat_null_prompt_parity(spark):
+    """NULL prompt -> empty user message on BOTH paths (twin and Arrow)."""
+
+    class CapturingEcho(EchoChatBackend):
+        def chat(self, *, messages, **params):
+            return super().chat(messages=messages, **params)
+
+    prompts = spark.createDataFrame(
+        [(None, None)], "system string, prompt string"
+    )
+    twin = chat_dataframe(prompts, backend=EchoChatBackend()).collect()[0]
+    arrow = chat_dataframe(prompts, backend=CapturingEcho()).collect()[0]
+    assert twin["response"] == "This is an echo backend: "
+    assert arrow["response"] == "This is an echo backend: "

@@ -73,7 +73,11 @@ class EchoChatBackend:
 
         if type(self).chat is not EchoChatBackend.chat:
             return None
-        return F.concat(F.lit("This is an echo backend: "), user)
+        # coalesce for null-parity with the Arrow path, which maps a NULL
+        # prompt to "" before building messages
+        return F.concat(
+            F.lit("This is an echo backend: "), F.coalesce(user, F.lit(""))
+        )
 
 
 _REGISTRY: dict[str, ChatBackend] = {}
@@ -132,7 +136,8 @@ def chat_dataframe(
                 messages = []
                 if system_col and system_col in pdf.columns and row[system_col]:
                     messages.append({"role": "system", "content": row[system_col]})
-                messages.append({"role": "user", "content": row[user_col]})
+                # NULL prompt -> "" (null-parity with the column twins)
+                messages.append({"role": "user", "content": row[user_col] or ""})
                 responses.append(backend.chat(messages=messages).text())
             pdf = pdf.copy()
             pdf[response_col] = responses

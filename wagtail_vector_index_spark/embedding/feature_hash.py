@@ -22,8 +22,15 @@ DuckDB oracle reproduces the vectors bit for bit.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
+
+# ASCII whitespace only (re.ASCII \s == Java regex \s == [ \t\n\r\f\v]):
+# the Python path must tokenize exactly like the JVM twin's tokens_col
+# (split on \s+), or the two paths diverge on Unicode whitespace like
+#   — str.split() would split there, Java \s+ does not.
+_TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)
 
 
 class FeatureHashEmbeddingBackend:
@@ -39,7 +46,7 @@ class FeatureHashEmbeddingBackend:
 
     def embed_one(self, text: str) -> np.ndarray:
         out = np.zeros(self.dimensions, dtype=np.float64)
-        for tok in text.lower().split():
+        for tok in _TOKEN_SPLIT.split(text.lower()):
             if tok:
                 out[self._bucket(tok)] += 1.0
         return out
@@ -63,7 +70,15 @@ class FeatureHashEmbeddingBackend:
             tokens_col,
         )
 
-        if type(self).embed_batch is not FeatureHashEmbeddingBackend.embed_batch:
+        # any overridden embedding method invalidates the twin —
+        # embed_batch delegates to embed_one which delegates to _bucket,
+        # so a subclass may override any of the three
+        cls = FeatureHashEmbeddingBackend
+        if (
+            type(self).embed_batch is not cls.embed_batch
+            or type(self).embed_one is not cls.embed_one
+            or type(self)._bucket is not cls._bucket
+        ):
             return None
         k = self.dimensions
         toks = tokens_col(F.coalesce(text, F.lit("")))

@@ -71,8 +71,15 @@ class HashEmbeddingBackend:
         """
         from pyspark.sql import functions as F
 
-        if type(self).embed_batch is not HashEmbeddingBackend.embed_batch:
-            return None  # overridden embed semantics: twin no longer valid
+        # any overridden embedding method invalidates the twin (embed_batch
+        # delegates to embed_one which delegates to _digest_hex)
+        cls = HashEmbeddingBackend
+        if (
+            type(self).embed_batch is not cls.embed_batch
+            or type(self).embed_one is not cls.embed_one
+            or type(self)._digest_hex is not cls._digest_hex
+        ):
+            return None
         t = F.coalesce(text, F.lit(""))
         cols = []
         digests: dict[int, object] = {}

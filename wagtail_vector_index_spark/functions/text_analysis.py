@@ -32,19 +32,22 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def word_shingles_col(text: Column, n: int = 3) -> Column:
-    """Array of word n-gram shingles ("a b c" style), distinct.
-
-    Uses slice over the token array; a doc with fewer than n tokens yields
-    its full token-join as the single shingle.
-    """
+def word_ngrams_col(text: Column, n: int) -> Column:
+    """All word n-grams in document order, repeats included ("a b c"
+    style) — the shared construction for shingling (distinct), repetition
+    metrics, and top-gram stats. A doc with fewer than n tokens yields
+    its full token-join as the single gram."""
     toks = tokens_col(text)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+
+
+def word_shingles_col(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles ("a b c" style), distinct."""
+    return F.array_distinct(word_ngrams_col(text, n))
 
 
 # --------------------------------------------------------------------------
@@ -355,12 +358,7 @@ def ngram_repetition_cols(text: Column, n: int = 3) -> dict[str, Column]:
     fraction' family): total vs distinct word n-grams. The duplicate
     fraction (total-distinct)/total is an int/int division — exact in
     both engines."""
-    toks = tokens_col(text)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    grams = word_ngrams_col(text, n)
     total = F.size(grams).cast("long")
     distinct = F.size(F.array_distinct(grams)).cast("long")
     return {

@@ -642,10 +642,13 @@ def connected_components(
         .withColumn(out_comp, F.col(out_id))
         .localCheckpoint(eager=True)
     )
+    # integral ids only: casting a scaled decimal (e.g. 10.4) to
+    # decimal(38,0) would round away sub-integer label decreases and
+    # declare a false fixpoint
+    comp_type = lbl.schema[out_comp].dataType
     numeric_ids = isinstance(
-        lbl.schema[out_comp].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
-    )
+        comp_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (isinstance(comp_type, T.DecimalType) and comp_type.scale == 0)
 
     def _potential(labels: DataFrame):
         # labels only ever decrease, so sum(labels) is a strictly

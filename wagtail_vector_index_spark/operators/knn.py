@@ -233,8 +233,13 @@ def ivf_topk_batch(
         centroid_id=centroid_id,
         centroid_vec=centroid_vec,
     )
-    cands = assigned.join(F.broadcast(probed), centroid_id).join(
-        F.broadcast(p), probe_id
+    # dim guard matches topk_similar/similarity_join: a probe whose
+    # dimensionality differs from an index row is excluded, not emitted
+    # with a NULL similarity
+    cands = (
+        assigned.join(F.broadcast(probed), centroid_id)
+        .join(F.broadcast(p), probe_id)
+        .where(F.array_size(F.col(index_vec)) == F.array_size(F.col(probe_vec)))
     )
     w = Window.partitionBy(probe_id).orderBy(
         F.col(sim_alias).desc(), F.col(index_id).asc()

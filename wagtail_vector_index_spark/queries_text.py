@@ -750,8 +750,9 @@ def pipeline_shuffle_rank(spark, sf_dir):
            (count(*) - count(DISTINCT fp)) / count(*) AS exact_dup_frac,
            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / count(*)
              AS en_frac,
-           round(avg(len(list_distinct(toks))::DOUBLE / len(toks)), 4)
-             AS mean_distinct_ratio
+           sum(len(list_distinct(toks)))::BIGINT AS n_distinct_tokens,
+           sum(len(list_distinct(toks))) / sum(len(toks))
+             AS pooled_distinct_ratio
     FROM base GROUP BY source
     """,
 )
@@ -763,10 +764,11 @@ def corpus_report(spark, sf_dir):
     every aggregate map-side combinable (count-distinct of the
     fingerprint is Spark's partial-agg distinct, not a collect).
 
-    mean_distinct_ratio is the avg of int/int-exact ratios rounded at
-    4 dp: per-source groups are 100+ docs of irrational-free quotients
-    with magnitudes ~0.9, far from rounding boundaries at engine
-    summation-order noise (~1e-15)."""
+    Lexical diversity is reported as the POOLED ratio (sum of per-doc
+    distinct tokens / sum of tokens) — exact int/int division. A rounded
+    avg() of per-doc ratios would be the known-flaky oracle shape
+    (terminating quotients summed in engine-dependent order can straddle
+    a rounding boundary — hit once at sf0.1, see memory invariants)."""
     from wagtail_vector_index_spark.functions.text_analysis import (
         fingerprint_col,
         tokens_col,
@@ -783,7 +785,7 @@ def corpus_report(spark, sf_dir):
         "lang",
         "fp",
         F.size("toks").alias("n_toks"),
-        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("dratio"),
+        F.size(F.array_distinct("toks")).alias("n_dtoks"),
     )
     return base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -797,7 +799,8 @@ def corpus_report(spark, sf_dir):
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
             / F.count(F.lit(1))
         ).alias("en_frac"),
-        F.round(F.avg("dratio"), 4).alias("mean_distinct_ratio"),
+        F.sum("n_dtoks").alias("n_distinct_tokens"),
+        (F.sum("n_dtoks") / F.sum("n_toks")).alias("pooled_distinct_ratio"),
     )
 
 
@@ -817,6 +820,8 @@ def pipeline_export_shards(spark, sf_dir):
     The oracle recomputes the sha-based shard assignment directly from
     the source table — so the gate proves write, partition discovery,
     manifest, and membership all agree."""
+    import hashlib
+    import os
     import tempfile
 
     from wagtail_vector_index_spark.operators.export import (
@@ -825,7 +830,10 @@ def pipeline_export_shards(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    out = tempfile.mkdtemp(prefix="wvi_export_")
+    # fixed per-sf path + overwrite mode: repeated gate/bench runs reuse
+    # the same directory instead of leaking a corpus copy per invocation
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wvi_export_{tag}")
     export_jsonl_shards(
         docs, out, key_col="doc_id", num_shards=4, max_records_per_file=200
     )
@@ -1008,18 +1016,11 @@ def text_top_ngram_frac(spark, sf_dir):
     doc_id (the second reuses the first's partitioning), map-side
     combine collapses repeated grams before the exchange. The fraction
     is int/int — exact in both engines."""
-    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+    from wagtail_vector_index_spark.functions.text_analysis import word_ngrams_col
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
-            )
-        ).alias("gram"),
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams_col(F.col("text"), 2)).alias("gram")
     )
     counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.groupBy("doc_id").agg(
