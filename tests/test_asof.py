@@ -169,3 +169,38 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         )
         got = {r["lid"]: r["payload_asof"] for r in got_df.collect()}
         assert got == want, f"mismatch for {direction}, tol={tol}"
+
+
+def test_mix_epochs_upsamples_deterministically(spark, documents_df):
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.operators.skew import mix_epochs
+
+    docs = documents_df.select("doc_id", "source").limit(300)
+    weights = {f"src{i}": (2.0 if i < 5 else (0.5 if i < 10 else 0.0))
+               for i in range(20)}
+    out = mix_epochs(docs, weights, group_col="source", key_col="doc_id")
+
+    per = {r["source"]: r for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+        F.max("epoch").alias("max_epoch"),
+    ).collect()}
+    base = {
+        r["source"]: r["count"] for r in docs.groupBy("source").count().collect()
+    }
+    for src, n_docs in base.items():
+        i = int(src.removeprefix("src"))
+        if i < 5:  # rate 2.0: exactly two copies of every doc
+            assert per[src]["n"] == 2 * n_docs
+            assert per[src]["max_epoch"] == 1
+        elif i < 10:  # rate 0.5: subset, epoch always 0
+            assert 0 <= per[src]["n"] <= n_docs
+            assert per[src]["nd"] == per[src]["n"]
+        else:  # rate 0: dropped entirely
+            assert src not in per
+
+    # membership and replication are pure functions of (key, group)
+    again = mix_epochs(docs.repartition(7), weights,
+                       group_col="source", key_col="doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

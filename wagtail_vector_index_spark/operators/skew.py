@@ -113,3 +113,78 @@ def weighted_mix(
     if keep is None:
         raise ValueError("weights must not be empty")
     return df.where(keep)
+
+
+def mix_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    epoch_col: str = "epoch",
+    buckets: int = 100000,
+) -> DataFrame:
+    """Deterministic dataset mixing with UPSAMPLING: per-group rates may
+    exceed 1 — rate 2.5 emits every row twice plus a content-addressed
+    50% chance of a third copy (``epoch_col`` = 0..copies-1 distinguishes
+    the replicas downstream). This is the "epochs per source" knob of a
+    training mix (e.g. 3 epochs of reference text, 0.4 of crawl).
+
+    Scale shape: copies come from exploding a per-row generated sequence
+    — one narrow pipeline, no join against a replication table and no
+    second scan of the source (fan-out replication pattern). The
+    fractional copy reuses the sha-bucket filter with a per-group salt,
+    so membership is a pure function of (key, group) — stable across
+    runs, partitionings, and engines.
+    """
+    if not weights:
+        raise ValueError("weights must not be empty")
+    # per-group (full copies, fractional threshold in bucket space) —
+    # computed once in Python and injected as literals, so the row-side
+    # work is a when-chain + one sha256, no float arithmetic to mirror
+    n_full_expr = None
+    thr_expr = None
+    for group, rate in sorted(weights.items()):
+        if rate < 0.0:
+            raise ValueError(f"rate for {group!r} must be >= 0, got {rate}")
+        n_full = int(rate)
+        thr = int(round((rate - n_full) * buckets))
+        cond = F.col(group_col) == group
+        n_full_expr = (
+            F.when(cond, F.lit(n_full))
+            if n_full_expr is None
+            else n_full_expr.when(cond, F.lit(n_full))
+        )
+        thr_expr = (
+            F.when(cond, F.lit(thr))
+            if thr_expr is None
+            else thr_expr.when(cond, F.lit(thr))
+        )
+    n_full_col = n_full_expr.otherwise(F.lit(0))
+    thr_col = thr_expr.otherwise(F.lit(0))
+    # fractional-copy membership: same sha-bucket trick, salted with the
+    # group so it decorrelates from any plain deterministic_keep_col use
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit(":"),
+                        F.col(group_col),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    copies = n_full_col + F.when(bucket < thr_col, F.lit(1)).otherwise(F.lit(0))
+    epochs = F.when(copies > 0, F.sequence(F.lit(0), copies - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(epochs))

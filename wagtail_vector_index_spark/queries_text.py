@@ -380,6 +380,50 @@ def pipeline_dataset_mix(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+_EPOCH_WEIGHTS = {f"src{i}": (2.5 if i < 5 else (1.0 if i < 10 else 0.4)) for i in range(20)}
+
+
+def _mix_epochs_oracle() -> str:
+    buckets = 100000
+    nf_cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(w)}"
+        for g, w in sorted(_EPOCH_WEIGHTS.items())
+    )
+    thr_cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(round((w - int(w)) * buckets))}"
+        for g, w in sorted(_EPOCH_WEIGHTS.items())
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id, source,
+             (CASE {nf_cases} ELSE 0 END)
+             + (CASE WHEN ('0x' || substr(sha256(doc_id::VARCHAR || ':' || source), 1, 8))::UBIGINT
+                          % {buckets} < (CASE {thr_cases} ELSE 0 END)
+                THEN 1 ELSE 0 END) AS copies
+      FROM documents)
+    SELECT doc_id, source, unnest(range(0, copies))::INT AS epoch
+    FROM c WHERE copies > 0
+    """
+
+
+@register("pipeline_mix_epochs", oracle=_mix_epochs_oracle())
+def pipeline_mix_epochs(spark, sf_dir):
+    """Dataset mixing with UPSAMPLING: sources get 2.5 / 1.0 / 0.4 epochs
+    — full copies plus a content-addressed fractional replica, epoch ids
+    attached so replicas stay distinct downstream. Fan-out is a per-row
+    generated sequence exploded in place (one narrow pipeline, no join
+    against a replication table, no second scan); membership is a pure
+    function of (doc_id, source), so re-runs and engines agree exactly."""
+    from wagtail_vector_index_spark.operators.skew import mix_epochs
+
+    return mix_epochs(
+        _t(spark, sf_dir, "documents"),
+        _EPOCH_WEIGHTS,
+        group_col="source",
+        key_col="doc_id",
+    ).select("doc_id", "source", "epoch")
+
+
 def _lang_scores_sql() -> str:
     return ", ".join(
         f"len(list_filter(toks, t -> t IN {_in_list(STOPWORDS[lang])})) AS s_{lang}"
