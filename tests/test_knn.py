@@ -199,3 +199,35 @@ def test_ivf_topk_batch_matches_single_probe(spark, embeddings_df):
             assert key in got
             assert abs(got[key] - r["similarity"]) < 1e-12
         assert len(single) == sum(1 for k in got if k[0] == p["probe_id"])
+
+
+def test_lsh_topk_batch_matches_single_probe(spark, embeddings_df):
+    """Batch LSH must return, per probe, exactly what single-probe
+    lsh_topk returns with the same planes and probe hamming."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.operators.knn import lsh_topk, lsh_topk_batch
+
+    vecs = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    index = vecs.where(F.col("vec_id") >= 16)
+    probes = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("vector").alias("probe_vec")
+    )
+    batch = lsh_topk_batch(
+        probes, index, num_planes=12, dim=64, max_probe_hamming=2, limit=5
+    )
+    got = {
+        (r["probe_id"], r["vec_id"]): r["similarity"] for r in batch.collect()
+    }
+    for p in probes.collect():
+        single = lsh_topk(
+            index, list(p["probe_vec"]), num_planes=12,
+            max_probe_hamming=2, limit=5,
+        ).collect()
+        for r in single:
+            key = (p["probe_id"], r["vec_id"])
+            assert key in got
+            assert abs(got[key] - r["similarity"]) < 1e-12
+        assert len(single) == sum(1 for k in got if k[0] == p["probe_id"])

@@ -254,6 +254,62 @@ def ivf_topk_batch(
     )
 
 
+def lsh_topk_batch(
+    probes_df: DataFrame,
+    index_df: DataFrame,
+    *,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "vector",
+    num_planes: int = 12,
+    dim: int = 64,
+    max_probe_hamming: int = 2,
+    limit: int = 10,
+    sim_alias: str = "similarity",
+) -> DataFrame:
+    """Batch hyperplane-LSH ANN: top-``limit`` per probe for a DataFrame
+    of probes, one job, no driver loop — the LSH sibling of
+    :func:`ivf_topk_batch`.
+
+    Scale shape: index buckets are computed once per row (one pass over
+    the scan); probe buckets ride the tiny broadcast side. The candidate
+    filter is a broadcast nested-loop join whose predicate is a codegen'd
+    ``bit_count(xor) <= h`` — each index row is tested against P probes
+    with two ALU ops each, never shuffled. Per-probe top-k runs as
+    WindowGroupLimit. Against a materialized
+    :class:`~wagtail_vector_index_spark.operators.ann_index.LshIndex`,
+    skip the bucket pass: its vectors table already carries the bucket.
+    """
+    planes = hyperplane_lsh_planes(num_planes, dim)
+    bucketed = index_df.withColumn(
+        "__bucket", lsh_bucket_col(F.col(index_vec), planes)
+    )
+    p = probes_df.select(
+        F.col(probe_id),
+        F.col(probe_vec).cast("array<double>").alias(probe_vec),
+    ).withColumn("__qbucket", lsh_bucket_col(F.col(probe_vec), planes))
+    cands = bucketed.join(
+        F.broadcast(p),
+        (
+            F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qbucket")))
+            <= max_probe_hamming
+        )
+        & (F.array_size(F.col(index_vec)) == F.array_size(F.col(probe_vec))),
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col(sim_alias).desc(), F.col(index_id).asc()
+    )
+    return (
+        cands.withColumn(
+            sim_alias, similarity_col(F.col(index_vec), F.col(probe_vec), "cosine")
+        )
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= limit)
+        .drop("__rank", probe_vec, "__bucket", "__qbucket")
+    )
+
+
 def hyperplane_lsh_planes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic random hyperplanes for cosine LSH, derived from the
     sha256 hash embedder (values centered to [-0.5, 0.5)). Reproducible
