@@ -253,3 +253,29 @@ def test_store_time_travel(spark, tmp_path):
     gens = store.generations("idx").collect()
     assert len(gens) == 3
     assert gens[-1]["n_tombstones"] == 1
+
+
+def test_ann_accelerated_search(index, tmp_path):
+    """search(ann=True) serves from the materialized IVF tier: results
+    carry exact cosine similarities (verified against the brute path for
+    the same keys) and the full fetched-back document rows."""
+    index.build_ann_index(str(tmp_path / "ann"), k=8, iterations=2)
+    brute = {
+        r["doc_key"]: r["similarity"]
+        for r in index.search("spark query", limit=20).collect()
+    }
+    ann = index.search("spark query", ann=True, nprobe=4).collect()
+    assert 0 < len(ann) <= 5
+    sims = [r["similarity"] for r in ann]
+    assert sims == sorted(sims, reverse=True)
+    for r in ann:
+        assert r["content"]  # document row fetched back, not just the key
+        if r["doc_key"] in brute:
+            assert abs(r["similarity"] - brute[r["doc_key"]]) < 1e-9
+
+
+def test_ann_search_requires_built_index(index):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="build_ann_index"):
+        index.search("q", ann=True)

@@ -85,6 +85,7 @@ class VectorIndex:
         self.embedding_backend = embedding_backend or get_embedding_backend()
         self.chat_backend = chat_backend or get_chat_backend()
         self._sources_df: DataFrame | None = None
+        self._ann = None  # attached by build_ann_index
 
     # -- storage ops --------------------------------------------------------
 
@@ -131,6 +132,34 @@ class VectorIndex:
     def documents(self) -> DataFrame:
         return self.store.read(self.cfg.index_name)
 
+    # -- ANN serving tier ---------------------------------------------------
+
+    def build_ann_index(
+        self, path: str, *, k: int = 16, iterations: int = 5
+    ) -> None:
+        """Materialize an IVF posting-list index over this index's
+        document vectors (codebook trained with Lloyd iterations unless
+        k vectors are fewer). Afterwards ``search(..., ann=True)`` /
+        ``get_similar_documents(..., ann=True)`` read only the ``nprobe``
+        probed partitions — file-listing pruning instead of a full vector
+        scan, the serving path when the index outgrows per-query scans.
+
+        Cosine only (IVF cells partition by cosine assignment). The ANN
+        copy is a *derived* artifact: rebuild after update_index bursts,
+        or attach streaming/maintenance.incremental_ann_stream for
+        continuous maintenance.
+        """
+        if self.cfg.distance != "cosine":
+            raise ValueError(
+                f"ANN tier requires cosine distance, got {self.cfg.distance!r}"
+            )
+        from wagtail_vector_index_spark.operators.ann_index import IvfIndex
+
+        docs = self.documents().select("doc_key", "vector")
+        self._ann = IvfIndex.build(
+            docs, path=path, id_col="doc_key", k=k, iterations=iterations
+        )
+
     # -- retrieval ----------------------------------------------------------
 
     def get_similar_documents(
@@ -139,7 +168,23 @@ class VectorIndex:
         *,
         limit: int = DEFAULT_RETRIEVAL_LIMIT,
         similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+        ann: bool = False,
+        nprobe: int = 2,
     ) -> DataFrame:
+        if ann:
+            if self._ann is None:
+                raise ValueError(
+                    "no ANN index attached — call build_ann_index(path) first"
+                )
+            hits = self._ann.topk(
+                [float(x) for x in query_vector], nprobe=nprobe, limit=limit
+            )
+            if similarity_threshold:
+                hits = hits.where(
+                    F.col("similarity") >= F.lit(float(similarity_threshold))
+                )
+            # fetch the full document rows back for the k hit keys
+            return self.documents().join(F.broadcast(hits), "doc_key")
         return topk_similar(
             self.documents(),
             query_vector,
@@ -156,12 +201,20 @@ class VectorIndex:
         *,
         limit: int = DEFAULT_RETRIEVAL_LIMIT,
         similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+        ann: bool = False,
+        nprobe: int = 2,
     ) -> DataFrame:
         """Semantic search: query text -> ranked source-document rows
-        (reference base.py:303-316). One driver-side embed, then one job."""
+        (reference base.py:303-316). One driver-side embed, then one job.
+        With ``ann=True`` (after :meth:`build_ann_index`) the vector scan
+        is replaced by the partition-pruned IVF read."""
         qvec = self.embedding_backend.embed_batch([query])[0].tolist()
         hits = self.get_similar_documents(
-            qvec, limit=limit, similarity_threshold=similarity_threshold
+            qvec,
+            limit=limit,
+            similarity_threshold=similarity_threshold,
+            ann=ann,
+            nprobe=nprobe,
         )
         return dedup_keep_best(
             hits, key_col="doc_key", rank_col="similarity"
