@@ -279,3 +279,47 @@ def test_ann_search_requires_built_index(index):
 
     with _pytest.raises(ValueError, match="build_ann_index"):
         index.search("q", ann=True)
+
+
+def test_ann_search_multi_chunk_granularity(spark, documents_df, tmp_path):
+    """ANN serving must key hits at (doc_key, chunk_no) granularity:
+    joining back on doc_key alone fans a hit out across sibling chunks
+    and stamps them with the wrong similarity (the doc_key-collapse trap
+    the single-chunk corpus masks)."""
+    import numpy as np
+
+    cfg = IndexConfig(index_name="mc", chunk_size=20)
+    store = DocumentStore(spark, str(tmp_path / "mcstore"))
+    idx = VectorIndex(
+        spark, cfg, store, embedding_backend=HashEmbeddingBackend(dimensions=8)
+    )
+    sources = documents_df.limit(20).select(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id")).alias("object_key"),
+        F.array(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))).alias(
+            "object_keys"
+        ),
+        "text",
+    )
+    idx.rebuild_index(sources)
+    max_chunks = (
+        idx.documents().groupBy("doc_key").count().agg(F.max("count")).collect()
+    )[0][0]
+    assert max_chunks > 1, "fixture must produce multi-chunk documents"
+
+    idx.build_ann_index(str(tmp_path / "mcann"), k=4, iterations=2)
+    q = np.array(HashEmbeddingBackend(dimensions=8).embed_one("stream batch"))
+    for r in idx.search("stream batch", ann=True, nprobe=4).collect():
+        v = np.array(r["vector"])
+        cos = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert abs(r["similarity"] - cos) < 1e-9, (
+            "hit similarity must belong to the returned chunk's own vector"
+        )
+
+
+def test_ann_invalidated_by_rebuild(index, sources, tmp_path):
+    index.build_ann_index(str(tmp_path / "inv"), k=4, iterations=1)
+    index.rebuild_index(sources)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="build_ann_index"):
+        index.search("q", ann=True)

@@ -95,6 +95,7 @@ class VectorIndex:
         )
         self.store.overwrite_index(self.cfg.index_name, docs)
         self._sources_df = sources
+        self._ann = None  # derived artifact is stale: re-run build_ann_index
 
     def update_index(self, sources: DataFrame, *, text_col: str = "text") -> None:
         """Incremental rebuild: embed only stale objects (reference T7)."""
@@ -119,15 +120,19 @@ class VectorIndex:
         finally:
             stale_keys.unpersist()
         self._sources_df = sources
+        self._ann = None  # derived artifact is stale: re-run build_ann_index
 
     def upsert(self, documents: DataFrame) -> None:
         self.store.upsert(documents)
+        self._ann = None
 
     def delete(self, doc_keys: list[str]) -> None:
         self.store.delete(self.cfg.index_name, doc_keys)
+        self._ann = None
 
     def clear(self) -> None:
         self.store.clear(self.cfg.index_name)
+        self._ann = None
 
     def documents(self) -> DataFrame:
         return self.store.read(self.cfg.index_name)
@@ -155,9 +160,16 @@ class VectorIndex:
             )
         from wagtail_vector_index_spark.operators.ann_index import IvfIndex
 
-        docs = self.documents().select("doc_key", "vector")
+        # key at CHUNK granularity (documents are one row per
+        # (doc_key, chunk_no)): keying doc_key alone would fan hits out
+        # across sibling chunks on fetch-back and stamp them with the
+        # wrong similarity — the doc_key-collapse trap DocumentStore.read
+        # already guards against
+        docs = self.documents().select(
+            F.concat_ws("#", "doc_key", "chunk_no").alias("__ann_key"), "vector"
+        )
         self._ann = IvfIndex.build(
-            docs, path=path, id_col="doc_key", k=k, iterations=iterations
+            docs, path=path, id_col="__ann_key", k=k, iterations=iterations
         )
 
     # -- retrieval ----------------------------------------------------------
@@ -183,8 +195,15 @@ class VectorIndex:
                 hits = hits.where(
                     F.col("similarity") >= F.lit(float(similarity_threshold))
                 )
-            # fetch the full document rows back for the k hit keys
-            return self.documents().join(F.broadcast(hits), "doc_key")
+            # fetch the full document rows back at chunk granularity; keep
+            # only (key, similarity) from the hits so the result schema
+            # matches the brute path (no duplicate vector column)
+            keyed = self.documents().withColumn(
+                "__ann_key", F.concat_ws("#", "doc_key", "chunk_no")
+            )
+            return keyed.join(
+                F.broadcast(hits.select("__ann_key", "similarity")), "__ann_key"
+            ).drop("__ann_key")
         return topk_similar(
             self.documents(),
             query_vector,

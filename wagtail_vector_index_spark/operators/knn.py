@@ -254,6 +254,64 @@ def ivf_topk_batch(
     )
 
 
+def lsh_candidates_batch(
+    probes_df: DataFrame,
+    index_df: DataFrame,
+    *,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    index_vec: str = "vector",
+    num_planes: int = 12,
+    dim: int | None = None,
+    max_probe_hamming: int = 2,
+    sim_alias: str = "similarity",
+) -> DataFrame:
+    """Scored LSH candidate pairs for a batch of probes: every
+    (probe, index row) whose sign-buckets are within ``max_probe_hamming``
+    bits, with the exact cosine attached. Shared candidate stage for
+    :func:`lsh_topk_batch` and recall/scan-fraction evaluation.
+
+    ``dim`` defaults to the first probe's dimensionality — hardcoding a
+    wrong dim would build planes that zip-pad against the vectors and
+    silently bucket everything to 0 (no pruning at all).
+
+    Scale shape: index buckets are computed once per row (one pass over
+    the scan); probe buckets ride the tiny broadcast side. The candidate
+    filter is a broadcast nested-loop join whose predicate is a codegen'd
+    ``bit_count(xor) <= h`` — each index row is tested against P probes
+    with two ALU ops each, never shuffled.
+    """
+    if dim is None:
+        first = probes_df.select(probe_vec).first()
+        if first is None:
+            raise ValueError("probes_df is empty and dim was not given")
+        dim = len(first[0])
+    planes = hyperplane_lsh_planes(num_planes, dim)
+    bucketed = index_df.withColumn(
+        "__bucket", lsh_bucket_col(F.col(index_vec), planes)
+    )
+    p = probes_df.select(
+        F.col(probe_id),
+        F.col(probe_vec).cast("array<double>").alias(probe_vec),
+    ).withColumn("__qbucket", lsh_bucket_col(F.col(probe_vec), planes))
+    return (
+        bucketed.join(
+            F.broadcast(p),
+            (
+                F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qbucket")))
+                <= max_probe_hamming
+            )
+            & (
+                F.array_size(F.col(index_vec)) == F.array_size(F.col(probe_vec))
+            ),
+        )
+        .withColumn(
+            sim_alias, similarity_col(F.col(index_vec), F.col(probe_vec), "cosine")
+        )
+        .drop("__bucket", "__qbucket")
+    )
+
+
 def lsh_topk_batch(
     probes_df: DataFrame,
     index_df: DataFrame,
@@ -263,50 +321,37 @@ def lsh_topk_batch(
     index_id: str = "vec_id",
     index_vec: str = "vector",
     num_planes: int = 12,
-    dim: int = 64,
+    dim: int | None = None,
     max_probe_hamming: int = 2,
     limit: int = 10,
     sim_alias: str = "similarity",
 ) -> DataFrame:
     """Batch hyperplane-LSH ANN: top-``limit`` per probe for a DataFrame
     of probes, one job, no driver loop — the LSH sibling of
-    :func:`ivf_topk_batch`.
-
-    Scale shape: index buckets are computed once per row (one pass over
-    the scan); probe buckets ride the tiny broadcast side. The candidate
-    filter is a broadcast nested-loop join whose predicate is a codegen'd
-    ``bit_count(xor) <= h`` — each index row is tested against P probes
-    with two ALU ops each, never shuffled. Per-probe top-k runs as
+    :func:`ivf_topk_batch`. Candidates come from
+    :func:`lsh_candidates_batch`; per-probe top-k runs as
     WindowGroupLimit. Against a materialized
     :class:`~wagtail_vector_index_spark.operators.ann_index.LshIndex`,
     skip the bucket pass: its vectors table already carries the bucket.
     """
-    planes = hyperplane_lsh_planes(num_planes, dim)
-    bucketed = index_df.withColumn(
-        "__bucket", lsh_bucket_col(F.col(index_vec), planes)
-    )
-    p = probes_df.select(
-        F.col(probe_id),
-        F.col(probe_vec).cast("array<double>").alias(probe_vec),
-    ).withColumn("__qbucket", lsh_bucket_col(F.col(probe_vec), planes))
-    cands = bucketed.join(
-        F.broadcast(p),
-        (
-            F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qbucket")))
-            <= max_probe_hamming
-        )
-        & (F.array_size(F.col(index_vec)) == F.array_size(F.col(probe_vec))),
+    cands = lsh_candidates_batch(
+        probes_df,
+        index_df,
+        probe_id=probe_id,
+        probe_vec=probe_vec,
+        index_vec=index_vec,
+        num_planes=num_planes,
+        dim=dim,
+        max_probe_hamming=max_probe_hamming,
+        sim_alias=sim_alias,
     )
     w = Window.partitionBy(probe_id).orderBy(
         F.col(sim_alias).desc(), F.col(index_id).asc()
     )
     return (
-        cands.withColumn(
-            sim_alias, similarity_col(F.col(index_vec), F.col(probe_vec), "cosine")
-        )
-        .withColumn("__rank", F.row_number().over(w))
+        cands.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= limit)
-        .drop("__rank", probe_vec, "__bucket", "__qbucket")
+        .drop("__rank", probe_vec)
     )
 
 

@@ -72,6 +72,18 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def sha_bucket_col(key, *, buckets: int = 100000):
+    """Content-addressed bucket in [0, buckets): first 8 hex chars of
+    sha256(key) mod buckets — the single source of the bucketing scheme
+    shared by deterministic_keep_col and mix_epochs (DuckDB twin:
+    ``('0x' || substr(sha256(k), 1, 8))::UBIGINT % buckets``)."""
+    return (
+        F.conv(F.substring(F.sha2(key.cast("string"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
 def deterministic_keep_col(key, rate: float, *, buckets: int = 100000):
     """Content-addressed Bernoulli filter: keep a row iff the first 8 hex
     chars of sha256(key) land below ``rate`` of the bucket space.
@@ -81,12 +93,7 @@ def deterministic_keep_col(key, rate: float, *, buckets: int = 100000):
     across runs, partitionings, and engines, so samples are reproducible
     and the same row never flips in or out between pipeline versions.
     Portable to SQL oracles (sha256 hex is engine-neutral)."""
-    bucket = (
-        F.conv(F.substring(F.sha2(key.cast("string"), 256), 1, 8), 16, 10)
-        .cast("long")
-        % buckets
-    )
-    return bucket < int(round(rate * buckets))
+    return sha_bucket_col(key, buckets=buckets) < int(round(rate * buckets))
 
 
 def weighted_mix(
@@ -162,26 +169,11 @@ def mix_epochs(
         )
     n_full_col = n_full_expr.otherwise(F.lit(0))
     thr_col = thr_expr.otherwise(F.lit(0))
-    # fractional-copy membership: same sha-bucket trick, salted with the
+    # fractional-copy membership: same sha-bucket scheme, salted with the
     # group so it decorrelates from any plain deterministic_keep_col use
-    bucket = (
-        F.conv(
-            F.substring(
-                F.sha2(
-                    F.concat(
-                        F.col(key_col).cast("string"),
-                        F.lit(":"),
-                        F.col(group_col),
-                    ),
-                    256,
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % buckets
+    bucket = sha_bucket_col(
+        F.concat(F.col(key_col).cast("string"), F.lit(":"), F.col(group_col)),
+        buckets=buckets,
     )
     copies = n_full_col + F.when(bucket < thr_col, F.lit(1)).otherwise(F.lit(0))
     epochs = F.when(copies > 0, F.sequence(F.lit(0), copies - 1)).otherwise(

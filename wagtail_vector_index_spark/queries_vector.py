@@ -742,10 +742,8 @@ def ann_recall_lsh(spark, sf_dir):
     surface (the IVF tier measures 0.7-1.0 on the same probes). The
     oracle replays bucketing, probing, both top-10s, candidate counts,
     and the intersection."""
-    from wagtail_vector_index_spark.functions.vector import cosine_similarity
     from wagtail_vector_index_spark.operators.knn import (
-        hyperplane_lsh_planes,
-        lsh_bucket_col,
+        lsh_candidates_batch,
         similarity_join,
     )
 
@@ -767,15 +765,12 @@ def ann_recall_lsh(spark, sf_dir):
         limit=10,
     ).select("probe_id", "vec_id")
 
-    planes = hyperplane_lsh_planes(12, 64)
-    bucketed = index.withColumn("__bucket", lsh_bucket_col(F.col("vector"), planes))
-    p = probes.withColumn(
-        "__qbucket", lsh_bucket_col(F.col("probe_vec"), planes)
-    )
-    cand = bucketed.join(
-        F.broadcast(p),
-        F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qbucket"))) <= 2,
-    ).withColumn("sim", cosine_similarity(F.col("vector"), F.col("probe_vec")))
+    # one shared candidate stage (same code path the serving tier uses);
+    # cache it so the count and the top-k consumers evaluate the
+    # broadcast-nested-loop join once
+    cand = lsh_candidates_batch(
+        probes, index, num_planes=12, max_probe_hamming=2, sim_alias="sim"
+    ).select("probe_id", "vec_id", "sim").cache()
     counts = cand.groupBy("probe_id").agg(
         F.count(F.lit(1)).alias("n_candidates")
     )
