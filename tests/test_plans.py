@@ -92,3 +92,23 @@ def test_simhash_dense_is_jvm_broadcast_join(spark):
     plan = _plan(spark, "dedup_simhash")
     assert "BroadcastNestedLoopJoin" in plan
     assert "ArrowEvalPython" not in plan and "FlatMapsInPandas" not in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    """TPC-H Q6 is the canonical pushdown query: every predicate must
+    reach the parquet scan, and only the four needed columns are read."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    # the plan string truncates long filter lists — assert the visible
+    # prefix proves all three columns reached the scan
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda" in plan
+    )
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and m.group(1).count(":") <= 4
+
+
+def test_q10_broadcast_and_topk(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
