@@ -1,15 +1,17 @@
 """Scale experiment: stage 10x the sf0.1 data (20k vectors, 50k docs,
 with exact replicas) in /tmp and run the heavy operators.
 
-Observed on local[32] (2026-08-13, post r2 optimizations):
-  gemm all-pairs top-k 20k x 20k (4e8 sims): 29.0s  (~1s at 2k x 2k ->
+Observed on local[32] (2026-08-13, late r2 — hashed shingle join keys,
+host-load dependent +-30%):
+  gemm all-pairs top-k 20k x 20k (4e8 sims): 30.9s  (~1s at 2k x 2k ->
       100x work in ~30x time; BLAS + fixed costs amortize)
-  brute-force knn single probe over 20k:      1.1s
-  exact dedup 50k docs:                       3.7s  (4992 replica groups found)
-  minhash LSH 50k docs:                      15.8s  (250,600 pairs — the
+  brute-force knn single probe over 20k:      1.2s
+  exact dedup 50k docs:                       2.9s  (4992 replica groups found)
+  minhash LSH 50k docs:                      10.5s  (250,600 pairs — the
       replicas multiply near-dup pairs quadratically; candidate
-      generation still bucket-local)
-  simhash dense 50k docs:                     3.2s  (1,031,400 pairs; was
+      generation still bucket-local; was 15.8s before the 60-bit
+      sha-prefix join keys)
+  simhash dense 50k docs:                     3.3s  (1,031,400 pairs; was
       27.9s before the JVM bit_count(xor) broadcast join + hoisted-sha
       fingerprint fold — ~9x from the r2 rewrites)
 
