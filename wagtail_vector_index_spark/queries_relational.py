@@ -1195,3 +1195,52 @@ def q14_promo_share(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q_events_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma,
+             count(*) AS n
+      FROM events GROUP BY user_id),
+    z AS (
+      SELECT e.event_id, e.user_id, round(e.value, 2) AS value,
+             round((e.value - s.mu) / s.sigma, 4) AS zscore
+      FROM events e JOIN s USING (user_id)
+      WHERE s.n >= 20 AND s.sigma > 0
+        AND abs((e.value - s.mu) / s.sigma) > 3)
+    SELECT event_id, user_id, value, zscore FROM z
+    """,
+)
+def q_events_anomaly(spark, sf_dir):
+    """Per-entity anomaly detection (the data-quality gate of an event
+    pipeline): each user's value distribution -> z-score every event ->
+    flag |z| > 3. Two shuffles both keyed on user_id (stats, then the
+    broadcast-or-colocated join back); users with <20 events are skipped
+    (unstable sigma). z-scores are quotients by an irrational stddev, so
+    the 4-dp rounding is engine-order-safe."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    z = (
+        ev.withColumn("mu", F.avg("value").over(w))
+        .withColumn("sigma", F.stddev_samp("value").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .where(
+            (F.col("n") >= 20)
+            & (F.col("sigma") > 0)
+            & (F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3)
+        )
+    )
+    return z.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+            "zscore"
+        ),
+    )
