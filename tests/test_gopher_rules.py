@@ -96,3 +96,47 @@ def test_lang_id_ngram_classifies_marker_text(spark):
     ).collect()
     for r in rows:
         assert r["got"] == r["expected"], (r["expected"], r["got"])
+
+
+def test_cdc_chunks_are_shift_invariant(spark):
+    """The defining CDC property: a shared passage produces identical
+    chunks even when different prefixes shift its position — fixed-size
+    splitting has no such guarantee."""
+    from wagtail_vector_index_spark.functions.text_analysis import cdc_chunks_col
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    doc_a = "short intro: " + passage
+    doc_b = "a much longer and entirely different preamble goes here: " + passage
+    rows = spark.createDataFrame(
+        [("a", doc_a), ("b", doc_b)], "id string, text string"
+    ).select("id", cdc_chunks_col(F.col("text")).alias("chunks")).collect()
+    chunks = {r["id"]: set(r["chunks"]) for r in rows}
+    shared = chunks["a"] & chunks["b"]
+    assert shared, "shifted shared passage must still produce common chunks"
+    # and every shared chunk is actual passage content
+    for c in shared:
+        assert c in passage or c in doc_a
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    from wagtail_vector_index_spark.functions.text_analysis import cdc_chunks_col
+
+    rows = spark.createDataFrame(
+        [("tiny text",)], "text string"
+    ).select(cdc_chunks_col(F.col("text")).alias("c")).collect()
+    assert rows[0]["c"] == ["tiny text"]
+
+
+def test_cdc_chunks_reassemble_exactly(spark):
+    """Chunks must partition the document: concatenation reassembles the
+    original text with nothing lost or duplicated."""
+    from wagtail_vector_index_spark.functions.text_analysis import cdc_chunks_col
+
+    text = "x" * 7 + " the quick brown fox " * 20
+    rows = spark.createDataFrame([(text,)], "text string").select(
+        cdc_chunks_col(F.col("text")).alias("c")
+    ).collect()
+    assert "".join(rows[0]["c"]) == text

@@ -302,8 +302,45 @@ def lang_id_from_trigrams_col(tris: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
-# Gopher-style rule battery / n-gram repetition
+# Content-defined chunking (rolling-hash boundaries)
 # --------------------------------------------------------------------------
+
+
+def cdc_chunks_col(
+    text: Column, *, window: int = 16, mask: int = 64
+) -> Column:
+    """Content-defined chunks: split where the hash of the trailing
+    ``window`` characters lands on 0 mod ``mask`` (expected chunk length
+    ~``mask``). Because boundaries depend only on LOCAL content, shared
+    passages between different documents produce identical chunks even
+    when surrounding text shifts them — the property fixed-size splitting
+    lacks, and the basis of sub-document dedup (LBFS/rsync lineage).
+
+    Each position's window hash is independent, so the "rolling" scan is
+    an embarrassingly parallel ``transform`` over positions — no
+    sequential fold. The hash is the portable sha256 prefix (so the
+    DuckDB oracle reproduces boundaries exactly); a production pipeline
+    would swap a polynomial/Gear hash for cheapness, keeping the shape.
+
+    Docs no longer than ``window`` yield themselves as the single chunk.
+    The final position is never a boundary (it would emit an empty tail
+    chunk).
+    """
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    positions = F.sequence(F.lit(window), n - 1)
+    boundaries = F.filter(
+        positions,
+        lambda i: F.pmod(
+            sha_hash64(t.substr(i - F.lit(window - 1), F.lit(window))),
+            F.lit(mask),
+        )
+        == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(boundaries, lambda b: b + 1))
+    ends = F.concat(boundaries, F.array(n))
+    chunks = F.zip_with(starts, ends, lambda s, e: t.substr(s, e - s + 1))
+    return F.when(n > window, chunks).otherwise(F.array(t))
 
 
 def gopher_rules_cols(

@@ -780,6 +780,69 @@ def pipeline_shuffle_rank(spark, sf_dir):
     )
 
 
+_CDC_BND_SQL = (
+    "list_filter(range(16, length(text)), "
+    "i -> ('0x' || substr(sha256(substr(text, i - 15, 16)), 1, 8))::UBIGINT "
+    "% 64 = 0)"
+)
+
+
+@register(
+    "dedup_shared_passages",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text, {_CDC_BND_SQL} AS bnd FROM documents),
+    ch AS (
+      SELECT doc_id,
+             CASE WHEN length(text) > 16 THEN
+               list_transform(
+                 list_zip(
+                   list_concat([1], list_transform(bnd, x -> x + 1)),
+                   list_concat(bnd, [length(text)])),
+                 p -> substr(text, p[1], p[2] - p[1] + 1))
+             ELSE [text] END AS chunks
+      FROM b),
+    fp AS (
+      SELECT DISTINCT doc_id, sha256(c) AS chunk_fp
+      FROM (SELECT doc_id, unnest(chunks) AS c FROM ch)
+      WHERE length(c) >= 8)
+    SELECT chunk_fp, count(*)::BIGINT AS n_docs
+    FROM fp GROUP BY chunk_fp HAVING count(*) >= 2
+    """,
+)
+def dedup_shared_passages(spark, sf_dir):
+    """Sub-document duplicate detection via content-defined chunking:
+    rolling-hash boundaries split every document into content-addressed
+    chunks, and a chunk fingerprint appearing in >= 2 documents is a
+    shared passage — the partial-dup family (boilerplate headers, quoted
+    blocks, near-dup tails) that whole-document fingerprints miss.
+    Because boundaries depend only on local content, a shared passage
+    chunks identically regardless of what precedes it in each document.
+    One explode + one map-side-combinable count; tiny chunks (< 8 chars)
+    are dropped like every CDC system's min-chunk-size."""
+    from wagtail_vector_index_spark.functions.text_analysis import cdc_chunks_col
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        cdc_chunks_col(F.col("text"), window=16, mask=64),
+                        lambda c: F.length(c) >= 8,
+                    ),
+                    lambda c: F.sha2(c, 256),
+                )
+            )
+        ).alias("chunk_fp"),
+    )
+    return (
+        fps.groupBy("chunk_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 @register(
     "corpus_report",
     oracle=f"""
