@@ -87,3 +87,45 @@ def test_gopher_and_repetition_match_python(spark, texts):
                 )
             else:
                 assert got == v, (k, text, got, v)
+
+
+def py_cdc_chunks(text, window=16, mask=64):
+    import hashlib
+
+    t = text or ""
+    n = len(t)
+    if n <= window:
+        return [t]
+    bounds = []
+    for i in range(window, n):  # 1-based positions window..n-1
+        win = t[i - window : i]  # chars (i-window+1)..i, 1-based
+        h = int(hashlib.sha256(win.encode("utf-8")).hexdigest()[:8], 16)
+        if h % mask == 0:
+            bounds.append(i)
+    starts = [1] + [b + 1 for b in bounds]
+    ends = bounds + [n]
+    return [t[s - 1 : e] for s, e in zip(starts, ends)]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab cd\nef", min_size=0, max_size=300),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_cdc_chunks_match_python(spark, texts):
+    from wagtail_vector_index_spark.functions.text_analysis import cdc_chunks_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = df.select("i", cdc_chunks_col(F.col("text")).alias("c")).collect()
+    got = {r["i"]: list(r["c"]) for r in rows}
+    for i, t in enumerate(texts):
+        assert got[i] == py_cdc_chunks(t), repr(t)
