@@ -325,22 +325,50 @@ def cdc_chunks_col(
     Docs no longer than ``window`` yield themselves as the single chunk.
     The final position is never a boundary (it would emit an empty tail
     chunk).
+
+    Hot-path note: this convenience composition embeds the boundary scan
+    (the expensive part — one digest per position) in the chunk
+    construction, where it gets inlined into starts AND ends (~1.8x
+    slower end-to-end). Pipelines should hoist
+    :func:`cdc_boundaries_col` into its own projection and build chunks
+    with :func:`cdc_chunks_from_boundaries` — the dedup_shared_passages
+    catalog query shows the shape.
     """
     t = F.coalesce(text, F.lit(""))
-    n = F.length(t)
-    positions = F.sequence(F.lit(window), n - 1)
-    boundaries = F.filter(
-        positions,
+    return cdc_chunks_from_boundaries(
+        t, cdc_boundaries_col(t, window=window, mask=mask), window=window
+    )
+
+
+def cdc_boundaries_col(text: Column, *, window: int = 16, mask: int = 64) -> Column:
+    """Boundary positions (1-based, ascending) of the content-defined
+    chunking: position i is a boundary iff the trailing-``window`` hash
+    lands on 0 mod ``mask``. One digest per position — compute this ONCE
+    into its own projection before building chunks from it."""
+    n = F.length(text)
+    scan = F.filter(
+        F.sequence(F.lit(window), n - 1),
         lambda i: F.pmod(
-            sha_hash64(t.substr(i - F.lit(window - 1), F.lit(window))),
+            sha_hash64(text.substr(i - F.lit(window - 1), F.lit(window))),
             F.lit(mask),
         )
         == 0,
     )
+    # short docs: skip the scan entirely (sequence(start, stop) with
+    # start > stop would generate a DESCENDING range)
+    return F.when(n > window, scan).otherwise(F.array().cast("array<int>"))
+
+
+def cdc_chunks_from_boundaries(
+    text: Column, boundaries: Column, *, window: int = 16
+) -> Column:
+    """Chunk array from a precomputed boundary-position array (cheap:
+    substr slicing only, no hashing)."""
+    n = F.length(text)
     starts = F.concat(F.array(F.lit(1)), F.transform(boundaries, lambda b: b + 1))
     ends = F.concat(boundaries, F.array(n))
-    chunks = F.zip_with(starts, ends, lambda s, e: t.substr(s, e - s + 1))
-    return F.when(n > window, chunks).otherwise(F.array(t))
+    chunks = F.zip_with(starts, ends, lambda s, e: text.substr(s, e - s + 1))
+    return F.when(n > window, chunks).otherwise(F.array(text))
 
 
 def gopher_rules_cols(
