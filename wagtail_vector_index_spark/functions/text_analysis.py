@@ -371,6 +371,11 @@ def cdc_chunks_from_boundaries(
     return F.when(n > window, chunks).otherwise(F.array(text))
 
 
+# --------------------------------------------------------------------------
+# Gopher-style rule battery / n-gram repetition
+# --------------------------------------------------------------------------
+
+
 def gopher_rules_cols(
     text: Column,
     *,

@@ -850,7 +850,11 @@ def dedup_shared_passages(spark, sf_dir):
     )
     return (
         fps.groupBy("chunk_fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        # countDistinct, not count: the per-row array_distinct already
+        # dedupes within a doc, but the oracle counts DISTINCT doc_id —
+        # make the invariant explicit instead of relying on doc_id
+        # row-uniqueness
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
 
