@@ -76,6 +76,18 @@ def test_json_source_roundtrip(spark, tmp_path):
     assert set(df.columns) == {"source", "content"}
 
 
+def test_orc_source_roundtrip(spark, tmp_path, documents_df):
+    """S10 extension: ORC import/export — Spark-native columnar format
+    beyond parquet/JSON/CSV, same reader surface."""
+    path = str(tmp_path / "docs_orc")
+    documents_df.limit(25).select("doc_id", "source", "text").write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 25
+    assert set(back.columns) == {"doc_id", "source", "text"}
+    orig = {r["doc_id"] for r in documents_df.limit(25).collect()}
+    assert {r["doc_id"] for r in back.collect()} == orig
+
+
 def test_registry_roundtrip(spark, tmp_path, documents_df):
     from wagtail_vector_index_spark.config import IndexConfig
     from wagtail_vector_index_spark.index import VectorIndex
