@@ -27,13 +27,24 @@ def register(name: str, oracle: str | None = None):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and floor-convert to micros
-        # with integer division (double math would lose precision at 1e18).
-        # DuckDB floor-truncates ns->us on read the same way.
+        # The ts physical type varies across testdata generations:
+        # TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+        # nanos as long and floor-convert to micros with integer division;
+        # double math would lose precision at 1e18, and DuckDB
+        # floor-truncates ns->us on read the same way) or a native
+        # timestamp[us] (arrives as TIMESTAMP_NTZ — cast to session-TZ
+        # timestamp, UTC, so both generations yield identical instants).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if not isinstance(ts_type, T.TimestampType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
