@@ -247,6 +247,285 @@ class IvfIndex:
         )
 
 
+def _normalized_col(vec: F.Column) -> F.Column:
+    """Unit-normalize an array<double> column element-wise (sequential-
+    fold norm, matching DuckDB ``list_inner_product``)."""
+    nrm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(vec, lambda x: x / nrm)
+
+
+def pq_encode_col(
+    vec: F.Column, codebook: Sequence[Sequence[Sequence[float]]]
+) -> F.Column:
+    """PQ-encode a *unit-normalized* array<double> column against a
+    driver-side codebook ``codebook[m][j] -> sub-vector`` (M subspaces ×
+    ksub centroids each): ``codes[m] = argmin_j ||v_m - c[m][j]||²``,
+    ties to the lowest ``j``.
+
+    Stays entirely inside whole-stage codegen: the codebook becomes
+    array literals, the distance is expanded as
+    ``<a,a> - 2<a,b> + <b,b>`` (three sequential-fold inner products —
+    the exact fp ops a DuckDB oracle replays via list_inner_product),
+    and the argmin is ``array_min`` over (dist, j) structs, whose
+    lexicographic struct ordering breaks ties on j.
+    """
+    n_m = len(codebook)
+    sub = len(codebook[0][0])
+
+    def dot(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    for m in range(n_m):
+        sv = F.slice(vec, m * sub + 1, sub)
+        sv_sq = dot(sv, sv)
+        cands = []
+        for j, cv in enumerate(codebook[m]):
+            c = F.array(*[F.lit(float(x)) for x in cv]).cast("array<double>")
+            c_sq = float(_seq_dot(cv, cv))
+            dist = sv_sq - F.lit(2.0) * dot(sv, c) + F.lit(c_sq)
+            cands.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
+        codes.append(F.array_min(F.array(*cands)).getField("j"))
+    return F.array(*codes)
+
+
+class IvfPqIndex(IvfIndex):
+    """IVF-PQ: the coarse IVF partitioning of :class:`IvfIndex` plus a
+    product-quantized code per vector, persisted in ONE table
+    ``{path}/vectors`` (partitioned by ``cid``; columns id, vector,
+    codes) with the sub-space codebook at ``{path}/pq_codebook``
+    (rows m, j, cv).
+
+    The billion-scale serving layout (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the ADC scan
+    touches only the ``codes`` column — M bytes of information per
+    vector instead of dim × 8 — and parquet's columnar pruning delivers
+    that for free from the combined table (the scan's ReadSchema simply
+    omits ``vector``; evidence in tests/test_ann_index.py). Reranking
+    re-reads the ``vector`` column of the probed partitions only, for
+    the ADC shortlist.
+
+    Query cost model at scale: file listing prunes to ``nprobe/k`` of
+    the corpus (PartitionFilters), the surviving scan reads codes-only
+    (~M bytes/row), scoring is a table lookup per subspace inside
+    whole-stage codegen, and the optional rerank is a broadcast
+    semi-join against a shortlist of ``rerank`` ids. No stage touches
+    the full-precision vectors of non-candidates.
+
+    Cosine semantics via normalized vectors: build-time normalization
+    makes inner product = cosine, so ``adc score = Σ_m <q̂_m,
+    c[m][code_m]>`` approximates cosine similarity directly.
+    """
+
+    @property
+    def pq_codebook_path(self) -> str:
+        return f"{self.path}/pq_codebook"
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        *,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "vector",
+        centroids_df: DataFrame | None = None,
+        k: int = 16,
+        iterations: int = 5,
+        m: int = 8,
+        ksub: int = 16,
+        pq_codebook_df: DataFrame | None = None,
+    ) -> "IvfPqIndex":
+        """Coarse-assign + PQ-encode every row and persist partitioned
+        by ``cid``.
+
+        ``pq_codebook_df`` (columns ``m``, ``j``, ``cv``) pins an
+        explicit sub-space codebook; otherwise one is derived
+        deterministically from the ``ksub`` lowest-id vectors' normalized
+        sub-vectors (the sampling initializer of per-subspace k-means —
+        a production build would run Lloyd refinement per subspace, which
+        changes only the codebook table, not the layout or query path).
+        """
+        spark = df.sparkSession
+        if centroids_df is None:
+            from wagtail_vector_index_spark.operators.kmeans import train_codebook
+
+            centroids, _ = train_codebook(
+                df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+            )
+            centroids_df = spark.createDataFrame(
+                centroids, "cid int, cv array<double>"
+            )
+        if pq_codebook_df is None:
+            pq_codebook_df = cls._sampled_pq_codebook(
+                df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
+            )
+        cb_rows = pq_codebook_df.collect()
+        n_m = 1 + max(r["m"] for r in cb_rows)
+        codebook: list[list[list[float]]] = [[] for _ in range(n_m)]
+        for r in sorted(cb_rows, key=lambda r: (r["m"], r["j"])):
+            codebook[r["m"]].append([float(x) for x in r["cv"]])
+
+        assigned = ivf_assign(
+            df.select(id_col, vec_col),
+            centroids_df,
+            index_id=id_col,
+            index_vec=vec_col,
+        )
+        encoded = assigned.withColumn(
+            "codes", pq_encode_col(_normalized_col(F.col(vec_col)), codebook)
+        )
+        (
+            encoded.repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(f"{path}/vectors")
+        )
+        centroids_df.write.mode("overwrite").parquet(f"{path}/codebook")
+        pq_codebook_df.write.mode("overwrite").parquet(f"{path}/pq_codebook")
+        _VECTORS_DF_CACHE.pop(f"{path}/vectors", None)
+        return cls(spark, path, id_col=id_col, vec_col=vec_col)
+
+    @staticmethod
+    def _sampled_pq_codebook(
+        df: DataFrame, *, id_col: str, vec_col: str, m: int, ksub: int
+    ) -> DataFrame:
+        """Deterministic codebook: normalized sub-vectors of the ``ksub``
+        lowest-id rows (j = rank of the row among them)."""
+        spark = df.sparkSession
+        rows = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(ksub)
+            .select(vec_col)
+            .collect()
+        )
+        out = []
+        for j, r in enumerate(rows):
+            v = [float(x) for x in r[0]]
+            nrm = math.sqrt(_seq_dot(v, v))
+            nv = [x / nrm for x in v]
+            sub = len(nv) // m
+            for mi in range(m):
+                out.append((mi, j, nv[mi * sub : (mi + 1) * sub]))
+        return spark.createDataFrame(out, "m int, j int, cv array<double>")
+
+    def _pq_codebook(self) -> list[list[list[float]]]:
+        rows = self.spark.read.parquet(self.pq_codebook_path).collect()
+        n_m = 1 + max(r["m"] for r in rows)
+        cb: list[list[list[float]]] = [[] for _ in range(n_m)]
+        for r in sorted(rows, key=lambda r: (r["m"], r["j"])):
+            cb[r["m"]].append([float(x) for x in r["cv"]])
+        return cb
+
+    def append(self, df: DataFrame) -> None:
+        """Incremental maintenance: coarse-assign + PQ-encode NEW
+        vectors against the stored codebooks and append to their
+        posting lists (same contract as IvfIndex.append)."""
+        codebook = self.spark.read.parquet(self.codebook_path)
+        cb = self._pq_codebook()
+        assigned = ivf_assign(
+            df.select(self.id_col, self.vec_col),
+            codebook,
+            index_id=self.id_col,
+            index_vec=self.vec_col,
+        ).withColumn(
+            "codes", pq_encode_col(_normalized_col(F.col(self.vec_col)), cb)
+        )
+        (
+            assigned.repartition("cid")
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(self.vectors_path)
+        )
+        _VECTORS_DF_CACHE.pop(self.vectors_path, None)
+
+    def adc_topk(
+        self,
+        query_vector: Sequence[float],
+        *,
+        nprobe: int = 2,
+        limit: int = 10,
+        sim_alias: str = "adc_sim",
+    ) -> DataFrame:
+        """Asymmetric-distance top-k: rank the probed posting lists by
+        the PQ lookup-table score WITHOUT reading the vector column.
+
+        The per-subspace lookup table ``lut[m][j] = <q̂_m, c[m][j]>`` is
+        computed driver-side from the (M × ksub)-row codebook and enters
+        the plan as array literals; the score is an explicitly
+        left-associated sum of M ``element_at`` terms, so the fp
+        addition order is pinned for the DuckDB oracle."""
+        cb = self._pq_codebook()
+        q = [float(x) for x in query_vector]
+        qn = math.sqrt(_seq_dot(q, q))
+        qhat = [x / qn for x in q]
+        sub = len(cb[0][0])
+        lut = [
+            [_seq_dot(qhat[m * sub : (m + 1) * sub], cv) for cv in cb[m]]
+            for m in range(len(cb))
+        ]
+        probed = self.probed_cids(query_vector, nprobe)
+        cand = _vectors_df(self.spark, self.vectors_path).where(
+            F.col("cid").isin(probed)
+        )
+        score = None
+        for m, row in enumerate(lut):
+            lut_m = F.array(*[F.lit(float(v)) for v in row]).cast(
+                "array<double>"
+            )
+            term = F.element_at(lut_m, F.element_at("codes", m + 1) + F.lit(1))
+            score = term if score is None else score + term
+        scored = cand.select(
+            self.id_col, score.alias(sim_alias)
+        )
+        return scored.orderBy(
+            F.col(sim_alias).desc(), F.col(self.id_col).asc()
+        ).limit(limit)
+
+    def topk(
+        self,
+        query_vector: Sequence[float],
+        *,
+        nprobe: int = 2,
+        limit: int = 10,
+        rerank: int = 0,
+        sim_alias: str = "similarity",
+    ) -> DataFrame:
+        """IVF-PQ top-k. ``rerank=0`` returns the pure ADC ranking;
+        ``rerank=R`` takes the ADC top-R shortlist, re-reads the
+        ``vector`` column of the probed partitions for those ids only
+        (broadcast semi-join), and re-ranks by exact cosine — the
+        standard two-stage serving pattern."""
+        if rerank <= 0:
+            return self.adc_topk(
+                query_vector, nprobe=nprobe, limit=limit, sim_alias=sim_alias
+            )
+        shortlist = self.adc_topk(
+            query_vector, nprobe=nprobe, limit=rerank
+        ).select(self.id_col)
+        probed = self.probed_cids(query_vector, nprobe)
+        cand = (
+            _vectors_df(self.spark, self.vectors_path)
+            .where(F.col("cid").isin(probed))
+            .join(F.broadcast(shortlist), self.id_col, "left_semi")
+            .select(self.id_col, self.vec_col)
+        )
+        return topk_similar(
+            cand,
+            query_vector,
+            vector_col=self.vec_col,
+            id_col=self.id_col,
+            limit=limit,
+            sim_alias=sim_alias,
+        )
+
+
 class LshIndex:
     """Hyperplane-LSH index persisted as ``{path}/vectors`` (partitioned
     by ``bucket_pfx``, the top bits of the sign-bucket; the full
