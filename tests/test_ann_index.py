@@ -75,7 +75,9 @@ def test_ivf_scan_prunes_nonprobed_clusters(ivf, probe):
     # pruning), not PushedFilters or a post-scan Filter
     assert re.search(r"PartitionFilters: \[[^\]]*cid#\d+ (IN \(|INSET )", plan), plan
     n_partitions = sum(
-        1 for d in os.listdir(ivf.vectors_path) if d.startswith("cid=")
+        1
+        for d in ivf.live_partition_dirs()
+        if os.path.basename(d).startswith("cid=")
     )
     assert n_partitions > 2  # the corpus spreads over many clusters
     assert set(ivf.probed_cids(probe, 2)) == {
@@ -101,9 +103,9 @@ def test_lsh_scan_prunes_nonprobed_buckets(lsh, probe):
     shift = lsh.meta["num_planes"] - lsh.meta["prefix_bits"]
     probed_pfx = {b >> shift for b in probed}
     on_disk = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(lsh.vectors_path)
-        if d.startswith("bucket_pfx=")
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in lsh.live_partition_dirs()
+        if os.path.basename(d).startswith("bucket_pfx=")
     }
     assert on_disk - probed_pfx, "some prefix dirs must be non-probed"
     scanned = {r["bucket"] for r in cand.select("bucket").distinct().collect()}
@@ -113,14 +115,10 @@ def test_lsh_scan_prunes_nonprobed_buckets(lsh, probe):
 def test_ivf_build_one_file_per_cluster(ivf):
     """The pre-write repartition co-locates each posting list: every cid
     partition holds exactly one parquet file (no small-file shatter)."""
-    for d in os.listdir(ivf.vectors_path):
-        if not d.startswith("cid="):
+    for d in ivf.live_partition_dirs():
+        if not os.path.basename(d).startswith("cid="):
             continue
-        files = [
-            f
-            for f in os.listdir(os.path.join(ivf.vectors_path, d))
-            if f.endswith(".parquet")
-        ]
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1
 
 
@@ -141,15 +139,15 @@ def test_ivf_append_delete_compact(spark, index_df, centroids_df, probe, tmp_pat
     assert top[0]["vec_id"] == 990001
     assert top[0]["similarity"] == pytest.approx(1.0)
 
-    # appended partitions now hold >1 file; compact restores the layout
+    # the append published a second generation; compact merges back to
+    # one generation with one file per posting list, and GC reclaims the
+    # superseded generations
+    assert len(idx.vectors_log.current().live) == 2
     idx.compact()
-    for d in os.listdir(idx.vectors_path):
-        if d.startswith("cid="):
-            files = [
-                f
-                for f in os.listdir(os.path.join(idx.vectors_path, d))
-                if f.endswith(".parquet")
-            ]
+    assert len(idx.vectors_log.current().live) == 1
+    for d in idx.live_partition_dirs():
+        if os.path.basename(d).startswith("cid="):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
             assert len(files) == 1
     assert idx.topk(probe, nprobe=2, limit=5).collect()[0]["vec_id"] == 990001
 

@@ -48,6 +48,64 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def dot_product_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Dot product unrolled to ``dim`` explicit terms. Higher-order
+    functions (``F.aggregate``/``zip_with``) are interpreted per row —
+    fine for a few thousand evaluations, a bottleneck for millions (the
+    candidate-verify stage of LSH dedup). The unrolled left-associated
+    sum stays inside whole-stage codegen AND reproduces the sequential
+    fold's float addition order exactly (``((0+t1)+t2)+...``), so
+    results are bit-identical to :func:`dot_product` and the DuckDB
+    ``list_inner_product`` oracles.
+
+    Pass COLUMN NAMES (strings) when you can: the expression then builds
+    as one ``F.expr`` SQL string — a single py4j round trip instead of
+    ~4·dim, which is seconds of driver time per query at dim 64+. The
+    parsed tree is identical to the Column-built one. Callers must have
+    cast the named column to array<double> already (both forms skip the
+    per-term cast — see lsh_neardup_pairs for why that cast is poison)."""
+    if isinstance(a, str) and isinstance(b, str):
+        terms = " + ".join(
+            f"element_at({a}, {i}) * element_at({b}, {i})"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"0.0D + {terms}")
+    aa = a if isinstance(a, Column) else F.col(a)
+    bb = b if isinstance(b, Column) else F.col(b)
+    total: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        total = total + F.element_at(aa, i) * F.element_at(bb, i)
+    return total
+
+
+def l2_norm_unrolled(a: Column | str, dim: int) -> Column:
+    """Unrolled twin of :func:`l2_norm` (same fold order, codegen'd;
+    string input = single-py4j-call F.expr path, see
+    :func:`dot_product_unrolled`)."""
+    if isinstance(a, str):
+        terms = " + ".join(
+            f"element_at({a}, {i}) * element_at({a}, {i})"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"SQRT(0.0D + {terms})")
+    total: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i)
+        total = total + x * x
+    return F.sqrt(total)
+
+
+def cosine_similarity_unrolled(
+    a: Column | str, b: Column | str, dim: int
+) -> Column:
+    """Unrolled twin of :func:`cosine_similarity` — bit-identical values,
+    whole-stage-codegen execution. Use when the dimension is known (ANN /
+    dedup operators probe it from the first row anyway)."""
+    return dot_product_unrolled(a, b, dim) / (
+        l2_norm_unrolled(a, dim) * l2_norm_unrolled(b, dim)
+    )
+
+
 def cosine_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)
 

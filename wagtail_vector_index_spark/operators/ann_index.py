@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Sequence
+from functools import reduce
 from itertools import combinations
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,21 +41,68 @@ from wagtail_vector_index_spark.operators.knn import (
     lsh_bucket_col,
     topk_similar,
 )
+from wagtail_vector_index_spark.sources.manifest import (
+    Manifest,
+    ManifestLog,
+    has_data_files,
+)
+
+# One DataFrame per (vectors path, manifest version), reused across
+# queries: each fresh spark.read.parquet() rebuilds the InMemoryFileIndex,
+# and with thousands of bucket partitions that listing job costs more than
+# the pruned scan itself. A real deployment gets this for free from the
+# metastore (the catalog caches the partition listing); this dict is the
+# local stand-in. Keying on the manifest version makes invalidation
+# automatic: any committed write bumps the version and the stale entry is
+# simply never hit again.
+_VECTORS_DF_CACHE: dict[tuple[str, int], DataFrame] = {}
 
 
-# One DataFrame per vectors path, reused across queries: each fresh
-# spark.read.parquet() rebuilds the InMemoryFileIndex, and with thousands
-# of bucket partitions that listing job costs more than the pruned scan
-# itself. A real deployment gets this for free from the metastore (the
-# catalog caches the partition listing); this dict is the local stand-in.
-# build() invalidates its path so a rebuilt index is re-listed.
-_VECTORS_DF_CACHE: dict[str, DataFrame] = {}
+def _read_live(spark: SparkSession, log: ManifestLog) -> DataFrame:
+    """The live vectors table: union of the committed generation scans
+    (sources/manifest.py protocol — partition pruning applies per scan)."""
+    m = log.current()
+    if m is None or not m.live:
+        raise FileNotFoundError(f"no committed index at {log.root}")
+    key = (log.root, m.version)
+    if key not in _VECTORS_DF_CACHE:
+        frames = [spark.read.parquet(p) for p in log.live_paths(m)]
+        _VECTORS_DF_CACHE[key] = reduce(DataFrame.unionByName, frames)
+    return _VECTORS_DF_CACHE[key]
 
 
-def _vectors_df(spark: SparkSession, path: str) -> DataFrame:
-    if path not in _VECTORS_DF_CACHE:
-        _VECTORS_DF_CACHE[path] = spark.read.parquet(path)
-    return _VECTORS_DF_CACHE[path]
+def _commit_append(log: ManifestLog, gen: str) -> Manifest | None:
+    import shutil
+
+    if not has_data_files(log.gen_path(gen)):
+        shutil.rmtree(log.gen_path(gen), ignore_errors=True)
+        return None
+
+    def up(cur):
+        return (list(cur.live) if cur else []) + [gen], {}
+
+    return log.commit(up)
+
+
+def _commit_rewrite(log: ManifestLog, gen: str, base: Manifest | None) -> Manifest:
+    """Publish ``gen`` as a rewrite of the state read at ``base``;
+    generations appended by concurrent writers since ``base`` are carried
+    over instead of silently dropped. An empty rewrite (all rows deleted
+    — Spark wrote no data files) publishes without the generation."""
+    import shutil
+
+    base_live = set(base.live) if base else set()
+    if not has_data_files(log.gen_path(gen)):
+        shutil.rmtree(log.gen_path(gen), ignore_errors=True)
+        gen = None
+
+    def up(cur):
+        cur_live = list(cur.live) if cur else []
+        return ([gen] if gen is not None else []) + [
+            g for g in cur_live if g not in base_live
+        ], {}
+
+    return log.commit(up)
 
 
 def _seq_dot(a: Sequence[float], b: Sequence[float]) -> float:
@@ -90,6 +138,25 @@ class IvfIndex:
     @property
     def codebook_path(self) -> str:
         return f"{self.path}/codebook"
+
+    @property
+    def vectors_log(self) -> ManifestLog:
+        return ManifestLog(self.vectors_path)
+
+    def _vectors(self) -> DataFrame:
+        return _read_live(self.spark, self.vectors_log)
+
+    def live_partition_dirs(self) -> list[str]:
+        """Absolute paths of the live ``<key>=<value>`` partition dirs
+        across the committed generations (test/inspection helper)."""
+        import os
+
+        out = []
+        for gen in self.vectors_log.live_paths():
+            for d in os.listdir(gen):
+                if "=" in d:
+                    out.append(os.path.join(gen, d))
+        return out
 
     @classmethod
     def build(
@@ -128,23 +195,26 @@ class IvfIndex:
             index_id=id_col,
             index_vec=vec_col,
         )
+        log = ManifestLog(f"{path}/vectors")
+        base = log.current()
+        gen = log.new_generation()
         (
             assigned.repartition("cid")
             .write.mode("overwrite")
             .partitionBy("cid")
-            .parquet(f"{path}/vectors")
+            .parquet(log.gen_path(gen))
         )
         centroids_df.write.mode("overwrite").parquet(f"{path}/codebook")
-        _VECTORS_DF_CACHE.pop(f"{path}/vectors", None)
+        _commit_rewrite(log, gen, base)
         return cls(spark, path, id_col=id_col, vec_col=vec_col)
 
     def append(self, df: DataFrame) -> None:
         """Incremental maintenance: assign NEW vectors against the stored
-        codebook and append them to their posting lists (new parquet
-        files inside the existing ``cid=`` partition dirs — no rewrite of
-        standing data). Ids must be new; replacing an id is
-        ``delete_ids`` + ``append``. After a burst of appends, ``compact``
-        restores the one-file-per-posting-list layout."""
+        codebook and append them as a new generation (fresh parquet files
+        — no rewrite of standing data, published by one manifest commit).
+        Ids must be new; replacing an id is ``delete_ids`` + ``append``.
+        After a burst of appends, ``compact`` restores the
+        one-file-per-posting-list layout."""
         codebook = self.spark.read.parquet(self.codebook_path)
         assigned = ivf_assign(
             df.select(self.id_col, self.vec_col),
@@ -152,54 +222,46 @@ class IvfIndex:
             index_id=self.id_col,
             index_vec=self.vec_col,
         )
+        log = self.vectors_log
+        gen = log.new_generation()
         (
             assigned.repartition("cid")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("cid")
-            .parquet(self.vectors_path)
+            .parquet(log.gen_path(gen))
         )
-        _VECTORS_DF_CACHE.pop(self.vectors_path, None)
+        _commit_append(log, gen)
 
     def delete_ids(self, ids_df: DataFrame) -> None:
         """Remove vectors by id (distributed anti-join — ids never
-        collect to the driver). Rewrites via a staging directory + atomic
-        swap: the staging write reads only the intact original, so a
-        crash leaves either the old or the new index, never half."""
-        import os
-        import shutil
-        import time
-
+        collect to the driver). The survivor set is written as a new
+        generation and published by one manifest commit; the old
+        generations stay intact until GC, so a crash mid-rewrite leaves
+        the old index state, never a half-written one."""
         ids = ids_df.select(F.col(ids_df.columns[0]).alias(self.id_col))
-        survivors = self.spark.read.parquet(self.vectors_path).join(
-            ids, self.id_col, "left_anti"
-        )
-        staging = f"{self.vectors_path}.staging-{time.time_ns()}"
+        log = self.vectors_log
+        base = log.current()
+        survivors = self._vectors().join(ids, self.id_col, "left_anti")
+        gen = log.new_generation()
         survivors.repartition("cid").write.mode("overwrite").partitionBy(
             "cid"
-        ).parquet(staging)
-        trash = f"{self.vectors_path}.trash-{time.time_ns()}"
-        os.rename(self.vectors_path, trash)
-        os.rename(staging, self.vectors_path)
-        shutil.rmtree(trash, ignore_errors=True)
-        _VECTORS_DF_CACHE.pop(self.vectors_path, None)
+        ).parquet(log.gen_path(gen))
+        _commit_rewrite(log, gen, base)
 
     def compact(self) -> None:
-        """Merge appended files back to one file per posting list (same
-        staging + atomic swap as ``delete_ids``)."""
-        import os
-        import shutil
-        import time
-
-        vec = self.spark.read.parquet(self.vectors_path)
-        staging = f"{self.vectors_path}.staging-{time.time_ns()}"
+        """Merge appended generations back to one generation with one
+        file per posting list, then GC the superseded ones (min_age_s=0:
+        compact is explicit maintenance run from the index owner, the
+        local analog of a retention-expired VACUUM)."""
+        log = self.vectors_log
+        base = log.current()
+        vec = self._vectors()
+        gen = log.new_generation()
         vec.repartition("cid").write.mode("overwrite").partitionBy(
             "cid"
-        ).parquet(staging)
-        trash = f"{self.vectors_path}.trash-{time.time_ns()}"
-        os.rename(self.vectors_path, trash)
-        os.rename(staging, self.vectors_path)
-        shutil.rmtree(trash, ignore_errors=True)
-        _VECTORS_DF_CACHE.pop(self.vectors_path, None)
+        ).parquet(log.gen_path(gen))
+        _commit_rewrite(log, gen, base)
+        log.gc(keep_manifests=1, min_age_s=0.0)
 
     def probed_cids(self, query_vector: Sequence[float], nprobe: int) -> list[int]:
         """The ``nprobe`` cluster ids cosine-closest to the query — picked
@@ -221,9 +283,7 @@ class IvfIndex:
         scan (``cid`` is the partition column, so non-probed clusters are
         eliminated during file listing)."""
         probed = self.probed_cids(query_vector, nprobe)
-        return _vectors_df(self.spark, self.vectors_path).where(
-            F.col("cid").isin(probed)
-        )
+        return self._vectors().where(F.col("cid").isin(probed))
 
     def topk(
         self,
@@ -381,15 +441,18 @@ class IvfPqIndex(IvfIndex):
         encoded = assigned.withColumn(
             "codes", pq_encode_col(_normalized_col(F.col(vec_col)), codebook)
         )
+        log = ManifestLog(f"{path}/vectors")
+        base = log.current()
+        gen = log.new_generation()
         (
             encoded.repartition("cid")
             .write.mode("overwrite")
             .partitionBy("cid")
-            .parquet(f"{path}/vectors")
+            .parquet(log.gen_path(gen))
         )
         centroids_df.write.mode("overwrite").parquet(f"{path}/codebook")
         pq_codebook_df.write.mode("overwrite").parquet(f"{path}/pq_codebook")
-        _VECTORS_DF_CACHE.pop(f"{path}/vectors", None)
+        _commit_rewrite(log, gen, base)
         return cls(spark, path, id_col=id_col, vec_col=vec_col)
 
     @staticmethod
@@ -437,13 +500,15 @@ class IvfPqIndex(IvfIndex):
         ).withColumn(
             "codes", pq_encode_col(_normalized_col(F.col(self.vec_col)), cb)
         )
+        log = self.vectors_log
+        gen = log.new_generation()
         (
             assigned.repartition("cid")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("cid")
-            .parquet(self.vectors_path)
+            .parquet(log.gen_path(gen))
         )
-        _VECTORS_DF_CACHE.pop(self.vectors_path, None)
+        _commit_append(log, gen)
 
     def adc_topk(
         self,
@@ -471,9 +536,7 @@ class IvfPqIndex(IvfIndex):
             for m in range(len(cb))
         ]
         probed = self.probed_cids(query_vector, nprobe)
-        cand = _vectors_df(self.spark, self.vectors_path).where(
-            F.col("cid").isin(probed)
-        )
+        cand = self._vectors().where(F.col("cid").isin(probed))
         score = None
         for m, row in enumerate(lut):
             lut_m = F.array(*[F.lit(float(v)) for v in row]).cast(
@@ -511,7 +574,7 @@ class IvfPqIndex(IvfIndex):
         ).select(self.id_col)
         probed = self.probed_cids(query_vector, nprobe)
         cand = (
-            _vectors_df(self.spark, self.vectors_path)
+            self._vectors()
             .where(F.col("cid").isin(probed))
             .join(F.broadcast(shortlist), self.id_col, "left_semi")
             .select(self.id_col, self.vec_col)
@@ -570,6 +633,46 @@ class LshIndex:
             self._meta = self.spark.read.parquet(self.meta_path).first()
         return self._meta
 
+    @property
+    def vectors_log(self) -> ManifestLog:
+        return ManifestLog(self.vectors_path)
+
+    def _vectors(self) -> DataFrame:
+        return _read_live(self.spark, self.vectors_log)
+
+    def live_partition_dirs(self) -> list[str]:
+        """Absolute paths of the live ``<key>=<value>`` partition dirs
+        across the committed generations (test/inspection helper)."""
+        import os
+
+        out = []
+        for gen in self.vectors_log.live_paths():
+            for d in os.listdir(gen):
+                if "=" in d:
+                    out.append(os.path.join(gen, d))
+        return out
+
+    def _bucketize(self, df: DataFrame) -> DataFrame:
+        """Stamp (bucket, bucket_pfx) on new rows using the stored meta —
+        the same deterministic planes the build used."""
+        meta = self.meta
+        planes = hyperplane_lsh_planes(meta["num_planes"], meta["dim"])
+        shift = meta["num_planes"] - meta["prefix_bits"]
+        return (
+            df.select(self.id_col, self.vec_col)
+            .withColumn("bucket", lsh_bucket_col(F.col(self.vec_col), planes))
+            .withColumn("bucket_pfx", F.shiftright("bucket", shift))
+        )
+
+    def _write_gen(self, bucketed: DataFrame, gen_path: str) -> None:
+        (
+            bucketed.repartition("bucket_pfx")
+            .sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket_pfx")
+            .parquet(gen_path)
+        )
+
     @classmethod
     def build(
         cls,
@@ -597,20 +700,55 @@ class LshIndex:
         bucketed = df.select(id_col, vec_col).withColumn(
             "bucket", lsh_bucket_col(F.col(vec_col), planes)
         )
+        log = ManifestLog(f"{path}/vectors")
+        base = log.current()
+        gen = log.new_generation()
         (
             bucketed.withColumn("bucket_pfx", F.shiftright("bucket", shift))
             .repartition("bucket_pfx")
             .sortWithinPartitions("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket_pfx")
-            .parquet(f"{path}/vectors")
+            .parquet(log.gen_path(gen))
         )
         spark.createDataFrame(
             [(num_planes, dim, prefix_bits)],
             "num_planes int, dim int, prefix_bits int",
         ).write.mode("overwrite").parquet(f"{path}/meta")
-        _VECTORS_DF_CACHE.pop(f"{path}/vectors", None)
+        _commit_rewrite(log, gen, base)
         return cls(spark, path, id_col=id_col, vec_col=vec_col)
+
+    def append(self, df: DataFrame) -> None:
+        """Incremental maintenance (parity with IvfIndex.append): bucket
+        NEW vectors with the stored planes and publish them as a new
+        generation — no rewrite of standing data. Ids must be new."""
+        log = self.vectors_log
+        gen = log.new_generation()
+        self._write_gen(self._bucketize(df), log.gen_path(gen))
+        _commit_append(log, gen)
+
+    def delete_ids(self, ids_df: DataFrame) -> None:
+        """Remove vectors by id (distributed anti-join; survivor set
+        published as a rewrite commit — parity with IvfIndex.delete_ids)."""
+        ids = ids_df.select(F.col(ids_df.columns[0]).alias(self.id_col))
+        log = self.vectors_log
+        base = log.current()
+        survivors = self._vectors().join(ids, self.id_col, "left_anti")
+        gen = log.new_generation()
+        self._write_gen(survivors, log.gen_path(gen))
+        _commit_rewrite(log, gen, base)
+
+    def compact(self) -> None:
+        """Merge appended generations back to one sorted file per prefix
+        partition, then GC superseded generations (parity with
+        IvfIndex.compact)."""
+        log = self.vectors_log
+        base = log.current()
+        vec = self._vectors()
+        gen = log.new_generation()
+        self._write_gen(vec, log.gen_path(gen))
+        _commit_rewrite(log, gen, base)
+        log.gc(keep_manifests=1, min_age_s=0.0)
 
     def probed_buckets(
         self, query_vector: Sequence[float], max_probe_hamming: int
@@ -640,7 +778,7 @@ class LshIndex:
         probed = self.probed_buckets(query_vector, max_probe_hamming)
         shift = self.meta["num_planes"] - self.meta["prefix_bits"]
         prefixes = sorted({b >> shift for b in probed})
-        return _vectors_df(self.spark, self.vectors_path).where(
+        return self._vectors().where(
             F.col("bucket_pfx").isin(prefixes) & F.col("bucket").isin(probed)
         )
 

@@ -511,6 +511,7 @@ def lsh_neardup_pairs(
     num_planes: int = 12,
     bands: int = 3,
     sim_alias: str = "cos_sim",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded hyperplane-LSH candidates +
     exact-cosine verification — the sub-quadratic scale path.
@@ -518,49 +519,81 @@ def lsh_neardup_pairs(
     Each vector gets a ``num_planes``-bit sign-bucket (sha256-derived
     planes, knn.hyperplane_lsh_planes); the bits split into ``bands``
     bands and pairs agreeing on at least one whole band become candidates
-    (pigeonhole: covers bucket-hamming <= bands-1). Only candidates fetch
-    their vectors back for the exact cosine filter, so no quadratic join
-    and no driver collect. Recall is LSH-probabilistic — pairs whose
-    buckets differ in every band are invisible, the classic trade; use
-    :func:`block_neardup_pairs` when exact recall is required.
+    (pigeonhole: covers bucket-hamming <= bands-1). Recall is
+    LSH-probabilistic — pairs whose buckets differ in every band are
+    invisible, the classic trade; use :func:`block_neardup_pairs` when
+    exact recall is required.
+
+    Plan shape (the one that survives 100x): the band self-join carries
+    IDS ONLY, so the wide shuffle moves (band, id) pairs, never vectors;
+    the deduped candidate set fetches vectors back through two equi-joins
+    (Catalyst broadcasts them when the corpus side is small, shuffles
+    when it isn't); and the exact-cosine verify runs as an UNROLLED
+    codegen projection in its own stage. Three hazards this shape dodges,
+    all measured (r3):
+
+    - eager ``cache()+count()`` barriers: gone -- every frame is consumed
+      once per stage, nothing serializes the plan.
+    - the threshold filter folding into a join CONDITION: Catalyst
+      pushes ``sim >= t`` into the fetch-back join, and a join
+      condition's generated code is one giant un-split method -- past
+      ~8 KB of bytecode HotSpot refuses to JIT it, so the verify ran
+      interpreted (~300 us/pair). The ``__nopush`` nondeterministic
+      column is a deliberate pushdown barrier: it pins the sim
+      projection ABOVE the join, where ProjectExec splits the unrolled
+      expression into JIT-able methods.
+    - per-term array casts: the cast to array<double> happens once per
+      input row, so SimplifyCasts erases the per-element_at cast nodes
+      (otherwise 2*dim whole-array casts per pair, never
+      subexpression-eliminated inside a join's codegen).
     """
+    from wagtail_vector_index_spark.functions.vector import (
+        dot_product_unrolled,
+        l2_norm_unrolled,
+    )
     from wagtail_vector_index_spark.operators.knn import (
         hyperplane_lsh_planes,
         lsh_bucket_col,
     )
 
-    first = df.select(vec_col).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
-            f"id_b {df.schema[id_col].dataType.simpleString()}, {sim_alias} double"
-        )
-    dim = len(first[0])
+    if dim is None:
+        # pass dim explicitly to save this probe job on the query path
+        first = df.select(vec_col).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, "
+                f"{sim_alias} double"
+            )
+        dim = len(first[0])
     planes = hyperplane_lsh_planes(num_planes, dim)
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
 
-    src = _ensure_parallelism(df.select(id_col, vec_col), id_col)
-    bucketed = src.withColumn(
-        "__bucket", lsh_bucket_col(F.col(vec_col), planes)
-    ).cache()
-    bucketed.count()  # eager: banding + both verify joins reuse it
-    banded = bucketed.select(
+    src = _ensure_parallelism(
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_no"),
-                        F.shiftright(F.col("__bucket"), b * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_no", "band.band_val")
+    )
+    banded = (
+        src.withColumn("__bucket", lsh_bucket_col(F.col(vec_col), planes))
+        .select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_no"),
+                            F.shiftright(F.col("__bucket"), b * bits_per_band)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_no", "band.band_val")
+    )
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), ["band_no", "band_val"])
@@ -570,16 +603,34 @@ def lsh_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    with_norm = src.withColumn("__norm", l2_norm_unrolled(vec_col, dim))
+    va = with_norm.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("__norm").alias("n_a"),
+    )
+    vb = with_norm.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("__norm").alias("n_b"),
+    )
+    sim = dot_product_unrolled("v_a", "v_b", dim) / (F.col("n_a") * F.col("n_b"))
+    # The threshold filter must NOT fold into the fetch-back join's
+    # condition (see docstring) — and predicate-pushdown tricks
+    # (nondeterministic guards, barrier columns) don't survive Spark 4's
+    # optimizer. The structural fix: evaluate sim as an AGGREGATE output
+    # (first() over the already-unique pair rows). A filter on an
+    # aggregate result cannot be pushed below the aggregate, the
+    # aggregate's input expressions are code-split and JIT-friendly, and
+    # the extra exchange moves only (id_a, id_b, sim) — the cheapest
+    # possible barrier.
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(sim_alias, cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.first(sim).alias(sim_alias))
         .where(F.col(sim_alias) >= F.lit(float(threshold)))
-        .select("id_a", "id_b", sim_alias)
     )
-
 
 def keep_representatives(
     df: DataFrame,

@@ -373,21 +373,40 @@ def hyperplane_lsh_planes(num_planes: int, dim: int) -> list[list[float]]:
 def lsh_bucket_col(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
     """Sign-bucket key: bit j = 1 iff dot(vec, plane_j) > 0. Vectors in
     the same bucket are likely cosine-close; multiprobe = small hamming
-    distance between bucket keys."""
-    from wagtail_vector_index_spark.functions.vector import dot_product
+    distance between bucket keys.
 
-    terms = [
-        F.when(
-            dot_product(vec, F.lit([float(x) for x in p]).cast("array<double>"))
-            > 0,
-            F.lit(1 << j).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j, p in enumerate(planes)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    The planes enter the plan as ONE 2-D array literal folded with
+    higher-order functions, not as num_planes unrolled dot-product
+    subtrees: the unrolled form put planes×dim literal nodes into the
+    expression tree, which cost seconds of py4j plan construction AND
+    seconds of Catalyst re-optimization on every action. The fold is
+    interpreted per row, but bucketing runs once per input row (not per
+    candidate pair), so tree size dominates wall-clock, not row math.
+    Float semantics are unchanged: per plane, the same sequential
+    zip_with/aggregate dot product and the same `> 0` sign test."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes]).cast(
+        "array<array<double>>"
+    )
+    vec_d = vec.cast("array<double>")
+    n = len(planes)
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(vec_d, p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    weights = F.lit([1 << j for j in range(n)]).cast("array<long>")
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            weights,
+            lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def lsh_topk(

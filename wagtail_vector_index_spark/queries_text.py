@@ -823,8 +823,13 @@ def dedup_shared_passages(spark, sf_dir):
         cdc_boundaries_col,
         cdc_chunks_from_boundaries,
     )
+    from wagtail_vector_index_spark.operators.dedup import _ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # the boundary scan is one sha256 per character position — CPU-bound
+    # per row. A single-file source must not serialize ~1.5M digests onto
+    # one core: spread it first (no-op when the input is already wide;
+    # measured 3.3x at sf0.1)
+    docs = _ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
     # hoist the boundary scan (one digest per position) into its own
     # projection — embedding it in the chunk construction inlines the
     # scan into starts AND ends (~1.8x slower)

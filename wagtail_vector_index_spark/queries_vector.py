@@ -249,13 +249,19 @@ def _lsh_neardup_oracle(threshold: float = 0.4, num_planes: int = 12,
     """
 
 
-@register("embedding_neardup_lsh", oracle=_lsh_neardup_oracle())
+@register("embedding_neardup_lsh", oracle=_lsh_neardup_oracle(num_planes=24))
 def embedding_neardup_lsh(spark, sf_dir):
     """Sub-quadratic embedding near-dup: banded hyperplane-LSH candidate
     generation -> exact-cosine verify. Candidate banding and the verify
     filter are both re-derived in the DuckDB oracle, so the probabilistic
     recall is pinned, not hand-waved — output is a strict, deterministic
-    subset of embedding_neardup."""
+    subset of embedding_neardup.
+
+    Banding config: 24 planes / 3 bands = 8-bit bands (256 values per
+    band). 4-bit bands (the r2 config) put N²·bands/16 pairs through the
+    verify — a near-quadratic candidate set that betrayed the operator's
+    whole point; 8-bit bands cut candidates 16× and keep the demo
+    honestly sub-quadratic at every scale."""
     from wagtail_vector_index_spark.operators.dedup import lsh_neardup_pairs
 
     pairs = lsh_neardup_pairs(
@@ -263,8 +269,9 @@ def embedding_neardup_lsh(spark, sf_dir):
         id_col="vec_id",
         vec_col="embedding",
         threshold=0.4,
-        num_planes=12,
+        num_planes=24,
         bands=3,
+        dim=64,
     )
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 

@@ -8,27 +8,34 @@ by ``(index_name, dim)`` — the pgvector dual-table pattern
 partition layout, and the dimension filter at query time
 (pgvector/provider.py:112) becomes static partition pruning.
 
-Write semantics on plain parquet (no Delta in this container):
-- upsert  = append + last-write-wins on read (dedup by key, max batch_id),
-  mirroring ``ignore_conflicts=True`` bulk inserts
-  (pgvector/provider.py:65-75)
-- delete/clear = partition-scoped anti-join rewrite
-- rebuild = INSERT OVERWRITE of the index partition
-  (pgvector/provider.py:61-63)
-
-``spark.sql.sources.partitionOverwriteMode=dynamic`` keeps overwrites
-scoped to the touched partitions — at 100 TB a rebuild of one index never
-rewrites its neighbors.
+Write semantics on plain parquet, committed through the manifest log
+(sources/manifest.py — the object-store-safe protocol; no rename ever):
+- upsert  = a new immutable generation dir + one manifest commit;
+  conflicts resolve at read (last-write-wins by batch_id), mirroring
+  ``ignore_conflicts=True`` bulk inserts (pgvector/provider.py:65-75)
+- delete  = a tombstone generation (append-only delete)
+- clear   = a reset watermark in the manifest — METADATA ONLY, no data
+  write: at 100 TB clearing one index touches zero bytes of its neighbors
+- rebuild = new generation + reset watermark at its stamp
+  (pgvector/provider.py:61-63's delete-then-insert, as one atomic commit)
+- compact = resolved rows re-written as one generation + watermark; old
+  generations stay live for time travel until ``vacuum`` reclaims them
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import time
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.sources.manifest import (
+    Manifest,
+    ManifestLog,
+    has_data_files,
+)
 
 DOCUMENT_COLUMNS = ("object_keys", "content", "vector", "metadata", "index_name")
 
@@ -47,17 +54,48 @@ def read_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Dat
 
 
 class DocumentStore:
-    """Parquet-backed document store partitioned by (index_name, dim)."""
+    """Parquet-backed document store partitioned by (index_name, dim),
+    committed through a manifest log (see sources/manifest.py for the
+    protocol and its object-store mapping)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        self.log = ManifestLog(path)
+
+    def _current(self) -> Manifest:
+        m = self.log.current()
+        if m is None or not m.live:
+            raise FileNotFoundError(f"document store at {self.path} is empty")
+        return m
 
     def _exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(self.path)
-        )
+        m = self.log.current()
+        return m is not None and bool(m.live)
+
+    def _raw(self, manifest: Manifest) -> DataFrame:
+        """Union of the live generation scans. Each generation is its own
+        partitioned parquet root, so Catalyst prunes (index_name, dim)
+        partitions per scan; compact/vacuum keep the generation count
+        small, so the union stays shallow."""
+        frames = [self.spark.read.parquet(p) for p in self.log.live_paths(manifest)]
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    @staticmethod
+    def _reset_filter(df: DataFrame, manifest: Manifest, batch_id: int | None):
+        """Apply the manifest's reset watermarks: rows of index i with
+        batch_id below its newest watermark are dead (cleared / rebuilt /
+        compacted away). Time travel to ``batch_id=b`` honors only resets
+        that had happened by b, so pre-clear history stays readable until
+        vacuum physically reclaims it."""
+        for idx, ws in manifest.resets.items():
+            applicable = [w for w in ws if batch_id is None or w <= batch_id]
+            if applicable:
+                df = df.where(
+                    (F.col("index_name") != idx)
+                    | (F.col("batch_id") >= max(applicable))
+                )
+        return df
 
     def read(self, index_name: str | None = None) -> DataFrame:
         return self.read_at(None, index_name)
@@ -72,15 +110,15 @@ class DocumentStore:
         later batches are simply invisible to the last-write-wins window,
         so a pipeline can pin the exact index state a model was trained
         against. List snapshot points with :meth:`generations`; note
-        :meth:`compact`/:meth:`clear` rewrite history away.
+        :meth:`vacuum` rewrites history away.
         """
-        if not self._exists():
-            raise FileNotFoundError(f"document store at {self.path} is empty")
-        df = self.spark.read.parquet(self.path)
+        m = self._current()
+        df = self._raw(m)
         if index_name is not None:
             df = df.where(F.col("index_name") == index_name)
         if batch_id is not None:
             df = df.where(F.col("batch_id") <= int(batch_id))
+        df = self._reset_filter(df, m, batch_id)
         # last-write-wins over upsert generations, per chunk — keying on
         # doc_key alone would collapse multi-chunk documents to one row
         w = Window.partitionBy("doc_key", "chunk_no", "index_name").orderBy(
@@ -96,9 +134,8 @@ class DocumentStore:
         """The store's snapshot points: one row per write generation —
         (batch_id, n_rows, n_tombstones). Pass a ``batch_id`` from here
         to :meth:`read_at`."""
-        if not self._exists():
-            raise FileNotFoundError(f"document store at {self.path} is empty")
-        df = self.spark.read.parquet(self.path)
+        m = self._current()
+        df = self._raw(m)
         if index_name is not None:
             df = df.where(F.col("index_name") == index_name)
         return (
@@ -110,20 +147,77 @@ class DocumentStore:
             .orderBy("batch_id")
         )
 
-    def _stamp(self, documents: DataFrame, deleted: bool = False) -> DataFrame:
+    def _stamp(
+        self, documents: DataFrame, deleted: bool = False, ts: int | None = None
+    ) -> DataFrame:
         return documents.withColumn(
-            "batch_id", F.lit(time.time_ns()).cast("long")
+            "batch_id", F.lit(ts if ts is not None else time.time_ns()).cast("long")
         ).withColumn("deleted", F.lit(deleted))
+
+    def _write_generation(self, stamped: DataFrame) -> str | None:
+        """Write one immutable generation dir (NOT yet visible) and return
+        its name for the commit — or None if the frame was empty (an
+        empty generation is unreadable and must not be published)."""
+        import shutil
+
+        gen = self.log.new_generation()
+        (
+            stamped.withColumn("dim", F.array_size("vector"))
+            .write.mode("overwrite")  # the dir name is unique and unpublished
+            .partitionBy("index_name", "dim")
+            .parquet(self.log.gen_path(gen))
+        )
+        if not has_data_files(self.log.gen_path(gen)):
+            shutil.rmtree(self.log.gen_path(gen), ignore_errors=True)
+            return None
+        return gen
+
+    def _append_commit(self, gen: str | None) -> None:
+        if gen is None:
+            return
+
+        def up(cur: Manifest | None):
+            live = list(cur.live) if cur else []
+            resets = {k: list(v) for k, v in (cur.resets if cur else {}).items()}
+            return live + [gen], resets
+
+        self.log.commit(up)
+
+    def _rewrite_commit(
+        self,
+        gen: str | None,
+        base: Manifest | None,
+        reset: tuple[str, int] | None = None,
+    ) -> None:
+        """Publish ``gen`` as a rewrite of the state read at ``base``:
+        generations (and resets) committed by OTHER writers since ``base``
+        are carried over, so a concurrent append is never silently
+        dropped by a compact/vacuum racing with it. ``gen=None`` publishes
+        the rewrite of an empty state (only carried-over data stays)."""
+        base_live = set(base.live) if base else set()
+        base_resets = base.resets if base else {}
+
+        def up(cur: Manifest | None):
+            cur_live = list(cur.live) if cur else []
+            cur_resets = cur.resets if cur else {}
+            live = ([gen] if gen is not None else []) + [
+                g for g in cur_live if g not in base_live
+            ]
+            resets: dict[str, list[int]] = {}
+            for idx, ws in cur_resets.items():
+                consumed = set(base_resets.get(idx, []))
+                kept = [w for w in ws if w not in consumed]
+                if kept:
+                    resets[idx] = kept
+            if reset is not None:
+                resets.setdefault(reset[0], []).append(reset[1])
+            return live, resets
+
+        self.log.commit(up)
 
     def upsert(self, documents: DataFrame) -> None:
         """Append a new generation; conflicts resolve at read (S3-S5)."""
-        (
-            self._stamp(documents)
-            .withColumn("dim", F.array_size("vector"))
-            .write.mode("append")
-            .partitionBy("index_name", "dim")
-            .parquet(self.path)
-        )
+        self._append_commit(self._write_generation(self._stamp(documents)))
 
     def delete(self, index_name: str, doc_keys: list[str]) -> None:
         """Tombstone the given doc keys (S6) — append-only delete.
@@ -144,58 +238,79 @@ class DocumentStore:
         self._write_tombstones(existing)
 
     def _write_tombstones(self, existing: DataFrame) -> None:
-        (
-            self._stamp(existing, deleted=True)
-            .withColumn("dim", F.array_size("vector"))
-            .write.mode("append")
-            .partitionBy("index_name", "dim")
-            .parquet(self.path)
+        self._append_commit(
+            self._write_generation(self._stamp(existing, deleted=True))
         )
-
-    def _swap_rewrite(self, df: DataFrame) -> None:
-        """Rewrite the whole store from ``df`` safely: write to a staging
-        directory first, then atomically swap it into place.
-
-        Never overwrite the path being read via a cache barrier — cached
-        partitions can be evicted (memory pressure, executor loss) and
-        Spark would recompute from the path mid-overwrite, corrupting the
-        store. The staging write reads only from the intact original; the
-        two renames are filesystem-atomic, so a crash leaves either the old
-        or the new store, never a half-written one."""
-        staging = f"{self.path}.staging-{time.time_ns()}"
-        df.write.mode("overwrite").partitionBy("index_name", "dim").parquet(staging)
-        trash = f"{self.path}.trash-{time.time_ns()}"
-        os.rename(self.path, trash)
-        os.rename(staging, self.path)
-        shutil.rmtree(trash, ignore_errors=True)
 
     def clear(self, index_name: str) -> None:
-        """Drop the whole index partition (S7)."""
+        """Drop the index (S7) as a metadata-only commit: a reset
+        watermark kills its rows at read time; no data is written or
+        rewritten. Physical reclamation is :meth:`vacuum`'s job."""
         if not self._exists():
             return
-        df = self.spark.read.parquet(self.path)
-        self._swap_rewrite(df.where(F.col("index_name") != index_name))
+        w = time.time_ns()
+
+        def up(cur: Manifest | None):
+            live = list(cur.live) if cur else []
+            resets = {k: list(v) for k, v in (cur.resets if cur else {}).items()}
+            resets.setdefault(index_name, []).append(w)
+            return live, resets
+
+        self.log.commit(up)
 
     def compact(self, index_name: str) -> None:
-        """Rewrite the index partition to its resolved state (one row per
-        key, tombstones dropped). ``read`` pays a window shuffle per
-        generation layer; at scale, compact after a burst of upserts so
-        subsequent reads scan a single clean generation."""
-        raw = self.spark.read.parquet(self.path)
-        others = raw.where(F.col("index_name") != index_name)
-        resolved = (
-            self._stamp(self.read(index_name))
-            .withColumn("dim", F.array_size("vector"))
-            .select(*others.columns)
-        )
-        self._swap_rewrite(others.unionByName(resolved))
+        """Rewrite the index to its resolved state (one row per key,
+        tombstones dropped) as ONE new generation + a reset watermark.
+        ``read`` pays a window shuffle per generation layer; at scale,
+        compact after a burst of upserts so subsequent reads of this index
+        scan a single clean generation. Other indexes' data is untouched,
+        and pre-compact history stays time-travelable until vacuum."""
+        self._current()
+        ts = time.time_ns()
+        resolved = self._stamp(self.read(index_name), ts=ts)
+        gen = self._write_generation(resolved)
+
+        def up(cur: Manifest | None):
+            live = list(cur.live) if cur else []
+            resets = {k: list(v) for k, v in (cur.resets if cur else {}).items()}
+            resets.setdefault(index_name, []).append(ts)
+            return live + ([gen] if gen is not None else []), resets
+
+        self.log.commit(up)
 
     def overwrite_index(self, index_name: str, documents: DataFrame) -> None:
-        """Rebuild (S8): INSERT OVERWRITE the index's partitions only."""
+        """Rebuild (S8): one new generation + a reset watermark equal to
+        its stamp — the delete-then-insert of the reference's rebuild as a
+        single atomic commit, with no rewrite of neighboring indexes."""
+        ts = time.time_ns()
+        gen = self._write_generation(self._stamp(documents, ts=ts))
+
+        def up(cur: Manifest | None):
+            live = list(cur.live) if cur else []
+            resets = {k: list(v) for k, v in (cur.resets if cur else {}).items()}
+            resets.setdefault(index_name, []).append(ts)
+            return live + ([gen] if gen is not None else []), resets
+
+        self.log.commit(up)
+
+    def vacuum(self, *, min_age_s: float = 3600.0) -> None:
+        """Physically reclaim space: rewrite every row that is live under
+        the current resets (ALL batch layers kept — surviving history
+        remains time-travelable) into one generation, commit it as the
+        only live one with resets folded in, then GC unreferenced
+        generation dirs and superseded manifests."""
+        import shutil
+
+        base = self._current()
+        raw = self._reset_filter(self._raw(base), base, None)
+        gen = self.log.new_generation()
         (
-            self._stamp(documents)
-            .withColumn("dim", F.array_size("vector"))
-            .write.mode("overwrite")
+            raw.write.mode("overwrite")
             .partitionBy("index_name", "dim")
-            .parquet(self.path)
+            .parquet(self.log.gen_path(gen))
         )
+        if not has_data_files(self.log.gen_path(gen)):
+            shutil.rmtree(self.log.gen_path(gen), ignore_errors=True)
+            gen = None
+        self._rewrite_commit(gen, base)
+        self.log.gc(keep_manifests=1, min_age_s=min_age_s)
