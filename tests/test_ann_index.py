@@ -155,3 +155,45 @@ def test_ivf_append_delete_compact(spark, index_df, centroids_df, probe, tmp_pat
     after = {r["vec_id"] for r in idx.topk(probe, nprobe=2, limit=5).collect()}
     assert 990001 not in after
     assert after == base_ids
+
+
+def test_lsh_append_delete_compact(spark, index_df, probe, tmp_path):
+    """LSH maintenance parity with IvfIndex: append buckets new vectors
+    with the stored planes as a new generation; delete_ids anti-joins
+    them out; compact merges back to one generation and GCs the rest."""
+    path = str(tmp_path / "lsh_maint")
+    idx = LshIndex.build(index_df, path=path, num_planes=12, dim=64)
+    base_ids = {
+        r["vec_id"]
+        for r in idx.topk(probe, max_probe_hamming=2, limit=5).collect()
+    }
+
+    # a near-exact copy of the probe lands in the probe's own bucket and
+    # must rank #1
+    new = spark.createDataFrame(
+        [(990001, [float(x) for x in probe])], "vec_id long, vector array<double>"
+    )
+    idx.append(new)
+    assert len(idx.vectors_log.current().live) == 2
+    top = idx.topk(probe, max_probe_hamming=2, limit=5).collect()
+    assert top[0]["vec_id"] == 990001
+    assert top[0]["similarity"] == pytest.approx(1.0)
+
+    idx.compact()
+    assert len(idx.vectors_log.current().live) == 1
+    for d in idx.live_partition_dirs():
+        if os.path.basename(d).startswith("bucket_pfx="):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1
+    assert (
+        idx.topk(probe, max_probe_hamming=2, limit=5).collect()[0]["vec_id"]
+        == 990001
+    )
+
+    idx.delete_ids(spark.createDataFrame([(990001,)], "vec_id long"))
+    after = {
+        r["vec_id"]
+        for r in idx.topk(probe, max_probe_hamming=2, limit=5).collect()
+    }
+    assert 990001 not in after
+    assert after == base_ids

@@ -257,11 +257,19 @@ def test_store_time_travel(spark, tmp_path):
     assert gens[-1]["n_tombstones"] == 1
 
 
-def test_ann_accelerated_search(index, tmp_path):
-    """search(ann=True) serves from the materialized IVF tier: results
-    carry exact cosine similarities (verified against the brute path for
-    the same keys) and the full fetched-back document rows."""
-    index.build_ann_index(str(tmp_path / "ann"), k=8, iterations=2)
+@pytest.mark.parametrize("kind", ["ivf", "ivfpq", "lsh"])
+def test_ann_accelerated_search(index, tmp_path, kind):
+    """search(ann=True) serves from the materialized tier of every kind:
+    results carry exact cosine similarities (verified against the brute
+    path for the same keys — the PQ tier reranks its ADC shortlist with
+    exact cosine, so this holds for it too) and the full fetched-back
+    document rows."""
+    kwargs = {"k": 8, "iterations": 2}
+    if kind == "ivfpq":
+        kwargs |= {"m": 4, "ksub": 8}
+    if kind == "lsh":
+        kwargs = {"num_planes": 6, "prefix_bits": 3}
+    index.build_ann_index(str(tmp_path / f"ann_{kind}"), kind=kind, **kwargs)
     brute = {
         r["doc_key"]: r["similarity"]
         for r in index.search("spark query", limit=20).collect()
@@ -274,6 +282,11 @@ def test_ann_accelerated_search(index, tmp_path):
         assert r["content"]  # document row fetched back, not just the key
         if r["doc_key"] in brute:
             assert abs(r["similarity"] - brute[r["doc_key"]]) < 1e-9
+
+
+def test_ann_unknown_kind_rejected(index, tmp_path):
+    with pytest.raises(ValueError, match="ivf | ivfpq | lsh"):
+        index.build_ann_index(str(tmp_path / "bad"), kind="hnsw")
 
 
 def test_ann_search_requires_built_index(index):

@@ -140,25 +140,49 @@ class VectorIndex:
     # -- ANN serving tier ---------------------------------------------------
 
     def build_ann_index(
-        self, path: str, *, k: int = 16, iterations: int = 5
+        self,
+        path: str,
+        *,
+        kind: str = "ivf",
+        k: int = 16,
+        iterations: int = 5,
+        m: int = 8,
+        ksub: int = 16,
+        num_planes: int = 12,
+        prefix_bits: int = 6,
     ) -> None:
-        """Materialize an IVF posting-list index over this index's
-        document vectors (codebook trained with Lloyd iterations unless
-        k vectors are fewer). Afterwards ``search(..., ann=True)`` /
-        ``get_similar_documents(..., ann=True)`` read only the ``nprobe``
-        probed partitions — file-listing pruning instead of a full vector
-        scan, the serving path when the index outgrows per-query scans.
+        """Materialize an ANN serving tier over this index's document
+        vectors. Afterwards ``search(..., ann=True)`` /
+        ``get_similar_documents(..., ann=True)`` read only the probed
+        posting lists / buckets — file-listing pruning instead of a full
+        vector scan, the serving path when the index outgrows per-query
+        scans.
 
-        Cosine only (IVF cells partition by cosine assignment). The ANN
-        copy is a *derived* artifact: rebuild after update_index bursts,
-        or attach streaming/maintenance.incremental_ann_stream for
-        continuous maintenance.
+        ``kind`` selects the tier (all three share the manifest-committed
+        layout and maintenance surface of operators/ann_index):
+        - ``"ivf"``: coarse posting lists, exact cosine over probed cells
+          (``k`` centroids, Lloyd ``iterations``).
+        - ``"ivfpq"``: IVF + product-quantized codes — the ADC scan reads
+          M bytes per vector instead of dim×8, with exact-cosine rerank of
+          the shortlist (``m`` subspaces × ``ksub`` centroids).
+        - ``"lsh"``: hyperplane sign-buckets with multiprobe
+          (``num_planes`` bits, ``prefix_bits`` directory prefix).
+
+        Cosine only (every tier partitions by a cosine-geometry
+        assignment). The ANN copy is a *derived* artifact: rebuild after
+        update_index bursts, or attach
+        streaming/maintenance.incremental_ann_stream for continuous
+        maintenance.
         """
         if self.cfg.distance != "cosine":
             raise ValueError(
                 f"ANN tier requires cosine distance, got {self.cfg.distance!r}"
             )
-        from wagtail_vector_index_spark.operators.ann_index import IvfIndex
+        from wagtail_vector_index_spark.operators.ann_index import (
+            IvfIndex,
+            IvfPqIndex,
+            LshIndex,
+        )
 
         # key at CHUNK granularity (documents are one row per
         # (doc_key, chunk_no)): keying doc_key alone would fan hits out
@@ -168,9 +192,32 @@ class VectorIndex:
         docs = self.documents().select(
             F.concat_ws("#", "doc_key", "chunk_no").alias("__ann_key"), "vector"
         )
-        self._ann = IvfIndex.build(
-            docs, path=path, id_col="__ann_key", k=k, iterations=iterations
-        )
+        if kind == "ivf":
+            self._ann = IvfIndex.build(
+                docs, path=path, id_col="__ann_key", k=k, iterations=iterations
+            )
+        elif kind == "ivfpq":
+            self._ann = IvfPqIndex.build(
+                docs,
+                path=path,
+                id_col="__ann_key",
+                k=k,
+                iterations=iterations,
+                m=m,
+                ksub=ksub,
+            )
+        elif kind == "lsh":
+            self._ann = LshIndex.build(
+                docs,
+                path=path,
+                id_col="__ann_key",
+                num_planes=num_planes,
+                prefix_bits=prefix_bits,
+            )
+        else:
+            raise ValueError(
+                f"unknown ANN kind {kind!r}; expected ivf | ivfpq | lsh"
+            )
 
     # -- retrieval ----------------------------------------------------------
 
@@ -182,15 +229,34 @@ class VectorIndex:
         similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
         ann: bool = False,
         nprobe: int = 2,
+        max_probe_hamming: int = 2,
+        rerank: int | None = None,
     ) -> DataFrame:
         if ann:
             if self._ann is None:
                 raise ValueError(
                     "no ANN index attached — call build_ann_index(path) first"
                 )
-            hits = self._ann.topk(
-                [float(x) for x in query_vector], nprobe=nprobe, limit=limit
+            from wagtail_vector_index_spark.operators.ann_index import (
+                IvfPqIndex,
+                LshIndex,
             )
+
+            q = [float(x) for x in query_vector]
+            # dispatch on the attached tier: IVF probes clusters, LSH
+            # probes hamming-adjacent buckets, PQ reranks its ADC
+            # shortlist with exact cosine so served similarities stay
+            # exact for every kind (isinstance order matters: IvfPqIndex
+            # subclasses IvfIndex)
+            if isinstance(self._ann, LshIndex):
+                hits = self._ann.topk(
+                    q, max_probe_hamming=max_probe_hamming, limit=limit
+                )
+            elif isinstance(self._ann, IvfPqIndex):
+                r = rerank if rerank is not None else max(4 * limit, 32)
+                hits = self._ann.topk(q, nprobe=nprobe, limit=limit, rerank=r)
+            else:
+                hits = self._ann.topk(q, nprobe=nprobe, limit=limit)
             if similarity_threshold:
                 hits = hits.where(
                     F.col("similarity") >= F.lit(float(similarity_threshold))
@@ -222,11 +288,14 @@ class VectorIndex:
         similarity_threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
         ann: bool = False,
         nprobe: int = 2,
+        max_probe_hamming: int = 2,
+        rerank: int | None = None,
     ) -> DataFrame:
         """Semantic search: query text -> ranked source-document rows
         (reference base.py:303-316). One driver-side embed, then one job.
         With ``ann=True`` (after :meth:`build_ann_index`) the vector scan
-        is replaced by the partition-pruned IVF read."""
+        is replaced by the partition/bucket-pruned read of the attached
+        tier (IVF, IVF-PQ with exact rerank, or LSH multiprobe)."""
         qvec = self.embedding_backend.embed_batch([query])[0].tolist()
         hits = self.get_similar_documents(
             qvec,
@@ -234,6 +303,8 @@ class VectorIndex:
             similarity_threshold=similarity_threshold,
             ann=ann,
             nprobe=nprobe,
+            max_probe_hamming=max_probe_hamming,
+            rerank=rerank,
         )
         return dedup_keep_best(
             hits, key_col="doc_key", rank_col="similarity"
