@@ -1,11 +1,24 @@
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+JSON line {"metric", "value", "unit", "queries", "sf", ...}.
 
-The headline set covers every operator class the engine claims: TPC-H-ish
-aggregation + joins, window top-k, the batch vector similarity join, the
-GEMM top-k path, minhash-LSH dedup, and the end-to-end semantic-search
-pipeline.
+Measurement hygiene (r3): the host's throughput drifts markedly between
+driver runs (hypervisor contention made r2's unchanged-code queries read
++687% vs r1), so wall-clock alone is not a stable signal. This harness
+therefore reports, per query:
+- ``queries``: median of 5 steady-state runs (median, not best-of-N —
+  robust to a stalled run in either direction),
+- ``cold_s``: the first run, which pays whole-stage-codegen + JIT warmup
+  (for the ann_* queries it also pays the one-time index BUILD — the
+  build-vs-query split made explicit),
+- ``duckdb_s``: median of 3 same-process DuckDB runs of the identical
+  oracle SQL,
+- ``ratio``: spark_median / duckdb_median — the primary metric. Both
+  engines see the same host noise at the same moment, so the ratio is
+  comparable across rounds even when absolute seconds are not.
+
+The headline set is FROZEN at the r2 list (totals stay comparable);
+queries added later rounds are reported separately under ``added``.
 """
 
 from __future__ import annotations
@@ -13,10 +26,44 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# FROZEN r2 headline set — do not reorder or extend (append to ADDED).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_window_top_orders",
+    "q_events_hourly",
+    "q_distinct_agg",
+    "knn_cosine",
+    "similarity_join_topk",
+    "embedding_neardup",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_components",
+    "search_hash_knn",
+    "text_quality",
+    "multimodal_decode_meta",
+    "ann_ivf_cosine",
+    "q_sessionize",
+]
+
+# Queries promoted to the bench after the r2 freeze — reported separately
+# so the frozen total stays round-over-round comparable.
+ADDED = [
+    "embedding_neardup_lsh",
+    "dedup_shared_passages",
+    "ann_ivfpq_adc",
+    "ann_lsh_cosine",
+]
+
+SPARK_RUNS = 5
+DUCKDB_RUNS = 3
 
 
 def main() -> None:
@@ -25,6 +72,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    import duckdb
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -46,59 +94,76 @@ def main() -> None:
 
     from wagtail_vector_index_spark.catalog import _t
     from wagtail_vector_index_spark.operators.knn import gemm_topk_join
-    from wagtail_vector_index_spark.queries import QUERY_FNS
+    from wagtail_vector_index_spark.queries import ORACLE, QUERY_FNS
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     # warm the JVM + python workers once (not counted)
     _t(spark, sf_dir, "lineitem").select(F.sum("l_quantity")).collect()
 
-    headline = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "q_window_top_orders",
-        "q_events_hourly",
-        "q_distinct_agg",
-        "knn_cosine",
-        "similarity_join_topk",
-        "embedding_neardup",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_components",
-        "search_hash_knn",
-        "text_quality",
-        "multimodal_decode_meta",
-        "ann_ivf_cosine",
-        "q_sessionize",
-    ]
-
-    # steady-state timing: best of 3 runs per query — the first execution
-    # (or two, for queries with large unrolled codegen like simhash) pays
-    # one-time whole-stage-codegen compilation and JVM JIT warmup, which
-    # amortizes away on a long-running cluster
-    timings: dict[str, float] = {}
-    for name in headline:
-        best = float("inf")
-        for _ in range(3):
-            # fresh intermediate state each run: only codegen/JIT warmup may
-            # carry over, not cached operator intermediates
+    def measure(name: str):
+        cold = None
+        runs = []
+        for i in range(1 + SPARK_RUNS):
             spark.catalog.clearCache()
             t0 = time.time()
             QUERY_FNS[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            el = time.time() - t0
+            if i == 0:
+                cold = el
+            else:
+                runs.append(el)
+        rec = {
+            "median_s": round(statistics.median(runs), 3),
+            "cold_s": round(cold, 3),
+        }
+        if name in ORACLE:
+            d = []
+            for _ in range(DUCKDB_RUNS):
+                t0 = time.time()
+                con.execute(ORACLE[name]).fetchall()
+                d.append(time.time() - t0)
+            rec["duckdb_s"] = round(statistics.median(d), 3)
+            if rec["duckdb_s"] > 0:
+                rec["ratio"] = round(rec["median_s"] / rec["duckdb_s"], 2)
+        return rec
+
+    detail: dict[str, dict] = {}
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        detail[name] = measure(name)
+        timings[name] = detail[name]["median_s"]
+
+    added: dict[str, dict] = {}
+    for name in ADDED:
+        added[name] = measure(name)
 
     # GEMM similarity join: all embeddings as probes against themselves —
-    # the 100 TB-shaped ANN path (per-partition BLAS + windowed merge).
+    # the 100 TB-shaped brute path (per-partition BLAS + windowed merge).
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").cast("array<double>").alias("probe_vec"),
     )
-    index = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vector"))
-    t0 = time.time()
-    gemm_topk_join(probes, index, index_id="vec_id", index_vec="vector", limit=10).collect()
-    timings["gemm_allpairs_topk"] = round(time.time() - t0, 3)
+    index = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    g = []
+    for _ in range(3):
+        t0 = time.time()
+        gemm_topk_join(
+            probes, index, index_id="vec_id", index_vec="vector", limit=10
+        ).collect()
+        g.append(time.time() - t0)
+    timings["gemm_allpairs_topk"] = round(statistics.median(g), 3)
+    detail["gemm_allpairs_topk"] = {"median_s": timings["gemm_allpairs_topk"]}
 
+    ratios = [d["ratio"] for d in detail.values() if "ratio" in d]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -107,6 +172,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "detail": detail,
+                "added": added,
+                "ratio_geomean": round(
+                    statistics.geometric_mean(ratios), 3
+                )
+                if ratios
+                else None,
                 "sf": sf,
             }
         )

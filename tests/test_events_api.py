@@ -1,0 +1,93 @@
+"""EventLog facade tests (operators/events.py) — the served-API surface
+for the event-pipeline shapes the catalog proves query-by-query
+(q_sessionize / q_events_anomaly / q_session_window / q_events_hourly are
+oracle-gated; these tests pin the API contracts on a corpus small enough
+to reason about by hand)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.operators.events import EventLog
+
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+@pytest.fixture()
+def events(spark):
+    def ev(eid, user, minutes, value, etype="click"):
+        return (eid, user, T0 + dt.timedelta(minutes=minutes), value, etype)
+
+    rows = (
+        # user a: two sessions (40-minute gap between minute 10 and 50)
+        [ev(1, "a", 0, 1.0), ev(2, "a", 10, 2.0), ev(3, "a", 50, 3.0)]
+        # user b: one session, enough spread for stats
+        + [ev(10 + i, "b", i, float(i % 5)) for i in range(25)]
+        # inject one wild outlier for user b
+        + [ev(99, "b", 26, 1000.0)]
+    )
+    return spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double, event_type string"
+    )
+
+
+def test_sessionize_gap_splits_sessions(events):
+    out = EventLog(events).sessionize(gap_ms=30 * 60 * 1000).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    a = sorted(by_user["a"], key=lambda r: r["session_no"])
+    assert [r["n_events"] for r in a] == [2, 1]
+    assert a[0]["duration_ms"] == 10 * 60 * 1000
+    assert len(by_user["b"]) == 1  # minute-apart events never split
+
+
+def test_session_windows_batch(events):
+    out = EventLog(events).session_windows(gap="30 minutes").collect()
+    a = [r for r in out if r["user_id"] == "a"]
+    assert sorted(r["n_events"] for r in a) == [1, 2]
+    for r in a:
+        # window end extends gap past the last event (session_window
+        # semantics, distinct from sessionize's observed extent)
+        assert (r["session_end"] - r["session_start"]) >= dt.timedelta(
+            minutes=30
+        )
+
+
+def test_anomalies_flags_only_the_outlier(events):
+    out = EventLog(events).anomalies(zscore=3.0, min_events=20).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["zscore"] > 3.0
+    # user a has too few events to ever be flagged
+    assert all(r["user_id"] == "b" for r in out)
+
+
+def test_anomalies_respects_min_events(events):
+    # with the bar below user a's count, a's events become eligible (but
+    # their tiny spread still produces no |z| > 3) — the filter is on
+    # entity size, not a silent global
+    out = EventLog(events).anomalies(zscore=0.5, min_events=3).collect()
+    assert {r["user_id"] for r in out} >= {"b"}
+
+
+def test_hourly_rollup_counts_and_sums(events):
+    out = EventLog(events).hourly_rollup(group_col="event_type").collect()
+    assert all(r["hour_str"].startswith("2026-01-01 12:00") for r in out)
+    assert sum(r["n_events"] for r in out) == 29
+    flat = EventLog(events).hourly_rollup(group_col=None).collect()
+    assert len(flat) == 1 and flat[0]["n_events"] == 29
+
+
+def test_custom_column_names(spark):
+    df = spark.createDataFrame(
+        [(1, "m1", T0, 5.0), (2, "m1", T0 + dt.timedelta(hours=2), 6.0)],
+        "seq long, machine string, at timestamp, reading double",
+    )
+    log = EventLog(
+        df, entity_col="machine", ts_col="at", value_col="reading",
+        order_col="seq",
+    )
+    out = log.sessionize(gap_ms=60 * 60 * 1000).collect()
+    assert len(out) == 2  # 2-hour gap splits with a 1-hour timeout
+    assert {r["machine"] for r in out} == {"m1"}

@@ -1,73 +1,199 @@
-"""Scale experiment: stage 10x the sf0.1 data (20k vectors, 50k docs,
-with exact replicas) in /tmp and run the heavy operators.
+"""Scale experiment -> SCALE.md: run the heavy operators at 1x (sf0.1:
+2k vectors / 5k docs) and 10x (20k vectors / 50k docs, exact replicas
+staged in /tmp) IN THE SAME PROCESS, and record work ratio vs time ratio
+per operator. Sub-linear time ratio vs work ratio = the fixed costs and
+per-stage overheads amortizing, i.e. the design headroom that matters at
+100 TB; super-linear would flag a quadratic hiding in the plan.
 
-Observed on local[32] (2026-08-13, late r2 — hashed shingle join keys,
-host-load dependent +-30%):
-  gemm all-pairs top-k 20k x 20k (4e8 sims): 30.9s  (~1s at 2k x 2k ->
-      100x work in ~30x time; BLAS + fixed costs amortize)
-  brute-force knn single probe over 20k:      1.2s
-  exact dedup 50k docs:                       2.9s  (4992 replica groups found)
-  minhash LSH 50k docs:                      10.5s  (250,600 pairs — the
-      replicas multiply near-dup pairs quadratically; candidate
-      generation still bucket-local; was 15.8s before the 60-bit
-      sha-prefix join keys)
-  simhash dense 50k docs:                     3.3s  (1,031,400 pairs; was
-      27.9s before the JVM bit_count(xor) broadcast join + hoisted-sha
-      fingerprint fold — ~9x from the r2 rewrites)
+The 10x replicas multiply duplicate groups quadratically for the dedup
+family (every doc gains 10 exact copies), so "work" below is the
+operator's actual asymptotic driver — pair count for dedup, N^2 for the
+all-pairs GEMM — not just row count.
 
-Run: python tools/scale_exp.py
+Run: python tools/scale_exp.py   (regenerates /root/repo/SCALE.md)
 """
 
-import time, sys, tempfile
-sys.path.insert(0,'/root/repo')
-from pyspark.sql import functions as F
-from wagtail_vector_index_spark.session import build_session
+import sys
+import tempfile
+import time
 
-spark = build_session("scale-exp", master="local[32]", shuffle_partitions=64,
-                      **{"spark.driver.memory": "24g", "spark.ui.enabled": "false",
-                         "spark.sql.files.maxPartitionBytes": "8m"})
-spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, "/root/repo")
 
-tmp = tempfile.mkdtemp(prefix="scale_")
-emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-reps = [emb.select((F.col("vec_id") + F.lit(i*2000)).alias("vec_id"),
-                   "embedding", "label") for i in range(10)]
-big_emb = reps[0]
-for r in reps[1:]: big_emb = big_emb.unionByName(r)
-big_emb.repartition(32).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+from pyspark.sql import functions as F  # noqa: E402
 
-docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-dreps = [docs.select((F.col("doc_id") + F.lit(i*5000)).alias("doc_id"),
-                     "text","lang","source","n_chars") for i in range(10)]
-big_docs = dreps[0]
-for r in dreps[1:]: big_docs = big_docs.unionByName(r)
-big_docs.repartition(32).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-print("SCALE staged: 20k vectors, 50k docs", flush=True)
+from wagtail_vector_index_spark.session import build_session  # noqa: E402
 
-from wagtail_vector_index_spark.operators.knn import gemm_topk_join, topk_similar
-from wagtail_vector_index_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs_dense, exact_duplicates
 
-e = spark.read.parquet(f"{tmp}/embeddings.parquet")
-index = e.select("vec_id", F.col("embedding").cast("array<double>").alias("vector"))
-probes = index.select(F.col("vec_id").alias("probe_id"), F.col("vector").alias("probe_vec"))
-t0=time.time()
-n = gemm_topk_join(probes, index, index_id="vec_id", index_vec="vector", limit=10).count()
-print(f"SCALE gemm all-pairs topk 20k x 20k: {time.time()-t0:.1f}s ({n} rows)", flush=True)
+def main() -> None:
+    spark = build_session(
+        "scale-exp",
+        master="local[32]",
+        shuffle_partitions=64,
+        **{
+            "spark.driver.memory": "24g",
+            "spark.ui.enabled": "false",
+            "spark.sql.files.maxPartitionBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
 
-probe = e.where(F.col("vec_id")==0).first()["embedding"]
-t0=time.time()
-topk_similar(index, list(probe), vector_col="vector", id_col="vec_id", limit=10).collect()
-print(f"SCALE brute knn over 20k: {time.time()-t0:.1f}s", flush=True)
+    tmp = tempfile.mkdtemp(prefix="scale_")
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    reps = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 2000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(10)
+    ]
+    big_emb = reps[0]
+    for r in reps[1:]:
+        big_emb = big_emb.unionByName(r)
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{tmp}/embeddings.parquet"
+    )
 
-d = spark.read.parquet(f"{tmp}/documents.parquet")
-t0=time.time()
-n = exact_duplicates(d).where(F.col("n_docs") > 1).count()
-print(f"SCALE exact dedup 50k docs: {time.time()-t0:.1f}s ({n} dup groups)", flush=True)
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    dreps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 5000)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(10)
+    ]
+    big_docs = dreps[0]
+    for r in dreps[1:]:
+        big_docs = big_docs.unionByName(r)
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{tmp}/documents.parquet"
+    )
+    print("SCALE staged: 20k vectors, 50k docs", flush=True)
 
-t0=time.time()
-n = minhash_lsh_pairs(d, threshold=0.5).count()
-print(f"SCALE minhash LSH 50k docs: {time.time()-t0:.1f}s ({n} pairs)", flush=True)
+    from wagtail_vector_index_spark.operators.dedup import (
+        exact_duplicates,
+        lsh_neardup_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs_dense,
+    )
+    from wagtail_vector_index_spark.operators.knn import (
+        gemm_topk_join,
+        topk_similar,
+    )
 
-t0=time.time()
-n = simhash_pairs_dense(d, max_hamming=2).count()
-print(f"SCALE simhash dense 50k docs: {time.time()-t0:.1f}s ({n} pairs)", flush=True)
+    small_e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    big_e = spark.read.parquet(f"{tmp}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    small_d = docs
+    big_d = spark.read.parquet(f"{tmp}/documents.parquet")
+    probe = emb.where(F.col("vec_id") == 0).first()["embedding"]
+
+    def timed(df_action):
+        t0 = time.time()
+        n = df_action()
+        return time.time() - t0, n
+
+    def gemm(e):
+        probes = e.select(
+            F.col("vec_id").alias("probe_id"), F.col("vector").alias("probe_vec")
+        )
+        return timed(
+            lambda: gemm_topk_join(
+                probes, e, index_id="vec_id", index_vec="vector", limit=10
+            ).count()
+        )
+
+    def knn(e):
+        return timed(
+            lambda: len(
+                topk_similar(
+                    e, list(probe), vector_col="vector", id_col="vec_id", limit=10
+                ).collect()
+            )
+        )
+
+    def exact(d):
+        return timed(
+            lambda: exact_duplicates(d).where(F.col("n_docs") > 1).count()
+        )
+
+    def minhash(d):
+        return timed(lambda: minhash_lsh_pairs(d, threshold=0.5).count())
+
+    def simhash(d):
+        return timed(lambda: simhash_pairs_dense(d, max_hamming=2).count())
+
+    def emb_lsh(e):
+        return timed(
+            lambda: lsh_neardup_pairs(
+                e,
+                id_col="vec_id",
+                vec_col="vector",
+                threshold=0.4,
+                num_planes=24,
+                bands=3,
+                dim=64,
+            ).count()
+        )
+
+    # (label, fn, small input, big input, work-ratio formula note)
+    OPS = [
+        ("gemm all-pairs top-k", gemm, small_e, big_e, "N^2: 100x"),
+        ("brute knn single probe", knn, small_e, big_e, "N: 10x"),
+        ("exact dedup", exact, small_d, big_d, "N: 10x"),
+        ("minhash LSH dedup", minhash, small_d, big_d, "pairs: ~quad in replicas"),
+        ("simhash dense dedup", simhash, small_d, big_d, "N^2 cand: 100x"),
+        ("embedding LSH near-dup", emb_lsh, small_e, big_e, "cand: ~100x/2^8"),
+    ]
+
+    rows = []
+    for label, fn, small, big, work in OPS:
+        fn(small)  # warm codegen/JIT so both measured runs are steady-state
+        t1, n1 = fn(small)
+        t10, n10 = fn(big)
+        rows.append((label, t1, n1, t10, n10, work, t10 / t1 if t1 else 0))
+        print(
+            f"SCALE {label}: 1x {t1:.1f}s ({n1}) -> 10x {t10:.1f}s ({n10}) "
+            f"= {t10 / t1:.1f}x time",
+            flush=True,
+        )
+
+    lines = [
+        "# SCALE — 10x data scale experiment (regenerated per round)",
+        "",
+        "`tools/scale_exp.py` stages 10x the sf0.1 tables (20k vectors /",
+        "50k docs, exact replicas) and runs each heavy operator at both",
+        "sizes in one process (steady-state: codegen/JIT warmed before",
+        "timing). TIME ratio well under WORK ratio = fixed costs",
+        "amortizing (the shape that keeps scaling); super-linear time",
+        "would flag a hidden quadratic. Replicas make dedup pair counts",
+        "grow quadratically on purpose — the output column shows the",
+        "result-size blowup each operator absorbed.",
+        "",
+        "| operator | 1x time | 1x out | 10x time | 10x out | work ratio | time ratio |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for label, t1, n1, t10, n10, work, tr in rows:
+        lines.append(
+            f"| {label} | {t1:.1f}s | {n1} | {t10:.1f}s | {n10} | {work} "
+            f"| {tr:.1f}x |"
+        )
+    lines += [
+        "",
+        "Host-load caveat: the hypervisor drifts +-30%; both sizes run",
+        "back-to-back in one process, so the per-operator RATIO is the",
+        "stable signal, not the absolute seconds.",
+    ]
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALE.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -697,34 +697,12 @@ def q_events_json(spark, sf_dir):
 )
 def q_sessionize(spark, sf_dir):
     """Sessionization: 30-min inactivity gap starts a new session —
-    lag + conditional flag + running sum + group, all window built-ins."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ms = F.unix_millis("ts")
-    flagged = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        F.when(
-            (ms - F.lag(ms).over(w) > 1800000) | F.lag("ts").over(w).isNull(), 1
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sessions = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_session").over(wrun).cast("int").alias("session_no"),
-    )
-    return sessions.groupBy("user_id", "session_no").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias(
-            "duration_ms"
-        ),
-    )
+    lag + conditional flag + running sum + group, all window built-ins.
+    Served through the EventLog facade (operators/events.py) — the
+    catalog gate therefore oracle-verifies the API path itself."""
+    from wagtail_vector_index_spark.operators.events import EventLog
+
+    return EventLog(_t(spark, sf_dir, "events")).sessionize(gap_ms=1_800_000)
 
 
 @register(
@@ -1218,29 +1196,19 @@ def q14_promo_share(spark, sf_dir):
 def q_events_anomaly(spark, sf_dir):
     """Per-entity anomaly detection (the data-quality gate of an event
     pipeline): each user's value distribution -> z-score every event ->
-    flag |z| > 3. Two shuffles both keyed on user_id (stats, then the
-    broadcast-or-colocated join back); users with <20 events are skipped
-    (unstable sigma). z-scores are quotients by an irrational stddev, so
-    the 4-dp rounding is engine-order-safe."""
-    from pyspark.sql import Window as W
+    flag |z| > 3; users with <20 events are skipped (unstable sigma).
+    Served through the EventLog facade (operators/events.py) — the
+    catalog gate therefore oracle-verifies the API path itself.
+    z-scores are quotients by an irrational stddev, so the 4-dp rounding
+    is engine-order-safe."""
+    from wagtail_vector_index_spark.operators.events import EventLog
 
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id")
-    z = (
-        ev.withColumn("mu", F.avg("value").over(w))
-        .withColumn("sigma", F.stddev_samp("value").over(w))
-        .withColumn("n", F.count(F.lit(1)).over(w))
-        .where(
-            (F.col("n") >= 20)
-            & (F.col("sigma") > 0)
-            & (F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3)
-        )
+    z = EventLog(_t(spark, sf_dir, "events")).anomalies(
+        zscore=3.0, min_events=20
     )
     return z.select(
         "event_id",
         "user_id",
         F.round("value", 2).alias("value"),
-        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
-            "zscore"
-        ),
+        F.round("zscore", 4).alias("zscore"),
     )
