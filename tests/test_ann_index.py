@@ -197,3 +197,39 @@ def test_lsh_append_delete_compact(spark, index_df, probe, tmp_path):
     }
     assert 990001 not in after
     assert after == base_ids
+
+
+def test_ivfpq_adc_and_rerank(spark, index_df, centroids_df, probe, tmp_path):
+    """IVF-PQ serving contracts: the ADC scan ranks candidates without
+    reading the vector column (ReadSchema pruning is the M-bytes-per-
+    vector memory story); rerank re-ranks the ADC shortlist by exact
+    cosine (values match the exact IVF path for the same keys); append
+    encodes new vectors against the stored codebooks."""
+    from wagtail_vector_index_spark.operators.ann_index import IvfPqIndex
+
+    path = str(tmp_path / "pq")
+    idx = IvfPqIndex.build(
+        index_df, path=path, centroids_df=centroids_df, m=4, ksub=8
+    )
+
+    adc = idx.adc_topk(probe, nprobe=2, limit=10)
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "codes" in scan_line and "vector" not in scan_line.split("ReadSchema")[1]
+    assert len(adc.collect()) == 10
+
+    exact = IvfIndex(spark, path).topk(probe, nprobe=2, limit=50).collect()
+    exact_sims = {r["vec_id"]: r["similarity"] for r in exact}
+    reranked = idx.topk(probe, nprobe=2, limit=5, rerank=20).collect()
+    sims = [r["similarity"] for r in reranked]
+    assert sims == sorted(sims, reverse=True)
+    for r in reranked:
+        assert r["similarity"] == pytest.approx(exact_sims[r["vec_id"]], abs=1e-12)
+
+    new = spark.createDataFrame(
+        [(990002, [float(x) for x in probe])], "vec_id long, vector array<double>"
+    )
+    idx.append(new)
+    top = idx.topk(probe, nprobe=2, limit=3, rerank=20).collect()
+    assert top[0]["vec_id"] == 990002
+    assert top[0]["similarity"] == pytest.approx(1.0)

@@ -324,15 +324,29 @@ def pq_encode_col(
     ksub centroids each): ``codes[m] = argmin_j ||v_m - c[m][j]||²``,
     ties to the lowest ``j``.
 
-    Stays entirely inside whole-stage codegen: the codebook becomes
-    array literals, the distance is expanded as
-    ``<a,a> - 2<a,b> + <b,b>`` (three sequential-fold inner products —
-    the exact fp ops a DuckDB oracle replays via list_inner_product),
-    and the argmin is ``array_min`` over (dist, j) structs, whose
-    lexicographic struct ordering breaks ties on j.
+    The distance is ``<a,a> - 2<a,b> + <b,b>`` (sequential-fold inner
+    products — the exact fp ops a DuckDB oracle replays via
+    list_inner_product) and the argmin is ``array_min`` over (dist, j)
+    structs, whose lexicographic ordering breaks ties on j.
+
+    The codebook enters the plan as ONE 3-D array literal (plus a 2-D
+    literal of precomputed ||c||², the same Python floats as before)
+    iterated with higher-order functions. The earlier unrolled form
+    built M·ksub fold subtrees — ~256 aggregate nodes whose py4j
+    construction, Catalyst re-optimization, and codegen made an index
+    BUILD pay ~2 minutes of pure plan overhead at 8×16; the fold form
+    is interpreted per row but runs once per vector at build time, so
+    tree size dominates wall-clock, not row math. Values are
+    bit-identical (same fold order per dot, same argmin).
     """
     n_m = len(codebook)
     sub = len(codebook[0][0])
+    cb_lit = F.lit(
+        [[[float(x) for x in cv] for cv in sub_cb] for sub_cb in codebook]
+    ).cast("array<array<array<double>>>")
+    csq_lit = F.lit(
+        [[float(_seq_dot(cv, cv)) for cv in sub_cb] for sub_cb in codebook]
+    ).cast("array<array<double>>")
 
     def dot(a: F.Column, b: F.Column) -> F.Column:
         return F.aggregate(
@@ -341,18 +355,25 @@ def pq_encode_col(
             lambda acc, x: acc + x,
         )
 
-    codes = []
-    for m in range(n_m):
-        sv = F.slice(vec, m * sub + 1, sub)
+    def code_for(m: F.Column) -> F.Column:
+        sv = F.slice(vec, m * sub + 1, F.lit(sub))
         sv_sq = dot(sv, sv)
-        cands = []
-        for j, cv in enumerate(codebook[m]):
-            c = F.array(*[F.lit(float(x)) for x in cv]).cast("array<double>")
-            c_sq = float(_seq_dot(cv, cv))
-            dist = sv_sq - F.lit(2.0) * dot(sv, c) + F.lit(c_sq)
-            cands.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
-        codes.append(F.array_min(F.array(*cands)).getField("j"))
-    return F.array(*codes)
+        sub_cb = F.element_at(cb_lit, m + 1)
+        sub_csq = F.element_at(csq_lit, m + 1)
+        cands = F.transform(
+            F.sequence(F.lit(0), F.lit(len(codebook[0]) - 1)),
+            lambda j: F.struct(
+                (
+                    sv_sq
+                    - F.lit(2.0) * dot(sv, F.element_at(sub_cb, j + 1))
+                    + F.element_at(sub_csq, j + 1)
+                ).alias("d"),
+                j.cast("int").alias("j"),
+            ),
+        )
+        return F.array_min(cands).getField("j")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(n_m - 1)), code_for)
 
 
 class IvfPqIndex(IvfIndex):

@@ -706,13 +706,26 @@ def connected_components(
         # decreasing potential: unchanged sum == fixpoint. One map-side-
         # combinable agg over the checkpointed label table — cheaper than
         # joining old vs new labels every round. decimal(38) keeps the
-        # sum exact for any realistic id magnitude x node count. (Numeric
-        # ids only; string ids use the join-based change count below.)
+        # sum exact for any realistic id magnitude x node count.
         return labels.agg(
             F.sum(F.col(out_comp).cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev = _potential(lbl) if numeric_ids else None
+    def _potential_hash(labels: DataFrame):
+        # string ids: labels decrease lexicographically, so any change
+        # alters the label multiset; sum(xxhash64(label)) detects that
+        # with the same one-agg cost as the numeric potential (vs the
+        # old per-round join+count — O(rounds) extra shuffles). A missed
+        # change needs colliding 64-bit hash SUMS: ~2^-64 per round,
+        # and max_iter still bounds the loop if it ever happened.
+        # decimal(38,0) sum: exact and overflow-free under ANSI mode
+        # (a bare long sum of 64-bit hashes overflows almost surely)
+        return labels.agg(
+            F.sum(F.xxhash64(F.col(out_comp)).cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    measure = _potential if numeric_ids else _potential_hash
+    prev = measure(lbl)
     try:
         for _ in range(max_iter):
             nbr = lbl.select(
@@ -727,22 +740,11 @@ def connected_components(
                 .agg(F.min(out_comp).alias(out_comp))
                 .localCheckpoint(eager=True)
             )
-            if numeric_ids:
-                pot = _potential(new)
-                lbl = new
-                if pot == prev:
-                    break
-                prev = pot
-            else:
-                changed = (
-                    new.select(F.col(out_id), F.col(out_comp).alias("new_comp"))
-                    .join(lbl, out_id)
-                    .where(F.col("new_comp") < F.col(out_comp))
-                    .count()
-                )
-                lbl = new
-                if changed == 0:
-                    break
+            pot = measure(new)
+            lbl = new
+            if pot == prev:
+                break
+            prev = pot
     finally:
         adj.unpersist()
     return lbl
