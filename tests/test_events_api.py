@@ -91,3 +91,48 @@ def test_custom_column_names(spark):
     out = log.sessionize(gap_ms=60 * 60 * 1000).collect()
     assert len(out) == 2  # 2-hour gap splits with a 1-hour timeout
     assert {r["machine"] for r in out} == {"m1"}
+
+
+def test_session_windows_streaming_matches_batch(spark, tmp_path):
+    """EventLog.session_windows runs unchanged on a streaming input (the
+    session_window + watermark shape): the stream's final state must
+    equal the batch result over the same rows."""
+    rows = [
+        (i, "u1", T0 + dt.timedelta(minutes=m), 1.0, "click")
+        for i, m in enumerate([0, 5, 10, 60, 65, 180])
+    ] + [(100, "u2", T0, 1.0, "view")]
+    schema = (
+        "event_id long, user_id string, ts timestamp, value double, "
+        "event_type string"
+    )
+    staged = str(tmp_path / "sessions_staged")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+    batch = spark.read.parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+
+    from wagtail_vector_index_spark.operators.events import EventLog
+
+    out = EventLog(stream.withWatermark("ts", "1 hour")).session_windows(
+        gap="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in EventLog(batch).session_windows(gap="30 minutes").collect()
+    }
+    assert got == expected
+    # u1: three sessions (0-10, 60-65, 180); u2: one
+    assert sum(1 for u, *_ in got if u == "u1") == 3
+    assert sum(1 for u, *_ in got if u == "u2") == 1
