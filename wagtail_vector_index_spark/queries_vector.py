@@ -791,6 +791,153 @@ def ann_recall_ivf(spark, sf_dir):
     )
 
 
+@register(
+    "ann_recall_pq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_NORM_SQL} AS nv FROM e),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    idx AS (SELECT vec_id, v FROM e WHERE vec_id <> 0),
+    p AS (SELECT vec_id AS probe_id, v AS qv,
+                 {_NORM_SQL} AS qn FROM e WHERE vec_id < 5),
+    cb AS (
+      SELECT r.m::INT AS m, s.rn - 1 AS j,
+             list_slice(s.nv, r.m * 8 + 1, r.m * 8 + 8) AS cv
+      FROM (SELECT nv, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM n WHERE vec_id <> 0 ORDER BY vec_id LIMIT 16) s,
+           range(8) r(m)),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT idx.vec_id, c.cid,
+               row_number() OVER (PARTITION BY idx.vec_id
+                                  ORDER BY {_cos_sql('idx.v', 'c.cv')} DESC, c.cid) AS rn
+        FROM idx, c) WHERE rn = 1),
+    probed AS (
+      SELECT probe_id, cid FROM (
+        SELECT p.probe_id, c.cid,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_cos_sql('c.cv', 'p.qv')} DESC, c.cid) AS rn
+        FROM c, p) WHERE rn <= 2),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT nx.vec_id, cb.m, cb.j,
+               row_number() OVER (
+                 PARTITION BY nx.vec_id, cb.m
+                 ORDER BY
+                   list_inner_product(
+                     list_slice(nx.nv, cb.m * 8 + 1, cb.m * 8 + 8),
+                     list_slice(nx.nv, cb.m * 8 + 1, cb.m * 8 + 8))
+                   - 2 * list_inner_product(
+                       list_slice(nx.nv, cb.m * 8 + 1, cb.m * 8 + 8), cb.cv)
+                   + list_inner_product(cb.cv, cb.cv),
+                   cb.j) AS rn
+        FROM (SELECT vec_id, nv FROM n WHERE vec_id <> 0) nx, cb)
+      WHERE rn = 1),
+    lut AS (
+      SELECT p.probe_id, cb.m, cb.j,
+             list_inner_product(
+               list_slice(p.qn, cb.m * 8 + 1, cb.m * 8 + 8), cb.cv) AS val
+      FROM cb, p),
+    adc AS (
+      SELECT l.probe_id, cds.vec_id,
+             ({" + ".join(f"MAX(CASE WHEN cds.m = {m} THEN l.val END)" for m in range(8))}) AS adc
+      FROM codes cds
+      JOIN assign a ON a.vec_id = cds.vec_id
+      JOIN probed pr ON pr.cid = a.cid
+      JOIN lut l ON l.probe_id = pr.probe_id AND l.m = cds.m
+                AND l.j = cds.code
+      GROUP BY l.probe_id, cds.vec_id),
+    shortlist AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc DESC, vec_id) AS rn
+        FROM adc) WHERE rn <= 20),
+    reranked AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT s.probe_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.probe_id
+                                  ORDER BY {_cos_sql('idx.v', 'p.qv')} DESC,
+                                           s.vec_id) AS rn
+        FROM shortlist s
+        JOIN idx ON idx.vec_id = s.vec_id
+        JOIN p ON p.probe_id = s.probe_id) WHERE rn <= 10),
+    brute AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, idx.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_cos_sql('idx.v', 'p.qv')} DESC,
+                                           idx.vec_id) AS rn
+        FROM idx, p) WHERE rn <= 10)
+    SELECT b.probe_id,
+           sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hits,
+           sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10
+             AS recall_at_10
+    FROM brute b
+    LEFT JOIN reranked r ON b.probe_id = r.probe_id AND b.vec_id = r.vec_id
+    GROUP BY b.probe_id
+    """,
+)
+def ann_recall_pq(spark, sf_dir):
+    """ANN quality evaluation for the IVF-PQ tier: recall@10 of the
+    ADC-shortlist(20) + exact-cosine-rerank path against the brute
+    ranking, per probe — completes the recall family (IVF, LSH, PQ all
+    measured the same way). Probes are small-by-contract (5, enumerated
+    driver-side); the oracle replays coarse assignment, probe selection,
+    PQ codes, the per-probe LUT, the ADC shortlist, the rerank, and the
+    intersection count."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from wagtail_vector_index_spark.operators.knn import similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivfpq_index_for(spark, sf_dir)
+    probe_rows = emb.where(F.col("vec_id") < 5).select(
+        "vec_id", "embedding"
+    ).collect()
+    parts = []
+    for r in probe_rows:
+        hits = idx.topk(
+            [float(x) for x in r["embedding"]], nprobe=2, limit=10, rerank=20
+        ).select(
+            F.lit(int(r["vec_id"])).alias("probe_id"),
+            F.col("vec_id"),
+            F.lit(1).alias("__hit"),
+        )
+        parts.append(hits)
+    pq = reduce(DataFrame.unionByName, parts)
+
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    index = vecs.where(F.col("vec_id") != 0)
+    probes = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("vector").alias("probe_vec")
+    )
+    brute = similarity_join(
+        probes,
+        index,
+        probe_id="probe_id",
+        probe_vec="probe_vec",
+        index_id="vec_id",
+        index_vec="vector",
+        limit=10,
+    ).select("probe_id", "vec_id")
+    return (
+        brute.join(F.broadcast(pq), ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(10)
+            ).alias("recall_at_10"),
+        )
+    )
+
+
 def _lsh_recall_oracle() -> str:
     from wagtail_vector_index_spark.operators.knn import hyperplane_lsh_planes
 
