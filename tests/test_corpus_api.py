@@ -1,0 +1,100 @@
+"""Corpus facade tests (operators/corpus.py) — the fluent training-data
+pipeline API. The load-bearing test is the parity one: the facade chain
+must reproduce the oracle-gated `pipeline_corpus_prep` catalog query
+byte-for-byte, tying the API surface to the correctness gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.operators.corpus import Corpus
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    from wagtail_vector_index_spark.catalog import _t
+
+    return _t(spark, sf_dir, "documents")
+
+
+def test_chain_reproduces_corpus_prep_gate(spark, sf_dir, docs):
+    """Facade chain == pipeline_corpus_prep (dedup_exact -> quality
+    gate -> mix -> pack), row for row."""
+    from wagtail_vector_index_spark.queries import QUERY_FNS
+    from wagtail_vector_index_spark.queries_text import _MIX_WEIGHTS
+
+    via_facade = (
+        Corpus(docs.select("doc_id", "source", "text"))
+        .dedup_exact()
+        .quality_filter(metric="distinct_token_ratio", percentile=0.25)
+        .mix(_MIX_WEIGHTS)
+        .pack(budget=1024, num_shards=8)
+    )
+    via_catalog = QUERY_FNS["pipeline_corpus_prep"](spark, sf_dir)
+    a = {tuple(r) for r in via_facade.collect()}
+    b = {tuple(r) for r in via_catalog.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "same text"), (2, "s", "same  TEXT"), (3, "s", "other")],
+        "doc_id long, source string, text string",
+    )
+    out = Corpus(df).dedup_exact().df.collect()
+    assert {r["doc_id"] for r in out} == {1, 3}  # normalized dup collapsed
+
+
+def test_dedup_fuzzy_minhash_drops_near_dups(docs):
+    base = Corpus(docs.limit(300))
+    n_before = base.df.count()
+    out = base.dedup_fuzzy(method="minhash", threshold=0.5)
+    n_after = out.df.count()
+    assert 0 < n_after <= n_before
+    with pytest.raises(ValueError, match="minhash | jaccard | simhash"):
+        base.dedup_fuzzy(method="hnsw")
+
+
+def test_quality_filter_drops_bottom_quartile(docs):
+    c = Corpus(docs.limit(400))
+    out = c.quality_filter(percentile=0.25)
+    n, kept = c.df.count(), out.df.count()
+    assert 0.6 * n <= kept <= 0.8 * n  # ~75% survive a 25th-pct gate
+    with pytest.raises(ValueError, match="unknown metric"):
+        c.quality_filter(metric="vibes")
+
+
+def test_decontaminate_with_eval_sources(docs):
+    c = Corpus(docs.limit(500))
+    out = c.decontaminate(eval_sources={"src0", "src1"}, threshold=0.5)
+    srcs = {r["source"] for r in out.df.select("source").distinct().collect()}
+    assert srcs.isdisjoint({"src0", "src1"})  # eval rows removed too
+
+
+def test_decontaminate_with_external_eval_df(spark):
+    train = spark.createDataFrame(
+        [(1, "tr", "the quick brown fox jumps over the lazy dog"),
+         (2, "tr", "completely unrelated content about spark joins")],
+        "doc_id long, source string, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "ev", "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, source string, text string",
+    )
+    out = Corpus(train).decontaminate(eval_df=eval_df, threshold=0.5)
+    assert {r["doc_id"] for r in out.df.collect()} == {2}
+    with pytest.raises(ValueError, match="exactly one"):
+        Corpus(train).decontaminate()
+
+
+def test_mix_upsamples_when_rate_above_one(docs):
+    c = Corpus(docs.limit(200))
+    sources = [r["source"] for r in c.df.select("source").distinct().collect()]
+    out = c.mix({s: 2.0 for s in sources})
+    assert out.df.count() == 2 * c.df.count()  # exact 2 epochs per row
+
+
+def test_export_jsonl_returns_manifest(docs, tmp_path):
+    path = str(tmp_path / "shards")
+    manifest = Corpus(docs.limit(50)).export_jsonl(path, num_shards=4)
+    rows = manifest.collect()
+    assert sum(r["records"] for r in rows) == 50

@@ -1,0 +1,292 @@
+"""Corpus — the fluent served-API facade over the training-data pipeline.
+
+The catalog proves each curation stage as an oracle-gated query
+(`dedup_*`, `pipeline_quality_filter`, `pipeline_decontaminate`,
+`pipeline_dataset_mix`, `pipeline_pack_sequences`,
+`pipeline_export_shards`) and their composition as ONE plan
+(`pipeline_corpus_prep`); Corpus packages the same operators behind a
+chainable API so a user curates a corpus the way they'd write the
+pipeline on a whiteboard:
+
+    Corpus(docs).dedup_exact().quality_filter(percentile=0.25)
+        .decontaminate(eval_sources={"src0", "src1"})
+        .mix({"crawl": 0.5, "reference": 1.0})
+        .pack(budget=1024, num_shards=8)
+
+Every step is lazy — the chain stays one Catalyst plan until a terminal
+action (``pack`` returns the packing DataFrame, ``export_jsonl``
+writes shards), so Catalyst sees the whole pipeline and the composed
+plan is the one `pipeline_corpus_prep` benchmarks (locally ~20x faster
+than the DuckDB replay of the same stages).
+
+Reference N/A — this is the north-star EXT surface (SURVEY §3): the
+facade mirrors EventLog (operators/events.py) for the events surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Corpus:
+    """A lazily-transformed document corpus.
+
+    Column contract: ``id_col`` (unique doc id), ``text_col``,
+    ``source_col`` (dataset/provenance label used by decontaminate and
+    mix). Transform methods return a NEW Corpus over the transformed
+    DataFrame; ``df`` exposes the current plan.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        source_col: str = "source",
+    ):
+        self.df = df
+        self.id_col = id_col
+        self.text_col = text_col
+        self.source_col = source_col
+
+    def _wrap(self, df: DataFrame) -> "Corpus":
+        return Corpus(
+            df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            source_col=self.source_col,
+        )
+
+    # -- deduplication -------------------------------------------------------
+
+    def dedup_exact(self) -> "Corpus":
+        """Keep the min-id representative of every exact-content group
+        (normalized-content fingerprint; the `dedup_exact` gate's
+        semantics applied as a filter)."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            fingerprint_col,
+        )
+
+        fp = self.df.select(
+            self.id_col, fingerprint_col(F.col(self.text_col)).alias("__fp")
+        )
+        keep = fp.groupBy("__fp").agg(F.min(self.id_col).alias(self.id_col))
+        return self._wrap(
+            self.df.join(keep.select(self.id_col), self.id_col, "semi")
+        )
+
+    def dedup_fuzzy(
+        self,
+        *,
+        method: str = "minhash",
+        threshold: float = 0.5,
+        exact_components: bool = False,
+        **kwargs,
+    ) -> "Corpus":
+        """Near-duplicate removal: generate pairs with the chosen family
+        (``minhash`` | ``simhash`` | ``jaccard``) and drop the higher-id
+        member of each pair (or, with ``exact_components``, keep exactly
+        one representative per connected component — needed when
+        near-dup clusters chain rather than form cliques)."""
+        from wagtail_vector_index_spark.operators.dedup import (
+            keep_representatives,
+            keep_representatives_exact,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_pairs_dense,
+        )
+
+        if method == "minhash":
+            pairs = minhash_lsh_pairs(
+                self.df,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                threshold=threshold,
+                **kwargs,
+            )
+        elif method == "jaccard":
+            pairs = ngram_jaccard_pairs(
+                self.df,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                threshold=threshold,
+                **kwargs,
+            )
+        elif method == "simhash":
+            pairs = simhash_pairs_dense(
+                self.df, id_col=self.id_col, text_col=self.text_col, **kwargs
+            )
+        else:
+            raise ValueError(
+                f"unknown dedup method {method!r}; expected minhash | "
+                "jaccard | simhash"
+            )
+        drop = (
+            keep_representatives_exact
+            if exact_components
+            else keep_representatives
+        )
+        return self._wrap(drop(self.df, pairs, id_col=self.id_col))
+
+    # -- quality / contamination gates --------------------------------------
+
+    def quality_filter(
+        self,
+        *,
+        metric: str = "distinct_token_ratio",
+        percentile: float = 0.25,
+    ) -> "Corpus":
+        """Drop the bottom ``percentile`` of the corpus by a quality
+        metric (any key of text_analysis.quality_metrics_cols) — the
+        `pipeline_quality_filter` shape, threshold derived from the data
+        itself so the gate is scale- and domain-relative."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            quality_metrics_cols,
+        )
+
+        m = quality_metrics_cols(F.col(self.text_col))
+        if metric not in m:
+            raise ValueError(
+                f"unknown metric {metric!r}; expected one of {sorted(m)}"
+            )
+        scored = self.df.withColumn("__q", m[metric])
+        thr = scored.agg(F.percentile("__q", F.lit(percentile)).alias("__thr"))
+        return self._wrap(
+            scored.crossJoin(F.broadcast(thr))
+            .where(F.col("__q") > F.col("__thr"))
+            .drop("__q", "__thr")
+        )
+
+    def decontaminate(
+        self,
+        *,
+        eval_sources: set[str] | None = None,
+        eval_df: DataFrame | None = None,
+        n: int = 3,
+        threshold: float = 0.5,
+    ) -> "Corpus":
+        """Remove training docs whose word-``n``-gram Jaccard against ANY
+        held-out document reaches ``threshold`` (the
+        `pipeline_decontaminate` shape). The held-out set is either a set
+        of ``source_col`` values (those rows are ALSO removed from the
+        corpus) or an external ``eval_df`` with the same id/text columns.
+        Candidates only meet on shared shingles, so the check never goes
+        quadratic in corpus size."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            word_shingles_col,
+        )
+
+        if (eval_sources is None) == (eval_df is None):
+            raise ValueError("pass exactly one of eval_sources / eval_df")
+        if eval_sources is not None:
+            train_docs = self.df.where(
+                ~F.col(self.source_col).isin(list(eval_sources))
+            )
+            eval_docs = self.df.where(
+                F.col(self.source_col).isin(list(eval_sources))
+            )
+        else:
+            train_docs = self.df
+            eval_docs = eval_df
+
+        def shingled(df, id_alias, n_alias):
+            return df.select(
+                F.col(self.id_col).alias(id_alias),
+                word_shingles_col(F.col(self.text_col), n).alias("__sh"),
+            ).select(
+                id_alias,
+                F.size("__sh").alias(n_alias),
+                F.explode("__sh").alias("sh"),
+            )
+
+        train = shingled(train_docs, "train_id", "n_t")
+        ev = shingled(eval_docs, "eval_id", "n_e")
+        inter = (
+            train.join(ev, "sh")
+            .groupBy("train_id", "eval_id", "n_t", "n_e")
+            .agg(F.count(F.lit(1)).alias("ni"))
+        )
+        contaminated = (
+            inter.where(
+                F.col("ni")
+                / (F.col("n_t") + F.col("n_e") - F.col("ni"))
+                >= F.lit(float(threshold))
+            )
+            .select(F.col("train_id").alias(self.id_col))
+            .distinct()
+        )
+        return self._wrap(
+            train_docs.join(contaminated, self.id_col, "left_anti")
+        )
+
+    # -- mixing / tokenization / terminals ----------------------------------
+
+    def mix(self, weights: dict[str, float]) -> "Corpus":
+        """Deterministic per-source keep rates (content-addressed sha
+        sampling — reproducible across partitionings; sources absent from
+        ``weights`` are dropped). Rates > 1 replicate via mix_epochs."""
+        from wagtail_vector_index_spark.operators.skew import (
+            mix_epochs,
+            weighted_mix,
+        )
+
+        if any(r > 1.0 for r in weights.values()):
+            return self._wrap(
+                mix_epochs(
+                    self.df,
+                    weights,
+                    group_col=self.source_col,
+                    key_col=self.id_col,
+                )
+            )
+        return self._wrap(
+            weighted_mix(
+                self.df,
+                weights,
+                group_col=self.source_col,
+                key_col=self.id_col,
+            )
+        )
+
+    def with_token_counts(self, *, col: str = "est_tokens") -> "Corpus":
+        """Append the estimated token count (the reference's naive
+        estimator as a JVM column twin)."""
+        from wagtail_vector_index_spark.functions.text_splitting import (
+            estimated_tokens_col,
+        )
+
+        return self._wrap(
+            self.df.withColumn(col, estimated_tokens_col(F.col(self.text_col)))
+        )
+
+    def pack(
+        self, *, budget: int = 1024, num_shards: int = 8
+    ) -> DataFrame:
+        """Terminal: greedy-pack into token-budget context windows.
+        Returns the packing DataFrame (id, est_tokens, shard, pack_id,
+        pack_offset)."""
+        from wagtail_vector_index_spark.operators.packing import pack_sequences
+
+        with_tokens = self.with_token_counts().df.select(
+            self.id_col, "est_tokens"
+        )
+        return pack_sequences(
+            with_tokens,
+            id_col=self.id_col,
+            tokens="est_tokens",
+            budget=budget,
+            num_shards=num_shards,
+        )
+
+    def export_jsonl(self, path: str, **kwargs) -> DataFrame:
+        """Terminal: write content-addressed JSONL shards and return the
+        distributed shard manifest (operators/export.py)."""
+        from wagtail_vector_index_spark.operators.export import (
+            export_jsonl_shards,
+            shard_manifest,
+        )
+
+        export_jsonl_shards(self.df, path, key_col=self.id_col, **kwargs)
+        return shard_manifest(self.df.sparkSession, path)
