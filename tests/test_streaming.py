@@ -182,3 +182,45 @@ def test_incremental_ann_stream(spark, embeddings_df, tmp_path):
 
     top = idx.topk(probe, nprobe=2, limit=3).collect()
     assert top[0]["vec_id"] == 880001
+
+
+def test_incremental_ann_stream_lsh(spark, embeddings_df, tmp_path):
+    """The same streaming maintenance loop drives the LSH tier (the
+    append/compact surface is uniform across tiers): a streamed
+    duplicate of the probe lands in the probe's own bucket and ranks
+    first after the stream drains and compacts."""
+    from wagtail_vector_index_spark.operators.ann_index import LshIndex
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        incremental_ann_stream,
+    )
+
+    base = embeddings_df.where(F.col("vec_id").between(1, 400)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    idx = LshIndex.build(
+        base, path=str(tmp_path / "lsh_stream"), num_planes=12, dim=64
+    )
+    probe = list(
+        embeddings_df.where(F.col("vec_id") == 0).first()["embedding"]
+    )
+
+    staged = str(tmp_path / "new_vectors_lsh")
+    spark.createDataFrame(
+        [(880002, [float(x) for x in probe])],
+        "vec_id long, vector array<double>",
+    ).coalesce(1).write.parquet(staged)
+    stream = spark.readStream.schema(
+        "vec_id long, vector array<double>"
+    ).parquet(staged)
+
+    q = incremental_ann_stream(
+        stream,
+        idx,
+        checkpoint_dir=str(tmp_path / "ckpt_ann_lsh"),
+        compact_every=1,
+    )
+    q.awaitTermination(300)
+
+    top = idx.topk(probe, max_probe_hamming=1, limit=3).collect()
+    assert top[0]["vec_id"] == 880002
+    assert len(idx.vectors_log.current().live) == 1  # compacted

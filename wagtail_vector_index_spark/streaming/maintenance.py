@@ -60,11 +60,12 @@ def incremental_ann_stream(
     compact_every: int = 0,
     trigger_once: bool = True,
 ) -> StreamingQuery:
-    """Maintain a materialized ANN index (operators/ann_index.IvfIndex)
-    from a stream of new vectors: each micro-batch assigns its rows
-    against the stored codebook and appends them to the right posting
-    lists — standing data is never rewritten, so the stream only ever
-    adds files. With ``compact_every`` > 0 the index is compacted back to
+    """Maintain a materialized ANN index from a stream of new vectors —
+    any tier with the append/compact maintenance surface
+    (operators/ann_index.IvfIndex, IvfPqIndex, or LshIndex): each
+    micro-batch assigns its rows against the stored codebook/planes and
+    publishes them as a new generation — standing data is never
+    rewritten, so the stream only ever adds files. With ``compact_every`` > 0 the index is compacted back to
     one file per posting list every N batches (append bursts grow file
     counts; compaction restores the scan layout). Exactly-once via the
     checkpoint's source offsets; append is idempotent per batch only if
