@@ -98,3 +98,14 @@ def test_export_jsonl_returns_manifest(docs, tmp_path):
     manifest = Corpus(docs.limit(50)).export_jsonl(path, num_shards=4)
     rows = manifest.collect()
     assert sum(r["records"] for r in rows) == 50
+
+
+def test_report_matches_catalog_gate(spark, sf_dir, docs):
+    """Corpus.report() is the corpus_report gate's implementation — the
+    catalog query routes through it; pin the API default too."""
+    out = Corpus(docs).report(lang_col="lang")
+    rows = {r["source"]: r for r in out.collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        assert r["n_docs"] > 0 and 0 <= r["exact_dup_frac"] <= 1
+        assert 0 < r["pooled_distinct_ratio"] <= 1

@@ -221,6 +221,48 @@ class Corpus:
             train_docs.join(contaminated, self.id_col, "left_anti")
         )
 
+    # -- reporting -----------------------------------------------------------
+
+    def report(self, *, lang_col: str = "lang") -> DataFrame:
+        """The curator's report card, per source: volume (docs, tokens),
+        exact-duplicate fraction (content fingerprints), language mix,
+        and pooled lexical diversity — the numbers that decide per-source
+        mixing weights before training (the oracle-gated `corpus_report`
+        shape). One scan, one shuffle on the source key, every aggregate
+        map-side combinable."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            fingerprint_col,
+            tokens_col,
+        )
+
+        base = self.df.select(
+            self.source_col,
+            lang_col,
+            tokens_col(F.col(self.text_col)).alias("toks"),
+            fingerprint_col(F.col(self.text_col)).alias("fp"),
+        ).select(
+            self.source_col,
+            lang_col,
+            "fp",
+            F.size("toks").alias("n_toks"),
+            F.size(F.array_distinct("toks")).alias("n_dtoks"),
+        )
+        return base.groupBy(self.source_col).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.count_distinct(F.col("fp")).alias("n_distinct"),
+            (
+                (F.count(F.lit(1)) - F.count_distinct(F.col("fp")))
+                / F.count(F.lit(1))
+            ).alias("exact_dup_frac"),
+            (
+                F.sum(F.when(F.col(lang_col) == "en", 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("en_frac"),
+            F.sum("n_dtoks").alias("n_distinct_tokens"),
+            (F.sum("n_dtoks") / F.sum("n_toks")).alias("pooled_distinct_ratio"),
+        )
+
     # -- mixing / tokenization / terminals ----------------------------------
 
     def mix(self, weights: dict[str, float]) -> "Corpus":

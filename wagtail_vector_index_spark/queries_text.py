@@ -897,39 +897,10 @@ def corpus_report(spark, sf_dir):
     avg() of per-doc ratios would be the known-flaky oracle shape
     (terminating quotients summed in engine-dependent order can straddle
     a rounding boundary — hit once at sf0.1, see memory invariants)."""
-    from wagtail_vector_index_spark.functions.text_analysis import (
-        fingerprint_col,
-        tokens_col,
-    )
+    from wagtail_vector_index_spark.operators.corpus import Corpus
 
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "source",
-        "lang",
-        tokens_col(F.col("text")).alias("toks"),
-        fingerprint_col(F.col("text")).alias("fp"),
-    ).select(
-        "source",
-        "lang",
-        "fp",
-        F.size("toks").alias("n_toks"),
-        F.size(F.array_distinct("toks")).alias("n_dtoks"),
-    )
-    return base.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_toks").alias("n_tokens"),
-        F.count_distinct(F.col("fp")).alias("n_distinct"),
-        (
-            (F.count(F.lit(1)) - F.count_distinct(F.col("fp")))
-            / F.count(F.lit(1))
-        ).alias("exact_dup_frac"),
-        (
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-            / F.count(F.lit(1))
-        ).alias("en_frac"),
-        F.sum("n_dtoks").alias("n_distinct_tokens"),
-        (F.sum("n_dtoks") / F.sum("n_toks")).alias("pooled_distinct_ratio"),
-    )
+    # served through the Corpus facade — the gate verifies the API path
+    return Corpus(_t(spark, sf_dir, "documents")).report(lang_col="lang")
 
 
 @register(
