@@ -338,3 +338,26 @@ def test_ann_invalidated_by_rebuild(index, sources, tmp_path):
 
     with _pytest.raises(ValueError, match="build_ann_index"):
         index.search("q", ann=True)
+
+
+def test_compact_and_vacuum_lifecycle(index):
+    """The index-level lifecycle passthroughs: compact collapses the
+    write layers (reads unchanged), vacuum reclaims dead generations
+    (reads unchanged, generation count drops to one)."""
+    docs_before = {
+        r["doc_key"]: r["content"] for r in index.documents().collect()
+    }
+    key = sorted(docs_before)[0]
+    index.delete([key])
+    index.compact()
+    expected = {k: v for k, v in docs_before.items() if k != key}
+    after_compact = {
+        r["doc_key"]: r["content"] for r in index.documents().collect()
+    }
+    assert after_compact == expected
+    index.vacuum(min_age_s=0.0)
+    assert len(index.store.log.current().live) == 1
+    after_vacuum = {
+        r["doc_key"]: r["content"] for r in index.documents().collect()
+    }
+    assert after_vacuum == expected

@@ -137,6 +137,20 @@ class VectorIndex:
     def documents(self) -> DataFrame:
         return self.store.read(self.cfg.index_name)
 
+    def compact(self) -> None:
+        """Collapse this index's upsert/tombstone layers into one
+        generation (read cost drops to a single clean scan; history stays
+        time-travelable until the store is vacuumed). The ANN copy is a
+        derived artifact of row CONTENT, which compaction preserves, so
+        it stays attached."""
+        self.store.compact(self.cfg.index_name)
+
+    def vacuum(self, *, min_age_s: float = 3600.0) -> None:
+        """Physically reclaim dead rows and superseded generations across
+        the whole store (storage-level op — affects every index sharing
+        the store; see DocumentStore.vacuum)."""
+        self.store.vacuum(min_age_s=min_age_s)
+
     # -- ANN serving tier ---------------------------------------------------
 
     def build_ann_index(
