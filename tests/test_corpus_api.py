@@ -109,3 +109,26 @@ def test_report_matches_catalog_gate(spark, sf_dir, docs):
     for r in rows.values():
         assert r["n_docs"] > 0 and 0 <= r["exact_dup_frac"] <= 1
         assert 0 < r["pooled_distinct_ratio"] <= 1
+
+
+def test_with_split_is_deterministic_and_exhaustive(docs):
+    c = Corpus(docs.limit(400))
+    out = c.with_split({"train": 0.9, "val": 0.05, "test": 0.05})
+    rows = out.df.select("doc_id", "split").collect()
+    assert len(rows) == 400  # fractions sum to 1 -> nothing dropped
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) <= {"train", "val", "test"}
+    assert len(by_split["train"]) > len(by_split.get("val", set()))
+    # repartitioning must not change membership
+    again = {
+        (r["doc_id"], r["split"])
+        for r in Corpus(docs.limit(400).repartition(13))
+        .with_split({"train": 0.9, "val": 0.05, "test": 0.05})
+        .df.select("doc_id", "split")
+        .collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+    with pytest.raises(ValueError, match="sum"):
+        c.with_split({"a": 0.9, "b": 0.2})

@@ -292,6 +292,27 @@ class Corpus:
             )
         )
 
+    def with_split(
+        self,
+        fractions: dict[str, float],
+        *,
+        col: str = "split",
+        drop_unassigned: bool = True,
+    ) -> "Corpus":
+        """Label every doc with a deterministic train/val/test split
+        (content-addressed sha thresholds — membership is a pure function
+        of the id, so a doc can never leak between splits across runs or
+        repartitionings). Fractions must sum to <= 1; unassigned rows are
+        dropped unless ``drop_unassigned=False`` keeps them with NULL."""
+        from wagtail_vector_index_spark.operators.skew import split_col
+
+        out = self.df.withColumn(
+            col, split_col(F.col(self.id_col), fractions)
+        )
+        if drop_unassigned:
+            out = out.where(F.col(col).isNotNull())
+        return self._wrap(out)
+
     def with_token_counts(self, *, col: str = "est_tokens") -> "Corpus":
         """Append the estimated token count (the reference's naive
         estimator as a JVM column twin)."""

@@ -122,6 +122,31 @@ def weighted_mix(
     return df.where(keep)
 
 
+def split_col(key, fractions: dict[str, float], *, buckets: int = 100000):
+    """Deterministic dataset-split label from cumulative sha-bucket
+    thresholds: a row's split is a pure function of its key, so
+    train/val/test membership is stable across runs, partitionings, and
+    engines — and a document can never leak from val into train between
+    pipeline versions (the property seeded RNG splits lack). Fractions
+    iterate in sorted-name order (the oracle must sort identically);
+    they must sum to <= 1 — rows past the cumulative total get NULL
+    (callers drop or keep them explicitly)."""
+    total = 0.0
+    expr = None
+    b = sha_bucket_col(key, buckets=buckets)
+    for name, frac in sorted(fractions.items()):
+        if frac < 0:
+            raise ValueError(f"fraction for {name!r} must be >= 0, got {frac}")
+        total += frac
+        cond = b < int(round(total * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    if expr is None:
+        raise ValueError("fractions must not be empty")
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total}, must be <= 1")
+    return expr
+
+
 def mix_epochs(
     df: DataFrame,
     weights: dict[str, float],

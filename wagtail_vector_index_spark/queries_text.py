@@ -362,6 +362,45 @@ def _mix_oracle() -> str:
     """
 
 
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _split_oracle() -> str:
+    # mirror split_col: sorted-name iteration, cumulative thresholds on
+    # the same sha-bucket space
+    total = 0.0
+    cases = []
+    for name, frac in sorted(_SPLIT_FRACTIONS.items()):
+        total += frac
+        cases.append(f"WHEN b < {int(round(total * 100000))} THEN '{name}'")
+    return f"""
+    SELECT doc_id, source, split FROM (
+      SELECT doc_id, source,
+             (CASE {' '.join(cases)} END) AS split
+      FROM (SELECT doc_id, source,
+                   ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT
+                     % 100000 AS b
+            FROM documents))
+    WHERE split IS NOT NULL
+    """
+
+
+@register("pipeline_train_val_split", oracle=_split_oracle())
+def pipeline_train_val_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5): membership is a
+    pure function of the doc id via cumulative sha-bucket thresholds —
+    stable across runs, partitionings, and engines, so a document can
+    never leak from val into train between pipeline versions. Served
+    through the Corpus facade; one narrow JVM projection, no shuffle, no
+    RNG."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return Corpus(docs).with_split(_SPLIT_FRACTIONS).df.select(
+        "doc_id", "source", "split"
+    )
+
+
 @register("pipeline_dataset_mix", oracle=_mix_oracle())
 def pipeline_dataset_mix(spark, sf_dir):
     """Deterministic dataset mixing: per-source keep rates (downweight
