@@ -724,22 +724,30 @@ def connected_components(
             F.sum(F.xxhash64(F.col(out_comp)).cast("decimal(38,0)"))
         ).collect()[0][0]
 
+    def _propagate(labels: DataFrame) -> DataFrame:
+        nbr = labels.select(
+            F.col(out_id).alias("dst"), F.col(out_comp).alias("nbr_comp")
+        )
+        msgs = adj.join(nbr, "dst").select(
+            F.col("src").alias(out_id), F.col("nbr_comp").alias(out_comp)
+        )
+        return (
+            msgs.unionByName(labels)
+            .groupBy(out_id)
+            .agg(F.min(out_comp).alias(out_comp))
+        )
+
     measure = _potential if numeric_ids else _potential_hash
     prev = measure(lbl)
     try:
-        for _ in range(max_iter):
-            nbr = lbl.select(
-                F.col(out_id).alias("dst"), F.col(out_comp).alias("nbr_comp")
-            )
-            msgs = adj.join(nbr, "dst").select(
-                F.col("src").alias(out_id), F.col("nbr_comp").alias(out_comp)
-            )
-            new = (
-                msgs.unionByName(lbl)
-                .groupBy(out_id)
-                .agg(F.min(out_comp).alias(out_comp))
-                .localCheckpoint(eager=True)
-            )
+        # TWO propagation hops per checkpoint round: each checkpoint +
+        # potential agg is a fixed multi-job cost, and plan growth over
+        # two hops is still tiny, so doubling the stride halves the
+        # per-round overhead; fixpoint detection is merely deferred to
+        # the next even hop (labels are monotone, so correctness is
+        # unaffected — worst case one redundant propagation).
+        for _ in range((max_iter + 1) // 2):
+            new = _propagate(_propagate(lbl)).localCheckpoint(eager=True)
             pot = measure(new)
             lbl = new
             if pot == prev:
