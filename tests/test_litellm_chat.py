@@ -183,3 +183,49 @@ def test_aquery_streams_through_litellm_backend(
         "user",
     ]
     assert call["messages"][-1]["content"] == "what do the documents say"
+
+
+def test_embedding_backend_sync_and_async(fake_litellm):
+    """LiteLLMEmbeddingBackend twin parity (reference litellm.py:176-186):
+    embed_batch -> litellm.embedding, aembed_batch -> litellm.aembedding,
+    identical row/vector shape either way."""
+    import asyncio
+
+    fake_litellm.embedding_vectors = [[0.1, 0.2], [0.3, 0.4]]
+
+    def _embedding(*, model, input, **params):
+        fake_litellm.calls.append(
+            {"api": "embedding", "model": model, "input": list(input), **params}
+        )
+        return {
+            "data": [
+                {"embedding": v}
+                for v in fake_litellm.embedding_vectors[: len(input)]
+            ]
+        }
+
+    async def _aembedding(*, model, input, **params):
+        fake_litellm.calls.append(
+            {"api": "aembedding", "model": model, "input": list(input), **params}
+        )
+        return {
+            "data": [
+                {"embedding": v}
+                for v in fake_litellm.embedding_vectors[: len(input)]
+            ]
+        }
+
+    fake_litellm.embedding = _embedding
+    fake_litellm.aembedding = _aembedding
+
+    from wagtail_vector_index_spark.embedding.litellm_backend import (
+        LiteLLMEmbeddingBackend,
+    )
+
+    be = LiteLLMEmbeddingBackend("text-embedding-x", dimensions=2)
+    sync = be.embed_batch(["a", "b"])
+    assert sync.shape == (2, 2) and sync[0][0] == 0.1
+    out = asyncio.run(be.aembed_batch(["a", "b"]))
+    assert out.shape == (2, 2) and (out == sync).all()
+    apis = [c["api"] for c in fake_litellm.calls if "api" in c]
+    assert apis == ["embedding", "aembedding"]

@@ -34,10 +34,23 @@ class LiteLLMEmbeddingBackend:
         self.token_limit = token_limit
         self.params = params
 
-    def embed_batch(self, texts: list[str]) -> np.ndarray:  # pragma: no cover
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
         import litellm
 
         response = litellm.embedding(
+            model=self.model_id, input=list(texts), **self.params
+        )
+        return np.array([d["embedding"] for d in response["data"]], dtype=np.float64)
+
+    async def aembed_batch(self, texts: list[str]) -> np.ndarray:
+        """Async twin (reference aembed,
+        /root/reference/src/wagtail_vector_index/ai_utils/backends/litellm.py:181-186)
+        for driver-side online callers; the Spark embed stage stays on
+        the sync path (worker concurrency comes from partitions, not an
+        event loop)."""
+        import litellm
+
+        response = await litellm.aembedding(
             model=self.model_id, input=list(texts), **self.params
         )
         return np.array([d["embedding"] for d in response["data"]], dtype=np.float64)
