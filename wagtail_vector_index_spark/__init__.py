@@ -35,9 +35,12 @@ __all__ = [
     "EMBEDDING_DIMENSIONS",
     "TOKEN_LIMITS",
     "ChatConfig",
+    "Corpus",
     "DocumentStore",
     "EmbeddingConfig",
+    "EventLog",
     "IndexConfig",
+    "ManifestLog",
     "QueryResponse",
     "VectorIndex",
     "__version__",
@@ -55,4 +58,16 @@ def __getattr__(name):
         from wagtail_vector_index_spark.sources.tables import DocumentStore
 
         return DocumentStore
+    if name == "ManifestLog":
+        from wagtail_vector_index_spark.sources.manifest import ManifestLog
+
+        return ManifestLog
+    if name == "Corpus":
+        from wagtail_vector_index_spark.operators.corpus import Corpus
+
+        return Corpus
+    if name == "EventLog":
+        from wagtail_vector_index_spark.operators.events import EventLog
+
+        return EventLog
     raise AttributeError(name)
