@@ -126,3 +126,36 @@ def test_litellm_backend_gated():
 
     with pytest.raises(ImportError, match="litellm is not installed"):
         LiteLLMEmbeddingBackend()
+
+
+def test_window_fingerprints_grid_and_dedup(spark):
+    """Window fingerprints: hop-grid alignment means a shared segment
+    embedded at a hop-aligned offset in two different payloads yields
+    identical fingerprints — the audio shared-segment detector."""
+    from wagtail_vector_index_spark.operators.multimodal import (
+        window_fingerprints,
+    )
+
+    seg = bytes(range(256))  # the "jingle"
+    a = seg + b"A" * 300
+    b = b"B" * 128 + seg + b"C" * 100  # hop-aligned (128) embedding
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b))], "doc_id long, payload binary"
+    )
+    out = window_fingerprints(
+        df, binary_col="payload", window_bytes=256, hop_bytes=128,
+        max_windows=8,
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["win_no"]] = r["win_sha"]
+    # doc1 window 0 covers seg exactly; doc2 window 1 starts at byte 128
+    assert by_doc[1][0] == by_doc[2][1]
+    # window counts follow the grid: len(a)=556 -> offs 0..300 step 128
+    assert len(by_doc[1]) == 3
+    # short payloads yield no windows
+    tiny = window_fingerprints(
+        spark.createDataFrame([(3, bytearray(b"xy"))], "doc_id long, payload binary"),
+        binary_col="payload",
+    ).count()
+    assert tiny == 0

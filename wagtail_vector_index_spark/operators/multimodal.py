@@ -184,3 +184,62 @@ def frame_sample_stub(
         every_n_bytes=every_n_bytes,
         max_frames=max_frames,
     )
+
+
+def window_fingerprints(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    binary_col: str = "payload",
+    window_bytes: int = 256,
+    hop_bytes: int = 128,
+    max_windows: int = 8,
+) -> DataFrame:
+    """Audio-segment fingerprinting plumbing: (key, payload) -> one row
+    per overlapping byte window (key, win_no, win_sha) where ``win_sha``
+    is the sha256 of the window's UPPERCASE-HEX encoding (hex rather
+    than raw bytes so a SQL oracle can replay it — DuckDB cannot slice
+    blobs, and hex is a bijection, so the fingerprint is just as
+    content-addressed).
+
+    This is the shared-segment detector for audio corpora: identical
+    clips embedded in different containers produce identical window
+    fingerprints wherever the hop grid aligns, so a groupBy(win_sha)
+    finds repeated jingles/silence/boilerplate audio the way
+    dedup_shared_passages finds boilerplate text. Partition-local
+    fan-out inside mapInPandas, no shuffle; a real resampling
+    fingerprinter (chromaprint-style) plugs into the same contract."""
+    import pandas as pd
+
+    from wagtail_vector_index_spark._workerenv import ensure_worker_imports
+
+    ensure_worker_imports(df)
+    schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("win_no", T.IntegerType()),
+            T.StructField("win_sha", T.StringType()),
+        ]
+    )
+    cap = hop_bytes * max_windows
+
+    def _windows(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            keys, nos, shas = [], [], []
+            for key, payload in zip(pdf[key_col], pdf[binary_col]):
+                data = bytes(payload or b"")
+                off, win_no = 0, 0
+                while off + window_bytes <= len(data) and off < cap:
+                    w = data[off : off + window_bytes]
+                    shas.append(
+                        hashlib.sha256(w.hex().upper().encode()).hexdigest()
+                    )
+                    keys.append(key)
+                    nos.append(win_no)
+                    off += hop_bytes
+                    win_no += 1
+            yield pd.DataFrame(
+                {key_col: keys, "win_no": nos, "win_sha": shas}
+            )
+
+    return df.select(key_col, binary_col).mapInPandas(_windows, schema=schema)

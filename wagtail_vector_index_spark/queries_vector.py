@@ -444,6 +444,41 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_audio_fingerprint",
+    oracle="""
+    WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+    offs AS (
+      SELECT doc_id, payload,
+             unnest(range(0, least(greatest(octet_length(payload) - 255, 0),
+                                   1024), 128)) AS off
+      FROM p)
+    SELECT doc_id, (off // 128)::INT AS win_no,
+           sha256(substr(hex(payload), off::INT * 2 + 1, 512)) AS win_sha
+    FROM offs
+    """,
+)
+def multimodal_audio_fingerprint(spark, sf_dir):
+    """Audio-segment fingerprints over opaque binary payloads (text bytes
+    stand in for PCM): overlapping 256-byte windows on a 128-byte hop,
+    each fingerprinted content-addressed — the shared-segment detector
+    that finds repeated jingles/silence across an audio corpus the way
+    dedup_shared_passages finds boilerplate text. The Arrow fan-out
+    plumbing is real (operators/multimodal.py::window_fingerprints); the
+    oracle replays the hop grid and per-window hashes byte for byte."""
+    from wagtail_vector_index_spark.operators.multimodal import (
+        window_fingerprints,
+    )
+
+    blobs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return window_fingerprints(
+        blobs, binary_col="payload", window_bytes=256, hop_bytes=128,
+        max_windows=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN (the scale path for similarity search)
 # ---------------------------------------------------------------------------
