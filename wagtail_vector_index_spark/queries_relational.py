@@ -626,6 +626,25 @@ def q_monthly_orders(spark, sf_dir):
 
 
 @register(
+    "q_skew_salted_count",
+    oracle="""
+    SELECT l_returnflag, count(*)::BIGINT AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_count(spark, sf_dir):
+    """Skew-safe aggregation: per-key counts via the two-phase salted
+    plan (partial count on (key, random salt), final sum on key) — the
+    pattern that keeps one hot key from landing in a single reduce task
+    at 100 TB. l_returnflag has 3 values over the whole table, the
+    textbook hot-key shape; the salt is execution detail only, so the
+    result is deterministic and the oracle is the plain GROUP BY."""
+    from wagtail_vector_index_spark.operators.skew import salted_count
+
+    return salted_count(_t(spark, sf_dir, "lineitem"), "l_returnflag")
+
+
+@register(
     "q_events_hourly",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_str,
