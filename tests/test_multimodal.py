@@ -159,3 +159,53 @@ def test_window_fingerprints_grid_and_dedup(spark):
         binary_col="payload",
     ).count()
     assert tiny == 0
+
+
+def test_resize_binary_column_stub_and_shape(spark):
+    """Resize plumbing: binary in/out, one row per input, deterministic
+    stub output sized to the target thumbnail budget."""
+    from wagtail_vector_index_spark.operators.multimodal import (
+        resize_binary_column,
+        resize_stub,
+    )
+
+    payload = bytes(range(256)) * 8  # 2048 bytes
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: bytes(r["resized"] or b"")
+        for r in resize_binary_column(df, width=64, height=64).collect()
+    }
+    assert len(out[1]) == 64 * 64 // 64  # strided down to the budget
+    assert out[1] == resize_stub(payload, width=64, height=64)  # deterministic
+    assert out[2] == b""
+
+
+def test_resize_pil_import_gated():
+    from wagtail_vector_index_spark.operators.multimodal import resize_image_pil
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError):
+            resize_image_pil(b"xx", width=4, height=4)
+
+
+def test_extract_feature_col_matches_hash_derivation(spark):
+    import hashlib as _hashlib
+
+    from wagtail_vector_index_spark.operators.multimodal import (
+        extract_feature_col,
+    )
+
+    payload = b"some audio bytes"
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = extract_feature_col(df, dim=8).collect()[0]
+    h = _hashlib.sha256(payload.hex().upper().encode()).hexdigest()
+    expected = [int(h[8 * i : 8 * i + 8], 16) / 4294967296.0 for i in range(8)]
+    assert row["features"] == expected
+    assert all(0.0 <= v < 1.0 for v in row["features"])

@@ -243,3 +243,110 @@ def window_fingerprints(
             )
 
     return df.select(key_col, binary_col).mapInPandas(_windows, schema=schema)
+
+
+def resize_stub(payload: bytes, *, width: int, height: int) -> bytes:
+    """Deterministic fake resize: strided byte sampling down to a
+    (width*height//64)-byte thumbnail payload — content-dependent and
+    shape-correct, so the Spark-side plumbing (batch shape, binary
+    in/out, metadata) is real while the pixel math is a stand-in. The
+    PIL twin below does the real thing when the library exists."""
+    data = bytes(payload or b"")
+    target = max(width * height // 64, 1)
+    if not data:
+        return b""
+    if len(data) <= target:
+        return data
+    stride = len(data) / target
+    return bytes(data[int(i * stride)] for i in range(target))
+
+
+def resize_image_pil(payload: bytes, *, width: int, height: int) -> bytes:
+    """Real resize (import-gated): decode with PIL, LANCZOS-resample to
+    (width, height), re-encode PNG."""
+    import io
+
+    from PIL import Image  # noqa: F401
+
+    img = Image.open(io.BytesIO(bytes(payload)))
+    out = io.BytesIO()
+    img.resize((width, height), Image.LANCZOS).save(out, format="PNG")
+    return out.getvalue()
+
+
+def resize_binary_column(
+    df: DataFrame,
+    *,
+    binary_col: str = "payload",
+    width: int = 64,
+    height: int = 64,
+    out_col: str = "resized",
+    resizer=resize_stub,
+) -> DataFrame:
+    """Image-resize plumbing: binary in, binary out, one row per input
+    row, Arrow-batched. ``resizer`` is any ``(bytes, width, height) ->
+    bytes``; pass :func:`resize_image_pil` where PIL exists."""
+    import pandas as pd
+
+    from wagtail_vector_index_spark._workerenv import ensure_worker_imports
+
+    ensure_worker_imports(df)
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def _resize(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                resizer(p, width=width, height=height)
+                for p in pdf[binary_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_resize, schema=schema)
+
+
+def extract_feature_col(
+    df: DataFrame,
+    *,
+    binary_col: str = "payload",
+    dim: int = 8,
+    out_col: str = "features",
+) -> DataFrame:
+    """Deterministic feature extraction for opaque payloads: ``dim``
+    floats in [0, 1) from sha256 of the payload's uppercase hex (the
+    hash-embedder derivation, so the DuckDB oracle replays it exactly
+    and the output plugs straight into the knn / ANN / near-dup
+    operators as an ``array<double>`` column). A real extractor (CLIP,
+    mel-spectrogram pooling) replaces the hash with model inference
+    behind the same Arrow batch contract — this pins the dataflow."""
+    import pandas as pd
+
+    from wagtail_vector_index_spark._workerenv import ensure_worker_imports
+
+    ensure_worker_imports(df)
+    schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()), False)]
+    )
+    assert dim <= 8, "one sha256 digest yields 8 4-byte words"
+
+    def _features(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            feats = []
+            for p in pdf[binary_col]:
+                h = hashlib.sha256(
+                    bytes(p or b"").hex().upper().encode()
+                ).hexdigest()
+                feats.append(
+                    [
+                        int(h[8 * i : 8 * i + 8], 16) / 4294967296.0
+                        for i in range(dim)
+                    ]
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(_features, schema=schema)

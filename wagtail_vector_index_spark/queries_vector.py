@@ -445,6 +445,38 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "multimodal_feature_embed",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, sha256(hex(encode(text))) AS h FROM documents)
+    SELECT doc_id, feat_no::INT AS feat_no,
+           round(('0x' || substr(h, feat_no * 8 + 1, 8))::UBIGINT
+                 / 4294967296.0, 9) AS feat
+    FROM f, unnest(range(0, 8)) t(feat_no)
+    """,
+)
+def multimodal_feature_embed(spark, sf_dir):
+    """Feature extraction over opaque binary payloads (text bytes stand
+    in for image/audio): 8 deterministic floats per payload from the
+    sha256-of-hex derivation, exploded to scalar rows for the gate. The
+    Arrow binary-in/vector-out plumbing is the real contract a CLIP or
+    mel-spectrogram extractor drops into; the output column feeds the
+    knn/ANN/near-dup operators directly."""
+    from wagtail_vector_index_spark.operators.multimodal import (
+        extract_feature_col,
+    )
+
+    blobs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_feature_col(blobs, binary_col="payload", dim=8)
+    return feats.select(
+        "doc_id",
+        F.posexplode("features").alias("feat_no", "__f"),
+    ).select("doc_id", "feat_no", F.round("__f", 9).alias("feat"))
+
+
+@register(
     "multimodal_audio_fingerprint",
     oracle="""
     WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
