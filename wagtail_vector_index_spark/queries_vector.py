@@ -477,6 +477,52 @@ def multimodal_feature_embed(spark, sf_dir):
 
 
 @register(
+    "multimodal_feature_knn",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_transform(range(0, 8), i ->
+               ('0x' || substr(sha256(hex(encode(text))), i * 8 + 1, 8))::UBIGINT
+               / 4294967296.0) AS v
+      FROM documents),
+    p AS (SELECT v AS pv FROM f WHERE doc_id = 0)
+    SELECT doc_id, round(sim, 6) AS cos_sim FROM (
+      SELECT f.doc_id, {_cos_sql('f.v', 'p.pv')} AS sim
+      FROM f, p WHERE f.doc_id <> 0)
+    ORDER BY sim DESC, doc_id LIMIT 10
+    """,
+)
+def multimodal_feature_knn(spark, sf_dir):
+    """The multimodal -> similarity composition: extract payload feature
+    vectors (Arrow stage), then exact cosine top-k against doc 0's
+    features with the standard TakeOrdered plan — the end-to-end shape
+    of near-dup image/audio retrieval, pinned per stage AND composed
+    (the oracle re-derives the features and the ranking in one
+    statement)."""
+    from wagtail_vector_index_spark.operators.knn import topk_similar
+    from wagtail_vector_index_spark.operators.multimodal import (
+        extract_feature_col,
+    )
+
+    blobs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_feature_col(blobs, binary_col="payload", dim=8).select(
+        "doc_id", "features"
+    )
+    probe = feats.where(F.col("doc_id") == 0).first()["features"]
+    hits = topk_similar(
+        feats.where(F.col("doc_id") != 0),
+        list(probe),
+        vector_col="features",
+        id_col="doc_id",
+        limit=10,
+        method="cosine",
+    )
+    return hits.select("doc_id", F.round("similarity", 6).alias("cos_sim"))
+
+
+@register(
     "multimodal_audio_fingerprint",
     oracle="""
     WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
