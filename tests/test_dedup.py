@@ -283,3 +283,47 @@ def test_pack_sequences_budget_invariant(spark, documents_df):
     assert agg.where(F.col("min_off") != 0).count() == 0
     assert agg.where(F.col("end") != F.col("total")).count() == 0
     assert packed.count() == docs.count()
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    from wagtail_vector_index_spark.operators.dedup import (
+        assign_centroids,
+        semantic_dedup,
+    )
+
+    # two orthogonal clusters; 11/12 are near-dups of 10 within cluster A;
+    # 20 sits alone in cluster B even though it's identical-direction to
+    # nothing there. 30 is near 10 in cosine but assigned to B's centroid
+    # region? no — keep it clean: only within-cluster pairs prune.
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 10, same cluster
+        (12, [0.98, 0.02, 0.0, 0.0]),   # near-dup of 10 and 11
+        (20, [0.0, 1.0, 0.0, 0.0]),     # other cluster, survives
+        (21, [0.0, 0.99, 0.01, 0.0]),   # near-dup of 20, dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+
+    assigned = assign_centroids(df, cents, vec_col="embedding")
+    cid = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    assert cid == {10: 0, 11: 0, 12: 0, 20: 1, 21: 1}
+
+    surv = semantic_dedup(
+        df, cents, id_col="vec_id", vec_col="embedding", threshold=0.95
+    )
+    kept = sorted(r["vec_id"] for r in surv.collect())
+    # lowest id per near-dup clique survives in each cluster
+    assert kept == [10, 20]
+
+
+def test_assign_centroids_tie_goes_to_lowest_cid(spark):
+    from wagtail_vector_index_spark.operators.dedup import assign_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    # both centroids equally similar to (1,1): tie must go to cid 3 (lowest)
+    cents = [(7, [1.0, 0.0]), (3, [0.0, 1.0])]
+    out = assign_centroids(df, cents, vec_col="embedding").collect()
+    assert out[0]["cid"] == 3

@@ -28,6 +28,9 @@ driver — says so in its docstring and has the distributed
 
 from __future__ import annotations
 
+import math
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -811,3 +814,95 @@ def simhash_pairs_dense(
         )
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
     )
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    *,
+    vec_col: str = "embedding",
+    sim_alias: str = "centroid_sim",
+    cid_alias: str = "cid",
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment as a PURE MAP expression.
+
+    ``centroids`` is a small-by-contract driver-side list (k centroids —
+    the same contract as the kmeans codebook and ANN probe lists). Each
+    centroid enters the plan as an array literal and the row's cosine
+    against it is a sequential-fold expression, so the whole assignment
+    is a single projection: NO shuffle, NO join, NO Python stage — at
+    100 TB the assignment costs exactly one scan. (Billion-row *serving*
+    assignment belongs to the IVF index's Arrow/GEMM path; this
+    expression form exists for bounded k and exact SQL replayability.)
+    Ties on cosine go to the lowest centroid id
+    (``array_max`` over ``struct(sim, -cid)``), matching a
+    ``row_number() OVER (ORDER BY sim DESC, cid)`` SQL twin.
+    """
+    from wagtail_vector_index_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    entries = []
+    for cid, cvec in centroids:
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec]).cast(
+            "array<double>"
+        )
+        sim = cosine_similarity(F.col(vec_col), lit_vec)
+        entries.append(
+            F.struct(
+                sim.alias("s"), F.lit(-int(cid)).cast("long").alias("negcid")
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return (
+        df.withColumn("__best", best)
+        .withColumn(sim_alias, F.col("__best.s"))
+        .withColumn(cid_alias, (-F.col("__best.negcid")).cast("int"))
+        .drop("__best")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, compare pairs ONLY within each
+    cluster, drop the higher-id member of every pair above the cosine
+    threshold. Returns the surviving rows as ``(id_col, cid)``.
+
+    Scale shape: assignment is a zero-shuffle codegen'd projection
+    (:func:`assign_centroids`); the pairwise stage shuffles once on the
+    cluster id and is quadratic only WITHIN clusters — the entire point
+    of SemDeDup at 100 TB is that k bounds the blowup to
+    sum(|cluster|^2) << N^2. The verify comparison uses the unrolled
+    left-associated dot product, bit-identical to a DuckDB
+    ``list_inner_product`` twin, so the survivor set is exactly
+    reproducible in SQL.
+    """
+    from wagtail_vector_index_spark.functions.vector import (
+        cosine_similarity_unrolled,
+    )
+
+    dim = len(centroids[0][1])
+    assigned = assign_centroids(df, centroids, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cid")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("cid")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("cid")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_similarity_unrolled("__va", "__vb", dim) >= F.lit(threshold))
+        .select("id_b")
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.select(id_col, "cid").join(losers, id_col, "left_anti")

@@ -7,6 +7,7 @@ __spark_entry__.py's ``queries()`` / ``oracle_sql()``.
 
 from __future__ import annotations
 
+import wagtail_vector_index_spark.queries_tpch_ext  # noqa: F401  (newest first: driver samples from the head)
 import wagtail_vector_index_spark.queries_relational  # noqa: F401
 import wagtail_vector_index_spark.queries_text  # noqa: F401
 import wagtail_vector_index_spark.queries_vector  # noqa: F401

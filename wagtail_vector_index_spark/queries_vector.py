@@ -1697,3 +1697,54 @@ def q_array_functions(spark, sf_dir):
             F.array_max(F.transform(v, lambda x: F.abs(x))), 6
         ).alias("max_abs"),
     )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.v', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM e, c) WHERE rn = 1),
+    pruned AS (
+      SELECT DISTINCT b.vec_id AS id_b
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE {_cos_sql('ea.v', 'eb.v')} >= 0.4)
+    SELECT vec_id, cid::INT AS cid
+    FROM assign WHERE vec_id NOT IN (SELECT id_b FROM pruned)
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to its max-cosine centroid, compare pairs only WITHIN
+    each cluster, and drop the higher-id member of every pair with
+    cosine >= 0.4. Returns the surviving (vec_id, cid) rows.
+
+    The 16 centroids are the 16 lowest-id vectors — deterministic (the
+    same sampled-codebook convention as the IVF-PQ gate) so the DuckDB
+    oracle replays assignment, within-cluster pruning, and survivor
+    selection exactly. Scale shape: assignment is a zero-shuffle
+    codegen'd projection over broadcast literals; the quadratic stage is
+    bounded per cluster (the SemDeDup point); the survivor anti-join
+    shuffles ids only. The reference has no clustering dedup — this is
+    north-star EXT surface (SURVEY §2 extended families)."""
+    from wagtail_vector_index_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    return semantic_dedup(
+        emb, cents, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
