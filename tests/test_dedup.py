@@ -291,10 +291,9 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
         semantic_dedup,
     )
 
-    # two orthogonal clusters; 11/12 are near-dups of 10 within cluster A;
-    # 20 sits alone in cluster B even though it's identical-direction to
-    # nothing there. 30 is near 10 in cosine but assigned to B's centroid
-    # region? no — keep it clean: only within-cluster pairs prune.
+    # two orthogonal clusters: 11/12 are near-dups of 10 within cluster A,
+    # 21 is a near-dup of 20 within cluster B; pruning never crosses
+    # cluster boundaries.
     rows = [
         (10, [1.0, 0.0, 0.0, 0.0]),
         (11, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 10, same cluster

@@ -130,6 +130,18 @@ class IvfIndex:
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
+        # Codebooks are immutable after build() (append/delete/compact
+        # touch only the vectors log), so the k-row driver-side collect
+        # is memoized per instance — repeat queries through a served
+        # index cost zero codebook jobs.
+        self._codebook_rows_cache: list | None = None
+
+    def _codebook_rows(self) -> list:
+        if self._codebook_rows_cache is None:
+            self._codebook_rows_cache = self.spark.read.parquet(
+                self.codebook_path
+            ).collect()
+        return self._codebook_rows_cache
 
     @property
     def vectors_path(self) -> str:
@@ -270,7 +282,7 @@ class IvfIndex:
         q = [float(x) for x in query_vector]
         qn = math.sqrt(_seq_dot(q, q))
         scored = []
-        for r in self.spark.read.parquet(self.codebook_path).collect():
+        for r in self._codebook_rows():
             cv = [float(x) for x in r["cv"]]
             sim = _seq_dot(cv, q) / (math.sqrt(_seq_dot(cv, cv)) * qn)
             scored.append((-sim, int(r["cid"])))
@@ -499,12 +511,17 @@ class IvfPqIndex(IvfIndex):
                 out.append((mi, j, nv[mi * sub : (mi + 1) * sub]))
         return spark.createDataFrame(out, "m int, j int, cv array<double>")
 
+    _pq_cb_cache: list[list[list[float]]] | None = None
+
     def _pq_codebook(self) -> list[list[list[float]]]:
+        if self._pq_cb_cache is not None:
+            return self._pq_cb_cache
         rows = self.spark.read.parquet(self.pq_codebook_path).collect()
         n_m = 1 + max(r["m"] for r in rows)
         cb: list[list[list[float]]] = [[] for _ in range(n_m)]
         for r in sorted(rows, key=lambda r: (r["m"], r["j"])):
             cb[r["m"]].append([float(x) for x in r["cv"]])
+        self._pq_cb_cache = cb
         return cb
 
     def append(self, df: DataFrame) -> None:

@@ -568,6 +568,10 @@ def multimodal_audio_fingerprint(spark, sf_dir):
 # temp dirs are reclaimed at interpreter exit (they used to leak per
 # process, r2 verdict wrong-list #2).
 _ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
+# Instances memoized alongside the paths: the index objects cache their
+# (small-by-contract) codebook collects, so repeat queries in one
+# process pay zero codebook jobs — the served-index steady state.
+_ANN_INSTANCE_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _cleanup_ann_cache() -> None:  # pragma: no cover - exit hook
@@ -600,7 +604,9 @@ def _ivf_index_for(spark, sf_dir):
         )
         IvfIndex.build(index, path=path, centroids_df=centroids)
         _ANN_INDEX_CACHE[key] = path
-    return IvfIndex(spark, _ANN_INDEX_CACHE[key])
+    if key not in _ANN_INSTANCE_CACHE:
+        _ANN_INSTANCE_CACHE[key] = IvfIndex(spark, _ANN_INDEX_CACHE[key])
+    return _ANN_INSTANCE_CACHE[key]
 
 
 def _lsh_index_for(spark, sf_dir):
@@ -617,7 +623,9 @@ def _lsh_index_for(spark, sf_dir):
         )
         LshIndex.build(index, path=path, num_planes=12, dim=64)
         _ANN_INDEX_CACHE[key] = path
-    return LshIndex(spark, _ANN_INDEX_CACHE[key])
+    if key not in _ANN_INSTANCE_CACHE:
+        _ANN_INSTANCE_CACHE[key] = LshIndex(spark, _ANN_INDEX_CACHE[key])
+    return _ANN_INSTANCE_CACHE[key]
 
 
 @register(
@@ -681,7 +689,9 @@ def _ivfpq_index_for(spark, sf_dir):
             index, path=path, centroids_df=centroids, m=8, ksub=16
         )
         _ANN_INDEX_CACHE[key] = path
-    return IvfPqIndex(spark, _ANN_INDEX_CACHE[key])
+    if key not in _ANN_INSTANCE_CACHE:
+        _ANN_INSTANCE_CACHE[key] = IvfPqIndex(spark, _ANN_INDEX_CACHE[key])
+    return _ANN_INSTANCE_CACHE[key]
 
 
 # ADC score = explicitly left-associated sum of the 8 per-subspace LUT
