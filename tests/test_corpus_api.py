@@ -132,3 +132,43 @@ def test_with_split_is_deterministic_and_exhaustive(docs):
     assert again == {(r["doc_id"], r["split"]) for r in rows}
     with pytest.raises(ValueError, match="sum"):
         c.with_split({"a": 0.9, "b": 0.2})
+
+
+def test_cap_per_source_keeps_top_n(spark):
+    rows = [
+        (i, f"src{i % 2}", "x " * (i + 1)) for i in range(10)
+    ]  # 5 docs per source, lengths strictly increasing with id
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = Corpus(df).cap_per_source(2).df
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # longest two per source survive: ids 8,9 (longest) then 6,7
+    assert kept == [6, 7, 8, 9]
+    assert out.groupBy("source").count().agg(F.max("count")).first()[0] == 2
+
+
+def test_with_quality_score_bounds_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "alpha beta gamma"), (2, "s", "alpha beta gamma")],
+        "doc_id long, source string, text string",
+    )
+    out = Corpus(df).with_quality_score().df.collect()
+    scores = {r["doc_id"]: r["quality_score"] for r in out}
+    assert 0.0 < scores[1] < 1.0
+    assert scores[1] == scores[2]  # same text -> identical score
+
+
+def test_corpus_dedup_semantic_drops_near_duplicates(spark):
+    rows = [
+        (1, "s", "a", [1.0, 0.0]),
+        (2, "s", "b", [0.999, 0.001]),  # near-dup of 1, dropped
+        (3, "s", "c", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, emb array<double>"
+    )
+    out = Corpus(df).dedup_semantic(
+        vec_col="emb", centroids=[(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        threshold=0.99,
+    )
+    assert sorted(r["doc_id"] for r in out.df.collect()) == [1, 3]
+    assert out.df.columns == ["doc_id", "source", "text", "emb"]

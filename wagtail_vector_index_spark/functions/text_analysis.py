@@ -463,3 +463,40 @@ def redact_pii_col(text: Column) -> Column:
     out = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, _PHONE_RE, "<PHONE>")
     return F.regexp_replace(out, _IPV4_RE, "<IP>")
+
+
+# --------------------------------------------------------------------------
+# Model-based quality scoring (hashed linear classifier, curation EXT)
+# --------------------------------------------------------------------------
+
+
+def hashed_linear_quality_col(
+    text: Column, *, dims: int = 256, scale: float = 8.0
+) -> Column:
+    """Quality score from a hashed linear model — the Spark-expressible
+    skeleton of a fastText-style quality classifier (word -> hashed
+    bucket -> learned weight -> mean -> sigmoid). Real deployments load
+    trained weights; here the weight table is derived deterministically
+    from sha256 of the bucket id, which keeps the *dataflow* (and the
+    DuckDB twin) exact while the weights stay a stand-in. Two sha passes
+    per token (bucket + weight), both inside one ``transform`` — no
+    Python stage, no join: scoring is a pure map over the corpus at any
+    scale.
+
+    score = sigmoid(scale * mean_t w(bucket(t))), w in [-1, 1).
+    """
+    toks = tokens_col(text)
+    ws = F.transform(
+        toks,
+        lambda t: sha_hash64(
+            F.concat(
+                F.lit("w"),
+                F.pmod(sha_hash64(t), F.lit(dims)).cast("string"),
+            )
+        )
+        / F.lit(4294967296.0)
+        * F.lit(2.0)
+        - F.lit(1.0),
+    )
+    raw = F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x) / F.size(toks)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(float(scale)) * raw))

@@ -353,3 +353,76 @@ class Corpus:
 
         export_jsonl_shards(self.df, path, key_col=self.id_col, **kwargs)
         return shard_manifest(self.df.sparkSession, path)
+
+    # -- curation extensions -------------------------------------------------
+
+    def cap_per_source(
+        self, n: int, *, by: str | None = None, descending: bool = True
+    ) -> "Corpus":
+        """Domain/source cap — keep at most ``n`` documents per source,
+        ranked by ``by`` (a column name; defaults to text length) with
+        doc-id tie-break. The standard curation defense against a single
+        domain dominating the mix; one window shuffle on the source key
+        (AQE handles skewed mega-sources)."""
+        from pyspark.sql import Window
+
+        rank_col = (
+            F.col(by) if by is not None else F.length(F.col(self.text_col))
+        )
+        order = rank_col.desc() if descending else rank_col.asc()
+        w = Window.partitionBy(self.source_col).orderBy(
+            order, F.col(self.id_col).asc()
+        )
+        return self._wrap(
+            self.df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= int(n))
+            .drop("__rk")
+        )
+
+    def with_quality_score(
+        self, *, col: str = "quality_score", dims: int = 256
+    ) -> "Corpus":
+        """Attach the hashed-linear-model quality score (fastText-shaped
+        scoring skeleton; see
+        functions/text_analysis.hashed_linear_quality_col) — a pure map,
+        chainable before quality_filter or cap_per_source."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            hashed_linear_quality_col,
+        )
+
+        return self._wrap(
+            self.df.withColumn(
+                col, hashed_linear_quality_col(F.col(self.text_col), dims=dims)
+            )
+        )
+
+    def dedup_semantic(
+        self,
+        *,
+        vec_col: str,
+        centroids=None,
+        k: int = 16,
+        threshold: float = 0.4,
+    ) -> "Corpus":
+        """SemDeDup-style semantic dedup over an embedding column already
+        on the corpus (operators/dedup.semantic_dedup). ``centroids``
+        defaults to the k lowest-id rows — deterministic and replayable;
+        pass kmeans codebook output for learned clusters."""
+        from wagtail_vector_index_spark.operators.dedup import semantic_dedup
+
+        if centroids is None:
+            centroids = [
+                (int(r[self.id_col]), [float(x) for x in r[vec_col]])
+                for r in self.df.select(self.id_col, vec_col)
+                .orderBy(self.id_col)
+                .limit(k)
+                .collect()
+            ]
+        survivors = semantic_dedup(
+            self.df.select(self.id_col, vec_col),
+            centroids,
+            id_col=self.id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+        ).select(self.id_col)
+        return self._wrap(self.df.join(survivors, self.id_col, "semi"))

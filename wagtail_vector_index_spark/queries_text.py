@@ -1249,3 +1249,75 @@ def streaming_stateful_dedup(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+@register(
+    "pipeline_source_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents) WHERE rk <= 10
+    """,
+)
+def pipeline_source_cap(spark, sf_dir):
+    """Domain/source cap — keep the 10 largest documents per source
+    (n_chars rank, doc-id tie-break): the standard curation defense
+    against one domain dominating a 100 TB mix. Served through the
+    Corpus facade (operators/corpus.py::cap_per_source), so the gate
+    oracle-verifies the API path: ONE window shuffle on the source key,
+    planned as WindowGroupLimit pushdown (rank filter applied before the
+    full sort materializes per partition)."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    capped = Corpus(_t(spark, sf_dir, "documents")).cap_per_source(
+        10, by="n_chars"
+    )
+    return capped.df.select("doc_id", "source", "n_chars")
+
+
+_W_SQL = (
+    "(('0x' || substr(sha256('w' || (('0x' || substr(sha256(tok), 1, 8))"
+    "::UBIGINT % 256)::VARCHAR), 1, 8))::UBIGINT / 4294967296.0) * 2 - 1"
+)
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    w AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                 list_transform(toks, tok -> {_W_SQL}) AS ws
+          FROM t)
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-8.0 * (list_sum(ws) / n_tokens))), 6)
+             AS quality
+    FROM w WHERE n_tokens > 0
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring: a hashed linear classifier (word ->
+    sha-bucket -> weight -> mean -> sigmoid), the Spark-expressible
+    skeleton of fastText-style quality filters (cf. CCNet/Gopher
+    pipelines). Weights are sha-derived stand-ins, so the full dataflow
+    — double sha per token, fold, logistic — is replayed exactly by the
+    DuckDB oracle; swapping in trained weights changes only the literal
+    table. Pure map over the corpus: no shuffle, no Python stage, scores
+    100 TB at scan speed."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        hashed_linear_quality_col,
+        tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+            F.round(
+                hashed_linear_quality_col(F.col("text"), dims=256, scale=8.0), 6
+            ).alias("quality"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
