@@ -1,0 +1,73 @@
+"""Mergeable sketch operators (approximate distinct counting, EXT).
+
+At 100 TB you don't count distincts exactly on every dashboard query —
+you sketch. Spark ships HLL++ natively (``F.approx_count_distinct``,
+the production path), but its register layout isn't replayable in an
+external oracle, so the correctness gate uses the KMV (k-minimum-values
+/ bottom-k) sketch instead: keep the k smallest normalized hash values
+of the distinct stream; the (k-1)/u_k estimator (Bar-Yossef et al. 2002)
+then estimates the distinct count with relative error ~1/sqrt(k-2).
+Every step — sha-derived uniform hash, bottom-k selection, estimator —
+is deterministic and exactly reproducible in ANSI SQL.
+
+KMV is genuinely mergeable (union of bottom-k sets, re-truncated to k,
+is associative and commutative — the property that makes sketches work
+as partial aggregates across 1000 executors). The implementation here
+computes the bottom-k with a distinct + ranked-window pass, which
+Catalyst plans as one shuffle on the group key with WindowGroupLimit
+(per-partition top-k before the exchange); a dedicated
+TypedImperativeAggregate (or the datasketches library) would fuse the
+truncation into the partial agg itself and is the drop-in upgrade when
+sketch state must stay O(k) per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.functions.text_analysis import sha_hash64
+
+
+def kmv_distinct(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    est_alias: str = "kmv_estimate",
+) -> DataFrame:
+    """Per-group approximate distinct count via the KMV bottom-k sketch.
+
+    Returns one row per group: the group columns, ``exact_distinct``
+    (for gate/eval comparison — drop it in production), the KMV
+    estimate, and the relative error. Groups with fewer than k distinct
+    values are exact by construction (the sketch hasn't saturated).
+    """
+    u = (sha_hash64(F.col(value_col).cast("string")) / F.lit(4294967296.0)).alias(
+        "__u"
+    )
+    d = df.select(*group_cols, u).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__u").asc())
+    bottom_k = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.max("__u").alias("__uk"), F.count(F.lit(1)).alias("__n"))
+    )
+    exact = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("__uk")
+    )
+    return (
+        bottom_k.join(exact, group_cols)
+        .withColumn(est_alias, est)
+        .withColumn(
+            "rel_err",
+            F.abs(F.col(est_alias) - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+        )
+        .drop("__uk", "__n")
+    )

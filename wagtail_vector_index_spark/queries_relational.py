@@ -1231,3 +1231,55 @@ def q_events_anomaly(spark, sf_dir):
         F.round("value", 2).alias("value"),
         F.round("zscore", 4).alias("zscore"),
     )
+
+
+@register(
+    "sketch_distinct_kmv",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(sha256(user_id::VARCHAR), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM events),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM d),
+    s AS (
+      SELECT event_type, max(u) AS uk, count(*) AS n
+      FROM r WHERE rn <= 64 GROUP BY event_type),
+    x AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT s.event_type, x.exact_distinct,
+           round(CASE WHEN s.n < 64 THEN s.n
+                      ELSE 63.0 / s.uk END, 2)          AS kmv_estimate,
+           round(abs(CASE WHEN s.n < 64 THEN s.n
+                          ELSE 63.0 / s.uk END - x.exact_distinct)
+                 / x.exact_distinct, 4)                 AS rel_err
+    FROM s JOIN x ON s.event_type = x.event_type
+    """,
+)
+def sketch_distinct_kmv(spark, sf_dir):
+    """Approximate distinct counting via the KMV bottom-k sketch
+    (operators/sketches.py): per event type, the 64 smallest sha-derived
+    uniform hashes of the distinct users give the (k-1)/u_k estimator
+    (Bar-Yossef et al. 2002) — the exactly-SQL-replayable stand-in for
+    HLL++ (F.approx_count_distinct, whose register state no external
+    oracle can replay). The gate pins the whole sketch dataflow: hash,
+    bottom-k selection (WindowGroupLimit), estimator, and the measured
+    relative error against the exact count."""
+    from wagtail_vector_index_spark.operators.sketches import kmv_distinct
+
+    out = kmv_distinct(
+        _t(spark, sf_dir, "events"),
+        group_cols=["event_type"],
+        value_col="user_id",
+        k=64,
+    )
+    return out.select(
+        "event_type",
+        "exact_distinct",
+        F.round("kmv_estimate", 2).alias("kmv_estimate"),
+        F.round("rel_err", 4).alias("rel_err"),
+    )

@@ -1758,3 +1758,60 @@ def dedup_semantic(spark, sf_dir):
     return semantic_dedup(
         emb, cents, id_col="vec_id", vec_col="embedding", threshold=0.4
     )
+
+
+@register(
+    "knn_quantized_int8",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    q AS (
+      SELECT vec_id, label,
+             greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                      1e-30) AS scale,
+             v
+      FROM e WHERE vec_id <> 0),
+    dq AS (
+      SELECT vec_id, label,
+             list_transform(
+               list_transform(v, x -> round(x / scale)::INT),
+               j -> j * scale) AS dv
+      FROM q)
+    SELECT vec_id, label, round(sim, 6) AS cos_sim_q FROM (
+      SELECT dq.vec_id, dq.label, {_cos_sql('dq.dv', 'p.pv')} AS sim
+      FROM dq, p)
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def knn_quantized_int8(spark, sf_dir):
+    """k-NN over symmetric per-vector int8 quantized embeddings — the 4x
+    memory cut (and 8x vs float64) that makes a 100 TB vector store fit
+    its executors: store (scale, int8 codes), dequantize on the fly
+    inside the scan projection, rank by cosine against the full-precision
+    probe. Quantize -> dequantize -> cosine -> top-k is replayed exactly
+    by the oracle (round-half-away ties cannot arise: x/scale hits an
+    exact .5 only at the max element where the ratio is exactly 127).
+    Same TakeOrderedAndProject shape as knn_cosine — quantization adds
+    zero shuffles."""
+    from wagtail_vector_index_spark.functions.vector import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    pv = F.lit(probe).cast("array<double>")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-30),
+    )
+    codes = F.transform(v, lambda x: F.round(x / F.col("__scale")).cast("int"))
+    dq = F.transform(F.col("__codes"), lambda j: j * F.col("__scale"))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .withColumn("__scale", scale)
+        .withColumn("__codes", codes)
+        .withColumn("__dv", dq)
+        .withColumn("__sim", cosine_similarity(F.col("__dv"), pv))
+        .orderBy(F.col("__sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("__sim", 6).alias("cos_sim_q"))
+    )
