@@ -60,6 +60,10 @@ ADDED = [
     "dedup_shared_passages",
     "ann_ivfpq_adc",
     "ann_lsh_cosine",
+    # r3 additions
+    "dedup_semantic",
+    "q21_waiting_suppliers",
+    "knn_quantized_int8",
 ]
 
 SPARK_RUNS = 5

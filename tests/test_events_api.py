@@ -136,3 +136,49 @@ def test_session_windows_streaming_matches_batch(spark, tmp_path):
     # u1: three sessions (0-10, 60-65, 180); u2: one
     assert sum(1 for u, *_ in got if u == "u1") == 3
     assert sum(1 for u, *_ in got if u == "u2") == 1
+
+
+def test_funnel_orders_steps_and_counts(spark):
+    from wagtail_vector_index_spark.operators.events import EventLog
+
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 10:05:00"),
+        (3, 1, "purchase", "2024-01-01 10:10:00"),
+        # user 2 clicks BEFORE viewing: click must not count
+        (4, 2, "click", "2024-01-01 09:00:00"),
+        (5, 2, "view", "2024-01-01 10:00:00"),
+        # user 3 views only
+        (6, 3, "view", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = EventLog(df).funnel(["view", "click", "purchase"])
+    got = {r["step_name"]: r["n_entities"] for r in out.collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_retention_counts_cohort_cells(spark):
+    from wagtail_vector_index_spark.operators.events import EventLog
+
+    rows = [
+        (1, 1, "view", "2024-01-05 10:00:00"),  # cohort 2024-01
+        (2, 1, "view", "2024-02-05 10:00:00"),  # active offset 1
+        (3, 2, "view", "2024-01-20 10:00:00"),  # cohort 2024-01, offset 0 only
+        (4, 3, "view", "2024-02-01 10:00:00"),  # cohort 2024-02
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = EventLog(df).retention(max_offset=3)
+    cells = {
+        (r["cohort_label"], r["period_offset"]): r["n_users"]
+        for r in out.collect()
+    }
+    assert cells == {
+        ("2024-01", 0): 2,
+        ("2024-01", 1): 1,
+        ("2024-02", 0): 1,
+    }

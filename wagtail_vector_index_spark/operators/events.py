@@ -149,3 +149,79 @@ class EventLog:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(self.value_col), 2).alias("sum_value"),
         )
+
+    # -- product analytics ---------------------------------------------------
+
+    def funnel(
+        self, steps: list[str], *, type_col: str = "event_type"
+    ) -> DataFrame:
+        """Ordered funnel: an entity advances to step i only with an event
+        of ``steps[i]`` strictly after its first step-(i-1) occurrence.
+        Returns one row per step: step index, step name, entities
+        reaching it, and conversion from the previous step. Each stage is
+        one partial-agg'd groupBy on the entity key; AQE broadcasts the
+        shrinking frontier as the funnel narrows."""
+        frontier = None
+        counts = []
+        for i, step in enumerate(steps):
+            ev = self.df.where(F.col(type_col) == step)
+            if frontier is not None:
+                ev = ev.join(frontier, self.entity_col).where(
+                    F.col(self.ts_col) > F.col("__t_prev")
+                )
+            frontier = ev.groupBy(self.entity_col).agg(
+                F.min(self.ts_col).alias("__t_prev")
+            )
+            counts.append(
+                frontier.agg(F.count(F.lit(1)).alias("n_entities")).select(
+                    F.lit(i).alias("step"),
+                    F.lit(step).alias("step_name"),
+                    "n_entities",
+                )
+            )
+        out = counts[0]
+        for c in counts[1:]:
+            out = out.unionByName(c)
+        w = Window.orderBy("step")
+        return out.withColumn(
+            "conversion",
+            F.round(
+                F.col("n_entities") / F.lag("n_entities", 1).over(w), 4
+            ),
+        )
+
+    def retention(
+        self, *, period: str = "month", max_offset: int = 3
+    ) -> DataFrame:
+        """Cohort retention triangle: entities grouped by first-activity
+        period (``month`` or ``day``), counted in each later period
+        (0..max_offset) they remain active. Offsets use integer
+        arithmetic (year*12+month, or day difference) so the cell keys
+        are engine-portable."""
+        if period not in ("month", "day"):
+            raise ValueError(f"period must be 'month' or 'day', got {period!r}")
+        fmt = "yyyy-MM" if period == "month" else "yyyy-MM-dd"
+        f = self.df.groupBy(self.entity_col).agg(
+            F.date_trunc(period, F.min(self.ts_col)).alias("cohort")
+        )
+        a = self.df.select(
+            self.entity_col,
+            F.date_trunc(period, F.col(self.ts_col)).alias("m"),
+        ).distinct()
+        if period == "month":
+            off = (
+                (F.year("m") * 12 + F.month("m"))
+                - (F.year("cohort") * 12 + F.month("cohort"))
+            ).cast("int")
+        else:
+            off = F.datediff(F.col("m"), F.col("cohort")).cast("int")
+        return (
+            f.join(a, self.entity_col)
+            .withColumn("period_offset", off)
+            .where(F.col("period_offset").between(0, int(max_offset)))
+            .groupBy(
+                F.date_format("cohort", fmt).alias("cohort_label"),
+                "period_offset",
+            )
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )

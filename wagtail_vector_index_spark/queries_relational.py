@@ -1283,3 +1283,102 @@ def sketch_distinct_kmv(spark, sf_dir):
         F.round("kmv_estimate", 2).alias("kmv_estimate"),
         F.round("rel_err", 4).alias("rel_err"),
     )
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_click,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase,
+           round((SELECT count(*) FROM c) * 1.0
+                 / (SELECT count(*) FROM v), 4) AS view_to_click,
+           round((SELECT count(*) FROM p) * 1.0
+                 / (SELECT count(*) FROM c), 4) AS click_to_purchase
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    advances a step only with an event strictly AFTER their previous
+    step's first occurrence — the sequential-dependency shape that makes
+    funnels harder than three counts. Three stages, each one
+    partial-agg'd groupBy on user_id; each later stage joins the
+    previous stage's (user, timestamp) frame, which AQE re-plans as a
+    broadcast as the funnel narrows. Single-row output of absolute
+    counts + step conversion rates."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") / F.col("n_view"), 4).alias("view_to_click"),
+        F.round(F.col("n_purchase") / F.col("n_click"), 4).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS m FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_label,
+           date_diff('day', f.cohort, a.m)::INT AS period_offset,
+           count(*)::BIGINT AS n_users
+    FROM f JOIN a ON f.user_id = a.user_id
+    WHERE date_diff('day', f.cohort, a.m) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, counted in
+    each of the following 7 days they stay active — the standard
+    retention triangle (day granularity: the events table spans one
+    month). Offset arithmetic is integer day difference in both engines,
+    sidestepping interval semantics. Two shuffles: the first-touch
+    groupBy and the distinct-activity set, joined on user_id; the cohort
+    cell agg is partial map-side. Served through the EventLog facade
+    (operators/events.py::retention), so the gate oracle-verifies the
+    API path itself."""
+    from wagtail_vector_index_spark.operators.events import EventLog
+
+    return EventLog(_t(spark, sf_dir, "events")).retention(
+        period="day", max_offset=7
+    )
