@@ -573,9 +573,14 @@ def lsh_neardup_pairs(
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
 
-    src = _ensure_parallelism(
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
-        id_col,
+    # no _ensure_parallelism here: banding is cheap arithmetic
+    # (planes*dim flops/row — ~0.2 s per 128 MB partition even
+    # single-threaded), unlike the CPU-bound sha/shingle passes of the
+    # text dedups; multi-file inputs (the 100 TB case) parallelize at the
+    # scan, and skipping the repartition removes a whole exchange+stage
+    # from the narrow local case.
+    src = df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     banded = (
         src.withColumn("__bucket", lsh_bucket_col(F.col(vec_col), planes))
@@ -604,7 +609,10 @@ def lsh_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # no dropDuplicates here: the final groupBy(id_a, id_b) already
+        # collapses multi-band duplicates — a separate distinct would add
+        # one full exchange to dedup rows the aggregate dedups for free
+        # (candidates fan out at most `bands`x between here and there).
     )
     with_norm = src.withColumn("__norm", l2_norm_unrolled(vec_col, dim))
     va = with_norm.select(
