@@ -112,3 +112,45 @@ def test_q10_broadcast_and_topk(spark):
     plan = _plan(spark, "q10_returned_items")
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_q19_pushes_quantity_band_union_to_scan(spark):
+    """The disjunctive brand/size/quantity bands must not block pushdown:
+    Catalyst extracts the common quantity range (the union of the three
+    bands) and pushes it to the lineitem scan; the join stays broadcast."""
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_semi_anti_shapes(spark):
+    """EXISTS/NOT EXISTS decorrelate to semi + anti joins with the
+    supplier-inequality as a residual — never a nested loop over lineitem."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """The per-source cap must rank-prune inside each partition before the
+    full sort materializes (WindowGroupLimit), not sort whole partitions."""
+    plan = _plan(spark, "pipeline_source_cap")
+    assert "WindowGroupLimit" in plan
+
+
+def test_quality_classifier_is_pure_map(spark):
+    """Model-based scoring is a single scan projection: no exchange, no
+    join, no Python stage."""
+    plan = _plan(spark, "text_quality_classifier")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_assignment_stage_has_no_join_before_cluster_shuffle(spark):
+    """assign_centroids is a pure projection — the first exchange in the
+    semantic-dedup plan is the within-cluster pair join, not assignment."""
+    plan = _plan(spark, "dedup_semantic")
+    # assignment appears as array_max over the literal centroid structs
+    assert "array_max" in plan
