@@ -154,3 +154,11 @@ def test_semantic_dedup_assignment_stage_has_no_join_before_cluster_shuffle(spar
     plan = _plan(spark, "dedup_semantic")
     # assignment appears as array_max over the literal centroid structs
     assert "array_max" in plan
+
+
+def test_funnel_is_single_entity_shuffle_no_joins(spark):
+    """The window-chained funnel shuffles ONCE on the entity key (plus the
+    final single-row agg) and never joins the event table to itself."""
+    plan = _plan(spark, "q_funnel_conversion")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2

@@ -158,35 +158,55 @@ class EventLog:
         """Ordered funnel: an entity advances to step i only with an event
         of ``steps[i]`` strictly after its first step-(i-1) occurrence.
         Returns one row per step: step index, step name, entities
-        reaching it, and conversion from the previous step. Each stage is
-        one partial-agg'd groupBy on the entity key; AQE broadcasts the
-        shrinking frontier as the funnel narrows."""
-        frontier = None
-        counts = []
+        reaching it, and conversion from the previous step.
+
+        Scale shape: ONE shuffle on the entity key total, regardless of
+        step count. Each step's first-occurrence timestamp is a
+        conditional-min window over the same entity partitioning, and
+        because step i's condition references step i-1's window column
+        (a per-entity constant), the chain stacks as successive Window
+        nodes over the SAME exchange; the per-entity collapse then reuses
+        that partitioning too (no second shuffle). Compare the naive
+        per-step join cascade, which rescans the event table once per
+        step and shuffles each frontier."""
+        w = Window.partitionBy(self.entity_col)
+        df = self.df
+        tcols: list[str] = []
         for i, step in enumerate(steps):
-            ev = self.df.where(F.col(type_col) == step)
-            if frontier is not None:
-                ev = ev.join(frontier, self.entity_col).where(
-                    F.col(self.ts_col) > F.col("__t_prev")
-                )
-            frontier = ev.groupBy(self.entity_col).agg(
-                F.min(self.ts_col).alias("__t_prev")
+            cond = F.col(type_col) == step
+            if tcols:
+                cond = cond & (F.col(self.ts_col) > F.col(tcols[-1]))
+            name = f"__t{i}"
+            df = df.withColumn(
+                name, F.min(F.when(cond, F.col(self.ts_col))).over(w)
             )
-            counts.append(
-                frontier.agg(F.count(F.lit(1)).alias("n_entities")).select(
-                    F.lit(i).alias("step"),
-                    F.lit(step).alias("step_name"),
-                    "n_entities",
-                )
+            tcols.append(name)
+        per_entity = df.groupBy(self.entity_col).agg(
+            *[F.max(c).alias(c) for c in tcols]
+        )
+        counts = per_entity.agg(
+            *[F.count(F.col(c)).alias(f"__n{i}") for i, c in enumerate(tcols)]
+        )
+        step_rows = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step"),
+                        F.lit(step).alias("step_name"),
+                        F.col(f"__n{i}").alias("n_entities"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
             )
-        out = counts[0]
-        for c in counts[1:]:
-            out = out.unionByName(c)
-        w = Window.orderBy("step")
+        )
+        out = counts.select(step_rows.alias("s")).select(
+            "s.step", "s.step_name", "s.n_entities"
+        )
+        wstep = Window.orderBy("step")
         return out.withColumn(
             "conversion",
             F.round(
-                F.col("n_entities") / F.lag("n_entities", 1).over(w), 4
+                F.col("n_entities") / F.lag("n_entities", 1).over(wstep), 4
             ),
         )
 

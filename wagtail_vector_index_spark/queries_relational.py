@@ -1312,35 +1312,47 @@ def q_funnel_conversion(spark, sf_dir):
     """Ordered funnel analysis (view -> click -> purchase): a user
     advances a step only with an event strictly AFTER their previous
     step's first occurrence — the sequential-dependency shape that makes
-    funnels harder than three counts. Three stages, each one
-    partial-agg'd groupBy on user_id; each later stage joins the
-    previous stage's (user, timestamp) frame, which AQE re-plans as a
-    broadcast as the funnel narrows. Single-row output of absolute
-    counts + step conversion rates."""
+    funnels harder than three counts. ONE shuffle on user_id total:
+    each step's first-occurrence timestamp is a conditional-min window
+    chained over the same entity partitioning (step i's condition reads
+    step i-1's window column, a per-entity constant), and the per-user
+    collapse reuses that partitioning. Single-row output of absolute
+    counts + step conversion rates; same dataflow as EventLog.funnel."""
     ev = _t(spark, sf_dir, "events")
-    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "__t0",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    df = df.withColumn(
+        "__t1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("__t0")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    df = df.withColumn(
+        "__t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("__t1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    per_user = df.groupBy("user_id").agg(
+        F.max("__t0").alias("t0"),
+        F.max("__t1").alias("t1"),
+        F.max("__t2").alias("t2"),
     )
-    return counts.select(
+    return per_user.agg(
+        F.count("t0").alias("n_view"),
+        F.count("t1").alias("n_click"),
+        F.count("t2").alias("n_purchase"),
+    ).select(
         "n_view",
         "n_click",
         "n_purchase",
