@@ -54,10 +54,36 @@ _DRIVER_SAMPLED = frozenset(
 )
 
 
+# Queries added in round 3. They have local oracle-gate runs but rank
+# BELOW the round-1/2-era never-sampled entries: those have waited two
+# rounds for a driver row (the r2 verdict names them explicitly), so
+# they must win the sample before newer additions compete.
+_ROUND3_NEW = frozenset(
+    {
+        "q2_min_supplier", "q4_order_priority", "q7_volume_shipping",
+        "q8_market_share", "q11_value_concentration", "q13_custdist",
+        "q15_top_supplier", "q16_part_supplier_diversity",
+        "q17_small_qty_revenue", "q19_disjunctive_revenue",
+        "q20_dominant_suppliers", "q21_waiting_suppliers",
+        "q22_idle_customers", "dedup_semantic", "pipeline_source_cap",
+        "text_quality_classifier", "knn_quantized_int8",
+        "sketch_distinct_kmv", "q_funnel_conversion", "q_retention_cohorts",
+    }
+)
+
+
 def _ordered(mapping: dict) -> dict:
-    fresh = {k: v for k, v in mapping.items() if k not in _DRIVER_SAMPLED}
+    """Iteration order = driver sampling priority: (1) round-1/2-era
+    entries still without a driver row, (2) this round's additions,
+    (3) already-driver-green entries. Pure ordering — no renames."""
+    waited = {
+        k: v
+        for k, v in mapping.items()
+        if k not in _DRIVER_SAMPLED and k not in _ROUND3_NEW
+    }
+    new = {k: v for k, v in mapping.items() if k in _ROUND3_NEW}
     seen = {k: v for k, v in mapping.items() if k in _DRIVER_SAMPLED}
-    return {**fresh, **seen}
+    return {**waited, **new, **seen}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
