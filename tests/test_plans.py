@@ -148,12 +148,12 @@ def test_quality_classifier_is_pure_map(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_semantic_dedup_assignment_stage_has_no_join_before_cluster_shuffle(spark):
-    """assign_centroids is a pure projection — the first exchange in the
-    semantic-dedup plan is the within-cluster pair join, not assignment."""
+def test_semantic_dedup_assignment_is_arrow_map(spark):
+    """Centroid assignment is a zero-shuffle Arrow-batched map stage —
+    the first exchange in the semantic-dedup plan is the within-cluster
+    pair join, not assignment."""
     plan = _plan(spark, "dedup_semantic")
-    # assignment appears as array_max over the literal centroid structs
-    assert "array_max" in plan
+    assert "ArrowEvalPython" in plan
 
 
 def test_funnel_is_single_entity_shuffle_no_joins(spark):
