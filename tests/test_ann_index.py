@@ -233,3 +233,44 @@ def test_ivfpq_adc_and_rerank(spark, index_df, centroids_df, probe, tmp_path):
     top = idx.topk(probe, nprobe=2, limit=3, rerank=20).collect()
     assert top[0]["vec_id"] == 990002
     assert top[0]["similarity"] == pytest.approx(1.0)
+
+
+def test_pq_encode_udf_matches_expression_twin(spark):
+    """The Arrow numpy encode kernel and the Catalyst fold expression
+    must produce identical codes (fp-order differences may only matter
+    for near-equidistant codewords, which this data doesn't have)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.operators.ann_index import (
+        _normalized_col,
+        pq_encode_col,
+        pq_encode_udf,
+    )
+
+    rng = [
+        [((i * 37 + j * 11) % 97) / 97.0 + 0.01 for j in range(16)]
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, vector array<double>"
+    )
+    # m=4 subspaces of 4 dims, ksub=4 codewords from the first rows
+    cb = []
+    for m in range(4):
+        subs = []
+        for r in rng[:4]:
+            sv = np.array(r, dtype=np.float64)
+            sv = sv / np.sqrt((sv * sv).sum())
+            subs.append([float(x) for x in sv[m * 4 : (m + 1) * 4]])
+        cb.append(subs)
+    expr = df.select(
+        "vec_id",
+        pq_encode_col(_normalized_col(F.col("vector")), cb).alias("codes"),
+    ).collect()
+    fast = df.select(
+        "vec_id", pq_encode_udf(cb)(F.col("vector")).alias("codes")
+    ).collect()
+    assert {r["vec_id"]: list(r["codes"]) for r in expr} == {
+        r["vec_id"]: list(r["codes"]) for r in fast
+    }

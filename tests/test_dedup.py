@@ -326,3 +326,28 @@ def test_assign_centroids_tie_goes_to_lowest_cid(spark):
     cents = [(7, [1.0, 0.0]), (3, [0.0, 1.0])]
     out = assign_centroids(df, cents, vec_col="embedding").collect()
     assert out[0]["cid"] == 3
+
+
+def test_assign_centroids_udf_matches_expression_twin(spark):
+    from wagtail_vector_index_spark.operators.dedup import (
+        assign_centroids,
+        assign_centroids_udf,
+    )
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 23) / 23.0 + 0.05 for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(int(i), rows[i][1]) for i in (3, 11, 27)]
+    via_expr = {
+        r["vec_id"]: r["cid"]
+        for r in assign_centroids(df, cents, vec_col="embedding").collect()
+    }
+    via_udf = {
+        r["vec_id"]: r["cid"]
+        for r in df.select(
+            "vec_id", assign_centroids_udf(cents)(F.col("embedding")).alias("cid")
+        ).collect()
+    }
+    assert via_expr == via_udf

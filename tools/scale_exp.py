@@ -142,6 +142,40 @@ def main() -> None:
             ).count()
         )
 
+    def semantic(e):
+        from wagtail_vector_index_spark.operators.dedup import semantic_dedup
+
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["vector"]])
+            for r in e.orderBy("vec_id").limit(16).collect()
+        ]
+        return timed(
+            lambda: semantic_dedup(
+                e, cents, id_col="vec_id", vec_col="vector", threshold=0.4
+            ).count()
+        )
+
+    def pq_build(e):
+        import shutil
+
+        from wagtail_vector_index_spark.operators.ann_index import IvfPqIndex
+
+        cents_df = e.where(F.col("vec_id") % 2000 < 16).where(
+            F.col("vec_id") < 16
+        ).select(
+            F.col("vec_id").cast("int").alias("cid"), F.col("vector").alias("cv")
+        )
+        d = tempfile.mkdtemp(prefix="scale_pq_")
+
+        def run():
+            shutil.rmtree(d, ignore_errors=True)
+            idx = IvfPqIndex.build(
+                e, path=d, centroids_df=cents_df, m=8, ksub=16
+            )
+            return idx._vectors().count()
+
+        return timed(run)
+
     # (label, fn, small input, big input, work-ratio formula note)
     OPS = [
         ("gemm all-pairs top-k", gemm, small_e, big_e, "N^2: 100x"),
@@ -150,6 +184,10 @@ def main() -> None:
         ("minhash LSH dedup", minhash, small_d, big_d, "pairs: ~quad in replicas"),
         ("simhash dense dedup", simhash, small_d, big_d, "N^2 cand: 100x"),
         ("embedding LSH near-dup", emb_lsh, small_e, big_e, "cand: ~100x/2^8"),
+        ("semantic dedup (SemDeDup)", semantic, small_e, big_e,
+         "within-cluster pairs: ~100x"),
+        ("IVF-PQ index build (Arrow encode)", pq_build, small_e, big_e,
+         "N: 10x"),
     ]
 
     rows = []
