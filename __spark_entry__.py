@@ -68,6 +68,7 @@ _ROUND3_NEW = frozenset(
         "q22_idle_customers", "dedup_semantic", "pipeline_source_cap",
         "text_quality_classifier", "knn_quantized_int8",
         "sketch_distinct_kmv", "q_funnel_conversion", "q_retention_cohorts",
+        "q12_priority_shipping", "q_value_histogram", "text_zipf_slope",
     }
 )
 

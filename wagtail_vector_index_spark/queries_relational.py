@@ -1394,3 +1394,80 @@ def q_retention_cohorts(spark, sf_dir):
     return EventLog(_t(spark, sf_dir, "events")).retention(
         period="day", max_offset=7
     )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_priority_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_priority_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape adapted (no l_shipmode column): order-priority mix
+    of late vs on-time 1997 shipments, where "late" derives from ship
+    minus order date. One shuffled join on the order key, conditional
+    counts in a single partial-agg pass over the two-value ship_class
+    domain — the classic mode-split report."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "ship_class",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+    SELECT event_type,
+           least(floor(value / 50.0), 9)::INT AS bucket,
+           count(*)::BIGINT AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of the event value distribution per type
+    (10 buckets of width 50, top bucket open-ended) — the profiling
+    query every data-quality dashboard runs first. Bucket arithmetic is
+    integer floor division, portable across engines; one partial-agg'd
+    shuffle on the tiny (type, bucket) domain, so at 100 TB the map-side
+    combine reduces each partition to <=50 rows before the exchange."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    return ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )

@@ -1321,3 +1321,44 @@ def text_quality_classifier(spark, sf_dir):
         )
         .where(F.col("n_tokens") > 0)
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+    freq AS (
+      SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM freq)
+    SELECT count(*)::BIGINT AS vocab,
+           round(regr_slope(ln(n::DOUBLE), ln(rnk::DOUBLE)), 4) AS zipf_slope
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Corpus-statistics gate: the Zipf exponent of the vocabulary —
+    regr_slope of log-frequency against log-rank (natural text sits near
+    -1; synthetic or templated corpora drift far from it, making the
+    slope a cheap corpus-health signal). Token explode -> partial-agg'd
+    frequency count -> global rank (one final sort on the vocab, the
+    only non-scalable step — at web scale you'd rank the top-k slice) ->
+    built-in least-squares aggregate, identical in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+
+    freq = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = freq.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(
+            F.regr_slope(F.log(F.col("n").cast("double")), F.log(F.col("rnk").cast("double"))),
+            4,
+        ).alias("zipf_slope"),
+    )
