@@ -61,3 +61,35 @@ def test_hash_embedder_dimension_blocks():
     v8, v20 = b8.embed_one("abc"), b20.embed_one("abc")
     assert list(v20[:8]) == list(v8)
     assert len(set(round(x, 12) for x in v20)) == 20  # no repeated blocks
+
+
+def test_kmv_distinct_empty_input(spark):
+    from wagtail_vector_index_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([], "grp string, v long")
+    assert kmv_distinct(df, group_cols=["grp"], value_col="v").count() == 0
+
+
+def test_funnel_empty_input(spark):
+    from wagtail_vector_index_spark.operators.events import EventLog
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = EventLog(df).funnel(["view", "click"]).collect()
+    assert [(r["step_name"], r["n_entities"]) for r in out] == [
+        ("view", 0),
+        ("click", 0),
+    ]
+
+
+def test_semantic_dedup_no_pairs_above_threshold(spark):
+    from wagtail_vector_index_spark.operators.dedup import semantic_dedup
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = semantic_dedup(
+        df, cents, id_col="vec_id", vec_col="embedding", threshold=0.99
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 2]

@@ -206,7 +206,10 @@ class EventLog:
         return out.withColumn(
             "conversion",
             F.round(
-                F.col("n_entities") / F.lag("n_entities", 1).over(wstep), 4
+                F.try_divide(
+                    F.col("n_entities"), F.lag("n_entities", 1).over(wstep)
+                ),
+                4,
             ),
         )
 
