@@ -498,5 +498,10 @@ def hashed_linear_quality_col(
         * F.lit(2.0)
         - F.lit(1.0),
     )
-    raw = F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x) / F.size(toks)
+    # try_divide: an empty-token document must yield NULL, not an ANSI
+    # divide-by-zero — callers filter on token count, but Catalyst may
+    # evaluate the projection before the filter
+    raw = F.try_divide(
+        F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x), F.size(toks)
+    )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(float(scale)) * raw))
