@@ -351,3 +351,19 @@ def test_assign_centroids_udf_matches_expression_twin(spark):
         ).collect()
     }
     assert via_expr == via_udf
+
+
+def test_semantic_dedup_arrow_matches_sql_method(spark, embeddings_df):
+    """The per-cluster GEMM path and the Catalyst self-join path must
+    produce the same survivor set (differential, 300 real vectors)."""
+    from wagtail_vector_index_spark.operators.dedup import semantic_dedup
+
+    emb = embeddings_df.limit(300)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    kw = dict(id_col="vec_id", vec_col="embedding", threshold=0.4)
+    arrow = {tuple(r) for r in semantic_dedup(emb, cents, method="arrow", **kw).collect()}
+    sql = {tuple(r) for r in semantic_dedup(emb, cents, method="sql", **kw).collect()}
+    assert arrow == sql and len(arrow) > 0

@@ -907,31 +907,64 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    method: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, compare pairs ONLY within each
     cluster, drop the higher-id member of every pair above the cosine
     threshold. Returns the surviving rows as ``(id_col, cid)``.
 
-    Scale shape: assignment is a zero-shuffle Arrow-batched map
-    (:func:`assign_centroids_udf`, one numpy GEMM per batch; the
-    expression twin :func:`assign_centroids` exists for SQL-replay
-    documentation and bounded-k callers); the pairwise stage shuffles
-    once on the cluster id and is quadratic only WITHIN clusters — the
-    entire point of SemDeDup at 100 TB is that k bounds the blowup to
-    sum(|cluster|^2) << N^2. The verify comparison uses the unrolled
-    left-associated dot product, bit-identical to a DuckDB
-    ``list_inner_product`` twin, so the survivor set is exactly
-    reproducible in SQL.
+    ``method="arrow"`` (default) is the scale path: assignment is a
+    zero-shuffle Arrow map (:func:`assign_centroids_udf`), then ONE hash
+    exchange on the cluster id feeds a per-cluster numpy GEMM inside
+    ``applyInPandas`` that computes the pairwise block, marks every id
+    with a smaller-id neighbor >= threshold, and emits survivors
+    directly — no self-join, no aggregate barrier, no anti-join. The
+    quadratic stays bounded per cluster (the SemDeDup point); a skewed
+    mega-cluster is the operator's known hazard and is bounded upstream
+    by the codebook size (production: balanced k-means / cluster
+    sub-splitting).
+
+    ``method="sql"`` is the Catalyst composition (cluster self-join +
+    JIT-safe aggregate verify + anti-join) whose every arithmetic step
+    an external SQL oracle replays with sequential folds. Survivor sets
+    agree between the two (fp summation order can flip a comparison only
+    within ulps of the threshold); the dedup_semantic gate verifies the
+    arrow path against the SQL oracle at every run.
     """
+    if method not in ("arrow", "sql"):
+        raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
+    assigned = df.withColumn(
+        "cid", assign_centroids_udf(centroids)(F.col(vec_col))
+    ).select(F.col(id_col), F.col(vec_col), F.col("cid"))
+
+    if method == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        thr = float(threshold)
+
+        def _survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(X) <= 1:
+                return pdf[[id_col, "cid"]]
+            Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            S = Xn @ Xn.T
+            # loser[j]: some i<j has sim >= threshold
+            loser = (np.triu(S, k=1) >= thr).any(axis=0)
+            return pdf[[id_col, "cid"]].iloc[np.flatnonzero(~loser)]
+
+        return assigned.groupBy("cid").applyInPandas(
+            _survivors, schema=f"{id_col} {id_type}, cid int"
+        )
+
     from wagtail_vector_index_spark.functions.vector import (
         cosine_similarity_unrolled,
     )
 
     dim = len(centroids[0][1])
-    assigned = df.withColumn(
-        "cid", assign_centroids_udf(centroids)(F.col(vec_col))
-    ).select(F.col(id_col), F.col(vec_col), F.col("cid"))
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("cid")
     )
