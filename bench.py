@@ -64,6 +64,14 @@ ADDED = [
     "dedup_semantic",
     "q21_waiting_suppliers",
     "knn_quantized_int8",
+    "sketch_distinct_kmv",
+    "text_quality_classifier",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "pipeline_source_cap",
+    "q12_priority_shipping",
+    "q_value_histogram",
+    "text_zipf_slope",
 ]
 
 SPARK_RUNS = 5
