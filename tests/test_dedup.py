@@ -367,3 +367,48 @@ def test_semantic_dedup_arrow_matches_sql_method(spark, embeddings_df):
     arrow = {tuple(r) for r in semantic_dedup(emb, cents, method="arrow", **kw).collect()}
     sql = {tuple(r) for r in semantic_dedup(emb, cents, method="sql", **kw).collect()}
     assert arrow == sql and len(arrow) > 0
+
+
+def test_semantic_dedup_nonpositive_threshold_parity(spark):
+    """Regression (r3 advice): the arrow path thresholded AFTER triu's
+    zero-fill, so thr <= 0 treated the structural zeros as matches and
+    dropped nearly everything. With thr <= 0 every within-cluster pair
+    qualifies, so exactly the lowest-id member of each cluster survives
+    — and arrow must agree with sql."""
+    from wagtail_vector_index_spark.operators.dedup import semantic_dedup
+
+    # 1 and 2 both assign to centroid 0 (x > y) but sit ~120 deg apart,
+    # so sim(1,2) ~ -0.5; 3 is alone in cluster 1.
+    rows = [
+        (1, [0.17, -0.98]),
+        (2, [0.766, 0.643]),
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    for thr in (0.0, -1.0):
+        kw = dict(id_col="vec_id", vec_col="embedding", threshold=thr)
+        arrow = {
+            tuple(r)
+            for r in semantic_dedup(emb, cents, method="arrow", **kw).collect()
+        }
+        sql = {
+            tuple(r)
+            for r in semantic_dedup(emb, cents, method="sql", **kw).collect()
+        }
+        assert arrow == sql
+    # thr = 0: sim(1,2) < 0, so nothing qualifies — all three survive
+    # (the old zero-filled triu dropped rows here)
+    kw = dict(id_col="vec_id", vec_col="embedding", threshold=0.0)
+    surv = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, cents, method="arrow", **kw).collect()
+    }
+    assert surv == {1, 2, 3}
+    # thr = -1: every within-cluster pair qualifies — vec 2 drops
+    kw["threshold"] = -1.0
+    surv = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, cents, method="arrow", **kw).collect()
+    }
+    assert surv == {1, 3}

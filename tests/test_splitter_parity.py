@@ -116,3 +116,40 @@ def test_important_prefix_matches_reference_semantics():
             f"{important}\n{chunk}" for chunk in _reference_split(body, 60, 100)
         ]
         assert ours == reference
+
+
+def test_chunk_explode_oracle_regime_holds_on_testdata():
+    """The pipeline_chunk_explode oracle replays the splitter as ONE
+    greedy merge fold, which is exact only while no piece at the active
+    separator reaches chunk_size (the recursion branch never fires).
+    Assert that precondition over the gate corpus at the gate's
+    chunk_size=60, and that the staleness gate's chunk_size=1e6 keeps
+    every document single-chunk."""
+    import re
+
+    import duckdb
+
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        DEFAULT_SEPARATORS,
+        estimate_tokens,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        rows = duckdb.connect().execute(
+            f"SELECT text FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchall()
+        for (text,) in rows:
+            active = ""
+            for sep in DEFAULT_SEPARATORS:
+                if sep == "" or sep in text:
+                    active = sep
+                    break
+            pieces = (
+                [p for p in re.split(re.escape(active), text) if p]
+                if active
+                else [c for c in text]
+            )
+            assert all(estimate_tokens(p) < 60 for p in pieces)
+            assert estimate_tokens(text) < 1_000_000
+            # single-chunk regime for the staleness oracle
+            assert len(split_text(text, chunk_size=1_000_000, chunk_overlap=100)) <= 1

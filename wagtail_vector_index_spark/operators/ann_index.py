@@ -143,6 +143,17 @@ class IvfIndex:
             ).collect()
         return self._codebook_rows_cache
 
+    def refresh(self) -> None:
+        """Drop memoized codebooks so the next query re-reads them from
+        storage. Needed only when an index is REBUILT at the same path
+        while this instance lives (e.g. a long-lived served instance
+        across a ``build()``): the memoization contract is
+        immutable-after-build, and append/delete/compact never touch the
+        codebook."""
+        self._codebook_rows_cache = None
+        if hasattr(self, "_pq_cb_cache"):
+            self._pq_cb_cache = None
+
     @property
     def vectors_path(self) -> str:
         return f"{self.path}/vectors"

@@ -411,12 +411,17 @@ class Corpus:
         from wagtail_vector_index_spark.operators.dedup import semantic_dedup
 
         if centroids is None:
+            # cid is a cluster label, not the doc id: re-key to 0..k-1 so
+            # non-numeric id columns work and ids >= 2^31 can't wrap the
+            # int32 cid the assignment kernel emits.
             centroids = [
-                (int(r[self.id_col]), [float(x) for x in r[vec_col]])
-                for r in self.df.select(self.id_col, vec_col)
-                .orderBy(self.id_col)
-                .limit(k)
-                .collect()
+                (i, [float(x) for x in r[vec_col]])
+                for i, r in enumerate(
+                    self.df.orderBy(self.id_col)
+                    .select(vec_col)
+                    .limit(k)
+                    .collect()
+                )
             ]
         survivors = semantic_dedup(
             self.df.select(self.id_col, vec_col),

@@ -952,8 +952,10 @@ def semantic_dedup(
                 return pdf[[id_col, "cid"]]
             Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
             S = Xn @ Xn.T
-            # loser[j]: some i<j has sim >= threshold
-            loser = (np.triu(S, k=1) >= thr).any(axis=0)
+            # loser[j]: some i<j has sim >= threshold. Threshold BEFORE
+            # triu: triu zero-fills the lower triangle, and for thr <= 0
+            # those structural zeros would count as matches.
+            loser = np.triu(S >= thr, k=1).any(axis=0)
             return pdf[[id_col, "cid"]].iloc[np.flatnonzero(~loser)]
 
         return assigned.groupBy("cid").applyInPandas(

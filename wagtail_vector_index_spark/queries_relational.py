@@ -1303,9 +1303,9 @@ def sketch_distinct_kmv(spark, sf_dir):
            (SELECT count(*) FROM c)::BIGINT AS n_click,
            (SELECT count(*) FROM p)::BIGINT AS n_purchase,
            round((SELECT count(*) FROM c) * 1.0
-                 / (SELECT count(*) FROM v), 4) AS view_to_click,
+                 / nullif((SELECT count(*) FROM v), 0), 4) AS view_to_click,
            round((SELECT count(*) FROM p) * 1.0
-                 / (SELECT count(*) FROM c), 4) AS click_to_purchase
+                 / nullif((SELECT count(*) FROM c), 0), 4) AS click_to_purchase
     """,
 )
 def q_funnel_conversion(spark, sf_dir):
@@ -1356,10 +1356,14 @@ def q_funnel_conversion(spark, sf_dir):
         "n_view",
         "n_click",
         "n_purchase",
-        F.round(F.col("n_click") / F.col("n_view"), 4).alias("view_to_click"),
-        F.round(F.col("n_purchase") / F.col("n_click"), 4).alias(
-            "click_to_purchase"
+        # try_divide: an empty step yields NULL, not an ANSI
+        # DIVIDE_BY_ZERO — same hardening EventLog.funnel carries.
+        F.round(F.try_divide(F.col("n_click"), F.col("n_view")), 4).alias(
+            "view_to_click"
         ),
+        F.round(
+            F.try_divide(F.col("n_purchase"), F.col("n_click")), 4
+        ).alias("click_to_purchase"),
     )
 
 

@@ -289,7 +289,7 @@ def q8_market_share(spark, sf_dir):
 )
 def q11_value_concentration(spark, sf_dir):
     """TPC-H Q11 shape without partsupp: parts whose lineitem revenue
-    exceeds 0.1% of total revenue. The HAVING-over-global-scalar becomes
+    exceeds 0.07% of total revenue. The HAVING-over-global-scalar becomes
     one partial-agg'd group-by plus a broadcast of the single total row
     (cross-join of a 1-row frame — Catalyst plans
     BroadcastNestedLoopJoin over exactly one row). The threshold compares

@@ -1505,20 +1505,146 @@ def rag_batch_echo(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Rows-only pipeline entries (genuinely non-SQL-expressible operators:
-# the recursive chunker's boundaries and the incremental staleness pass;
-# the driver records a weaker rows-only check for these by design)
+# Chunking/staleness pipeline entries. The recursive splitter is not
+# SQL-expressible *in general*, but both gates run in regimes where it
+# is exactly replayable:
+#   - chunk_explode: no piece at the active separator reaches chunk_size
+#     (asserted over the test corpus in test_splitter_parity.py), so the
+#     whole split is ONE greedy merge-with-overlap fold, which a DuckDB
+#     recursive CTE replays step by step — the same technique the
+#     pipeline_pack_sequences oracle uses for its greedy fold.
+#   - incremental_staleness: chunk_size >> any document, so the splitter
+#     degenerates to separator-normalize + strip, a pure string
+#     expression.
 # ---------------------------------------------------------------------------
 
+# Python-strip-equivalent trim set for the ASCII corpus.
+_WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
-@register("pipeline_chunk_explode")
+# Active separator selection: first of ["\n\n", "\n", " ", ""] present in
+# the text — mirrors split_text's separator scan.
+_SEP_SQL = (
+    "CASE WHEN strpos({t}, chr(10)||chr(10)) > 0 THEN chr(10)||chr(10) "
+    "WHEN strpos({t}, chr(10)) > 0 THEN chr(10) "
+    "WHEN strpos({t}, ' ') > 0 THEN ' ' ELSE '' END"
+)
+
+
+def _est_sql(x: str) -> str:
+    """est_tokens(piece) as a DuckDB expression (see estimated_tokens_col)."""
+    return (
+        f"greatest(ceil(length({x}) / 4), "
+        f"ceil(len(regexp_extract_all({x}, '[^\\w\\s]|\\w+')) * 0.75))::BIGINT"
+    )
+
+
+def _chunk_explode_oracle(chunk_size: int, overlap: int) -> str:
+    r"""Recursive-CTE replay of the splitter's greedy merge fold
+    (functions/text_splitting.py:_merge_pieces) in the no-recursion
+    regime: split the text on its active separator, then walk the pieces
+    one recursion step each, maintaining (window, window lengths,
+    running total, emitted chunks) exactly as the Python fold does. The
+    inner window-shrink WHILE collapses into one step: after j front
+    pops, running_j = running - sum(lens[:j]) - sep_len*min(j, m-1), so
+    the pop count is the smallest j whose continue-condition is false —
+    a list_filter + list_min over j in [0, m]."""
+    ws = _WS_SQL
+    cs, ov = int(chunk_size), int(overlap)
+    sep = _SEP_SQL.format(t="text")
+    # running total after j pops of the window front
+    rj = "(r - coalesce(list_sum(wl[1:j]), 0) - sl * least(j, len(w) - 1))"
+    return rf"""
+    WITH RECURSIVE
+    src AS (
+      SELECT source || ':' || doc_id AS doc_key, text, {sep} AS s
+      FROM documents),
+    plist AS (
+      SELECT doc_key, s,
+             list_filter(string_split(text, s), x -> x <> '') AS ps
+      FROM src WHERE s <> ''
+      UNION ALL
+      SELECT doc_key, s, list_filter(string_split(text, ''), x -> x <> '')
+      FROM src WHERE s = ''),
+    pieces AS (
+      SELECT doc_key, u.piece, u.idx, {_est_sql("u.piece")} AS pl
+      FROM (SELECT doc_key, unnest(ps) AS piece,
+                   generate_subscripts(ps, 1) AS idx
+            FROM plist) u(doc_key, piece, idx)),
+    meta AS (
+      SELECT p.doc_key, l.s, CASE WHEN l.s = '' THEN 0 ELSE 1 END AS sl,
+             count(*)::INT AS n
+      FROM pieces p JOIN plist l USING (doc_key) GROUP BY 1, 2, 3),
+    walk(doc_key, s, sl, n, i, w, wl, r, chunks) AS (
+      SELECT doc_key, s, sl, n, 0, CAST([] AS VARCHAR[]),
+             CAST([] AS BIGINT[]), 0::BIGINT, CAST([] AS VARCHAR[])
+      FROM meta
+      UNION ALL
+      SELECT doc_key, s, sl, n, i + 1,
+             list_append(w2, piece), list_append(wl2, pl),
+             r2 + pl + CASE WHEN len(w2) > 0 THEN sl ELSE 0 END,
+             CASE WHEN emit IS NOT NULL THEN list_append(chunks, emit)
+                  ELSE chunks END
+      FROM (
+        SELECT z.*,
+               CASE WHEN flush THEN w[drops + 1:] ELSE w END AS w2,
+               CASE WHEN flush THEN wl[drops + 1:] ELSE wl END AS wl2,
+               CASE WHEN flush
+                    THEN r - coalesce(list_sum(wl[1:drops]), 0)
+                           - sl * least(drops, len(w) - 1)
+                    ELSE r END AS r2,
+               CASE WHEN flush AND len(w) > 0
+                    THEN nullif(trim(
+                           list_reduce(w, (x, y) -> x || s || y), {ws}), '')
+                    END AS emit
+        FROM (
+          SELECT y.*,
+                 CASE WHEN flush THEN list_min(list_filter(
+                   range(0, len(w) + 1),
+                   j -> NOT ({rj} > {ov}
+                             OR ({rj} + pl
+                                   + CASE WHEN j < len(w) THEN sl ELSE 0 END
+                                   > {cs}
+                                 AND {rj} > 0))))
+                 ELSE 0 END AS drops
+          FROM (
+            SELECT wk.doc_key, wk.s, wk.sl, wk.n, wk.i, wk.w, wk.wl, wk.r,
+                   wk.chunks, p.piece, p.pl,
+                   (wk.r + p.pl
+                      + CASE WHEN len(wk.w) > 0 THEN wk.sl ELSE 0 END > {cs}
+                    AND len(wk.w) > 0) AS flush
+            FROM walk wk JOIN pieces p
+              ON p.doc_key = wk.doc_key AND p.idx = wk.i + 1
+            WHERE wk.i < wk.n
+          ) y
+        ) z
+      ) q),
+    fin AS (
+      SELECT doc_key,
+             CASE WHEN fj IS NOT NULL THEN list_append(chunks, fj)
+                  ELSE chunks END AS chunks
+      FROM (SELECT doc_key, chunks,
+                   CASE WHEN len(w) > 0
+                        THEN nullif(trim(
+                               list_reduce(w, (x, y) -> x || s || y), {ws}),
+                             '')
+                        END AS fj
+            FROM walk WHERE i = n) f)
+    SELECT doc_key, (u.idx - 1)::INT AS chunk_no,
+           length(u.c)::BIGINT AS chunk_chars, sha256(u.c) AS chunk_sha
+    FROM (SELECT doc_key, unnest(chunks) AS c,
+                 generate_subscripts(chunks, 1) AS idx FROM fin) u(doc_key, c, idx)
+    """
+
+
+@register("pipeline_chunk_explode", oracle=_chunk_explode_oracle(60, 10))
 def pipeline_chunk_explode(spark, sf_dir):
     """T2 at real chunk sizes: recursive splitter with chunk_size=60 est
     tokens + overlap 10 over the corpus — multi-chunk explode with
-    ordinals. Chunk boundaries come from the ported recursive algorithm,
-    which SQL cannot express (hence no oracle; correctness of the
-    splitter itself is differentially tested against the reference in
-    tests/test_splitter_parity.py)."""
+    ordinals. On this corpus no single piece reaches chunk_size (a
+    precondition test_splitter_parity.py asserts), so the split is
+    exactly one greedy merge fold, which the oracle replays as a
+    recursive CTE; the splitter's recursion branch stays covered by the
+    400-case differential parity suite."""
     from wagtail_vector_index_spark.config import IndexConfig
     from wagtail_vector_index_spark.plans.indexing import chunk_sources
 
@@ -1538,11 +1664,47 @@ def pipeline_chunk_explode(spark, sf_dir):
     )
 
 
-@register("pipeline_incremental_staleness")
+def _norm_chunk_sql(t: str) -> str:
+    """Single-chunk splitter output for text expr ``t`` as a DuckDB
+    expression: with chunk_size >> len(text), split_text degenerates to
+    split-on-active-separator, drop empties, re-join, strip — NULL when
+    the text strips to nothing (zero chunks)."""
+    sep = _SEP_SQL.format(t=t)
+    pieces = f"list_filter(string_split({t}, nullif({sep}, '')), x -> x <> '')"
+    joined = (
+        f"CASE WHEN ({sep}) = '' THEN {t} "
+        f"WHEN len({pieces}) = 0 THEN NULL "
+        f"ELSE list_reduce({pieces}, (x, y) -> x || ({sep}) || y) END"
+    )
+    return f"nullif(trim({joined}, {_WS_SQL}), '')"
+
+
+def _staleness_oracle() -> str:
+    old_c = _norm_chunk_sql("text")
+    new_c = _norm_chunk_sql("newt")
+    return f"""
+    WITH src AS (
+      SELECT source || ':' || doc_id AS doc_key, text,
+             CASE WHEN doc_id < 10 THEN 'CHANGED ' || text ELSE text END AS newt
+      FROM documents),
+    norm AS (SELECT doc_key, {old_c} AS oldc, {new_c} AS newc FROM src)
+    SELECT doc_key, (newc IS DISTINCT FROM oldc) AS is_stale
+    FROM norm WHERE newc IS NOT NULL OR oldc IS NOT NULL
+    """
+
+
+@register("pipeline_incremental_staleness", oracle=_staleness_oracle())
 def pipeline_incremental_staleness(spark, sf_dir):
     """T6/T7 staleness detection: after changing 10 documents' text, the
     full-outer content-hash compare must mark exactly those as stale.
-    Returns (doc_key, is_stale) for every object."""
+    Returns (doc_key, is_stale) for every object.
+
+    chunk_size is pinned far above any document, so each object is
+    exactly one chunk and the whole pipeline (chunk -> sha2 -> full-outer
+    set compare, plans/indexing.py:99-176) is SQL-replayable: stale iff
+    the normalized single-chunk content differs between the stored and
+    changed text. The multi-chunk staleness path stays covered by
+    tests/test_indexing.py."""
     from wagtail_vector_index_spark.config import IndexConfig
     from wagtail_vector_index_spark.embedding.hash_backend import (
         HashEmbeddingBackend,
@@ -1559,7 +1721,9 @@ def pipeline_incremental_staleness(spark, sf_dir):
         "text",
         "doc_id",
     )
-    cfg = IndexConfig(index_name="stale_test")
+    # Single-chunk regime: chunk_size >> any document so chunk content is
+    # a pure string normalization of the text (see _staleness_oracle).
+    cfg = IndexConfig(index_name="stale_test", chunk_size=1_000_000)
     backend = HashEmbeddingBackend(dimensions=8)
     stored = build_documents(sources.drop("doc_id"), cfg, backend)
     changed = sources.withColumn(
