@@ -412,3 +412,87 @@ def test_semantic_dedup_nonpositive_threshold_parity(spark):
         for r in semantic_dedup(emb, cents, method="arrow", **kw).collect()
     }
     assert surv == {1, 3}
+
+
+def test_semantic_dedup_mega_cluster_guard(spark):
+    """Skew guard: with 90% of rows in one cluster and a small cap, the
+    arrow path must reroute through the blocked block-pair decomposition
+    (bounded per-task GEMM) and still produce the identical survivor set
+    as both the unguarded kernel and the SQL twin."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(240, 4))
+    X[:, 0] = np.abs(X[:, 0]) + 0.5  # all lean toward +x ...
+    X[:24, 0] = -X[:24, 0]           # ... except 10% flipped to -x
+    rows = [(i, [float(v) for v in X[i]]) for i in range(240)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0, 0.0])]
+    kw = dict(id_col="vec_id", vec_col="embedding", threshold=0.8)
+
+    guarded = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, cents, method="arrow", max_cluster_rows=32, **kw
+        ).collect()
+    }
+    fast = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, cents, method="arrow", max_cluster_rows=None, **kw
+        ).collect()
+    }
+    sql = {
+        tuple(r)
+        for r in semantic_dedup(emb, cents, method="sql", **kw).collect()
+    }
+    assert guarded == fast == sql
+    assert 0 < len(guarded) < 240  # the threshold actually prunes
+
+
+def test_blocked_semantic_survivors_matches_single_task(spark):
+    """Unit: the block-pair loser decomposition equals the one-task-per-
+    cluster triu for every block count (1 block == degenerate case)."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        _blocked_semantic_survivors,
+        assign_centroids_udf,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 3))
+    rows = [(i, [float(v) for v in X[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    assigned = emb.withColumn(
+        "cid", assign_centroids_udf(cents)(F.col("embedding"))
+    ).select("vec_id", "embedding", "cid")
+
+    # brute reference: per-cluster triu in numpy
+    data = assigned.collect()
+    by_cid = {}
+    for r in data:
+        by_cid.setdefault(r["cid"], []).append((r["vec_id"], r["embedding"]))
+    expected = set()
+    for cid, members in by_cid.items():
+        members.sort()
+        M = np.asarray([v for _, v in members])
+        M = M / np.sqrt((M * M).sum(axis=1, keepdims=True))
+        S = M @ M.T
+        loser = np.triu(S >= 0.3, k=1).any(axis=0)
+        for j, (vid, _) in enumerate(members):
+            if not loser[j]:
+                expected.add((vid, cid))
+
+    for counts in ({}, {0: 1, 1: 1}, {0: 3}, {0: 4, 1: 2}, {0: 9, 1: 7}):
+        got = {
+            tuple(r)
+            for r in _blocked_semantic_survivors(
+                assigned, counts, id_col="vec_id", vec_col="embedding",
+                threshold=0.3,
+            ).collect()
+        }
+        assert got == expected, f"block_counts={counts}"

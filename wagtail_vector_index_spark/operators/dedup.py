@@ -900,6 +900,100 @@ def assign_centroids_udf(centroids: Sequence[tuple[int, Sequence[float]]]):
     return pandas_udf(_assign, "int")
 
 
+def _blocked_semantic_survivors(
+    assigned: DataFrame,
+    block_counts: dict[int, int],
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Skew-guarded within-cluster dedup: split each cluster into hash
+    blocks (``block_counts[cid]`` of them; absent cids get 1) and turn
+    every unordered block pair into one bounded GEMM task that emits the
+    higher-id member of each qualifying pair as a *loser*; survivors are
+    the anti-join. Exactly the :func:`block_neardup_pairs` decomposition,
+    run per cluster — same survivor set as the single-task-per-cluster
+    kernel because every within-cluster row pair lands in exactly one
+    (cid, bi, bj) group and the loser rule (drop the higher id) is
+    per-pair, not per-task."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = assigned.sparkSession
+    thr = float(threshold)
+    id_type = assigned.schema[id_col].dataType
+    bdf = spark.createDataFrame(
+        [(int(c), int(b)) for c, b in block_counts.items()], "cid int, nb int"
+    )
+    rows = (
+        assigned.join(F.broadcast(bdf), "cid", "left")
+        .na.fill({"nb": 1})
+        .withColumn(
+            "blk",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("nb")).cast(
+                "int"
+            ),
+        )
+    )
+    a_targets = F.transform(
+        F.sequence(F.col("blk"), F.col("nb") - 1),
+        lambda j: F.struct(
+            F.col("blk").alias("bi"), j.cast("int").alias("bj"),
+            F.lit("a").alias("side"),
+        ),
+    )
+    b_targets = F.when(
+        F.col("blk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk") - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("bi"), F.col("blk").alias("bj"),
+                F.lit("b").alias("side"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bi:int,bj:int,side:string>>"))
+    union = rows.withColumn("t", F.explode(F.concat(a_targets, b_targets))).select(
+        "cid", "t.bi", "t.bj", F.col(id_col), F.col(vec_col), "t.side"
+    )
+
+    def _norm(frame: pd.DataFrame) -> "np.ndarray":
+        X = np.asarray(frame[vec_col].tolist(), dtype=np.float64)
+        return X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+
+    loser_schema = T.StructType([T.StructField(id_col, id_type)])
+    empty = pd.DataFrame({id_col: []})
+
+    def _losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        diagonal = int(pdf["bi"].iloc[0]) == int(pdf["bj"].iloc[0])
+        a = pdf[pdf["side"] == "a"]
+        if diagonal:
+            if len(a) <= 1:
+                return empty
+            a = a.sort_values(id_col, kind="mergesort")
+            S = _norm(a) @ _norm(a).T
+            loser = np.triu(S >= thr, k=1).any(axis=0)
+            return pd.DataFrame({id_col: a[id_col].to_numpy()[loser]})
+        b = pdf[pdf["side"] == "b"]
+        if not len(a) or not len(b):
+            return empty
+        ids_a = a[id_col].to_numpy()
+        ids_b = b[id_col].to_numpy()
+        ra, cb = np.where((_norm(a) @ _norm(b).T) >= thr)
+        if not len(ra):
+            return empty
+        hi = np.maximum(ids_a[ra], ids_b[cb])
+        return pd.DataFrame({id_col: pd.unique(hi)})
+
+    losers = (
+        union.groupBy("cid", "bi", "bj")
+        .applyInPandas(_losers, schema=loser_schema)
+        .distinct()
+    )
+    return assigned.select(id_col, "cid").join(losers, id_col, "left_anti")
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: Sequence[tuple[int, Sequence[float]]],
@@ -908,6 +1002,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     method: str = "arrow",
+    max_cluster_rows: int | None = 8192,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, compare pairs ONLY within each
@@ -920,10 +1015,18 @@ def semantic_dedup(
     ``applyInPandas`` that computes the pairwise block, marks every id
     with a smaller-id neighbor >= threshold, and emits survivors
     directly — no self-join, no aggregate barrier, no anti-join. The
-    quadratic stays bounded per cluster (the SemDeDup point); a skewed
-    mega-cluster is the operator's known hazard and is bounded upstream
-    by the codebook size (production: balanced k-means / cluster
-    sub-splitting).
+    quadratic stays bounded per cluster (the SemDeDup point).
+
+    **Skew guard** (``max_cluster_rows``): a skewed mega-cluster would
+    send one O(n²) GEMM into a single task, so the arrow path first
+    counts rows per cluster (a k-row partial agg — one extra scan, no
+    shuffle growth); if any cluster exceeds the cap, ALL clusters are
+    rerouted through :func:`_blocked_semantic_survivors`, which hash-
+    splits each cluster into ``ceil(n/cap)`` blocks and runs one bounded
+    GEMM per block pair — per-task work O(cap²) regardless of skew, at
+    the cost of ~B-fold replication of the oversized cluster's rows and
+    a final loser anti-join. ``None`` disables the precheck (single-pass
+    fast path, caller asserts balance).
 
     ``method="sql"`` is the Catalyst composition (cluster self-join +
     JIT-safe aggregate verify + anti-join) whose every arithmetic step
@@ -941,6 +1044,26 @@ def semantic_dedup(
     if method == "arrow":
         import numpy as np
         import pandas as pd
+
+        if max_cluster_rows is not None:
+            cap = int(max_cluster_rows)
+            oversized = (
+                assigned.groupBy("cid")
+                .count()
+                .where(F.col("count") > cap)
+                .collect()  # <= k rows (codebook size)
+            )
+            if oversized:
+                block_counts = {
+                    int(r["cid"]): -(-int(r["count"]) // cap) for r in oversized
+                }
+                return _blocked_semantic_survivors(
+                    assigned,
+                    block_counts,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    threshold=threshold,
+                )
 
         id_type = df.schema[id_col].dataType.simpleString()
         thr = float(threshold)
