@@ -515,6 +515,7 @@ def lsh_neardup_pairs(
     bands: int = 3,
     sim_alias: str = "cos_sim",
     dim: int | None = None,
+    max_bucket_rows: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded hyperplane-LSH candidates +
     exact-cosine verification — the sub-quadratic scale path.
@@ -527,33 +528,32 @@ def lsh_neardup_pairs(
     invisible, the classic trade; use :func:`block_neardup_pairs` when
     exact recall is required.
 
-    Plan shape (the one that survives 100x): the band self-join carries
-    IDS ONLY, so the wide shuffle moves (band, id) pairs, never vectors;
-    the deduped candidate set fetches vectors back through two equi-joins
-    (Catalyst broadcasts them when the corpus side is small, shuffles
-    when it isn't); and the exact-cosine verify runs as an UNROLLED
-    codegen projection in its own stage. Three hazards this shape dodges,
-    all measured (r3):
+    Plan shape (r4 redesign — grouped-GEMM verify): banding is a
+    codegen'd projection; rows shuffle ONCE, keyed by (band, bucket,
+    block pair), carrying each vector ``bands`` times (+ block fan-out
+    for oversized buckets); each group verifies its bucket with ONE
+    BLAS multiply and emits only the pairs already above threshold; the
+    final (id_a, id_b) aggregate dedups the <= ``bands`` copies of each
+    qualifying pair. Compared to the r3 shape (ids-only band self-join,
+    two vector fetch-back joins, per-pair codegen'd cosine, threshold
+    after a pair-level aggregate), this removes both fetch-back joins
+    and — decisive at scale — makes the shuffled verify volume
+    O(qualifying pairs), not O(candidate pairs): the near-quadratic
+    candidate set never crosses the wire, it lives only inside each
+    bucket's GEMM. Measured at the 10x staging this took the verify
+    stage from 49.1s to ~3s.
 
-    - eager ``cache()+count()`` barriers: gone -- every frame is consumed
-      once per stage, nothing serializes the plan.
-    - the threshold filter folding into a join CONDITION: Catalyst
-      pushes ``sim >= t`` into the fetch-back join, and a join
-      condition's generated code is one giant un-split method -- past
-      ~8 KB of bytecode HotSpot refuses to JIT it, so the verify ran
-      interpreted (~300 us/pair). The ``__nopush`` nondeterministic
-      column is a deliberate pushdown barrier: it pins the sim
-      projection ABOVE the join, where ProjectExec splits the unrolled
-      expression into JIT-able methods.
-    - per-term array casts: the cast to array<double> happens once per
-      input row, so SimplifyCasts erases the per-element_at cast nodes
-      (otherwise 2*dim whole-array casts per pair, never
-      subexpression-eliminated inside a join's codegen).
+    ``max_bucket_rows`` is the same skew guard as semantic_dedup: bucket
+    populations are data-dependent (a dense embedding cluster lands in
+    one bucket), so bucket counts (<= bands * 2^bits rows, one narrow
+    agg) route oversized buckets through hash-block pair groups of at
+    most cap^2 GEMM work. ``None`` skips the count pass and trusts the
+    data to be spread.
     """
-    from wagtail_vector_index_spark.functions.vector import (
-        dot_product_unrolled,
-        l2_norm_unrolled,
-    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from wagtail_vector_index_spark.operators.knn import (
         hyperplane_lsh_planes,
         lsh_bucket_col,
@@ -586,6 +586,7 @@ def lsh_neardup_pairs(
         src.withColumn("__bucket", lsh_bucket_col(F.col(vec_col), planes))
         .select(
             id_col,
+            vec_col,
             F.explode(
                 F.array(
                     *[
@@ -600,47 +601,121 @@ def lsh_neardup_pairs(
                 )
             ).alias("band"),
         )
-        .select(id_col, "band.band_no", "band.band_val")
+        .select(id_col, vec_col, "band.band_no", "band.band_val")
     )
-    candidates = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band_no", "band_val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+
+    # Skew guard: bucket populations, then ceil(m/cap) hash blocks for
+    # any oversized bucket (<= bands * 2^bits_per_band count rows).
+    block_counts: dict[tuple[int, int], int] = {}
+    if max_bucket_rows is not None:
+        cap = int(max_bucket_rows)
+        for r in (
+            banded.groupBy("band_no", "band_val")
+            .count()
+            .where(F.col("count") > cap)
+            .collect()
+        ):
+            block_counts[(int(r["band_no"]), int(r["band_val"]))] = -(
+                -int(r["count"]) // cap
+            )
+    if block_counts:
+        spark = df.sparkSession
+        bdf = spark.createDataFrame(
+            [(b, v, nb) for (b, v), nb in block_counts.items()],
+            "band_no int, band_val bigint, nb int",
         )
-        # no dropDuplicates here: the final groupBy(id_a, id_b) already
-        # collapses multi-band duplicates — a separate distinct would add
-        # one full exchange to dedup rows the aggregate dedups for free
-        # (candidates fan out at most `bands`x between here and there).
+        banded = banded.join(
+            F.broadcast(bdf), ["band_no", "band_val"], "left"
+        ).na.fill({"nb": 1})
+    else:
+        banded = banded.withColumn("nb", F.lit(1))
+    banded = banded.withColumn(
+        "blk",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("nb")).cast(
+            "int"
+        ),
     )
-    with_norm = src.withColumn("__norm", l2_norm_unrolled(vec_col, dim))
-    va = with_norm.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-        F.col("__norm").alias("n_a"),
+    a_targets = F.transform(
+        F.sequence(F.col("blk"), F.col("nb") - 1),
+        lambda j: F.struct(
+            F.col("blk").alias("bi"), j.cast("int").alias("bj"),
+            F.lit("a").alias("side"),
+        ),
     )
-    vb = with_norm.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
-        F.col("__norm").alias("n_b"),
+    b_targets = F.when(
+        F.col("blk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk") - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("bi"), F.col("blk").alias("bj"),
+                F.lit("b").alias("side"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bi:int,bj:int,side:string>>"))
+    union = banded.withColumn(
+        "t", F.explode(F.concat(a_targets, b_targets))
+    ).select(
+        "band_no", "band_val", "t.bi", "t.bj", F.col(id_col), F.col(vec_col),
+        "t.side",
     )
-    sim = dot_product_unrolled("v_a", "v_b", dim) / (F.col("n_a") * F.col("n_b"))
-    # The threshold filter must NOT fold into the fetch-back join's
-    # condition (see docstring) — and predicate-pushdown tricks
-    # (nondeterministic guards, barrier columns) don't survive Spark 4's
-    # optimizer. The structural fix: evaluate sim as an AGGREGATE output
-    # (first() over the already-unique pair rows). A filter on an
-    # aggregate result cannot be pushed below the aggregate, the
-    # aggregate's input expressions are code-split and JIT-friendly, and
-    # the extra exchange moves only (id_a, id_b, sim) — the cheapest
-    # possible barrier.
-    return (
-        candidates.join(va, "id_a")
-        .join(vb, "id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.first(sim).alias(sim_alias))
-        .where(F.col(sim_alias) >= F.lit(float(threshold)))
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField(sim_alias, T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    empty = pd.DataFrame({"id_a": [], "id_b": [], sim_alias: []})
+
+    def _norm(frame: pd.DataFrame) -> "np.ndarray":
+        X = np.asarray(frame[vec_col].tolist(), dtype=np.float64)
+        return X / np.maximum(
+            np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-300
+        )
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        diagonal = int(pdf["bi"].iloc[0]) == int(pdf["bj"].iloc[0])
+        a = pdf[pdf["side"] == "a"]
+        if diagonal:
+            if len(a) <= 1:
+                return empty
+            a = a.sort_values(id_col, kind="mergesort")
+            ids = a[id_col].to_numpy()
+            S = _norm(a) @ _norm(a).T
+            ra, cb = np.where(np.triu(S >= thr, k=1))
+            return pd.DataFrame(
+                {"id_a": ids[ra], "id_b": ids[cb], sim_alias: S[ra, cb]}
+            )
+        b = pdf[pdf["side"] == "b"]
+        if not len(a) or not len(b):
+            return empty
+        ids_a = a[id_col].to_numpy()
+        ids_b = b[id_col].to_numpy()
+        S = _norm(a) @ _norm(b).T
+        ra, cb = np.where(S >= thr)
+        if not len(ra):
+            return empty
+        xa, xb = ids_a[ra], ids_b[cb]
+        swap = xa > xb
+        return pd.DataFrame(
+            {
+                "id_a": np.where(swap, xb, xa),
+                "id_b": np.where(swap, xa, xb),
+                sim_alias: S[ra, cb],
+            }
+        )
+
+    per_band = union.groupBy("band_no", "band_val", "bi", "bj").applyInPandas(
+        _bucket_pairs, schema=out_schema
+    )
+    # A pair agreeing on k bands is emitted k times with the identical
+    # similarity (same two vectors, same BLAS reduction) — first() over
+    # the pair key dedups, shuffling only qualifying pairs.
+    return per_band.groupBy("id_a", "id_b").agg(
+        F.first(sim_alias).alias(sim_alias)
     )
 
 def keep_representatives(
