@@ -111,7 +111,12 @@ def _exact_jaccard_pairs(
         )
         .cache()
     )
-    ex.count()  # eager: concurrent downstream stages must not race to fill it
+    # cache() WITHOUT a blocking count: the InMemoryRelation boundary
+    # (which stops projection collapse from inlining the sha into both
+    # join sides) exists at plan time, and concurrent first-fill tasks
+    # serialize on the block manager's per-partition write lock — the
+    # eager count() only added a full pass that serialized the job
+    # (r3 verdict item 7).
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
     )
@@ -181,7 +186,8 @@ def minhash_lsh_pairs(
         .drop("hs")
         .cache()
     )
-    sig.count()  # eager: banding + both verify joins reuse it without racing
+    # no blocking count — see _exact_jaccard_pairs for why cache() alone
+    # is both the optimizer barrier and race-safe
     # band join on bare (id, band) keys — the wide shuffle carries two
     # longs + a short hash, never the shingle arrays
     banded = sig.select(
@@ -278,7 +284,8 @@ def simhash_pairs(
     # materialization barrier it recomputes once per band per join side
     df = _ensure_parallelism(df, id_col)
     fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col).cache()
-    fp.count()  # eager: both join sides reuse it without racing
+    # no blocking count — see _exact_jaccard_pairs for why cache() alone
+    # is both the optimizer barrier and race-safe
     n_bands = 32 // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(
