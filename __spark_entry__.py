@@ -29,62 +29,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # renames, no semantic change.
 _DRIVER_SAMPLED = frozenset(
     {
-        "dedup_apply", "dedup_exact", "dedup_jaccard_exact",
-        "dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint",
-        "embedding_neardup", "find_similar_hash", "knn_cosine", "knn_l2",
-        "knn_mip", "knn_threshold", "multimodal_decode_meta",
+        "ann_ivf_cosine", "ann_ivfpq_adc", "ann_lsh_cosine",
+        "ann_recall_ivf", "ann_recall_lsh", "ann_recall_pq",
+        "corpus_report", "dedup_apply", "dedup_components", "dedup_exact",
+        "dedup_jaccard_exact", "dedup_minhash_lsh",
+        "dedup_shared_passages", "dedup_simhash", "doc_fingerprint",
+        "embedding_neardup", "embedding_neardup_lsh", "find_similar_hash",
+        "hybrid_search_rrf", "knn_cosine", "knn_l2", "knn_mip",
+        "knn_threshold", "multimodal_audio_fingerprint",
+        "multimodal_decode_meta", "multimodal_feature_embed",
+        "multimodal_feature_knn", "multimodal_frame_sample",
+        "pipeline_chunk_explode", "pipeline_corpus_prep",
         "pipeline_dataset_mix", "pipeline_decontaminate",
-        "pipeline_mix_epochs", "pipeline_quality_filter",
-        "q10_returned_items", "q14_promo_share", "q1_pricing_summary",
-        "q3_shipping_priority", "q5_region_revenue", "q6_forecast_revenue",
-        "q9_nation_profit", "q_above_global_avg", "q_above_nation_avg",
-        "q_anti_join", "q_asof_join", "q_asof_join_forward", "q_big_orders",
-        "q_case_agg", "q_cube_lineitem", "q_distinct_agg",
-        "q_events_anomaly", "q_events_hourly", "q_events_json",
-        "q_events_user_gaps", "q_having", "q_median_price",
-        "q_monthly_orders", "q_outer_join_counts", "q_pivot_flags",
-        "q_range_join_bands", "q_rolling_revenue", "q_rollup_acctbal",
-        "q_scalar_functions", "q_semi_join", "q_sessionize", "q_set_except",
-        "q_set_intersect", "q_ship_delay", "q_stats_agg", "q_top_customers",
-        "q_union_all", "q_window_analytics", "q_window_top_orders",
-        "search_hash_knn", "similarity_join_topk",
-        "streaming_stateful_dedup", "text_lang_id", "text_quality",
-        "text_token_count", "text_wordcount",
-    }
-)
-
-
-# Queries added in round 3. They have local oracle-gate runs but rank
-# BELOW the round-1/2-era never-sampled entries: those have waited two
-# rounds for a driver row (the r2 verdict names them explicitly), so
-# they must win the sample before newer additions compete.
-_ROUND3_NEW = frozenset(
-    {
-        "q2_min_supplier", "q4_order_priority", "q7_volume_shipping",
-        "q8_market_share", "q11_value_concentration", "q13_custdist",
+        "pipeline_export_shards", "pipeline_incremental_staleness",
+        "pipeline_mix_epochs", "pipeline_pack_sequences",
+        "pipeline_quality_filter", "pipeline_shuffle_rank",
+        "pipeline_train_val_split", "q10_returned_items",
+        "q11_value_concentration", "q13_custdist", "q14_promo_share",
         "q15_top_supplier", "q16_part_supplier_diversity",
         "q17_small_qty_revenue", "q19_disjunctive_revenue",
-        "q20_dominant_suppliers", "q21_waiting_suppliers",
-        "q22_idle_customers", "dedup_semantic", "pipeline_source_cap",
-        "text_quality_classifier", "knn_quantized_int8",
-        "sketch_distinct_kmv", "q_funnel_conversion", "q_retention_cohorts",
-        "q12_priority_shipping", "q_value_histogram", "text_zipf_slope",
+        "q1_pricing_summary", "q20_dominant_suppliers",
+        "q21_waiting_suppliers", "q22_idle_customers", "q2_min_supplier",
+        "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_nation_profit", "q_above_global_avg", "q_above_nation_avg",
+        "q_anti_join", "q_array_functions", "q_asof_join",
+        "q_asof_join_forward", "q_big_orders", "q_case_agg",
+        "q_cube_lineitem", "q_distinct_agg", "q_events_anomaly",
+        "q_events_hourly", "q_events_json", "q_events_user_gaps",
+        "q_having", "q_median_price", "q_monthly_orders",
+        "q_outer_join_counts", "q_pivot_flags", "q_range_join_bands",
+        "q_rolling_revenue", "q_rollup_acctbal", "q_scalar_functions",
+        "q_semi_join", "q_session_window", "q_sessionize", "q_set_except",
+        "q_set_intersect", "q_ship_delay", "q_skew_salted_count",
+        "q_stats_agg", "q_top_customers", "q_union_all",
+        "q_window_analytics", "q_window_top_orders", "rag_batch_echo",
+        "search_hash_knn", "search_tfidf_knn", "similarity_join_topk",
+        "sketch_distinct_kmv", "streaming_click_view_join",
+        "streaming_events_hourly", "streaming_stateful_dedup",
+        "text_bm25", "text_gopher_rules", "text_lang_id",
+        "text_lang_id_ngram", "text_quality", "text_repetition",
+        "text_token_count", "text_top_ngram_frac", "text_unigram_logprob",
+        "text_wordcount", "vector_centroids",
     }
 )
+
+
 
 
 def _ordered(mapping: dict) -> dict:
-    """Iteration order = driver sampling priority: (1) round-1/2-era
-    entries still without a driver row, (2) this round's additions,
-    (3) already-driver-green entries. Pure ordering — no renames."""
-    waited = {
-        k: v
-        for k, v in mapping.items()
-        if k not in _DRIVER_SAMPLED and k not in _ROUND3_NEW
-    }
-    new = {k: v for k, v in mapping.items() if k in _ROUND3_NEW}
+    """Iteration order = driver sampling priority: entries that have
+    never received a driver correctness row (after merging the r1-r3
+    samples, exactly the 9 the r3 verdict lists) come first, then the
+    already-driver-green majority. Pure ordering — no renames."""
+    waited = {k: v for k, v in mapping.items() if k not in _DRIVER_SAMPLED}
     seen = {k: v for k, v in mapping.items() if k in _DRIVER_SAMPLED}
-    return {**waited, **new, **seen}
+    return {**waited, **seen}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

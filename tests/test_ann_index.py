@@ -274,3 +274,51 @@ def test_pq_encode_udf_matches_expression_twin(spark):
     assert {r["vec_id"]: list(r["codes"]) for r in expr} == {
         r["vec_id"]: list(r["codes"]) for r in fast
     }
+
+
+def test_append_dedup_token_exactly_once(spark, index_df, centroids_df, tmp_path):
+    """Streaming exactly-once evidence (r3 verdict item 10): re-delivering
+    the same foreachBatch batch — the same dedup_token — must not
+    duplicate vectors; a crash between the data write and the manifest
+    commit must also recover to exactly one copy."""
+    path = str(tmp_path / "ivf_once")
+    idx = IvfIndex.build(index_df, path=path, centroids_df=centroids_df)
+    n0 = idx._vectors().count()
+    batch = spark.createDataFrame(
+        [(990001, [1.0] * 64), (990002, [0.5] * 64)],
+        "vec_id long, vector array<double>",
+    )
+    tok = "/ckpt/ann#7"  # what incremental_ann_stream passes for batch 7
+    idx.append(batch, dedup_token=tok)
+    n1 = idx._vectors().count()
+    assert n1 == n0 + 2
+    # replayed batch (same checkpoint + batch_id): a no-op
+    idx.append(batch, dedup_token=tok)
+    assert idx._vectors().count() == n1
+    assert len(idx.vectors_log.current().live) == 2  # no third generation
+
+    # crash AFTER the generation dir write but BEFORE the commit: the
+    # directory exists, the manifest doesn't list it — a replay must
+    # overwrite and commit exactly one copy
+    from wagtail_vector_index_spark.operators.ann_index import _append_gen
+
+    tok2 = "/ckpt/ann#8"
+    gen = _append_gen(idx.vectors_log, tok2)
+    batch2 = spark.createDataFrame(
+        [(990003, [0.25] * 64)], "vec_id long, vector array<double>"
+    )
+    # simulate the pre-crash partial write (data on disk, never committed)
+    batch2.write.mode("overwrite").parquet(idx.vectors_log.gen_path(gen))
+    assert idx._vectors().count() == n1  # invisible until committed
+    idx.append(batch2, dedup_token=tok2)  # the replay
+    assert idx._vectors().count() == n1 + 1
+    idx.append(batch2, dedup_token=tok2)  # and a second replay: no-op
+    assert idx._vectors().count() == n1 + 1
+    # a different batch id still appends
+    idx.append(
+        spark.createDataFrame(
+            [(990004, [0.1] * 64)], "vec_id long, vector array<double>"
+        ),
+        dedup_token="/ckpt/ann#9",
+    )
+    assert idx._vectors().count() == n1 + 2

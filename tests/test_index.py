@@ -361,3 +361,44 @@ def test_compact_and_vacuum_lifecycle(index):
         r["doc_key"]: r["content"] for r in index.documents().collect()
     }
     assert after_vacuum == expected
+
+
+def test_default_query_prompt_matches_reference_verbatim():
+    """SURVEY §7 pledges byte-parity on prompt assembly; pin the default
+    system prompt to the reference literal (base.py:219)."""
+    import re
+
+    from wagtail_vector_index_spark.index import DEFAULT_QUERY_PROMPT
+
+    src = open(
+        "/root/reference/src/wagtail_vector_index/storage/base.py"
+    ).read()
+    ref = re.search(
+        r'or "(You are a helpful assistant\.[^"]*)"', src
+    ).group(1)
+    assert DEFAULT_QUERY_PROMPT == ref
+
+
+def test_index_config_check_columns(spark):
+    """EmbeddingField._check_embedding_fields analog: configured columns
+    that don't exist on the source frame fail fast with a column-level
+    message, not a deep Catalyst analysis error."""
+    import pytest
+
+    from wagtail_vector_index_spark.config import IndexConfig
+    from wagtail_vector_index_spark.embedding.hash_backend import (
+        HashEmbeddingBackend,
+    )
+    from wagtail_vector_index_spark.plans.indexing import build_documents
+
+    df = spark.createDataFrame(
+        [("k1", ["k1"], "hello world")],
+        "object_key string, object_keys array<string>, text string",
+    )
+    cfg = IndexConfig(index_name="ok")
+    cfg.check_columns(df)  # no raise
+    bad = IndexConfig(index_name="bad", key_column="missing_key")
+    with pytest.raises(ValueError, match="missing_key"):
+        build_documents(df, bad, HashEmbeddingBackend(dimensions=4))
+    with pytest.raises(ValueError, match="no_such_text"):
+        cfg.check_columns(df, text_col="no_such_text")

@@ -78,3 +78,28 @@ class IndexConfig:
     distance: str = "cosine"  # cosine | euclidean | max_inner_product
     embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
     chat: ChatConfig = field(default_factory=ChatConfig)
+
+    def check_columns(
+        self,
+        df,
+        *,
+        text_col: str = "text",
+        important_col: str | None = None,
+    ) -> None:
+        """Fail fast when a configured column doesn't exist on the source
+        frame — the Spark analog of the reference's
+        ``EmbeddingField._check_embedding_fields`` model check
+        (src/wagtail_vector_index/storage/django.py:144-156), which warns
+        when ``embedding_fields`` names a non-existent field. Raising at
+        pipeline entry gives a column-level message instead of a deep
+        Catalyst UNRESOLVED_COLUMN at plan analysis."""
+        wanted = [self.key_column, text_col]
+        if important_col is not None:
+            wanted.append(important_col)
+        missing = [c for c in wanted if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"IndexConfig({self.index_name!r}) references non-existent "
+                f"column(s) {missing} on the source frame "
+                f"(available: {df.columns})"
+            )

@@ -44,9 +44,11 @@ from wagtail_vector_index_spark.plans.indexing import (
 )
 from wagtail_vector_index_spark.sources.tables import DocumentStore
 
+# Verbatim reference default (base.py:219) — chunk of the prompt surface
+# SURVEY §7 pledges byte-parity on.
 DEFAULT_QUERY_PROMPT = (
     "You are a helpful assistant. Use the following context to answer the "
-    "question. Don't mention the context in your reply."
+    "question. Don't mention the context in your answer."
 )
 
 

@@ -79,9 +79,32 @@ def _commit_append(log: ManifestLog, gen: str) -> Manifest | None:
         return None
 
     def up(cur):
-        return (list(cur.live) if cur else []) + [gen], {}
+        live = list(cur.live) if cur else []
+        # idempotent for deterministic (dedup-token) generation names:
+        # a replayed commit must not list the same generation twice
+        if gen not in live:
+            live.append(gen)
+        return live, {}
 
     return log.commit(up)
+
+
+def _append_gen(log: ManifestLog, dedup_token: str | None) -> str | None:
+    """Generation name for an append. With ``dedup_token`` the name is a
+    deterministic function of the token (exactly-once for stream
+    replays: a re-delivered foreachBatch batch resolves to the SAME
+    generation, which is either already live — return None, skip — or
+    safely overwritten and committed idempotently). Without a token,
+    a fresh unique name."""
+    if dedup_token is None:
+        return log.new_generation()
+    import hashlib
+
+    gen = f"gen-tok-{hashlib.sha256(dedup_token.encode()).hexdigest()[:24]}"
+    cur = log.current()
+    if cur is not None and gen in cur.live:
+        return None
+    return gen
 
 
 def _commit_rewrite(log: ManifestLog, gen: str, base: Manifest | None) -> Manifest:
@@ -231,13 +254,19 @@ class IvfIndex:
         _commit_rewrite(log, gen, base)
         return cls(spark, path, id_col=id_col, vec_col=vec_col)
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, *, dedup_token: str | None = None) -> None:
         """Incremental maintenance: assign NEW vectors against the stored
         codebook and append them as a new generation (fresh parquet files
         — no rewrite of standing data, published by one manifest commit).
         Ids must be new; replacing an id is ``delete_ids`` + ``append``.
         After a burst of appends, ``compact`` restores the
-        one-file-per-posting-list layout."""
+        one-file-per-posting-list layout. ``dedup_token`` makes the
+        append exactly-once per token (see :func:`_append_gen`) — the
+        streaming maintenance path passes its batch identity here."""
+        log = self.vectors_log
+        gen = _append_gen(log, dedup_token)
+        if gen is None:
+            return  # replayed batch: this token's generation is live
         codebook = self.spark.read.parquet(self.codebook_path)
         assigned = ivf_assign(
             df.select(self.id_col, self.vec_col),
@@ -245,8 +274,6 @@ class IvfIndex:
             index_id=self.id_col,
             index_vec=self.vec_col,
         )
-        log = self.vectors_log
-        gen = log.new_generation()
         (
             assigned.repartition("cid")
             .write.mode("overwrite")
@@ -585,10 +612,15 @@ class IvfPqIndex(IvfIndex):
         self._pq_cb_cache = cb
         return cb
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, *, dedup_token: str | None = None) -> None:
         """Incremental maintenance: coarse-assign + PQ-encode NEW
         vectors against the stored codebooks and append to their
-        posting lists (same contract as IvfIndex.append)."""
+        posting lists (same contract as IvfIndex.append, incl. the
+        exactly-once ``dedup_token``)."""
+        log = self.vectors_log
+        gen = _append_gen(log, dedup_token)
+        if gen is None:
+            return
         codebook = self.spark.read.parquet(self.codebook_path)
         cb = self._pq_codebook()
         assigned = ivf_assign(
@@ -599,8 +631,6 @@ class IvfPqIndex(IvfIndex):
         ).repartition("cid").withColumn(
             "codes", pq_encode_udf(cb)(F.col(self.vec_col))
         )
-        log = self.vectors_log
-        gen = log.new_generation()
         (
             assigned
             .write.mode("overwrite")
@@ -817,12 +847,15 @@ class LshIndex:
         _commit_rewrite(log, gen, base)
         return cls(spark, path, id_col=id_col, vec_col=vec_col)
 
-    def append(self, df: DataFrame) -> None:
-        """Incremental maintenance (parity with IvfIndex.append): bucket
-        NEW vectors with the stored planes and publish them as a new
-        generation — no rewrite of standing data. Ids must be new."""
+    def append(self, df: DataFrame, *, dedup_token: str | None = None) -> None:
+        """Incremental maintenance (parity with IvfIndex.append, incl.
+        the exactly-once ``dedup_token``): bucket NEW vectors with the
+        stored planes and publish them as a new generation — no rewrite
+        of standing data. Ids must be new."""
         log = self.vectors_log
-        gen = log.new_generation()
+        gen = _append_gen(log, dedup_token)
+        if gen is None:
+            return
         self._write_gen(self._bucketize(df), log.gen_path(gen))
         _commit_append(log, gen)
 

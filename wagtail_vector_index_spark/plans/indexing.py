@@ -76,6 +76,7 @@ def build_documents(
     important_col: str | None = None,
 ) -> DataFrame:
     """Full (non-incremental) chunk + embed: the rebuild_index path (S8)."""
+    cfg.check_columns(sources, text_col=text_col, important_col=important_col)
     chunk_size = cfg.chunk_size or backend.token_limit
     chunked = chunk_sources(
         sources,
@@ -121,6 +122,7 @@ def incremental_build_documents(
     returned documents would both miss removals and force the embed stage
     to run just to list keys (mapInPandas is opaque to column pruning).
     """
+    cfg.check_columns(sources, text_col=text_col, important_col=important_col)
     chunk_size = cfg.chunk_size or backend.token_limit
     # cache: the chunk UDF output feeds three consumers (mismatch compare,
     # stale selection, fresh-key anti-join) — without a materialization

@@ -67,14 +67,20 @@ def incremental_ann_stream(
     publishes them as a new generation — standing data is never
     rewritten, so the stream only ever adds files. With ``compact_every`` > 0 the index is compacted back to
     one file per posting list every N batches (append bursts grow file
-    counts; compaction restores the scan layout). Exactly-once via the
-    checkpoint's source offsets; append is idempotent per batch only if
-    the source replays identical batches, so use a replayable source."""
+    counts; compaction restores the scan layout). Exactly-once: the
+    checkpoint tracks source offsets AND the sink is transactional per
+    batch — each append carries a ``dedup_token`` derived from
+    (checkpoint, batch_id), so a crash-replayed foreachBatch invocation
+    resolves to the already-live generation and becomes a no-op instead
+    of duplicating vectors (the foreachBatch at-least-once contract made
+    idempotent sink-side, the standard pattern)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        index.append(batch_df)
+        index.append(
+            batch_df, dedup_token=f"{checkpoint_dir}#{batch_id}"
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             index.compact()
 
