@@ -47,6 +47,7 @@ def train_codebook(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "vector",
+    round_decimals: int | None = None,
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Train a k-centroid cosine codebook; returns (centroids, assigned).
 
@@ -55,6 +56,13 @@ def train_codebook(
     cluster (posexplode + group — the vector_centroids shape). The
     returned ``assigned`` DataFrame carries the final (row, cid, __csim)
     assignment for bucketing/partitioning the index.
+
+    ``round_decimals`` rounds each re-estimated mean — the determinism
+    pin for cross-engine replay: aggregation order makes two engines'
+    means differ in the last ulps, and over several Lloyd rounds that
+    drift can flip an argmax; rounding (6 dp in the oracle gate) lands
+    both engines on identical centroids while moving each coordinate by
+    <= 5e-7, which is noise for clustering quality.
     """
     init = (
         df.orderBy(F.col(id_col).asc())
@@ -67,10 +75,13 @@ def train_codebook(
     assigned = None
     for _ in range(iterations):
         assigned = _assign(df, centroids, vec_col=vec_col)
+        mean_val = F.avg("col")
+        if round_decimals is not None:
+            mean_val = F.round(mean_val, round_decimals)
         per_pos = (
             assigned.select("cid", F.posexplode(F.col(vec_col)))
             .groupBy("cid", "pos")
-            .agg(F.avg("col").alias("mean_val"))
+            .agg(mean_val.alias("mean_val"))
         )
         new_rows = (
             per_pos.groupBy("cid")
