@@ -228,8 +228,18 @@ def main() -> None:
         "back-to-back in one process, so the per-operator RATIO is the",
         "stable signal, not the absolute seconds.",
     ]
+    # preserve hand-written / other-tool sections below the marker
+    # (mega-cluster guard experiment, organic staging, ...)
+    marker = "<!-- persistent sections -->"
+    tail = ""
+    try:
+        old = open("/root/repo/SCALE.md").read()
+        if marker in old:
+            tail = old[old.index(marker):]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SCALE.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n\n" + (tail or marker + "\n"))
     print("wrote SCALE.md", flush=True)
 
 

@@ -166,9 +166,17 @@ def main() -> None:
             f"| {name} | {t1:.1f}s | {o1} | {t10:.1f}s | {o10} | "
             f"{o10 / max(o1, 1):.1f}x | {t10 / max(t1, 1e-9):.1f}x |"
         )
-    with open("/root/repo/SCALE.md", "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("appended organic table to SCALE.md")
+    # replace any previous organic section (idempotent re-runs)
+    src = open("/root/repo/SCALE.md").read()
+    header = "## Organic 10x scale (constant duplicate density)"
+    if header in src:
+        head, rest = src.split(header, 1)
+        nxt = rest.find("\n## ")
+        src = head + (rest[nxt + 1:] if nxt != -1 else "")
+        src = src.rstrip() + "\n"
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write(src + "\n".join(lines) + "\n")
+    print("wrote organic table to SCALE.md")
 
 
 if __name__ == "__main__":
