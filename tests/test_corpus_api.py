@@ -172,3 +172,25 @@ def test_corpus_dedup_semantic_drops_near_duplicates(spark):
     )
     assert sorted(r["doc_id"] for r in out.df.collect()) == [1, 3]
     assert out.df.columns == ["doc_id", "source", "text", "emb"]
+
+
+def test_corpus_select_to_target_prefers_target_like_docs(spark):
+    """DSIR selection keeps the raw docs whose token distribution looks
+    like the target: 'alpha'-themed raw docs survive when the target is
+    alpha-themed; 'zulu'-themed ones are dropped."""
+    raw_rows = []
+    for i in range(10):
+        raw_rows.append((i, "s", f"alpha beta gamma delta token{i}"))
+    for i in range(10, 20):
+        raw_rows.append((i, "s", f"zulu yankee xray whiskey token{i}"))
+    raw = spark.createDataFrame(
+        raw_rows, "doc_id long, source string, text string"
+    )
+    target = spark.createDataFrame(
+        [(100, "t", "alpha beta gamma delta epsilon"),
+         (101, "t", "alpha gamma delta beta")],
+        "doc_id long, source string, text string",
+    )
+    kept = Corpus(raw).select_to_target(target, keep_fraction=0.5)
+    ids = sorted(r["doc_id"] for r in kept.df.collect())
+    assert ids == list(range(10))  # exactly the alpha-themed half

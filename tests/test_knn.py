@@ -231,3 +231,67 @@ def test_lsh_topk_batch_matches_single_probe(spark, embeddings_df):
             assert key in got
             assert abs(got[key] - r["similarity"]) < 1e-12
         assert len(single) == sum(1 for k in got if k[0] == p["probe_id"])
+
+
+def test_mmr_rerank_batches_probes_and_diversifies(spark, embeddings_df):
+    """MMR over a batched shortlist: lambda=1 reduces to plain top-k
+    order; lambda<1 must not increase the selected set's maximum
+    pairwise similarity; all probes run through ONE plan."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+    from wagtail_vector_index_spark.operators.mmr import mmr_rerank
+    from pyspark.sql import Window
+
+    emb = embeddings_df.limit(300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("vector").alias("qv")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        emb.where(F.col("vec_id") >= 3)
+        .crossJoin(F.broadcast(probes))
+        .withColumn(
+            "similarity", similarity_col(F.col("vector"), F.col("qv"), "cosine")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 40)
+        .select("probe_id", "vec_id", "vector", "similarity", "__rn")
+    )
+
+    plain = mmr_rerank(shortlist, k=8, lam=1.0).collect()
+    by_probe = {}
+    for r in plain:
+        by_probe.setdefault(r["probe_id"], []).append((r["mmr_rank"], r["vec_id"]))
+    # lambda=1: rank order == similarity order
+    exp = {}
+    for r in shortlist.where(F.col("__rn") <= 8).collect():
+        exp.setdefault(r["probe_id"], []).append((r["__rn"], r["vec_id"]))
+    for p in exp:
+        assert sorted(by_probe[p]) == sorted(exp[p])
+
+    # lambda=0.5 diversifies: max pairwise sim of selected set does not
+    # increase vs the plain top-8, for every probe
+    vecs = {
+        r["vec_id"]: np.array(r["vector"], dtype=float)
+        for r in emb.collect()
+    }
+
+    def max_pair_sim(ids):
+        V = np.array([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+        S = V @ V.T
+        np.fill_diagonal(S, -1)
+        return S.max()
+
+    diverse = mmr_rerank(shortlist, k=8, lam=0.5).collect()
+    dsel = {}
+    for r in diverse:
+        dsel.setdefault(r["probe_id"], []).append(r["vec_id"])
+    for p, ids in exp.items():
+        plain_ids = [v for _, v in sorted(ids)]
+        assert max_pair_sim(dsel[p]) <= max_pair_sim(plain_ids) + 1e-12
+        assert len(dsel[p]) == 8

@@ -396,6 +396,33 @@ class Corpus:
             )
         )
 
+    def select_to_target(
+        self,
+        target_df,
+        *,
+        buckets: int = 256,
+        keep_fraction: float = 0.2,
+    ) -> "Corpus":
+        """DSIR-style importance selection toward a target corpus
+        (operators/importance.dsir_select): keep the ``keep_fraction``
+        of this corpus whose hashed-ngram distribution best matches
+        ``target_df`` (same text column name)."""
+        from wagtail_vector_index_spark.operators.importance import (
+            dsir_select,
+        )
+
+        sel = dsir_select(
+            self.df,
+            target_df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            buckets=buckets,
+            keep_fraction=keep_fraction,
+        )
+        return self._wrap(
+            self.df.join(sel.select(self.id_col), self.id_col, "semi")
+        )
+
     def dedup_semantic(
         self,
         *,

@@ -1,0 +1,105 @@
+"""DSIR-style importance selection (Xie et al. 2023, arXiv:2302.03169,
+"Data Selection for Language Models via Importance Resampling").
+
+Select raw-corpus documents that look like a small target corpus:
+hashed-unigram bucket distributions are fit for target (p) and raw (q)
+with Laplace smoothing, each document scores
+``log w(d) = sum_tokens (ln p[bucket(tok)] - ln q[bucket(tok)])``, and
+the top fraction by weight is kept (deterministic rank selection — the
+paper's Gumbel resampling swaps in trivially where nondeterminism is
+acceptable; rank selection keeps the oracle exact).
+
+Scale shape: both bucket distributions are B-row aggregates
+(map-side-combinable counts over the token explode); their log-ratio
+table broadcasts to every executor; the per-document score is one more
+map-side-combinable sum; selection is a rank over (score, id). Nothing
+quadratic, nothing driver-side, two narrow shuffles (bucket agg + doc
+agg) + one for the rank. Bucketing is sha256-based
+(functions/text_analysis.sha_hash64), so the DuckDB oracle reproduces
+every hash bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.functions.text_analysis import (
+    sha_hash64,
+    tokens_col,
+)
+
+
+def _bucket_counts(
+    df: DataFrame, *, text_col: str, buckets: int
+) -> DataFrame:
+    toks = df.select(
+        F.explode(tokens_col(F.col(text_col))).alias("__tok")
+    )
+    return toks.select(
+        F.pmod(sha_hash64(F.col("__tok")), F.lit(buckets)).alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    keep_fraction: float = 0.2,
+) -> DataFrame:
+    """Rows of ``raw`` whose hashed-ngram distribution best matches
+    ``target``, as (id_col, log_w): the top ``keep_fraction`` by
+    importance weight (ties -> lowest id). Raw docs with zero tokens
+    score 0 (an empty sum) and compete at that weight."""
+    b = int(buckets)
+    tc = _bucket_counts(target, text_col=text_col, buckets=b)
+    rc = _bucket_counts(raw, text_col=text_col, buckets=b)
+    totals = tc.agg(F.sum("n").alias("tt")).crossJoin(
+        rc.agg(F.sum("n").alias("tr"))
+    )
+    # log((tc+1)/(Tt+B)) - log((rc+1)/(Tr+B)) per bucket, <= B rows
+    weights = (
+        tc.withColumnRenamed("n", "tn")
+        .join(rc.withColumnRenamed("n", "rn"), "bucket", "full_outer")
+        .na.fill({"tn": 0, "rn": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tn") + 1) / (F.col("tt") + F.lit(b)))
+                - F.log((F.col("rn") + 1) / (F.col("tr") + F.lit(b)))
+            ).alias("w"),
+        )
+    )
+    doc_tokens = raw.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("__tok"),
+    ).select(
+        id_col,
+        F.pmod(sha_hash64(F.col("__tok")), F.lit(b)).alias("bucket"),
+    )
+    scores = (
+        doc_tokens.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("log_w"))
+    )
+    # docs with no tokens score 0
+    scores = (
+        raw.select(id_col)
+        .join(scores, id_col, "left")
+        .na.fill({"log_w": 0.0})
+    )
+    n_keep_w = Window.orderBy(F.col("log_w").desc(), F.col(id_col).asc())
+    total = raw.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        scores.withColumn("__rn", F.row_number().over(n_keep_w))
+        .crossJoin(F.broadcast(total))
+        .where(
+            F.col("__rn")
+            <= F.ceil(F.col("__n") * F.lit(float(keep_fraction)))
+        )
+        .select(id_col, "log_w")
+    )

@@ -1362,3 +1362,59 @@ def text_zipf_slope(spark, sf_dir):
             4,
         ).alias("zipf_slope"),
     )
+
+
+_DSIR_BUCKET = "('0x' || substr(sha256(tok), 1, 8))::UBIGINT % 256"
+
+
+@register(
+    "pipeline_dsir_select",
+    oracle=f"""
+    WITH
+    tt AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents
+           WHERE source IN ('src0', 'src1')),
+    rt AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+           WHERE source NOT IN ('src0', 'src1')),
+    tb AS (SELECT {_DSIR_BUCKET} AS bucket, count(*) AS tn FROM tt GROUP BY 1),
+    rb AS (SELECT {_DSIR_BUCKET} AS bucket, count(*) AS rn FROM rt GROUP BY 1),
+    tot AS (SELECT (SELECT sum(tn) FROM tb) AS ttot,
+                   (SELECT sum(rn) FROM rb) AS rtot),
+    w AS (SELECT bucket,
+                 ln((coalesce(tn, 0) + 1) / (ttot + 256))
+                 - ln((coalesce(rn, 0) + 1) / (rtot + 256)) AS w
+          FROM tb FULL JOIN rb USING (bucket) CROSS JOIN tot),
+    ds AS (SELECT r.doc_id, sum(w.w) AS log_w
+           FROM (SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM rt) r
+           JOIN w USING (bucket) GROUP BY 1),
+    alldocs AS (SELECT doc_id FROM documents
+                WHERE source NOT IN ('src0', 'src1')),
+    sc AS (SELECT a.doc_id, coalesce(ds.log_w, 0) AS log_w
+           FROM alldocs a LEFT JOIN ds USING (doc_id)),
+    n AS (SELECT count(*)::DOUBLE AS n FROM alldocs)
+    SELECT doc_id, round(log_w, 6) AS log_w
+    FROM (SELECT doc_id, log_w,
+                 row_number() OVER (ORDER BY log_w DESC, doc_id) AS rnk
+          FROM sc) CROSS JOIN n
+    WHERE rnk <= ceil(n.n * 0.2)
+    """,
+)
+def pipeline_dsir_select(spark, sf_dir):
+    """DSIR-style importance selection (Xie et al. 2023): treat sources
+    src0+src1 as the target domain, score every other document by the
+    log-ratio of Laplace-smoothed hashed-unigram distributions (256
+    sha-derived buckets), keep the top 20% by weight. Distributions are
+    B-row broadcast tables, scoring is one map-side-combinable sum per
+    doc — the data-selection step a 100 TB pretraining pipeline runs to
+    match a quality domain. The oracle re-derives every hash bucket,
+    both smoothed distributions, each document's weight sum, and the
+    rank cutoff."""
+    from wagtail_vector_index_spark.operators.importance import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    raw = docs.where(~F.col("source").isin("src0", "src1"))
+    out = dsir_select(
+        raw, target, id_col="doc_id", text_col="text",
+        buckets=256, keep_fraction=0.2,
+    )
+    return out.select("doc_id", F.round("log_w", 6).alias("log_w"))

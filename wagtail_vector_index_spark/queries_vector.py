@@ -1385,6 +1385,92 @@ def ann_recall_ivf_learned(spark, sf_dir):
     )
 
 
+def _mmr_oracle(n: int, k: int, lam: float) -> str:
+    cos = _cos_sql
+    return f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, v, simq FROM (
+        SELECT e.vec_id, e.v, {cos("e.v", "p.qv")} AS simq,
+               row_number() OVER (ORDER BY {cos("e.v", "p.qv")} DESC,
+                                  e.vec_id) AS rn
+        FROM e, p WHERE e.vec_id <> 0) WHERE rn <= {n}),
+    ps AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos("a.v", "b.v")} AS cs
+      FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+    walk(step, sel) AS (
+      SELECT 0, CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT w.step + 1, list_append(w.sel, (
+        SELECT c.vec_id FROM cand c
+        WHERE NOT list_contains(w.sel, c.vec_id)
+        ORDER BY {lam} * c.simq - (1 - {lam}) * coalesce(
+            (SELECT max(ps.cs) FROM ps
+             WHERE ps.id_a = c.vec_id
+               AND list_contains(w.sel, ps.id_b)), 0.0)
+          DESC, c.vec_id
+        LIMIT 1))
+      FROM walk w WHERE w.step < {k})
+    SELECT u.sel_id AS vec_id, u.i::INT AS mmr_rank,
+           round({lam} * c.simq - (1 - {lam}) * coalesce(
+             (SELECT max(ps.cs) FROM ps
+              WHERE ps.id_a = u.sel_id
+                AND list_contains(u.sel[1:u.i - 1], ps.id_b)), 0.0),
+             6) AS mmr_score
+    FROM (SELECT sel, unnest(sel) AS sel_id,
+                 generate_subscripts(sel, 1) AS i
+          FROM walk WHERE step = {k}) u(sel, sel_id, i)
+    JOIN cand c ON c.vec_id = u.sel_id
+    """
+
+
+@register("search_mmr_rerank", oracle=_mmr_oracle(50, 10, 0.7))
+def search_mmr_rerank(spark, sf_dir):
+    """Diversified retrieval: top-50 cosine shortlist for one probe,
+    then greedy MMR selection of 10 (lambda 0.7) — relevance traded
+    against redundancy, the knob every production vector store grows
+    (Carbonell & Goldstein 1998; EXT — the reference has no
+    diversification). The kernel runs one Arrow group per probe
+    (operators/mmr.py), so a whole probe BATCH is one job; the oracle
+    replays the greedy selection as a recursive CTE whose each step is
+    a correlated argmax over the not-yet-selected shortlist, then
+    re-derives every step's score — rank AND score value-pinned."""
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+    from wagtail_vector_index_spark.operators.mmr import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    probe = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vector").alias("qv")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        vecs.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .withColumn(
+            "similarity", similarity_col(F.col("vector"), F.col("qv"), "cosine")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 50)
+        .select(
+            F.lit(0).alias("probe_id"), "vec_id", "vector", "similarity"
+        )
+    )
+    out = mmr_rerank(
+        shortlist, probe_col="probe_id", id_col="vec_id", vec_col="vector",
+        sim_col="similarity", k=10, lam=0.7,
+    )
+    return out.select(
+        "vec_id", "mmr_rank", F.round("mmr_score", 6).alias("mmr_score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming: stream result == batch oracle
 # ---------------------------------------------------------------------------
