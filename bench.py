@@ -72,6 +72,11 @@ ADDED = [
     "q12_priority_shipping",
     "q_value_histogram",
     "text_zipf_slope",
+    # r4 additions
+    "search_mmr_rerank",
+    "pipeline_dsir_select",
+    "knn_matryoshka_recall",
+    "knn_binary_hamming",
 ]
 
 SPARK_RUNS = 5

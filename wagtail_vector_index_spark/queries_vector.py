@@ -1385,6 +1385,191 @@ def ann_recall_ivf_learned(spark, sf_dir):
     )
 
 
+def _sign_pack_sql(v: str, start: int) -> str:
+    """32 sign bits of ``v`` starting at 0-based ``start``, packed into a
+    BIGINT (bit k = position start+k)."""
+    return (
+        f"list_sum(list_transform(range(0, 32), i -> "
+        f"(CASE WHEN {v}[{start} + i + 1] > 0 THEN 1::BIGINT ELSE 0 END)"
+        f" << i))"
+    )
+
+
+def _binary_hamming_oracle() -> str:
+    cos = _cos_sql("e.v", "p.pv")
+    return f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {_sign_pack_sql("v", 0)} AS b_lo,
+                 {_sign_pack_sql("v", 32)} AS b_hi
+          FROM e0),
+    p AS (SELECT v AS pv, b_lo AS p_lo, b_hi AS p_hi FROM e WHERE vec_id = 0),
+    short AS (
+      SELECT vec_id, v, hamming FROM (
+        SELECT e.vec_id, e.v,
+               bit_count(xor(e.b_lo, p.p_lo))
+               + bit_count(xor(e.b_hi, p.p_hi)) AS hamming,
+               row_number() OVER (ORDER BY
+                 bit_count(xor(e.b_lo, p.p_lo))
+                 + bit_count(xor(e.b_hi, p.p_hi)) ASC, e.vec_id) AS rn
+        FROM e, p WHERE e.vec_id <> 0) WHERE rn <= 50)
+    SELECT vec_id, hamming::INT AS hamming, round(sim, 6) AS cos_sim
+    FROM (
+      SELECT s.vec_id, s.hamming, {_cos_sql("s.v", "p.pv")} AS sim,
+             row_number() OVER (ORDER BY {_cos_sql("s.v", "p.pv")} DESC,
+                                s.vec_id) AS rn
+      FROM short s, p) WHERE rn <= 10
+    """
+
+
+@register("knn_binary_hamming", oracle=_binary_hamming_oracle())
+def knn_binary_hamming(spark, sf_dir):
+    """1-bit (sign) quantized kNN: pack each 64-d vector's sign bits into
+    two longs (64x memory cut vs float64 — the extreme point of the
+    int8 -> PQ -> binary quantization family), shortlist top-50 by
+    Hamming distance (two xor+bit_count ops per comparison — the whole
+    scan is codegen'd integer arithmetic), then rerank the shortlist by
+    exact cosine for the final top-10. At 100 TB this is the cheapest
+    possible first-pass filter: 16 bytes/vector, no Python, no floats
+    until the 50-row rerank. The oracle replays packing, Hamming
+    ranking, and the rerank bit for bit."""
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def pack_half(v, start):
+        return F.aggregate(
+            F.sequence(F.lit(start + 31), F.lit(start), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * F.lit(2).cast("long")
+            + F.when(F.element_at(v, i + 1) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+
+    v = F.col("embedding").cast("array<double>")
+    vecs = emb.select(
+        "vec_id", v.alias("v"),
+        pack_half(v, 0).alias("b_lo"), pack_half(v, 32).alias("b_hi"),
+    )
+    probe = vecs.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("b_lo").alias("p_lo"),
+        F.col("b_hi").alias("p_hi"),
+    )
+    hamming = F.bit_count(
+        F.col("b_lo").bitwiseXOR(F.col("p_lo"))
+    ) + F.bit_count(F.col("b_hi").bitwiseXOR(F.col("p_hi")))
+    wham = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        vecs.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .withColumn("hamming", hamming)
+        .withColumn("__rn", F.row_number().over(wham))
+        .where(F.col("__rn") <= 50)
+    )
+    wcos = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("__sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        short.withColumn(
+            "__sim", similarity_col(F.col("v"), F.col("pv"), "cosine")
+        )
+        .withColumn("__rk", F.row_number().over(wcos))
+        .where(F.col("__rk") <= 10)
+        .select(
+            "vec_id", F.col("hamming").cast("int").alias("hamming"),
+            F.round("__sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+def _matryoshka_oracle(dims: tuple[int, ...]) -> str:
+    per_dim = "\nUNION ALL\n".join(
+        f"""
+    SELECT {d} AS trunc_dim, vec_id FROM (
+      SELECT e.vec_id,
+             row_number() OVER (ORDER BY
+               {_cos_sql(f"e.v[1:{d}]", f"p.pv[1:{d}]")} DESC, e.vec_id) AS rn
+      FROM e, p WHERE e.vec_id <> 0) WHERE rn <= 10"""
+        for d in dims
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    brute AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               row_number() OVER (ORDER BY {_cos_sql("e.v", "p.pv")} DESC,
+                                  e.vec_id) AS rn
+        FROM e, p WHERE e.vec_id <> 0) WHERE rn <= 10),
+    truncated AS ({per_dim})
+    SELECT t.trunc_dim::INT AS trunc_dim,
+           sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hits,
+           sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10
+             AS recall_at_10
+    FROM truncated t LEFT JOIN brute b USING (vec_id)
+    GROUP BY t.trunc_dim
+    """
+
+
+@register("knn_matryoshka_recall", oracle=_matryoshka_oracle((8, 16, 32, 64)))
+def knn_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-style truncated-dimension evaluation (Kusupati et al.
+    2022): cosine top-10 under prefix truncation to 8/16/32/64 dims,
+    scored against the full-dimension brute ranking — the curve that
+    picks a serving dimension before committing an index layout (a
+    64->16 truncation is a 4x scan-byte cut if recall holds). All four
+    truncations run in ONE plan: the prefix slice happens inside the
+    scan projection, each level is a WindowGroupLimit top-10, and the
+    recall join touches (dim, id) pairs only. EXT — the reference
+    serves one fixed dimension per backend."""
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = vecs.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    cands = vecs.where(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+
+    def top10(sim_col, tag):
+        w = Window.partitionBy(F.lit(1)).orderBy(
+            F.col("__sim").desc(), F.col("vec_id").asc()
+        )
+        return (
+            cands.withColumn("__sim", sim_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= 10)
+            .select(F.lit(tag).alias("trunc_dim"), "vec_id")
+        )
+
+    brute = top10(
+        similarity_col(F.col("v"), F.col("pv"), "cosine"), -1
+    ).select("vec_id", F.lit(1).alias("__hit"))
+    levels = None
+    for d in (8, 16, 32, 64):
+        lv = top10(
+            similarity_col(
+                F.slice(F.col("v"), 1, d), F.slice(F.col("pv"), 1, d),
+                "cosine",
+            ),
+            d,
+        )
+        levels = lv if levels is None else levels.unionByName(lv)
+    return (
+        levels.join(F.broadcast(brute), "vec_id", "left")
+        .groupBy("trunc_dim")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(10)
+            ).alias("recall_at_10"),
+        )
+    )
+
+
 def _mmr_oracle(n: int, k: int, lam: float) -> str:
     cos = _cos_sql
     return f"""
