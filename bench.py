@@ -77,6 +77,7 @@ ADDED = [
     "pipeline_dsir_select",
     "knn_matryoshka_recall",
     "knn_binary_hamming",
+    "ann_ivf_filtered",
 ]
 
 SPARK_RUNS = 5

@@ -162,3 +162,12 @@ def test_funnel_is_single_entity_shuffle_no_joins(spark):
     plan = _plan(spark, "q_funnel_conversion")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_ann_ivf_filtered_pushes_label_filter(spark):
+    """Filtered ANN: the metadata predicate must reach the parquet
+    reader of the probed posting lists as a pushed filter (and the
+    posting-list prune as partition filters) — not a post-scan drop."""
+    plan = _plan(spark, "ann_ivf_filtered")
+    assert "PushedFilters: [In(label" in plan or "PushedFilters: [IsNotNull(label), In(label" in plan or re.search(r"PushedFilters: \[[^\]]*label", plan)
+    assert re.search(r"PartitionFilters: \[[^\]]*cid", plan)

@@ -224,8 +224,15 @@ class IvfIndex:
         (operators/kmeans.py). The pre-write repartition on ``cid``
         co-locates each posting list into one file — the layout that makes
         ``nprobe`` pruning a file-listing operation at any scale.
+
+        Every input column beyond (id, vector) is preserved in the
+        stored layout, so metadata predicates compose with the pruned
+        scan at query time (``topk(..., where=...)`` — filtered ANN);
+        ``cid`` is reserved for the partition column.
         """
         spark = df.sparkSession
+        if "cid" in df.columns:
+            raise ValueError("'cid' is reserved for the partition column")
         if centroids_df is None:
             from wagtail_vector_index_spark.operators.kmeans import train_codebook
 
@@ -236,7 +243,7 @@ class IvfIndex:
                 centroids, "cid int, cv array<double>"
             )
         assigned = ivf_assign(
-            df.select(id_col, vec_col),
+            df,
             centroids_df,
             index_id=id_col,
             index_vec=vec_col,
@@ -269,7 +276,7 @@ class IvfIndex:
             return  # replayed batch: this token's generation is live
         codebook = self.spark.read.parquet(self.codebook_path)
         assigned = ivf_assign(
-            df.select(self.id_col, self.vec_col),
+            df,  # extra columns preserved — must match the stored schema
             codebook,
             index_id=self.id_col,
             index_vec=self.vec_col,
@@ -327,13 +334,22 @@ class IvfIndex:
         return [cid for _, cid in sorted(scored)[:nprobe]]
 
     def candidates(
-        self, query_vector: Sequence[float], *, nprobe: int = 2
+        self, query_vector: Sequence[float], *, nprobe: int = 2, where=None
     ) -> DataFrame:
         """The probed posting lists as a DataFrame — a partition-pruned
         scan (``cid`` is the partition column, so non-probed clusters are
-        eliminated during file listing)."""
+        eliminated during file listing). ``where`` (a Column or SQL
+        string over the stored columns) composes a metadata filter INTO
+        the pruned scan — with extra columns kept at build time
+        (``build(df)`` preserves every input column), the predicate
+        reaches the parquet reader as a pushed filter, so filtered ANN
+        costs the filtered fraction of the probed cells, not a
+        post-rank drop."""
         probed = self.probed_cids(query_vector, nprobe)
-        return self._vectors().where(F.col("cid").isin(probed))
+        df = self._vectors().where(F.col("cid").isin(probed))
+        if where is not None:
+            df = df.where(where)
+        return df
 
     def topk(
         self,
@@ -342,11 +358,15 @@ class IvfIndex:
         nprobe: int = 2,
         limit: int = 10,
         sim_alias: str = "similarity",
+        where=None,
     ) -> DataFrame:
         """IVF ANN top-k: exact cosine rank over the probed clusters only.
         Identical results to knn.ivf_topk given the same codebook, at
-        ~nprobe/k of the scan."""
-        cand = self.candidates(query_vector, nprobe=nprobe).drop("cid")
+        ~nprobe/k of the scan. ``where`` filters candidates inside the
+        pruned scan (filtered ANN — see :meth:`candidates`)."""
+        cand = self.candidates(
+            query_vector, nprobe=nprobe, where=where
+        ).drop("cid")
         return topk_similar(
             cand,
             query_vector,

@@ -1385,6 +1385,82 @@ def ann_recall_ivf_learned(spark, sf_dir):
     )
 
 
+def _ivf_labeled_index_for(spark, sf_dir):
+    from wagtail_vector_index_spark.operators.ann_index import IvfIndex
+
+    key = ("ivf_labeled", sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="wvi_ivf_lbl_")
+        emb = _t(spark, sf_dir, "embeddings")
+        index = emb.where(F.col("vec_id") != 0).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("vector"),
+            "label",
+        )
+        centroids = emb.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        IvfIndex.build(index, path=path, centroids_df=centroids)
+        _ANN_INDEX_CACHE[key] = path
+    if key not in _ANN_INSTANCE_CACHE:
+        _ANN_INSTANCE_CACHE[key] = IvfIndex(spark, _ANN_INDEX_CACHE[key])
+    return _ANN_INSTANCE_CACHE[key]
+
+
+@register(
+    "ann_ivf_filtered",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, label, v, cid FROM (
+        SELECT e.vec_id, e.label, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql("e.v", "c.cv")} DESC,
+                                           c.cid) AS rn
+        FROM e, c WHERE e.vec_id <> 0) WHERE rn = 1),
+    probed AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {_cos_sql("c.cv", "p.pv")} DESC,
+                                  c.cid) AS rn
+        FROM c, p) WHERE rn <= 4)
+    SELECT vec_id, label, round(sim, 6) AS similarity FROM (
+      SELECT a.vec_id, a.label, {_cos_sql("a.v", "p.pv")} AS sim,
+             row_number() OVER (ORDER BY {_cos_sql("a.v", "p.pv")} DESC,
+                                a.vec_id) AS rn
+      FROM assign a JOIN probed USING (cid) CROSS JOIN p
+      WHERE a.label IN (3, 7)) WHERE rn <= 10
+    """,
+)
+def ann_ivf_filtered(spark, sf_dir):
+    """Filtered ANN — the production staple the pure tiers skip: top-10
+    among ONLY label-3/7 vectors, served from the materialized IVF index
+    with the metadata predicate composed INTO the partition-pruned scan.
+    The index stores every build column (r4: build() preserves extra
+    columns), so `topk(where=...)` pushes `label IN (3,7)` to the
+    parquet reader of the probed posting lists — the query reads the
+    filtered fraction of nprobe/k of the data, never rank-then-drop.
+    The oracle replays assignment, probing, the filter, and the rank."""
+    idx = _ivf_labeled_index_for(spark, sf_dir)
+    probe = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    out = idx.topk(
+        probe, nprobe=4, limit=10, where=F.col("label").isin(3, 7)
+    )
+    return out.select(
+        "vec_id", "label", F.round("similarity", 6).alias("similarity")
+    )
+
+
 def _sign_pack_sql(v: str, start: int) -> str:
     """32 sign bits of ``v`` starting at 0-based ``start``, packed into a
     BIGINT (bit k = position start+k)."""
