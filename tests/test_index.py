@@ -402,3 +402,27 @@ def test_index_config_check_columns(spark):
         build_documents(df, bad, HashEmbeddingBackend(dimensions=4))
     with pytest.raises(ValueError, match="no_such_text"):
         cfg.check_columns(df, text_col="no_such_text")
+
+
+def test_search_diversify_lambda_mmr(index):
+    """search(diversify_lambda=...): lambda=1.0 reproduces the plain
+    ranking; lambda<1 still returns `limit` rows, each from the
+    shortlist, ranked by mmr_rank."""
+    plain = index.search("spark query", limit=4).collect()
+    mmr_plain = index.search(
+        "spark query", limit=4, diversify_lambda=1.0
+    ).collect()
+    assert [r["doc_key"] for r in plain] == [r["doc_key"] for r in mmr_plain]
+    assert [r["mmr_rank"] for r in mmr_plain] == [1, 2, 3, 4]
+
+    shortlist_keys = {
+        r["doc_key"]
+        for r in index.search("spark query", limit=16).collect()
+    }
+    diverse = index.search(
+        "spark query", limit=4, diversify_lambda=0.5
+    ).collect()
+    assert len(diverse) == 4
+    assert {r["doc_key"] for r in diverse} <= shortlist_keys
+    # top-1 is always the plain best hit (empty-selection penalty is 0)
+    assert diverse[0]["doc_key"] == plain[0]["doc_key"]

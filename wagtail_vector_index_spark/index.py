@@ -306,25 +306,56 @@ class VectorIndex:
         nprobe: int = 2,
         max_probe_hamming: int = 2,
         rerank: int | None = None,
+        diversify_lambda: float | None = None,
+        shortlist: int | None = None,
     ) -> DataFrame:
         """Semantic search: query text -> ranked source-document rows
         (reference base.py:303-316). One driver-side embed, then one job.
         With ``ann=True`` (after :meth:`build_ann_index`) the vector scan
         is replaced by the partition/bucket-pruned read of the attached
-        tier (IVF, IVF-PQ with exact rerank, or LSH multiprobe)."""
+        tier (IVF, IVF-PQ with exact rerank, or LSH multiprobe).
+
+        ``diversify_lambda`` switches the final ranking to MMR
+        (operators/mmr.py, EXT): retrieve a ``shortlist`` (default
+        4 x limit) of best-chunk-per-document hits, then greedily pick
+        ``limit`` results trading relevance (lambda) against redundancy
+        (1 - lambda). Works with both the brute and ANN paths."""
         qvec = self.embedding_backend.embed_batch([query])[0].tolist()
+        retrieve = (
+            limit
+            if diversify_lambda is None
+            else (shortlist or max(4 * limit, 20))
+        )
         hits = self.get_similar_documents(
             qvec,
-            limit=limit,
+            limit=retrieve,
             similarity_threshold=similarity_threshold,
             ann=ann,
             nprobe=nprobe,
             max_probe_hamming=max_probe_hamming,
             rerank=rerank,
         )
-        return dedup_keep_best(
-            hits, key_col="doc_key", rank_col="similarity"
-        ).orderBy(F.col("similarity").desc(), F.col("doc_key").asc())
+        best = dedup_keep_best(hits, key_col="doc_key", rank_col="similarity")
+        if diversify_lambda is None:
+            return best.orderBy(
+                F.col("similarity").desc(), F.col("doc_key").asc()
+            )
+        from wagtail_vector_index_spark.operators.mmr import mmr_rerank
+
+        picked = mmr_rerank(
+            best.select(
+                F.lit(0).alias("__probe"), "doc_key", "vector", "similarity"
+            ),
+            probe_col="__probe",
+            id_col="doc_key",
+            vec_col="vector",
+            sim_col="similarity",
+            k=limit,
+            lam=diversify_lambda,
+        )
+        return best.join(
+            picked.select("doc_key", "mmr_rank"), "doc_key"
+        ).orderBy(F.col("mmr_rank").asc())
 
     def find_similar(
         self,

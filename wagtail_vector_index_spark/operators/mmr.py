@@ -81,8 +81,10 @@ def mmr_rerank(
             )
             scores = lam_f * simq - (1.0 - lam_f) * pen
             scores[taken] = -np.inf
-            # argmax with lowest-id tie-break
-            best = np.lexsort((ids, -scores))[0]
+            # argmax with lowest-id tie-break (string ids: lexsort
+            # rejects object arrays, so sort on a unicode view)
+            sort_ids = ids.astype(str) if ids.dtype == object else ids
+            best = np.lexsort((sort_ids, -scores))[0]
             taken[best] = True
             out_ids.append(ids[best])
             out_scores.append(float(scores[best]))
