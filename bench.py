@@ -78,6 +78,7 @@ ADDED = [
     "knn_matryoshka_recall",
     "knn_binary_hamming",
     "ann_ivf_filtered",
+    "sketch_kmv_set_ops",
 ]
 
 SPARK_RUNS = 5

@@ -25,3 +25,38 @@ def test_kmv_estimates_within_tolerance_when_saturated(spark):
     assert out[0]["exact_distinct"] == 1000
     assert 600 <= est <= 1400
     assert out[0]["rel_err"] < 0.4
+
+
+def test_kmv_merge_estimates_union_and_intersection(spark):
+    """Sketch-merge property: union/intersection estimates computed ONLY
+    from two bottom-k sketches land within the theoretical error band
+    (~1/sqrt(k-2) ~ 13% for k=64) of the exact values."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_sketches,
+        kmv_union_intersect,
+    )
+
+    rows = [("a", f"u{i}") for i in range(500)] + [
+        ("b", f"u{i}") for i in range(300, 900)
+    ]
+    df = spark.createDataFrame(rows, "g string, user string")
+    sk = kmv_sketches(df, group_cols=["g"], value_col="user", k=64)
+    est = kmv_union_intersect(
+        sk.where(F.col("g") == "a"), sk.where(F.col("g") == "b"), k=64
+    ).first()
+    # exact: union = 900, intersection = 200
+    assert abs(est["union_est"] - 900) / 900 < 0.35
+    assert abs(est["intersect_est"] - 200) / 200 < 0.6
+
+    # unsaturated sketches are exact
+    small = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(20)]
+        + [("b", f"u{i}") for i in range(10, 40)],
+        "g string, user string",
+    )
+    sk2 = kmv_sketches(small, group_cols=["g"], value_col="user", k=64)
+    est2 = kmv_union_intersect(
+        sk2.where(F.col("g") == "a"), sk2.where(F.col("g") == "b"), k=64
+    ).first()
+    assert est2["union_est"] == 40.0
+    assert est2["intersect_est"] == 10.0

@@ -71,3 +71,70 @@ def kmv_distinct(
         )
         .drop("__uk", "__n")
     )
+
+
+def kmv_sketches(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """One KMV sketch row per group: the bottom-k normalized hash values
+    as an ascending array — the mergeable state (Beyer et al. 2007,
+    "On synopses for distinct-value estimation under multiset
+    operations"). O(k) per group leaves the cluster; everything else
+    stays distributed."""
+    u = (
+        sha_hash64(F.col(value_col).cast("string")) / F.lit(4294967296.0)
+    ).alias("__u")
+    d = df.select(*group_cols, u).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__u").asc())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__u")).alias("kvals"))
+    )
+
+
+def kmv_union_intersect(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (columns ``kvals``),
+    without touching the raw data again — the sketch-merge property that
+    lets 1000 executors' partial sketches answer union/intersection
+    dashboards.
+
+    union: merge the two bottom-k sets, keep the k smallest, apply the
+    (k-1)/u_k estimator (exact when unsaturated). intersection: the
+    k-min coincidence estimator — the fraction rho of the merged
+    bottom-k present in BOTH sketches scales the union estimate
+    (exact count when unsaturated)."""
+    a = sketch_a.select(F.col("kvals").alias("ka"))
+    b = sketch_b.select(F.col("kvals").alias("kb"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("ka"), F.col("kb"))), 1, k
+    )
+    out = a.crossJoin(b).withColumn("m", merged)
+    saturated = F.size("m") >= k
+    uk = F.element_at(F.col("m"), F.size("m"))
+    union_est = F.when(
+        saturated, F.lit(float(k - 1)) / uk
+    ).otherwise(F.size("m").cast("double"))
+    inter_cnt = F.size(
+        F.filter(
+            F.col("m"),
+            lambda x: F.array_contains(F.col("ka"), x)
+            & F.array_contains(F.col("kb"), x),
+        )
+    )
+    inter_est = F.when(
+        saturated, inter_cnt.cast("double") / F.lit(float(k)) * union_est
+    ).otherwise(inter_cnt.cast("double"))
+    return out.select(
+        union_est.alias("union_est"), inter_est.alias("intersect_est")
+    )

@@ -1475,3 +1475,91 @@ def q_value_histogram(spark, sf_dir):
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+_KMV_U = "('0x' || substr(sha256(user_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0"
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, {_KMV_U} AS u FROM events
+      WHERE event_type IN ('view', 'click')),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM d),
+    sk AS (
+      SELECT event_type, list_sort(list(u)) AS kvals
+      FROM r WHERE rn <= 64 GROUP BY event_type),
+    pair AS (
+      SELECT a.kvals AS ka, b.kvals AS kb,
+             list_sort(list_distinct(a.kvals || b.kvals))[1:64] AS m
+      FROM sk a, sk b
+      WHERE a.event_type = 'view' AND b.event_type = 'click'),
+    est AS (
+      SELECT
+        CASE WHEN len(m) >= 64 THEN 63.0 / m[len(m)]
+             ELSE len(m)::DOUBLE END AS union_est,
+        len(list_filter(m, x -> list_contains(ka, x)
+                               AND list_contains(kb, x))) AS ic,
+        len(m) >= 64 AS sat
+      FROM pair),
+    ex AS (
+      SELECT
+        (SELECT count(DISTINCT user_id) FROM events
+         WHERE event_type IN ('view', 'click'))::BIGINT AS union_exact,
+        (SELECT count(*) FROM
+          (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+          NATURAL JOIN
+          (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        )::BIGINT AS intersect_exact)
+    SELECT ex.union_exact, round(est.union_est, 2) AS union_est,
+           ex.intersect_exact,
+           round(CASE WHEN est.sat
+                      THEN est.ic / 64.0 * est.union_est
+                      ELSE est.ic::DOUBLE END, 2) AS intersect_est
+    FROM est CROSS JOIN ex
+    """,
+)
+def sketch_kmv_set_ops(spark, sf_dir):
+    """Mergeable-sketch set operations (Beyer et al. 2007): build ONE
+    KMV sketch per event type, then estimate the distinct-user UNION
+    (merge bottom-k sets, (k-1)/u_k) and INTERSECTION (k-min coincidence
+    fraction x union estimate) of view/click audiences from the sketches
+    alone — the property that lets per-executor partial sketches answer
+    cross-segment dashboards without re-reading 100 TB. Exact counts
+    ride along so the gate also pins the measured error; every hash,
+    merge, and estimator step is replayed by the oracle."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_sketches,
+        kmv_union_intersect,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click")
+    )
+    sk = kmv_sketches(
+        ev, group_cols=["event_type"], value_col="user_id", k=64
+    )
+    est = kmv_union_intersect(
+        sk.where(F.col("event_type") == "view"),
+        sk.where(F.col("event_type") == "click"),
+        k=64,
+    )
+    view_u = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    click_u = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    exact = (
+        ev.agg(F.count_distinct("user_id").alias("union_exact"))
+        .crossJoin(
+            view_u.join(click_u, "user_id")
+            .agg(F.count(F.lit(1)).alias("intersect_exact"))
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "union_exact",
+        F.round("union_est", 2).alias("union_est"),
+        "intersect_exact",
+        F.round("intersect_est", 2).alias("intersect_est"),
+    )
