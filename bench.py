@@ -79,6 +79,7 @@ ADDED = [
     "knn_binary_hamming",
     "ann_ivf_filtered",
     "sketch_kmv_set_ops",
+    "graph_pagerank",
 ]
 
 SPARK_RUNS = 5

@@ -89,3 +89,37 @@ def test_range_join_matches_theta(spark, vals, ivs):
         ).collect()
     }
     assert got == want
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Differential: 5 DataFrame PageRank rounds equal the dense numpy
+    power iteration on a random directed graph (same simplified update,
+    same rounding)."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    n = 25
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, n, size=(80, 2)) if a != b}
+    edges = spark.createDataFrame(sorted(pairs), "src int, dst int")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=5, round_decimals=10).collect()
+    }
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    deg = np.zeros(N)
+    for a, _ in pairs:
+        deg[idx[a]] += 1
+    pr = np.full(N, 1.0 / N)
+    for _ in range(5):
+        s = np.zeros(N)
+        for a, b in pairs:
+            s[idx[b]] += pr[idx[a]] / deg[idx[a]]
+        pr = np.round((1 - 0.85) / N + 0.85 * s, 10)
+    for v in nodes:
+        assert got[v] == pytest.approx(pr[idx[v]], abs=1e-9)
+    assert abs(sum(got.values())) <= 1.0 + 1e-6  # mass bounded (sinks decay)

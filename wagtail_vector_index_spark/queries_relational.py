@@ -1563,3 +1563,69 @@ def sketch_kmv_set_ops(spark, sf_dir):
         "intersect_exact",
         F.round("intersect_est", 2).alias("intersect_est"),
     )
+
+
+def _pagerank_oracle(iters: int, damping: float, rd: int) -> str:
+    parts = [
+        """edges AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        """nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges))""",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "deg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+      SELECT nodes.node,
+             round((1 - {damping}) / nn.n
+                   + {damping} * coalesce(s.s, 0), {rd}) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r.pr / deg.d) AS s
+        FROM edges e JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst) s ON s.node = nodes.node)""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT node, round(pr, 8) AS pr FROM (
+      SELECT node, pr,
+             row_number() OVER (ORDER BY pr DESC, node) AS rn
+      FROM r{iters}) WHERE rn <= 20
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(5, 0.85, 10))
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the supplier->customer fulfillment graph (distinct
+    (l_suppkey, o_custkey) edges): 5 damped iterations, top-20 nodes.
+    Each round is a contribution join + per-node sum — pure
+    shuffle-on-node-key work with no driver-side graph state
+    (operators/graph.py), the iterative sibling of connected
+    components. Per-round rounding to 10 dp pins the order-dependent
+    float sums across engines; the oracle replays all five rounds as
+    chained CTEs plus the final ranking."""
+    from wagtail_vector_index_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(
+        edges, iterations=5, damping=0.85, round_decimals=10
+    )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 20)
+        .select("node", F.round("pr", 8).alias("pr"))
+    )
