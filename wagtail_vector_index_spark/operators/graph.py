@@ -36,6 +36,11 @@ def pagerank(
     decays — the simple variant, exactly what the oracle replays).
     """
     d = float(damping)
+    # No cache barrier: the edge-join subtree appears once per round in
+    # the final DAG, but Catalyst's ReusedExchange dedups the identical
+    # exchanges so it executes once — and an InMemoryRelation here was
+    # measured SLOWER (it pins 32-partition layouts that AQE would
+    # otherwise coalesce for the small per-round frames).
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
