@@ -80,6 +80,7 @@ ADDED = [
     "ann_ivf_filtered",
     "sketch_kmv_set_ops",
     "graph_pagerank",
+    "sketch_countmin_tokens",
 ]
 
 SPARK_RUNS = 5

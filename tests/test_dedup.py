@@ -496,3 +496,40 @@ def test_blocked_semantic_survivors_matches_single_task(spark):
             ).collect()
         }
         assert got == expected, f"block_counts={counts}"
+
+
+def test_blocked_semantic_survivors_string_ids(spark):
+    """The blocked skew-guard path must handle non-numeric ids: loser
+    selection (np.maximum / triu over sorted ids) and the anti-join all
+    operate on strings."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        _blocked_semantic_survivors,
+        assign_centroids_udf,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 3))
+    rows = [(f"doc-{i:03d}", [float(v) for v in X[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "doc_key string, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    assigned = emb.withColumn(
+        "cid", assign_centroids_udf(cents)(F.col("embedding"))
+    ).select("doc_key", "embedding", "cid")
+
+    one_block = {
+        tuple(r)
+        for r in _blocked_semantic_survivors(
+            assigned, {}, id_col="doc_key", vec_col="embedding",
+            threshold=0.3,
+        ).collect()
+    }
+    split = {
+        tuple(r)
+        for r in _blocked_semantic_survivors(
+            assigned, {0: 4, 1: 3}, id_col="doc_key", vec_col="embedding",
+            threshold=0.3,
+        ).collect()
+    }
+    assert one_block == split and 0 < len(split) < 40

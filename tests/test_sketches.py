@@ -60,3 +60,25 @@ def test_kmv_merge_estimates_union_and_intersection(spark):
     ).first()
     assert est2["union_est"] == 40.0
     assert est2["intersect_est"] == 10.0
+
+
+def test_countmin_never_undercounts_and_is_tight_when_sparse(spark):
+    from wagtail_vector_index_spark.operators.sketches import (
+        countmin_estimates,
+    )
+
+    rows = [(f"tok{i % 20}",) for i in range(400)] + [("rare",)]
+    df = spark.createDataFrame(rows, "v string")
+    cand = spark.createDataFrame(
+        [("tok0",), ("tok7",), ("rare",), ("absent",)], "v string"
+    )
+    est = {
+        r["v"]: r["cm_estimate"]
+        for r in countmin_estimates(
+            df, value_col="v", candidates=cand, depth=4, width=512
+        ).collect()
+    }
+    # exact counts: tok0/tok7 = 20, rare = 1, absent = 0
+    assert est["tok0"] >= 20 and est["tok7"] >= 20 and est["rare"] >= 1
+    # 21 distinct values in 4x512 buckets: collisions vanishingly likely
+    assert est["tok0"] == 20 and est["absent"] == 0

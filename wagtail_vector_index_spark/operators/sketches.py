@@ -138,3 +138,49 @@ def kmv_union_intersect(
     return out.select(
         union_est.alias("union_est"), inter_est.alias("intersect_est")
     )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    *,
+    value_col: str,
+    candidates: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch frequency estimates (Cormode & Muthukrishnan
+    2005) for the ``candidates`` values: build a depth x width counter
+    table (each row a differently-salted sha bucket hash — sums, so
+    order-independent and exactly replayable), then estimate each
+    candidate's count as the MIN of its depth counters. Estimates never
+    undercount; collisions only inflate. The sketch table is
+    depth*width rows of state — the O(1)-memory frequency table that
+    replaces a full groupBy at 100 TB — and broadcasts to the
+    candidate probe."""
+    d, w = int(depth), int(width)
+    rows = None
+    for r in range(d):
+        salted = F.concat(F.lit(f"cm{r}:"), F.col(value_col).cast("string"))
+        one = df.select(
+            F.lit(r).alias("row"),
+            F.pmod(sha_hash64(salted), F.lit(w)).alias("bucket"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    table = rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    probes = None
+    for r in range(d):
+        salted = F.concat(F.lit(f"cm{r}:"), F.col(value_col).cast("string"))
+        one = candidates.select(
+            F.col(value_col),
+            F.lit(r).alias("row"),
+            F.pmod(sha_hash64(salted), F.lit(w)).alias("bucket"),
+        )
+        probes = one if probes is None else probes.unionByName(one)
+    return (
+        probes.join(F.broadcast(table), ["row", "bucket"], "left")
+        .na.fill({"c": 0})
+        .groupBy(value_col)
+        .agg(F.min("c").alias("cm_estimate"))
+    )

@@ -1418,3 +1418,73 @@ def pipeline_dsir_select(spark, sf_dir):
         buckets=256, keep_fraction=0.2,
     )
     return out.select("doc_id", F.round("log_w", 6).alias("log_w"))
+
+
+def _cm_bucket(r: int) -> str:
+    return (
+        f"('0x' || substr(sha256('cm{r}:' || tok), 1, 8))::UBIGINT % 256"
+    )
+
+
+@register(
+    "sketch_countmin_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+    exact AS (
+      SELECT tok, count(*)::BIGINT AS exact_count
+      FROM toks GROUP BY tok
+      ORDER BY exact_count DESC, tok LIMIT 10),
+    hashed AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS row, {_cm_bucket(r)} AS bucket FROM toks"
+          for r in range(4)
+      )}),
+    cm AS (SELECT row, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT tok, exact_count, {r} AS row, {_cm_bucket(r)} AS bucket "
+          "FROM exact" for r in range(4)
+      )}),
+    est AS (
+      SELECT tok, exact_count, min(coalesce(cm.c, 0)) AS cm_estimate
+      FROM probes LEFT JOIN cm USING (row, bucket)
+      GROUP BY tok, exact_count)
+    SELECT tok, exact_count, cm_estimate::BIGINT AS cm_estimate,
+           (cm_estimate >= exact_count) AS never_undercounts
+    FROM est
+    """,
+)
+def sketch_countmin_tokens(spark, sf_dir):
+    """Count-min heavy-hitter estimation (Cormode & Muthukrishnan 2005):
+    a 4 x 256 salted-sha counter table over the corpus token stream —
+    counters are SUMS, so the sketch is order-independent, mergeable
+    across executors, and exactly replayable — probed for the exact
+    top-10 tokens. The gate pins every counter, every min-estimate, and
+    the never-undercounts invariant alongside the exact counts."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+    from wagtail_vector_index_spark.operators.sketches import (
+        countmin_estimates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    w = Window.orderBy(F.col("exact_count").desc(), F.col("tok").asc())
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+    est = countmin_estimates(
+        toks, value_col="tok", candidates=top.select("tok"),
+        depth=4, width=256,
+    )
+    return top.join(est, "tok").select(
+        "tok",
+        "exact_count",
+        F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        (F.col("cm_estimate") >= F.col("exact_count")).alias(
+            "never_undercounts"
+        ),
+    )
