@@ -322,3 +322,41 @@ def test_append_dedup_token_exactly_once(spark, index_df, centroids_df, tmp_path
         dedup_token="/ckpt/ann#9",
     )
     assert idx._vectors().count() == n1 + 2
+
+
+def test_append_dedup_token_survives_compact(spark, index_df, centroids_df, tmp_path):
+    """Review finding (r4): compact() rewrites generations, so the
+    token's generation leaves the manifest's live list — but the token
+    memory now lives in the manifest itself and must survive the
+    rewrite: a crash-replay of an already-compacted batch stays a
+    no-op."""
+    path = str(tmp_path / "ivf_tok_compact")
+    idx = IvfIndex.build(index_df, path=path, centroids_df=centroids_df)
+    n0 = idx._vectors().count()
+    batch = spark.createDataFrame(
+        [(990001, [1.0] * 64)], "vec_id long, vector array<double>"
+    )
+    tok = "/ckpt/ann#42"
+    idx.append(batch, dedup_token=tok)
+    idx.compact()  # the token's generation is rewritten away + GC'd
+    assert idx._vectors().count() == n0 + 1
+    idx.append(batch, dedup_token=tok)  # crash-replay after compact
+    assert idx._vectors().count() == n0 + 1  # STILL exactly once
+    assert tok in idx.vectors_log.current().tokens
+
+
+def test_append_schema_mismatch_fails_fast(spark, index_df, centroids_df, tmp_path):
+    """Review finding (r4): with build() preserving extra columns, an
+    append whose batch schema differs from the stored layout must raise
+    instead of committing a generation that breaks every later read."""
+    path = str(tmp_path / "ivf_schema")
+    idx = IvfIndex.build(index_df, path=path, centroids_df=centroids_df)
+    bad = spark.createDataFrame(
+        [(990001, [1.0] * 64, "kafka-meta")],
+        "vec_id long, vector array<double>, extra string",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        idx.append(bad)
+    # the failed append must not have committed anything
+    assert len(idx.vectors_log.current().live) == 1
+    idx.topk([1.0] * 64, nprobe=2, limit=3).collect()  # index still reads

@@ -71,7 +71,9 @@ def _read_live(spark: SparkSession, log: ManifestLog) -> DataFrame:
     return _VECTORS_DF_CACHE[key]
 
 
-def _commit_append(log: ManifestLog, gen: str) -> Manifest | None:
+def _commit_append(
+    log: ManifestLog, gen: str, *, dedup_token: str | None = None
+) -> Manifest | None:
     import shutil
 
     if not has_data_files(log.gen_path(gen)):
@@ -80,31 +82,39 @@ def _commit_append(log: ManifestLog, gen: str) -> Manifest | None:
 
     def up(cur):
         live = list(cur.live) if cur else []
+        tokens = list(cur.tokens) if cur else []
+        if dedup_token is not None and dedup_token in tokens:
+            # a racing replay committed first — keep the state unchanged
+            # (the commit becomes a no-op version bump)
+            return live, {}, tokens
         # idempotent for deterministic (dedup-token) generation names:
         # a replayed commit must not list the same generation twice
         if gen not in live:
             live.append(gen)
-        return live, {}
+        if dedup_token is not None:
+            tokens.append(dedup_token)
+        return live, {}, tokens
 
     return log.commit(up)
 
 
 def _append_gen(log: ManifestLog, dedup_token: str | None) -> str | None:
-    """Generation name for an append. With ``dedup_token`` the name is a
-    deterministic function of the token (exactly-once for stream
-    replays: a re-delivered foreachBatch batch resolves to the SAME
-    generation, which is either already live — return None, skip — or
-    safely overwritten and committed idempotently). Without a token,
-    a fresh unique name."""
+    """Generation name for an append. With ``dedup_token`` the token is
+    checked against the manifest's processed-token window (exactly-once
+    for stream replays): already applied — return None, skip. The token
+    memory lives IN the manifest, so it survives compaction/GC of the
+    generation that carried the batch (a replay after compact must stay
+    a no-op). The generation name is a deterministic function of the
+    token so a crash between data write and commit leaves a directory
+    the replay safely overwrites."""
     if dedup_token is None:
         return log.new_generation()
     import hashlib
 
-    gen = f"gen-tok-{hashlib.sha256(dedup_token.encode()).hexdigest()[:24]}"
     cur = log.current()
-    if cur is not None and gen in cur.live:
+    if cur is not None and dedup_token in cur.tokens:
         return None
-    return gen
+    return f"gen-tok-{hashlib.sha256(dedup_token.encode()).hexdigest()[:24]}"
 
 
 def _commit_rewrite(log: ManifestLog, gen: str, base: Manifest | None) -> Manifest:
@@ -274,9 +284,10 @@ class IvfIndex:
         gen = _append_gen(log, dedup_token)
         if gen is None:
             return  # replayed batch: this token's generation is live
+        self._check_append_schema(df, computed={"cid"})
         codebook = self.spark.read.parquet(self.codebook_path)
         assigned = ivf_assign(
-            df,  # extra columns preserved — must match the stored schema
+            df,  # extra columns preserved (checked against stored schema)
             codebook,
             index_id=self.id_col,
             index_vec=self.vec_col,
@@ -287,7 +298,22 @@ class IvfIndex:
             .partitionBy("cid")
             .parquet(log.gen_path(gen))
         )
-        _commit_append(log, gen)
+        _commit_append(log, gen, dedup_token=dedup_token)
+
+    def _check_append_schema(self, df: DataFrame, *, computed: set) -> None:
+        """Fail fast when an append batch's columns don't match the
+        stored layout (minus the columns append itself computes): a
+        mismatched generation would commit fine but break every
+        subsequent read with a deep unionByName AnalysisException, with
+        no repair path short of editing the manifest."""
+        stored = set(self._vectors().columns) - set(computed)
+        got = set(df.columns)
+        if got != stored:
+            raise ValueError(
+                f"append schema mismatch: batch columns {sorted(got)} != "
+                f"stored layout {sorted(stored)} (+computed "
+                f"{sorted(computed)})"
+            )
 
     def delete_ids(self, ids_df: DataFrame) -> None:
         """Remove vectors by id (distributed anti-join — ids never
@@ -657,7 +683,7 @@ class IvfPqIndex(IvfIndex):
             .partitionBy("cid")
             .parquet(log.gen_path(gen))
         )
-        _commit_append(log, gen)
+        _commit_append(log, gen, dedup_token=dedup_token)
 
     def adc_topk(
         self,
@@ -877,7 +903,7 @@ class LshIndex:
         if gen is None:
             return
         self._write_gen(self._bucketize(df), log.gen_path(gen))
-        _commit_append(log, gen)
+        _commit_append(log, gen, dedup_token=dedup_token)
 
     def delete_ids(self, ids_df: DataFrame) -> None:
         """Remove vectors by id (distributed anti-join; survivor set

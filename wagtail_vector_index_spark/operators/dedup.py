@@ -616,6 +616,12 @@ def lsh_neardup_pairs(
     block_counts: dict[tuple[int, int], int] = {}
     if max_bucket_rows is not None:
         cap = int(max_bucket_rows)
+        # cache: the count precheck and the verify job both consume the
+        # banded frame — the barrier saves re-running the bucketing
+        # projection (and the source scan) a second time. Disable the
+        # guard (max_bucket_rows=None) to keep a single-pass plan when
+        # caching bands x data is unacceptable.
+        banded = banded.cache()
         for r in (
             banded.groupBy("band_no", "band_val")
             .count()
@@ -1129,6 +1135,12 @@ def semantic_dedup(
 
         if max_cluster_rows is not None:
             cap = int(max_cluster_rows)
+            # cache: the precheck count and the survivor job (and, when
+            # the guard trips, the blocked path's losers + anti-join
+            # sides) all consume `assigned` — without a barrier the
+            # assignment kernel re-runs once per consumer. MEMORY_AND_
+            # DISK default: spills rather than recomputes at scale.
+            assigned = assigned.cache()
             oversized = (
                 assigned.groupBy("cid")
                 .count()

@@ -21,7 +21,7 @@ every hash bit for bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wagtail_vector_index_spark.functions.text_analysis import (
@@ -92,14 +92,18 @@ def dsir_select(
         .join(scores, id_col, "left")
         .na.fill({"log_w": 0.0})
     )
-    n_keep_w = Window.orderBy(F.col("log_w").desc(), F.col(id_col).asc())
-    total = raw.agg(F.count(F.lit(1)).alias("__n"))
+    # Selection as orderBy().limit(k): Catalyst plans TakeOrdered
+    # (per-partition partial top-k before the exchange) — an
+    # unpartitioned row_number window here would funnel every score
+    # through ONE task. The limit needs a literal, so the raw count is
+    # the one driver-side scalar this operator reads (same class as a
+    # codebook collect).
+    import math
+
+    n_raw = raw.count()
+    k_keep = int(math.ceil(n_raw * float(keep_fraction)))
     return (
-        scores.withColumn("__rn", F.row_number().over(n_keep_w))
-        .crossJoin(F.broadcast(total))
-        .where(
-            F.col("__rn")
-            <= F.ceil(F.col("__n") * F.lit(float(keep_fraction)))
-        )
+        scores.orderBy(F.col("log_w").desc(), F.col(id_col).asc())
+        .limit(k_keep)
         .select(id_col, "log_w")
     )

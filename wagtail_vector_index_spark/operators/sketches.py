@@ -158,28 +158,38 @@ def countmin_estimates(
     replaces a full groupBy at 100 TB — and broadcasts to the
     candidate probe."""
     d, w = int(depth), int(width)
-    rows = None
-    for r in range(d):
-        salted = F.concat(F.lit(f"cm{r}:"), F.col(value_col).cast("string"))
-        one = df.select(
-            F.lit(r).alias("row"),
-            F.pmod(sha_hash64(salted), F.lit(w)).alias("bucket"),
+
+    def hashes(frame: DataFrame, *extra: str) -> DataFrame:
+        """ONE scan emitting all depth (row, bucket) hashes per value —
+        a generated-column explode, not d unioned re-reads of the
+        input (the input is the 100 TB side; the explode is free)."""
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(
+                        sha_hash64(
+                            F.concat(
+                                F.lit(f"cm{r}:"),
+                                F.col(value_col).cast("string"),
+                            )
+                        ),
+                        F.lit(w),
+                    ).alias("bucket"),
+                )
+                for r in range(d)
+            ]
         )
-        rows = one if rows is None else rows.unionByName(one)
-    table = rows.groupBy("row", "bucket").agg(
+        return frame.select(*extra, F.explode(pairs).alias("h")).select(
+            *extra, "h.row", "h.bucket"
+        )
+
+    table = hashes(df).groupBy("row", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
-    probes = None
-    for r in range(d):
-        salted = F.concat(F.lit(f"cm{r}:"), F.col(value_col).cast("string"))
-        one = candidates.select(
-            F.col(value_col),
-            F.lit(r).alias("row"),
-            F.pmod(sha_hash64(salted), F.lit(w)).alias("bucket"),
-        )
-        probes = one if probes is None else probes.unionByName(one)
     return (
-        probes.join(F.broadcast(table), ["row", "bucket"], "left")
+        hashes(candidates, value_col)
+        .join(F.broadcast(table), ["row", "bucket"], "left")
         .na.fill({"c": 0})
         .groupBy(value_col)
         .agg(F.min("c").alias("cm_estimate"))

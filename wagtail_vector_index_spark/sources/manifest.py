@@ -68,6 +68,12 @@ class CommitConflict(RuntimeError):
     than ``max_retries`` — only plausible under sustained contention."""
 
 
+# Processed dedup tokens retained in the manifest. Streaming replays
+# only ever re-deliver the most recent uncommitted batch, so a small
+# window is safe; the cap bounds manifest size forever.
+MAX_TOKENS = 4096
+
+
 @dataclass(frozen=True)
 class Manifest:
     """One committed table state."""
@@ -76,6 +82,11 @@ class Manifest:
     live: tuple[str, ...]  # generation dir names, relative to the root
     resets: dict  # index_name -> sorted list of watermark batch_ids (ns)
     ts: int  # commit wall time (ns) — informational only
+    # exactly-once dedup tokens already applied to this table. Stored IN
+    # the manifest so the memory of a processed streaming batch survives
+    # compaction/GC of the generation that carried it (a replayed batch
+    # must stay a no-op even after its generation was rewritten away).
+    tokens: tuple[str, ...] = ()
 
 
 class ManifestLog:
@@ -111,6 +122,7 @@ class ManifestLog:
             live=tuple(d["live"]),
             resets={k: list(v) for k, v in d.get("resets", {}).items()},
             ts=int(d["ts"]),
+            tokens=tuple(d.get("tokens", ())),
         )
 
     def live_paths(self, manifest: Manifest | None = None) -> list[str]:
@@ -131,16 +143,26 @@ class ManifestLog:
     def commit(self, update, *, max_retries: int = 20) -> Manifest:
         """Atomically publish a new table state.
 
-        ``update(current: Manifest | None) -> (live, resets)`` computes the
-        next state from the freshest committed one; it re-runs on every
-        conflict, so writers compose (two appenders both survive, an
-        appender landing during a rewrite is carried over by the rewriter's
-        update function — see DocumentStore._rewrite_commit).
+        ``update(current: Manifest | None) -> (live, resets)`` — or
+        ``(live, resets, tokens)`` to also record exactly-once dedup
+        tokens — computes the next state from the freshest committed
+        one; it re-runs on every conflict, so writers compose (two
+        appenders both survive, an appender landing during a rewrite is
+        carried over by the rewriter's update function — see
+        DocumentStore._rewrite_commit). A 2-tuple return carries the
+        current token window forward unchanged, so rewrites/compactions
+        never forget which streaming batches were applied.
         """
         os.makedirs(self.mdir, exist_ok=True)
         for _ in range(max_retries):
             cur = self.current()
-            live, resets = update(cur)
+            out = update(cur)
+            if len(out) == 2:
+                live, resets = out
+                tokens = list(cur.tokens) if cur else []
+            else:
+                live, resets, tokens = out
+                tokens = list(tokens)[-MAX_TOKENS:]
             version = (cur.version if cur else 0) + 1
             rec = {
                 "version": version,
@@ -148,6 +170,8 @@ class ManifestLog:
                 "resets": {k: sorted(v) for k, v in resets.items() if v},
                 "ts": time.time_ns(),
             }
+            if tokens:
+                rec["tokens"] = tokens
             tmp = os.path.join(self.mdir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
                 json.dump(rec, f)
@@ -160,7 +184,9 @@ class ManifestLog:
                 os.unlink(tmp)
                 continue  # lost the race — recompute against the winner
             os.unlink(tmp)
-            return Manifest(version, tuple(live), rec["resets"], rec["ts"])
+            return Manifest(
+                version, tuple(live), rec["resets"], rec["ts"], tuple(tokens)
+            )
         raise CommitConflict(
             f"gave up after {max_retries} contended commits at {self.root}"
         )
