@@ -533,3 +533,36 @@ def test_blocked_semantic_survivors_string_ids(spark):
         ).collect()
     }
     assert one_block == split and 0 < len(split) < 40
+
+
+def test_lsh_neardup_guard_parity_random(spark):
+    """Differential: forcing tiny bucket caps (heavy block splitting)
+    must return exactly the unguarded grouped-GEMM answer — pairs AND
+    similarities — on random vectors with planted near-dups."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators.dedup import lsh_neardup_pairs
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(400, 16))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    for j in range(0, 40, 2):  # 20 planted near-dup pairs
+        v = X[j] + rng.normal(scale=0.02, size=16)
+        X[j + 1] = v / np.linalg.norm(v)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", threshold=0.8,
+        num_planes=12, bands=3, dim=16,
+    )
+    unguarded = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_neardup_pairs(emb, max_bucket_rows=None, **kw).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_neardup_pairs(emb, max_bucket_rows=16, **kw).collect()
+    }
+    assert set(guarded) == set(unguarded) and len(guarded) >= 20
+    for k in guarded:
+        assert guarded[k] == pytest.approx(unguarded[k], abs=1e-12)

@@ -295,3 +295,47 @@ def test_mmr_rerank_batches_probes_and_diversifies(spark, embeddings_df):
         plain_ids = [v for _, v in sorted(ids)]
         assert max_pair_sim(dsel[p]) <= max_pair_sim(plain_ids) + 1e-12
         assert len(dsel[p]) == 8
+
+
+def test_mmr_rerank_matches_bruteforce_python(spark):
+    """Differential: the Arrow MMR kernel equals a straightforward
+    Python greedy reference on random shortlists (several probes, ties
+    broken identically)."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators.mmr import mmr_rerank
+
+    rng = np.random.default_rng(23)
+    n_probes, n_cand, dim, k, lam = 3, 25, 6, 7, 0.6
+    rows = []
+    vecs = {}
+    for p in range(n_probes):
+        for c in range(n_cand):
+            v = rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            cid = p * 1000 + c
+            vecs[cid] = v
+            rows.append((p, cid, [float(x) for x in v], float(rng.uniform(-1, 1))))
+    sl = spark.createDataFrame(
+        rows, "probe_id int, vec_id long, vector array<double>, similarity double"
+    )
+    got = {}
+    for r in mmr_rerank(sl, k=k, lam=lam).collect():
+        got.setdefault(r["probe_id"], []).append((r["mmr_rank"], r["vec_id"]))
+
+    for p in range(n_probes):
+        cand = [(cid, sim) for (pp, cid, _, sim) in rows if pp == p]
+        sel = []
+        for _ in range(k):
+            best, bs = None, None
+            for cid, sim in cand:
+                if cid in sel:
+                    continue
+                pen = max(
+                    (float(vecs[cid] @ vecs[s]) for s in sel), default=0.0
+                )
+                sc = lam * sim - (1 - lam) * pen
+                if bs is None or sc > bs or (sc == bs and cid < best):
+                    best, bs = cid, sc
+            sel.append(best)
+        assert sorted(got[p]) == [(i + 1, s) for i, s in enumerate(sel)], p
