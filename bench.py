@@ -81,6 +81,7 @@ ADDED = [
     "sketch_kmv_set_ops",
     "graph_pagerank",
     "sketch_countmin_tokens",
+    "pipeline_bpe_merges",
 ]
 
 SPARK_RUNS = 5

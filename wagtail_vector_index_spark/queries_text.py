@@ -1488,3 +1488,61 @@ def sketch_countmin_tokens(spark, sf_dir):
             "never_undercounts"
         ),
     )
+
+
+def _bpe_oracle(num_merges: int, depth: int = 12) -> str:
+    def nested_replace(expr: str, m: str) -> str:
+        pat = f"' ' || {m}.a || ' ' || {m}.b || ' '"
+        rep = f"' ' || {m}.a || {m}.b || ' '"
+        for _ in range(depth):
+            expr = f"replace({expr}, {pat}, {rep})"
+        return expr
+
+    parts = [
+        f"""v0 AS (
+      SELECT regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS syms,
+             count(*) AS n
+      FROM (SELECT unnest({TOKS_SQL}) AS w FROM documents)
+      GROUP BY 1)"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f"""p{i} AS (
+      SELECT sy[j] AS a, sy[j + 1] AS b, sum(n)::BIGINT AS cnt FROM (
+        SELECT unnest(generate_series(1, len(sy) - 1)) AS j, sy, n
+        FROM (SELECT list_filter(string_split(syms, ' '), x -> x <> '')
+                       AS sy, n
+              FROM v{i - 1}) t) u
+      GROUP BY 1, 2)""")
+        parts.append(f"""m{i} AS (
+      SELECT a, b, cnt FROM p{i}
+      ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
+        parts.append(f"""v{i} AS (
+      SELECT {nested_replace("v.syms", f"m{i}")} AS syms, v.n
+      FROM v{i - 1} v CROSS JOIN m{i})""")
+    ctes = ",\n    ".join(parts)
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, cnt "
+        f"AS pair_count FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return f"WITH {ctes}\n    {sel}"
+
+
+@register("pipeline_bpe_merges", oracle=_bpe_oracle(10))
+def pipeline_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich 2016): the top-10
+    learned merges over the corpus vocabulary, each round a weighted
+    adjacent-pair count (map-side-combinable integer sums — no fp
+    order-dependence anywhere) + a one-row argmax collect + a fixpoint
+    replace applied across the vocabulary. The oracle replays all ten
+    rounds as chained CTEs using the IDENTICAL nested-replace
+    construction, so cross-engine parity is structural, not numeric
+    (operators/bpe.py)."""
+    from wagtail_vector_index_spark.operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, text_col="text", num_merges=10)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
