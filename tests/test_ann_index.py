@@ -360,3 +360,75 @@ def test_append_schema_mismatch_fails_fast(spark, index_df, centroids_df, tmp_pa
     # the failed append must not have committed anything
     assert len(idx.vectors_log.current().live) == 1
     idx.topk([1.0] * 64, nprobe=2, limit=3).collect()  # index still reads
+
+
+def test_append_replay_never_overwrites_live_generation(spark, index_df, centroids_df, tmp_path):
+    """Review finding (r4b): when a token is missing from the manifest
+    window but its generation is still LIVE (pre-tokens-field manifests,
+    MAX_TOKENS eviction), the replay must skip — not overwrite a
+    serving directory in place."""
+    import json
+    import os
+
+    path = str(tmp_path / "ivf_tok_live")
+    idx = IvfIndex.build(index_df, path=path, centroids_df=centroids_df)
+    batch = spark.createDataFrame(
+        [(990001, [1.0] * 64)], "vec_id long, vector array<double>"
+    )
+    tok = "/ckpt/old#1"
+    idx.append(batch, dedup_token=tok)
+    n1 = idx._vectors().count()
+    # simulate a pre-upgrade manifest: strip the tokens field
+    mdir = os.path.join(path, "vectors", "_manifests")
+    newest = sorted(os.listdir(mdir))[-1]
+    with open(os.path.join(mdir, newest)) as f:
+        rec = json.load(f)
+    rec.pop("tokens", None)
+    rec["version"] += 1
+    with open(os.path.join(mdir, f"manifest-{rec['version']:012d}.json"), "w") as f:
+        json.dump(rec, f)
+    assert tok not in idx.vectors_log.current().tokens
+    idx.append(batch, dedup_token=tok)  # replay: gen is live -> no-op
+    assert idx._vectors().count() == n1
+    assert len(idx.vectors_log.current().live) == 2
+
+
+def test_append_schema_type_mismatch_fails_fast(spark, centroids_df, tmp_path):
+    """Name-equal but type-incompatible batches must be rejected too."""
+    path = str(tmp_path / "ivf_schema_types")
+    base = spark.createDataFrame(
+        [(i, [float(i + 1)] * 64, i % 3) for i in range(50)],
+        "vec_id long, vector array<double>, label int",
+    )
+    idx = IvfIndex.build(base, path=path, centroids_df=centroids_df)
+    bad = spark.createDataFrame(
+        [(990001, [1.0] * 64, "three")],
+        "vec_id long, vector array<double>, label string",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        idx.append(bad)
+
+
+def test_pq_and_lsh_append_reject_extra_columns(spark, index_df, centroids_df, tmp_path):
+    """PQ/LSH layouts don't carry payload columns — appends with extras
+    must raise rather than silently drop them."""
+    from wagtail_vector_index_spark.operators.ann_index import (
+        IvfPqIndex,
+        LshIndex,
+    )
+
+    pq = IvfPqIndex.build(
+        index_df, path=str(tmp_path / "pq_extra"),
+        centroids_df=centroids_df, m=8, ksub=16,
+    )
+    lsh = LshIndex.build(
+        index_df, path=str(tmp_path / "lsh_extra"), num_planes=12, dim=64
+    )
+    extra = spark.createDataFrame(
+        [(990001, [1.0] * 64, "payload")],
+        "vec_id long, vector array<double>, meta string",
+    )
+    with pytest.raises(ValueError, match="unexpected"):
+        pq.append(extra)
+    with pytest.raises(ValueError, match="unexpected"):
+        lsh.append(extra)

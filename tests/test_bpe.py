@@ -26,10 +26,12 @@ def test_learn_bpe_merges_classic_example(spark):
 
 
 def test_apply_merge_adjacent_repeats_fold_semantics(spark):
-    """'aaaa' under merge (a,a) must become [aa, aa] (left-to-right
-    non-overlapping — the fixpoint replace must equal the classic
-    fold, including the consumed-delimiter corner)."""
-    df = spark.createDataFrame([("aaaa",), ("aaa",), ("a",)], "w string")
+    """Runs of a self-merged symbol must follow the classic
+    left-to-right fold — including length >= 5, where the naive
+    space-delimited fixpoint replace diverges (the consumed-delimiter
+    corner the sentinel representation exists to fix)."""
+    words = ["a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaa", "aaaaaaa", "baaaaa"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
     segs = {
         r["w"]: r["t"]
         for r in df.select(
@@ -37,9 +39,55 @@ def test_apply_merge_adjacent_repeats_fold_semantics(spark):
             bpe_segment_col(F.col("w"), [(1, "a", "a", 0)]).alias("t"),
         ).collect()
     }
-    assert segs["aaaa"] == ["aa", "aa"]
-    assert segs["aaa"] == ["aa", "a"]
-    assert segs["a"] == ["a"]
+
+    def fold(syms):
+        acc = []
+        for s in syms:
+            if acc and acc[-1] == "a" and s == "a":
+                acc[-1] = "aa"
+            else:
+                acc.append(s)
+        return acc
+
+    for w in words:
+        assert segs[w] == fold(list(w)), w
+    assert segs["aaaaa"] == ["aa", "aa", "a"]  # the >=5 corner explicitly
+
+
+def test_bpe_fold_parity_random(spark):
+    """Differential: bpe_segment_col under a random merge sequence
+    equals the classic Python fold applied merge-by-merge."""
+    import random
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 12)))
+        for _ in range(60)
+    ]
+    merges = [(1, "a", "a", 0), (2, "b", "b", 0), (3, "aa", "b", 0),
+              (4, "a", "bb", 0)]
+    df = spark.createDataFrame([(w,) for w in set(words)], "w string")
+    segs = {
+        r["w"]: r["t"]
+        for r in df.select(
+            "w", bpe_segment_col(F.col("w"), merges).alias("t")
+        ).collect()
+    }
+
+    def fold(syms, a, b):
+        acc = []
+        for s in syms:
+            if acc and acc[-1] == a and s == b:
+                acc[-1] = a + b
+            else:
+                acc.append(s)
+        return acc
+
+    for w in set(words):
+        expect = list(w)
+        for _r, a, b, _c in merges:
+            expect = fold(expect, a, b)
+        assert segs[w] == expect, w
 
 
 def test_bpe_segment_col_roundtrip(spark):

@@ -123,3 +123,21 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in nodes:
         assert got[v] == pytest.approx(pr[idx[v]], abs=1e-9)
     assert abs(sum(got.values())) <= 1.0 + 1e-6  # mass bounded (sinks decay)
+
+
+def test_pagerank_tolerates_colliding_column_names(spark):
+    """The generic src/dst API must work when caller columns collide
+    with internal names (dst='node', extra 'pr' column)."""
+    from wagtail_vector_index_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9.9), (2, 3, 9.9), (3, 1, 9.9)],
+        "src int, node int, pr double",
+    )
+    out = pagerank(
+        edges, src="src", dst="node", iterations=3, round_decimals=10
+    ).collect()
+    assert len(out) == 3
+    # symmetric 3-cycle: all ranks equal 1/3
+    for r in out:
+        assert r["pr"] == pytest.approx(1 / 3, abs=1e-9)

@@ -112,9 +112,14 @@ def _append_gen(log: ManifestLog, dedup_token: str | None) -> str | None:
     import hashlib
 
     cur = log.current()
-    if cur is not None and dedup_token in cur.tokens:
+    gen = f"gen-tok-{hashlib.sha256(dedup_token.encode()).hexdigest()[:24]}"
+    if cur is not None and (dedup_token in cur.tokens or gen in cur.live):
+        # Already applied. The gen-in-live check matters when the token
+        # is absent from the window (pre-tokens-field manifests, or a
+        # MAX_TOKENS eviction): without it a replay would OVERWRITE a
+        # live, serving generation directory in place.
         return None
-    return f"gen-tok-{hashlib.sha256(dedup_token.encode()).hexdigest()[:24]}"
+    return gen
 
 
 def _commit_rewrite(log: ManifestLog, gen: str, base: Manifest | None) -> Manifest:
@@ -302,16 +307,21 @@ class IvfIndex:
 
     def _check_append_schema(self, df: DataFrame, *, computed: set) -> None:
         """Fail fast when an append batch's columns don't match the
-        stored layout (minus the columns append itself computes): a
-        mismatched generation would commit fine but break every
-        subsequent read with a deep unionByName AnalysisException, with
-        no repair path short of editing the manifest."""
-        stored = set(self._vectors().columns) - set(computed)
-        got = set(df.columns)
+        stored layout (minus the columns append itself computes) — names
+        AND types: a mismatched generation would commit fine but break
+        every subsequent read with a deep unionByName
+        AnalysisException (or silently coerce types), with no repair
+        path short of editing the manifest."""
+        stored = {
+            c: t
+            for c, t in self._vectors().dtypes
+            if c not in computed
+        }
+        got = dict(df.dtypes)
         if got != stored:
             raise ValueError(
-                f"append schema mismatch: batch columns {sorted(got)} != "
-                f"stored layout {sorted(stored)} (+computed "
+                f"append schema mismatch: batch schema {sorted(got.items())}"
+                f" != stored layout {sorted(stored.items())} (+computed "
                 f"{sorted(computed)})"
             )
 
@@ -663,6 +673,13 @@ class IvfPqIndex(IvfIndex):
         vectors against the stored codebooks and append to their
         posting lists (same contract as IvfIndex.append, incl. the
         exactly-once ``dedup_token``)."""
+        extra = set(df.columns) - {self.id_col, self.vec_col}
+        if extra:
+            raise ValueError(
+                f"IvfPqIndex stores only (id, vector, codes) — unexpected "
+                f"batch columns {sorted(extra)} would be silently dropped; "
+                f"payload columns are an IvfIndex feature"
+            )
         log = self.vectors_log
         gen = _append_gen(log, dedup_token)
         if gen is None:
@@ -898,6 +915,13 @@ class LshIndex:
         the exactly-once ``dedup_token``): bucket NEW vectors with the
         stored planes and publish them as a new generation — no rewrite
         of standing data. Ids must be new."""
+        extra = set(df.columns) - {self.id_col, self.vec_col}
+        if extra:
+            raise ValueError(
+                f"LshIndex stores only (id, vector, bucket) — unexpected "
+                f"batch columns {sorted(extra)} would be silently dropped; "
+                f"payload columns are an IvfIndex feature"
+            )
         log = self.vectors_log
         gen = _append_gen(log, dedup_token)
         if gen is None:

@@ -12,16 +12,20 @@ tokenizer-training step of an LLM data pipeline — as DataFrame rounds:
 
 Every count is an integer sum — no float order-dependence — so the
 whole training is exactly replayable by a chained-CTE oracle. The merge
-*application* is the one subtle step: classic BPE replaces left-to-right
-non-overlapping occurrences, which a single SQL ``replace()`` pass gets
-wrong for immediately-adjacent repeats (the consumed delimiter problem).
-Both engines therefore apply the SAME fixpoint construction — the
-symbols held as a space-delimited string and ``replace(' a b ', ' ab ')``
-nested a fixed number of times — which converges to the classic
-left-to-right fold (each pass merges the leftmost remaining occurrence
-chain; symbols never contain spaces, so matches can't cross symbol
-boundaries). Parity between Spark and the oracle is structural: both
-evaluate the identical expression tree.
+*application* is the one subtle step: classic BPE merges left-to-right
+non-overlapping occurrences (Sennrich's reference uses a lookbehind
+regex, which RE2/DuckDB lacks). Both engines therefore hold the symbol
+sequence as a SENTINEL-PREFIXED string — ``\\x01sym␣`` per symbol — on
+which ONE plain ``replace('\\x01a \\x01b ', '\\x01ab ')`` pass equals
+the classic fold exactly: every match starts at a sentinel (symbols
+contain neither the sentinel nor spaces, so no mid-symbol or partial-
+symbol match is possible) and consumes both symbols *with their
+trailing delimiters*, so the scan resumes at the next symbol — the
+fold's "continue from i+2" — even across runs of a self-merged symbol
+(verified exhaustively against the fold in tests/test_bpe.py; the naive
+space-delimited form diverges there by consuming the shared delimiter).
+Parity between Spark and the oracle is structural: both evaluate the
+identical construction.
 """
 
 from __future__ import annotations
@@ -29,31 +33,39 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Fixed replace-chain depth: one pass merges at least the leftmost of
-# each run of adjacent occurrences, so depth d handles runs up to ~2^d
-# pattern repeats — far beyond any natural word at depth 12.
-REPLACE_DEPTH = 12
+# Symbol prefix sentinel. Symbols (characters of whitespace-split words,
+# and their concatenations) must not contain it — enforced by a
+# vocabulary filter — nor spaces (guaranteed: words are split on \s+).
+SENTINEL = "\x01"
 
 
 def _delimited(word: Column) -> Column:
-    """word -> ' w o r d ' (space-delimited characters, outer guards)."""
-    return F.concat(F.regexp_replace(word, "(.)", " $1"), F.lit(" "))
+    """word -> '\\x01w \\x01o \\x01r \\x01d ' (sentinel-prefixed,
+    space-suffixed characters)."""
+    return F.regexp_replace(word, "(.)", SENTINEL + "$1 ")
 
 
 def _apply_merge(sym_str: Column, a: str, b: str) -> Column:
-    """Nested fixpoint replace of ' a b ' -> ' ab ' (see module doc)."""
-    pat = F.lit(f" {a} {b} ")
-    rep = F.lit(f" {a}{b} ")
-    out = sym_str
-    for _ in range(REPLACE_DEPTH):
-        out = F.replace(out, pat, rep)
-    return out
+    """ONE replace pass == the classic left-to-right fold (module doc)."""
+    return F.replace(
+        sym_str,
+        F.lit(f"{SENTINEL}{a} {SENTINEL}{b} "),
+        F.lit(f"{SENTINEL}{a}{b} "),
+    )
+
+
+def _symbols(sym_str: Column) -> Column:
+    """Delimited string -> array<string> of symbols (sentinel stripped)."""
+    return F.transform(
+        F.filter(F.split(sym_str, " "), lambda s: s != ""),
+        lambda s: F.substring(s, 2, 1_000_000),
+    )
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """(a, b, cnt): adjacent-symbol pair frequencies over the delimited
     vocabulary, weighted by word count."""
-    syms = F.filter(F.split(F.col("syms"), " "), lambda s: s != "")
+    syms = _symbols(F.col("syms"))
     # guard: Spark's sequence(1, 0) DESCENDS, so single-symbol words
     # must short-circuit to an empty pair list
     pairs = F.when(
@@ -82,32 +94,48 @@ def learn_bpe_merges(
     """Learn ``num_merges`` BPE merges over the corpus; returns
     [(rank, left, right, pair_count), ...] in merge order. The corpus
     collapses to its (word, count) vocabulary first, so each round's
-    work is O(vocab), not O(corpus)."""
+    work is O(vocab), not O(corpus). Words containing the sentinel
+    character are excluded (they would break symbol-boundary matching;
+    natural-language corpora never contain \\x01)."""
     from wagtail_vector_index_spark.functions.text_analysis import tokens_col
 
     vocab = (
         df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .where(~F.col("w").contains(SENTINEL))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(_delimited(F.col("w")).alias("syms"), "n")
-        .cache()  # 10 rounds re-read the (small) vocabulary
+        .cache()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, int(num_merges) + 1):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["cnt"] is None:
-            break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((rank, a, b, cnt))
-        vocab = vocab.select(
-            _apply_merge(F.col("syms"), a, b).alias("syms"), "n"
-        ).cache()
-    return merges
+    cached = [vocab]
+    try:
+        for rank in range(1, int(num_merges) + 1):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(
+                    F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+                .limit(1)
+                .collect()  # this action also materializes vocab's cache
+            )
+            # the previous round's cache is no longer needed once the
+            # current one is materialized — unpersist to keep exactly
+            # two frames pinned instead of accumulating one per round
+            if len(cached) >= 2:
+                cached.pop(0).unpersist()
+            if not top or top[0]["cnt"] is None:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+            merges.append((rank, a, b, cnt))
+            vocab = vocab.select(
+                _apply_merge(F.col("syms"), a, b).alias("syms"), "n"
+            ).cache()
+            cached.append(vocab)
+        return merges
+    finally:
+        for frame in cached:
+            frame.unpersist()
 
 
 def bpe_segment_col(word: Column, merges: list[tuple[int, str, str, int]]) -> Column:
@@ -116,4 +144,4 @@ def bpe_segment_col(word: Column, merges: list[tuple[int, str, str, int]]) -> Co
     s = _delimited(word)
     for _rank, a, b, _cnt in merges:
         s = _apply_merge(s, a, b)
-    return F.filter(F.split(s, " "), lambda x: x != "")
+    return _symbols(s)

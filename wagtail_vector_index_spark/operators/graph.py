@@ -36,18 +36,24 @@ def pagerank(
     decays — the simple variant, exactly what the oracle replays).
     """
     d = float(damping)
+    # Normalize the input to reserved internal names first: the caller's
+    # edge frame may carry columns named node/pr/__deg (or dst='node'),
+    # which would make the per-round joins ambiguous.
+    edges = edges.select(
+        F.col(src).alias("__e_src"), F.col(dst).alias("__e_dst")
+    )
     # No cache barrier: the edge-join subtree appears once per round in
     # the final DAG, but Catalyst's ReusedExchange dedups the identical
     # exchanges so it executes once — and an InMemoryRelation here was
     # measured SLOWER (it pins 32-partition layouts that AQE would
     # otherwise coalesce for the small per-round frames).
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges.select(F.col("__e_src").alias("node"))
+        .unionByName(edges.select(F.col("__e_dst").alias("node")))
         .distinct()
     )
     total = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    outdeg = edges.groupBy(src).agg(
+    outdeg = edges.groupBy("__e_src").agg(
         F.count(F.lit(1)).cast("double").alias("__deg")
     )
     ranks = nodes.crossJoin(F.broadcast(total)).select(
@@ -55,10 +61,10 @@ def pagerank(
     )
     for _ in range(int(iterations)):
         contrib = (
-            edges.join(ranks, edges[src] == ranks["node"])
-            .join(outdeg, src)
+            edges.join(ranks, edges["__e_src"] == ranks["node"])
+            .join(outdeg, "__e_src")
             .select(
-                F.col(dst).alias("node"),
+                F.col("__e_dst").alias("node"),
                 (F.col("pr") / F.col("__deg")).alias("__c"),
             )
         )

@@ -92,12 +92,14 @@ def dsir_select(
         .join(scores, id_col, "left")
         .na.fill({"log_w": 0.0})
     )
-    # Selection as orderBy().limit(k): Catalyst plans TakeOrdered
-    # (per-partition partial top-k before the exchange) — an
-    # unpartitioned row_number window here would funnel every score
-    # through ONE task. The limit needs a literal, so the raw count is
-    # the one driver-side scalar this operator reads (same class as a
-    # codebook collect).
+    # Selection as orderBy().limit(k): for k under
+    # spark.sql.execution.topKSortFallbackThreshold Catalyst plans
+    # TakeOrdered (per-partition partial top-k); beyond it, a
+    # DISTRIBUTED range-partitioned sort + GlobalLimit — both scale out,
+    # unlike the unpartitioned row_number window this replaced, which
+    # funneled every score through ONE task. The limit needs a literal,
+    # so the raw count is the one driver-side scalar this operator reads
+    # (an eager job at call time, same class as a codebook collect).
     import math
 
     n_raw = raw.count()

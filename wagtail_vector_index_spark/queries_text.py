@@ -1490,35 +1490,34 @@ def sketch_countmin_tokens(spark, sf_dir):
     )
 
 
-def _bpe_oracle(num_merges: int, depth: int = 12) -> str:
-    def nested_replace(expr: str, m: str) -> str:
-        pat = f"' ' || {m}.a || ' ' || {m}.b || ' '"
-        rep = f"' ' || {m}.a || {m}.b || ' '"
-        for _ in range(depth):
-            expr = f"replace({expr}, {pat}, {rep})"
-        return expr
-
+def _bpe_oracle(num_merges: int) -> str:
+    # sentinel-prefixed symbols: chr(1)||sym||' ' per symbol; ONE
+    # replace pass per merge == the classic left-to-right fold (see
+    # operators/bpe.py module doc)
+    sy = ("list_transform(list_filter(string_split(syms, ' '), "
+          "x -> x <> ''), x -> x[2:])")
     parts = [
         f"""v0 AS (
-      SELECT regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS syms,
+      SELECT regexp_replace(w, '(.)', chr(1) || '\\1 ', 'g') AS syms,
              count(*) AS n
       FROM (SELECT unnest({TOKS_SQL}) AS w FROM documents)
+      WHERE NOT contains(w, chr(1))
       GROUP BY 1)"""
     ]
     for i in range(1, num_merges + 1):
         parts.append(f"""p{i} AS (
       SELECT sy[j] AS a, sy[j + 1] AS b, sum(n)::BIGINT AS cnt FROM (
         SELECT unnest(generate_series(1, len(sy) - 1)) AS j, sy, n
-        FROM (SELECT list_filter(string_split(syms, ' '), x -> x <> '')
-                       AS sy, n
-              FROM v{i - 1}) t) u
+        FROM (SELECT {sy} AS sy, n FROM v{i - 1}) t) u
       GROUP BY 1, 2)""")
         parts.append(f"""m{i} AS (
       SELECT a, b, cnt FROM p{i}
       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
         parts.append(f"""v{i} AS (
-      SELECT {nested_replace("v.syms", f"m{i}")} AS syms, v.n
-      FROM v{i - 1} v CROSS JOIN m{i})""")
+      SELECT replace(v.syms,
+                     chr(1) || m.a || ' ' || chr(1) || m.b || ' ',
+                     chr(1) || m.a || m.b || ' ') AS syms, v.n
+      FROM v{i - 1} v CROSS JOIN m{i} m)""")
     ctes = ",\n    ".join(parts)
     sel = "\n    UNION ALL ".join(
         f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, cnt "
