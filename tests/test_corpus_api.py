@@ -194,3 +194,15 @@ def test_corpus_select_to_target_prefers_target_like_docs(spark):
     kept = Corpus(raw).select_to_target(target, keep_fraction=0.5)
     ids = sorted(r["doc_id"] for r in kept.df.collect())
     assert ids == list(range(10))  # exactly the alpha-themed half
+
+
+def test_corpus_with_bpe_tokens_self_trained(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "low low lower"), (2, "s", "lowest low")],
+        "doc_id long, source string, text string",
+    )
+    out = Corpus(df).with_bpe_tokens(num_merges=2).df.collect()
+    toks = {r["doc_id"]: r["bpe_tokens"] for r in out}
+    # merges learned: (l,o) then (lo,w) -> 'low' is one token
+    assert toks[1] == ["low", "low", "low", "e", "r"]
+    assert toks[2] == ["low", "e", "s", "t", "low"]

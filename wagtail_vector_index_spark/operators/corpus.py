@@ -396,6 +396,38 @@ class Corpus:
             )
         )
 
+    def with_bpe_tokens(
+        self,
+        merges: list[tuple[int, str, str, int]] | None = None,
+        *,
+        num_merges: int = 32,
+        col: str = "bpe_tokens",
+    ) -> "Corpus":
+        """Tokenize every document with a learned BPE merge list
+        (operators/bpe.py): per word, apply the merges and concatenate
+        the word segmentations in order. ``merges=None`` trains
+        ``num_merges`` merges on THIS corpus first (the self-trained
+        tokenizer path)."""
+        from wagtail_vector_index_spark.operators.bpe import (
+            bpe_segment_col,
+            learn_bpe_merges,
+        )
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            tokens_col,
+        )
+
+        if merges is None:
+            merges = learn_bpe_merges(
+                self.df, text_col=self.text_col, num_merges=num_merges
+            )
+        segmented = F.flatten(
+            F.transform(
+                tokens_col(F.col(self.text_col)),
+                lambda w: bpe_segment_col(w, merges),
+            )
+        )
+        return self._wrap(self.df.withColumn(col, segmented))
+
     def select_to_target(
         self,
         target_df,
