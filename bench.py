@@ -82,6 +82,7 @@ ADDED = [
     "graph_pagerank",
     "sketch_countmin_tokens",
     "pipeline_bpe_merges",
+    "pipeline_incremental_neardup",
 ]
 
 SPARK_RUNS = 5

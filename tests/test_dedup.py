@@ -566,3 +566,29 @@ def test_lsh_neardup_guard_parity_random(spark):
     assert set(guarded) == set(unguarded) and len(guarded) >= 20
     for k in guarded:
         assert guarded[k] == pytest.approx(unguarded[k], abs=1e-12)
+
+
+def test_incremental_neardup_filter_drops_only_corpus_dupes(spark):
+    """Asymmetric ingestion dedup: new rows near-duplicating the corpus
+    are dropped; new-vs-new duplicates are NOT (they're the next
+    batch's corpus problem); exact copies always collide."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        incremental_neardup_filter,
+        incremental_neardup_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river"),
+         (2, "completely different content about spark shuffle behavior")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog by the river"),
+         (11, "novel text with no overlap whatsoever in any shingle here"),
+         (12, "novel text with no overlap whatsoever in any shingle here")],
+        "doc_id long, text string",
+    )
+    pairs = incremental_neardup_pairs(new, corpus, threshold=0.5).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in pairs} == {(10, 1)}
+    kept = incremental_neardup_filter(new, corpus, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]

@@ -1208,3 +1208,86 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.select(id_col, "cid").join(losers, id_col, "left_anti")
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric MinHash near-dup detection for continuous ingestion:
+    which NEW rows near-duplicate the STANDING corpus. Returns
+    (new_id, corpus_id, jaccard) pairs above threshold.
+
+    The band join is new-side x corpus-side only — no corpus self-join,
+    no new self-join — so per-batch cost scales with the batch's band
+    keys against the corpus's, never corpus². At 100 TB the corpus-side
+    banded signatures are a one-time computation worth persisting
+    (they're pure columns of the corpus table — e.g. carry `sig` in the
+    document store and band at read); this operator recomputes them so
+    it stays a pure function of its inputs. Shuffle discipline matches
+    minhash_lsh_pairs: the wide band join carries ids only; shingles
+    fetch back for the (few) candidates."""
+    def prep(df, alias):
+        shingled = df.select(
+            F.col(id_col).alias(f"{alias}_id"),
+            word_shingles_col(F.col(text_col), n).alias(f"{alias}_sh"),
+        )
+        return (
+            shingled.withColumn(
+                "hs", shingle_hashes_col(F.col(f"{alias}_sh"))
+            )
+            .withColumn("sig", minhash_signature_col(F.col("hs"), num_hashes))
+            .drop("hs")
+            .cache()  # banding + the verify fetch-back both consume it
+        )
+
+    rows_per_band = num_hashes // bands
+    new_side = prep(new_df, "new")
+    corpus_side = prep(corpus_df, "corpus")
+
+    def banded(side, alias):
+        return side.select(
+            f"{alias}_id",
+            F.explode(
+                lsh_band_keys_col(F.col("sig"), bands, rows_per_band)
+            ).alias("band"),
+        )
+
+    candidates = (
+        banded(new_side, "new")
+        .join(banded(corpus_side, "corpus"), "band")
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    verified = candidates.join(
+        new_side.select("new_id", "new_sh"), "new_id"
+    ).join(corpus_side.select("corpus_id", "corpus_sh"), "corpus_id")
+    inter = F.size(F.array_intersect("new_sh", "corpus_sh"))
+    union = F.size("new_sh") + F.size("corpus_sh") - inter
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def incremental_neardup_filter(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """The apply side of :func:`incremental_neardup_pairs`: the rows of
+    ``new_df`` that do NOT near-duplicate the standing corpus (the
+    batch a continuous-ingestion pipeline actually appends)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    dupes = incremental_neardup_pairs(new_df, corpus_df, **kwargs).select(
+        F.col("new_id").alias(id_col)
+    )
+    return new_df.join(dupes, id_col, "left_anti")

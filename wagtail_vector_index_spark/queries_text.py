@@ -1545,3 +1545,53 @@ def pipeline_bpe_merges(spark, sf_dir):
         merges,
         "merge_rank int, left_sym string, right_sym string, pair_count long",
     )
+
+
+@register(
+    "pipeline_incremental_neardup",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    hashed AS (SELECT doc_id, shingles, {HS_SQL} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_minhash_sig_sql()} AS sig FROM hashed),
+    bands AS (SELECT doc_id, unnest({_band_keys_sql('sig')}) AS band
+              FROM sig),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bands n JOIN bands c ON n.band = c.band
+      WHERE n.doc_id >= 400 AND c.doc_id < 400),
+    verified AS (
+      SELECT new_id, corpus_id,
+             len(list_intersect(sn.shingles, sc.shingles))::DOUBLE
+               / (len(sn.shingles) + len(sc.shingles)
+                  - len(list_intersect(sn.shingles, sc.shingles))) AS jaccard
+      FROM cand JOIN sh sn ON new_id = sn.doc_id
+                JOIN sh sc ON corpus_id = sc.doc_id)
+    SELECT new_id, corpus_id, round(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.1
+    """,
+)
+def pipeline_incremental_neardup(spark, sf_dir):
+    """Continuous-ingestion fuzzy dedup: which NEW documents (doc_id >=
+    400, the incoming batch) near-duplicate the STANDING corpus (doc_id
+    < 400) — asymmetric banded MinHash, so ingestion cost scales with
+    the batch's band keys against the corpus's, never corpus^2
+    (operators/dedup.py::incremental_neardup_pairs; the filter twin
+    drops the matches before append). The oracle replays shingling,
+    signatures, the asymmetric band join, and the exact-Jaccard
+    verify."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        incremental_neardup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = incremental_neardup_pairs(
+        docs.where(F.col("doc_id") >= 400),
+        docs.where(F.col("doc_id") < 400),
+        n=3,
+        num_hashes=16,
+        bands=8,
+        threshold=0.1,
+    )
+    return pairs.select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
