@@ -1235,6 +1235,9 @@ def incremental_neardup_pairs(
     minhash_lsh_pairs: the wide band join carries ids only; shingles
     fetch back for the (few) candidates."""
     def prep(df, alias):
+        # CPU-bound sha/shingle stages must not serialize on a narrow
+        # input (same rationale as minhash_lsh_pairs)
+        df = _ensure_parallelism(df, id_col)
         shingled = df.select(
             F.col(id_col).alias(f"{alias}_id"),
             word_shingles_col(F.col(text_col), n).alias(f"{alias}_sh"),
