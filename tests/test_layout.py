@@ -67,3 +67,40 @@ def test_zorder_write_tightens_both_columns(spark, sf_dir, tmp_path):
         assert _avg_rowgroup_spread(zpath, col) < 0.6 * _avg_rowgroup_spread(
             plain, col
         ), col
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed identically on their join
+    key must join with ZERO Exchange nodes (the layout pays the shuffle
+    once at write time)."""
+    from wagtail_vector_index_spark.operators.layout import write_bucketed
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bucketed_t", buckets=4, key="l_orderkey")
+    write_bucketed(orders, "orders_bucketed_t", buckets=4, key="o_orderkey")
+    try:
+        a = spark.table("li_bucketed_t")
+        b = spark.table("orders_bucketed_t")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a["l_orderkey"] == b["o_orderkey"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # and the join still computes the right thing
+            n = joined.count()
+            shuffled = li.join(
+                orders, li["l_orderkey"] == orders["o_orderkey"]
+            ).count()
+            assert n == shuffled and n > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed_t")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed_t")

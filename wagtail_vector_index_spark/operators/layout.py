@@ -88,3 +88,33 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    key: str | Sequence[str],
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a Hive-bucketed (and optionally sort-bucketed)
+    catalog table — the co-located-join layout: two tables bucketed the
+    same way on their join keys join WITHOUT any shuffle exchange (and,
+    when sorted, without a sort), because every matching key pair is
+    already in the same bucket file on both sides. At 100 TB this turns
+    the recurring fact-to-fact join's dominant cost (two full-table
+    exchanges) into zero — the write pays the partitioning once.
+
+    tests/test_layout.py asserts the resulting join plan contains no
+    Exchange. (The manifest-based stores in this repo get the same
+    effect for vectors via explicit ``repartition(cid)`` + partition
+    dirs; bucketing is the catalog-table form for relational keys,
+    where partition-per-key would explode the directory count.)
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.mode(mode).bucketBy(int(buckets), *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
