@@ -206,3 +206,17 @@ def test_corpus_with_bpe_tokens_self_trained(spark):
     # merges learned: (l,o) then (lo,w) -> 'low' is one token
     assert toks[1] == ["low", "low", "low", "e", "r"]
     assert toks[2] == ["low", "e", "s", "t", "low"]
+
+
+def test_corpus_dedup_against_standing_corpus(spark):
+    standing = spark.createDataFrame(
+        [(1, "s", "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, source string, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "s", "the quick brown fox jumps over the lazy dog today"),
+         (11, "s", "entirely fresh content with no shingle overlap at all")],
+        "doc_id long, source string, text string",
+    )
+    kept = Corpus(batch).dedup_against(standing, threshold=0.5)
+    assert [r["doc_id"] for r in kept.df.collect()] == [11]

@@ -396,6 +396,32 @@ class Corpus:
             )
         )
 
+    def dedup_against(
+        self,
+        corpus_df,
+        *,
+        threshold: float = 0.5,
+        n: int = 3,
+    ) -> "Corpus":
+        """Continuous-ingestion fuzzy dedup: drop rows of THIS corpus
+        (the incoming batch) that near-duplicate ``corpus_df`` (the
+        standing corpus) — asymmetric banded MinHash, per-batch cost
+        (operators/dedup.incremental_neardup_filter)."""
+        from wagtail_vector_index_spark.operators.dedup import (
+            incremental_neardup_filter,
+        )
+
+        return self._wrap(
+            incremental_neardup_filter(
+                self.df,
+                corpus_df,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                n=n,
+                threshold=threshold,
+            )
+        )
+
     def with_bpe_tokens(
         self,
         merges: list[tuple[int, str, str, int]] | None = None,
