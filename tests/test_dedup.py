@@ -592,3 +592,42 @@ def test_incremental_neardup_filter_drops_only_corpus_dupes(spark):
     assert {(r["new_id"], r["corpus_id"]) for r in pairs} == {(10, 1)}
     kept = incremental_neardup_filter(new, corpus, threshold=0.5)
     assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]
+
+
+def test_incremental_neardup_reusable_corpus_signatures(spark):
+    """Per-batch ingestion loops pass persisted corpus signatures once
+    instead of recomputing/cache-pinning them per call; results must be
+    identical to the corpus_df path."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river"),
+         (2, "other standing content entirely unrelated to anything new")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog by the river")],
+        "doc_id long, text string",
+    )
+    via_df = {
+        tuple(r)[:2]
+        for r in incremental_neardup_pairs(new, corpus, threshold=0.5).collect()
+    }
+    sigs = minhash_signatures(corpus, cache=False).persist()
+    try:
+        via_sigs = {
+            tuple(r)[:2]
+            for r in incremental_neardup_pairs(
+                new, corpus_signatures=sigs, threshold=0.5
+            ).collect()
+        }
+    finally:
+        sigs.unpersist()
+    assert via_df == via_sigs == {(10, 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        incremental_neardup_pairs(new, corpus, corpus_signatures=sigs)

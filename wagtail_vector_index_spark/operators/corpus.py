@@ -396,17 +396,13 @@ class Corpus:
             )
         )
 
-    def dedup_against(
-        self,
-        corpus_df,
-        *,
-        threshold: float = 0.5,
-        n: int = 3,
-    ) -> "Corpus":
+    def dedup_against(self, corpus_df=None, **kwargs) -> "Corpus":
         """Continuous-ingestion fuzzy dedup: drop rows of THIS corpus
         (the incoming batch) that near-duplicate ``corpus_df`` (the
-        standing corpus) — asymmetric banded MinHash, per-batch cost
-        (operators/dedup.incremental_neardup_filter)."""
+        standing corpus) — asymmetric banded MinHash, per-batch cost.
+        Forwards every tuning kwarg (threshold, n, num_hashes, bands,
+        corpus_signatures for loops) to
+        operators/dedup.incremental_neardup_filter."""
         from wagtail_vector_index_spark.operators.dedup import (
             incremental_neardup_filter,
         )
@@ -417,8 +413,7 @@ class Corpus:
                 corpus_df,
                 id_col=self.id_col,
                 text_col=self.text_col,
-                n=n,
-                threshold=threshold,
+                **kwargs,
             )
         )
 
@@ -433,7 +428,10 @@ class Corpus:
         (operators/bpe.py): per word, apply the merges and concatenate
         the word segmentations in order. ``merges=None`` trains
         ``num_merges`` merges on THIS corpus first (the self-trained
-        tokenizer path)."""
+        tokenizer path) — NOTE: training is EAGER (one argmax job per
+        merge round fires at chain-construction time), the one
+        documented exception to the facade's lazy-chain contract; pass
+        a pre-learned ``merges`` list to stay lazy."""
         from wagtail_vector_index_spark.operators.bpe import (
             bpe_segment_col,
             learn_bpe_merges,

@@ -154,6 +154,52 @@ def ngram_jaccard_pairs(
     return _exact_jaccard_pairs(shingled, id_col=id_col, threshold=threshold)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    cache: bool = True,
+) -> DataFrame:
+    """(id, shingles, sig): the shared MinHash prep for every banded
+    dedup path — shingle, hash each shingle ONCE (separate projection so
+    CollapseProject can't inline the sha256 into all seed derivations),
+    derive the signature with affine arithmetic. ``cache=True`` pins the
+    frame for the band-join + verify-fetch-back double consumption;
+    pass ``cache=False`` when YOU persist it (e.g. the standing-corpus
+    side of a per-batch ingestion loop — persist once, reuse every
+    batch, unpersist on corpus rollover)."""
+    df = _ensure_parallelism(df, id_col)
+    shingled = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    )
+    sig = (
+        shingled.withColumn("hs", shingle_hashes_col(F.col("shingles")))
+        .withColumn("sig", minhash_signature_col(F.col("hs"), num_hashes))
+        .drop("hs")
+    )
+    # no blocking count — see _exact_jaccard_pairs for why cache() alone
+    # is both the optimizer barrier and race-safe
+    return sig.cache() if cache else sig
+
+
+def _jaccard_verify(
+    candidates: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidates against the
+    two shingle sides — the shared tail of every banded MinHash path."""
+    verified = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -173,21 +219,9 @@ def minhash_lsh_pairs(
     LSH-probabilistic recall.
     """
     rows_per_band = num_hashes // bands
-    df = _ensure_parallelism(df, id_col)
-    shingled = df.select(
-        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
     )
-    # hash each shingle ONCE (separate projection so CollapseProject
-    # can't inline the sha256 into all 16 seed derivations), then derive
-    # the signature with affine arithmetic; cache before the band join
-    sig = (
-        shingled.withColumn("hs", shingle_hashes_col(F.col("shingles")))
-        .withColumn("sig", minhash_signature_col(F.col("hs"), num_hashes))
-        .drop("hs")
-        .cache()
-    )
-    # no blocking count — see _exact_jaccard_pairs for why cache() alone
-    # is both the optimizer barrier and race-safe
     # band join on bare (id, band) keys — the wide shuffle carries two
     # longs + a short hash, never the shingle arrays
     banded = sig.select(
@@ -206,14 +240,7 @@ def minhash_lsh_pairs(
     # fetch shingles back only for the (few) candidate pairs
     sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        verified.withColumn("jaccard", inter / union)
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(candidates, sh_a, sh_b, threshold)
 
 
 def simhash_fingerprints(
@@ -1212,7 +1239,7 @@ def semantic_dedup(
 
 def incremental_neardup_pairs(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1220,6 +1247,7 @@ def incremental_neardup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric MinHash near-dup detection for continuous ingestion:
     which NEW rows near-duplicate the STANDING corpus. Returns
@@ -1227,33 +1255,41 @@ def incremental_neardup_pairs(
 
     The band join is new-side x corpus-side only — no corpus self-join,
     no new self-join — so per-batch cost scales with the batch's band
-    keys against the corpus's, never corpus². At 100 TB the corpus-side
-    banded signatures are a one-time computation worth persisting
-    (they're pure columns of the corpus table — e.g. carry `sig` in the
-    document store and band at read); this operator recomputes them so
-    it stays a pure function of its inputs. Shuffle discipline matches
-    minhash_lsh_pairs: the wide band join carries ids only; shingles
-    fetch back for the (few) candidates."""
-    def prep(df, alias):
-        # CPU-bound sha/shingle stages must not serialize on a narrow
-        # input (same rationale as minhash_lsh_pairs)
-        df = _ensure_parallelism(df, id_col)
-        shingled = df.select(
-            F.col(id_col).alias(f"{alias}_id"),
-            word_shingles_col(F.col(text_col), n).alias(f"{alias}_sh"),
+    keys against the corpus's, never corpus². Both sides go through the
+    SAME prep as minhash_lsh_pairs (:func:`minhash_signatures` — one
+    shared construction, so the two paths cannot drift).
+
+    **Per-batch loops**: pass ``corpus_signatures`` — the output of
+    ``minhash_signatures(corpus_df, ..., cache=False)`` that YOU
+    ``persist()`` once and unpersist on corpus rollover — instead of
+    ``corpus_df``. Passing ``corpus_df`` recomputes and cache()-pins the
+    corpus signatures on EVERY call, which leaks storage across a long
+    ingestion loop (each call pins a fresh copy)."""
+    if (corpus_df is None) == (corpus_signatures is None):
+        raise ValueError(
+            "pass exactly one of corpus_df or corpus_signatures"
         )
-        return (
-            shingled.withColumn(
-                "hs", shingle_hashes_col(F.col(f"{alias}_sh"))
-            )
-            .withColumn("sig", minhash_signature_col(F.col("hs"), num_hashes))
-            .drop("hs")
-            .cache()  # banding + the verify fetch-back both consume it
+    rows_per_band = num_hashes // bands
+    new_side = minhash_signatures(
+        new_df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+    )
+    corpus_side = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else minhash_signatures(
+            corpus_df, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes,
+        )
+    )
+
+    def sided(side, alias):
+        return side.select(
+            F.col(id_col).alias(f"{alias}_id"),
+            F.col("shingles").alias(f"{alias}_sh"),
+            F.col("sig"),
         )
 
-    rows_per_band = num_hashes // bands
-    new_side = prep(new_df, "new")
-    corpus_side = prep(corpus_df, "corpus")
+    new_side, corpus_side = sided(new_side, "new"), sided(corpus_side, "corpus")
 
     def banded(side, alias):
         return side.select(
@@ -1266,18 +1302,22 @@ def incremental_neardup_pairs(
     candidates = (
         banded(new_side, "new")
         .join(banded(corpus_side, "corpus"), "band")
-        .select("new_id", "corpus_id")
-        .dropDuplicates(["new_id", "corpus_id"])
+        .select(
+            F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    verified = candidates.join(
-        new_side.select("new_id", "new_sh"), "new_id"
-    ).join(corpus_side.select("corpus_id", "corpus_sh"), "corpus_id")
-    inter = F.size(F.array_intersect("new_sh", "corpus_sh"))
-    union = F.size("new_sh") + F.size("corpus_sh") - inter
-    return (
-        verified.withColumn("jaccard", inter / union)
-        .where(F.col("jaccard") >= F.lit(float(threshold)))
-        .select("new_id", "corpus_id", "jaccard")
+    verified = _jaccard_verify(
+        candidates,
+        new_side.select(F.col("new_id").alias("id_a"), F.col("new_sh").alias("sh_a")),
+        corpus_side.select(
+            F.col("corpus_id").alias("id_b"), F.col("corpus_sh").alias("sh_b")
+        ),
+        threshold,
+    )
+    return verified.select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"),
+        "jaccard",
     )
 
 
