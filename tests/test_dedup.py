@@ -214,6 +214,62 @@ def test_connected_components_long_chain_and_strings(spark):
     assert len(comp) == 10
 
 
+def test_connected_components_star_pointer_doubling_rounds(spark):
+    """Large-star/small-star converges in O(log n) rounds on a path
+    graph where min-label propagation needs O(diameter): a 64-node
+    chain finishes in <= 10 star rounds (vs 16 double-hop label
+    rounds), and both algorithms agree on every label."""
+    from wagtail_vector_index_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    star_stats: dict = {}
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, algorithm="star", max_iter=64, stats=star_stats
+        ).collect()
+    }
+    assert star == {i: 0 for i in range(64)}
+    # pointer doubling: paths halve per round — well under diameter/2
+    assert star_stats["rounds"] <= 10
+    label_stats: dict = {}
+    label = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, algorithm="label", max_iter=64, stats=label_stats
+        ).collect()
+    }
+    assert label == star
+    assert star_stats["rounds"] < label_stats["rounds"]
+
+
+def test_connected_components_star_matches_label_on_mixed_graph(spark):
+    """Both algorithms produce identical labels on a graph mixing a
+    clique, a chain, self-loops, duplicate/reversed edges, and string
+    ids (lexicographic minima)."""
+    from wagtail_vector_index_spark.operators.dedup import connected_components
+
+    edges = (
+        [("c1", "c2"), ("c2", "c3"), ("c1", "c3")]  # clique
+        + [("a1", "a2"), ("a2", "a3"), ("a3", "a4")]  # chain
+        + [("z9", "z9")]  # self-loop only: own component
+        + [("c2", "c1"), ("c1", "c2")]  # reversed + duplicate
+    )
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    label = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="label").collect()
+    }
+    assert star == label
+    assert star["z9"] == "z9"
+    assert star["a4"] == "a1" and star["c3"] == "c1"
+
+
 def test_keep_representatives_exact_beats_clique_approx(spark):
     """On a chain 1~3~2 (hub 3 is the max id, no 1~2 pair), the
     single-pass approximation keeps both chain ends {1, 2}; the

@@ -781,29 +781,175 @@ def connected_components(
     out_id: str = "id",
     out_comp: str = "component",
     max_iter: int = 30,
+    algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components over an undirected duplicate-pair graph via
-    iterative min-label propagation: every node repeatedly takes the
-    minimum of its own label and its neighbors' labels until fixpoint.
+    """Connected components over an undirected duplicate-pair graph.
     Returns one row per node that appears in a pair: (``out_id``,
     ``out_comp``) where the component label is the smallest node id
     reachable from it. Nodes in no pair are their own component — callers
     wanting the full corpus should left-join and ``coalesce(component,
     id)`` (see the ``dedup_components`` catalog query).
 
-    Scale shape: each round is one shuffle join of the (cached) symmetric
-    edge list against the label table plus one map-side-combinable
-    ``groupBy(min)`` — both keyed on node id, so AQE can reuse the
-    partitioning. The label table holds only nodes that occur in a pair,
-    which for dedup workloads is a small fraction of the corpus.
-    Convergence takes O(graph diameter) rounds; duplicate clusters are
-    near-cliques in practice (diameter 1-2), so 2-4 rounds is typical.
-    Labels decrease monotonically, so the fixpoint test (no label
-    strictly decreased this round) is exact. For adversarially long
-    chains, raise ``max_iter`` (the propagation is still correct at any
-    cutoff for all nodes within ``max_iter`` hops of their component
-    minimum).
+    ``algorithm="star"`` (default) runs the alternating
+    large-star/small-star pointer-doubling algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    rewires every node's larger neighbors to its minimum neighbor
+    (large-star), then collapses each node's smaller neighborhood onto
+    its minimum (small-star). Paths halve every round, so convergence is
+    O(log n) rounds regardless of graph diameter, and the edge set
+    SHRINKS toward per-component stars as it goes — later rounds join
+    strictly less data. That is the 100 TB shape: a web-scale duplicate
+    graph with a 10k-hop chain finishes in ~14 rounds where label
+    propagation needs 5k.
+
+    ``algorithm="label"`` keeps the previous min-label propagation
+    (each round: one join of the cached symmetric edge list against the
+    label table + one map-side-combinable ``groupBy(min)``). Rounds are
+    O(graph diameter) — fine for near-clique duplicate clusters
+    (diameter 1-2), pathological for chains; the full edge set is
+    joined every round.
+
+    Pass ``stats={}`` to receive ``stats["rounds"]`` (checkpointed
+    rounds actually executed) for either algorithm.
     """
+    if algorithm == "star":
+        return _cc_star(
+            pairs,
+            id_a=id_a,
+            id_b=id_b,
+            out_id=out_id,
+            out_comp=out_comp,
+            max_iter=max_iter,
+            stats=stats,
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    return _cc_label_propagation(
+        pairs,
+        id_a=id_a,
+        id_b=id_b,
+        out_id=out_id,
+        out_comp=out_comp,
+        max_iter=max_iter,
+        stats=stats,
+    )
+
+
+def _cc_star(
+    pairs: DataFrame,
+    *,
+    id_a: str,
+    id_b: str,
+    out_id: str,
+    out_comp: str,
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star (see :func:`connected_components`).
+
+    Each round is two half-steps over the current edge frame ``e(u, v)``:
+
+    - large-star: symmetrize, compute ``m(u) = min(neighbors(u) + [u])``
+      with one map-side-combinable agg, then rewire every STRICTLY LARGER
+      neighbor to the minimum: emit ``(v, m(u))`` for ``v > u``.
+    - small-star: orient every edge large→small, compute
+      ``m(u) = min(smaller neighbors)``, then collapse the whole smaller
+      neighborhood (and ``u`` itself) onto that minimum.
+
+    Both half-steps preserve connectivity and only ever lower the
+    reachable minimum, so the fixpoint — every component a star centered
+    at its minimum id — is exact. Convergence is detected by an
+    (edge-count, xxhash64-sum) signature of the checkpointed edge frame:
+    equal signatures mean the edge multiset is unchanged (a missed change
+    needs colliding 64-bit hash SUMS, ~2^-64 per round, and ``max_iter``
+    still bounds the loop). localCheckpoint per round truncates the
+    otherwise-exponential iterative lineage.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        j = o.join(mins, "u")
+        return (
+            j.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+
+    def _signature(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _signature(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        sig = _signature(edges)
+        if sig == prev:
+            break
+        prev = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # At fixpoint every component is a star oriented child→center, the
+    # center being the component minimum. Labels: every child points at
+    # its center; centers (and nodes whose only pairs were self-loops,
+    # which never enter the edge frame) label themselves.
+    nodes = (
+        pairs.select(F.col(id_a).alias(out_id))
+        .unionByName(pairs.select(F.col(id_b).alias(out_id)))
+        .distinct()
+    )
+    child_labels = edges.select(
+        F.col("u").alias(out_id), F.col("v").alias(out_comp)
+    )
+    return nodes.join(child_labels, out_id, "left").select(
+        F.col(out_id),
+        F.coalesce(F.col(out_comp), F.col(out_id)).alias(out_comp),
+    )
+
+
+def _cc_label_propagation(
+    pairs: DataFrame,
+    *,
+    id_a: str,
+    id_b: str,
+    out_id: str,
+    out_comp: str,
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Min-label propagation (see :func:`connected_components`,
+    ``algorithm="label"``)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     adj = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -865,6 +1011,7 @@ def connected_components(
 
     measure = _potential if numeric_ids else _potential_hash
     prev = measure(lbl)
+    rounds = 0
     try:
         # TWO propagation hops per checkpoint round: each checkpoint +
         # potential agg is a fixed multi-job cost, and plan growth over
@@ -874,6 +1021,7 @@ def connected_components(
         # unaffected — worst case one redundant propagation).
         for _ in range((max_iter + 1) // 2):
             new = _propagate(_propagate(lbl)).localCheckpoint(eager=True)
+            rounds += 1
             pot = measure(new)
             lbl = new
             if pot == prev:
@@ -881,6 +1029,8 @@ def connected_components(
             prev = pot
     finally:
         adj.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return lbl
 
 
