@@ -432,3 +432,31 @@ def test_pq_and_lsh_append_reject_extra_columns(spark, index_df, centroids_df, t
         pq.append(extra)
     with pytest.raises(ValueError, match="unexpected"):
         lsh.append(extra)
+
+
+def test_rebuild_at_same_path_self_invalidates_codebook_memo(
+    spark, index_df, centroids_df, tmp_path_factory
+):
+    """A long-lived served instance must never answer from stale
+    centroids after a same-path rebuild: the codebook memo is keyed on
+    the vectors-log manifest version (bumped by every committed write,
+    including build's rewrite), so NO explicit refresh() is needed.
+    This test fails on the r4 code (memo keyed on instance lifetime)."""
+    path = str(tmp_path_factory.mktemp("ivf_rebuild"))
+    IvfIndex.build(index_df, path=path, centroids_df=centroids_df)
+    served = IvfIndex(spark, path)  # long-lived instance
+    before = served._codebook_rows()
+    assert {r["cid"] for r in before} == set(range(16))
+
+    # rebuild AT THE SAME PATH with a shifted codebook (cids 100+)
+    shifted = centroids_df.select(
+        (F.col("cid") + 100).alias("cid"), "cv"
+    )
+    IvfIndex.build(index_df, path=path, centroids_df=shifted)
+
+    after = served._codebook_rows()  # no refresh() call
+    assert {r["cid"] for r in after} == {c + 100 for c in range(16)}
+    # and a query through the served instance uses the new codebook
+    probe_row = index_df.first()
+    top = served.topk(list(probe_row["vector"]), nprobe=2, limit=3).collect()
+    assert len(top) == 3

@@ -82,3 +82,63 @@ def test_countmin_never_undercounts_and_is_tight_when_sparse(spark):
     assert est["tok0"] >= 20 and est["tok7"] >= 20 and est["rare"] >= 1
     # 21 distinct values in 4x512 buckets: collisions vanishingly likely
     assert est["tok0"] == 20 and est["absent"] == 0
+
+
+def test_bottom_k_fold_bounds_shuffle_rows_and_is_exact(spark):
+    """The r5 bottom-k fold: (a) the partial stage emits at most
+    partitions x k rows per group — only O(k) state leaves each task,
+    never the distinct stream; (b) composing partials is EXACT — the
+    final bottom-k equals the bottom-k of a plain distinct+sort."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        _bottom_k,
+        _bottom_k_partials,
+    )
+    from wagtail_vector_index_spark.functions.text_analysis import sha_hash64
+
+    k = 16
+    # 5000 values with heavy duplication across 8 partitions, 2 groups
+    df = (
+        spark.range(5000)
+        .repartition(8)
+        .select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (sha_hash64((F.col("id") % 700).cast("string"))
+             / F.lit(4294967296.0)).alias("__u"),
+        )
+    )
+    partials = _bottom_k_partials(df, ["g"], k)
+    # 8 partitions x 2 groups x k = 256 max rows cross the exchange
+    assert partials.count() <= 8 * 2 * k
+
+    got = {
+        (r["g"], r["__u"]) for r in _bottom_k(df, ["g"], k).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("__u").asc())
+    want = {
+        (r["g"], r["__u"])
+        for r in df.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .collect()
+    }
+    assert got == want and len(got) == 2 * k
+
+
+def test_countmin_partial_agg_state_is_sketch_sized(spark):
+    """The count-min build's shuffle is keyed by (row, bucket): the plan
+    must show a partial aggregate BEFORE the exchange (map-side state
+    <= depth x width counters per task) — i.e. the sketch is already a
+    true partial aggregate; no per-token row survives to the shuffle."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        countmin_estimates,
+    )
+
+    df = spark.createDataFrame([(f"t{i % 9}",) for i in range(200)], "v string")
+    cand = spark.createDataFrame([("t0",)], "v string")
+    plan = (
+        countmin_estimates(df, value_col="v", candidates=cand)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan

@@ -44,12 +44,17 @@ def pr_current(spark):
 
 
 def pr_variant(spark, *, fold_deg, scalar_n, ckpt_every=0,
-               cache_edges=False):
+               cache_edges=False, part_edges=False):
     d = 0.85
     edges = _edges(spark).select(
         F.col("src").alias("__e_src"), F.col("dst").alias("__e_dst")
     )
-    if cache_edges:
+    if part_edges:
+        # hash-partition by the per-round join key ONCE; localCheckpoint
+        # preserves the HashPartitioning (LogicalRDD keeps output
+        # partitioning), so each round shuffles only the small ranks side
+        edges = edges.repartition("__e_src").localCheckpoint(eager=True)
+    elif cache_edges:
         edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("__e_src").alias("node"))
@@ -114,22 +119,19 @@ def main():
         **{"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    base = _time("current", pr_current, spark)
+    base = _time("current", pr_current, spark, reps=5)
     variants = {
         "fold_deg": dict(fold_deg=True, scalar_n=False),
-        "scalar_n": dict(fold_deg=False, scalar_n=True),
-        "fold+scalar": dict(fold_deg=True, scalar_n=True),
-        "fold+scalar+ckpt2": dict(fold_deg=True, scalar_n=True,
-                                  ckpt_every=2),
-        "fold+scalar+ckpt1": dict(fold_deg=True, scalar_n=True,
-                                  ckpt_every=1),
         "fold+scalar+edges_ckpt": dict(fold_deg=True, scalar_n=True,
                                        cache_edges=True),
-        "fold+scalar+edges_ckpt+ckpt2": dict(
-            fold_deg=True, scalar_n=True, cache_edges=True, ckpt_every=2),
+        "fold+scalar+edges_part": dict(fold_deg=True, scalar_n=True,
+                                       part_edges=True),
+        "fold+edges_part": dict(fold_deg=True, scalar_n=False,
+                                part_edges=True),
     }
     for name, kw in variants.items():
-        got = _time(name, lambda s, kw=kw: pr_variant(s, **kw), spark)
+        got = _time(name, lambda s, kw=kw: pr_variant(s, **kw), spark,
+                    reps=5)
         if got != base:
             diff = {k: (base.get(k), got.get(k))
                     for k in set(base) | set(got)

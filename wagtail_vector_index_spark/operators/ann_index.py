@@ -170,24 +170,37 @@ class IvfIndex:
         self.vec_col = vec_col
         # Codebooks are immutable after build() (append/delete/compact
         # touch only the vectors log), so the k-row driver-side collect
-        # is memoized per instance — repeat queries through a served
-        # index cost zero codebook jobs.
-        self._codebook_rows_cache: list | None = None
+        # is memoized per instance, KEYED ON THE MANIFEST VERSION (r5):
+        # build() always commits the vectors log after writing the
+        # codebook, so a same-path rebuild bumps the version and the
+        # memo self-invalidates — a long-lived served instance can never
+        # answer from stale centroids. The stamp check is one local
+        # manifest-JSON read per query; appends bump the version too,
+        # costing one redundant k-row re-collect, which is noise.
+        self._codebook_rows_cache: tuple[int, list] | None = None
+
+    def _manifest_stamp(self) -> int:
+        cur = self.vectors_log.current()
+        return -1 if cur is None else cur.version
 
     def _codebook_rows(self) -> list:
-        if self._codebook_rows_cache is None:
-            self._codebook_rows_cache = self.spark.read.parquet(
-                self.codebook_path
-            ).collect()
-        return self._codebook_rows_cache
+        stamp = self._manifest_stamp()
+        if (
+            self._codebook_rows_cache is None
+            or self._codebook_rows_cache[0] != stamp
+        ):
+            self._codebook_rows_cache = (
+                stamp,
+                self.spark.read.parquet(self.codebook_path).collect(),
+            )
+        return self._codebook_rows_cache[1]
 
     def refresh(self) -> None:
         """Drop memoized codebooks so the next query re-reads them from
-        storage. Needed only when an index is REBUILT at the same path
-        while this instance lives (e.g. a long-lived served instance
-        across a ``build()``): the memoization contract is
-        immutable-after-build, and append/delete/compact never touch the
-        codebook."""
+        storage. Since r5 the memos are keyed on the manifest version
+        and self-invalidate on any committed write (including a
+        same-path rebuild), so this is only needed for out-of-band
+        edits that bypass the manifest protocol entirely."""
         self._codebook_rows_cache = None
         if hasattr(self, "_pq_cb_cache"):
             self._pq_cb_cache = None
@@ -655,17 +668,21 @@ class IvfPqIndex(IvfIndex):
                 out.append((mi, j, nv[mi * sub : (mi + 1) * sub]))
         return spark.createDataFrame(out, "m int, j int, cv array<double>")
 
-    _pq_cb_cache: list[list[list[float]]] | None = None
+    _pq_cb_cache: tuple[int, list[list[list[float]]]] | None = None
 
     def _pq_codebook(self) -> list[list[list[float]]]:
-        if self._pq_cb_cache is not None:
-            return self._pq_cb_cache
+        # manifest-version stamp, same invalidation contract as
+        # IvfIndex._codebook_rows: a same-path rebuild bumps the vectors
+        # log and the memo self-invalidates
+        stamp = self._manifest_stamp()
+        if self._pq_cb_cache is not None and self._pq_cb_cache[0] == stamp:
+            return self._pq_cb_cache[1]
         rows = self.spark.read.parquet(self.pq_codebook_path).collect()
         n_m = 1 + max(r["m"] for r in rows)
         cb: list[list[list[float]]] = [[] for _ in range(n_m)]
         for r in sorted(rows, key=lambda r: (r["m"], r["j"])):
             cb[r["m"]].append([float(x) for x in r["cv"]])
-        self._pq_cb_cache = cb
+        self._pq_cb_cache = (stamp, cb)
         return cb
 
     def append(self, df: DataFrame, *, dedup_token: str | None = None) -> None:

@@ -12,21 +12,82 @@ is deterministic and exactly reproducible in ANSI SQL.
 
 KMV is genuinely mergeable (union of bottom-k sets, re-truncated to k,
 is associative and commutative — the property that makes sketches work
-as partial aggregates across 1000 executors). The implementation here
-computes the bottom-k with a distinct + ranked-window pass, which
-Catalyst plans as one shuffle on the group key with WindowGroupLimit
-(per-partition top-k before the exchange); a dedicated
-TypedImperativeAggregate (or the datasketches library) would fuse the
-truncation into the partial agg itself and is the drop-in upgrade when
-sketch state must stay O(k) per task.
+as partial aggregates across 1000 executors). The bottom-k here is a
+TRUE partial-aggregate fold (r5): an Arrow ``mapInPandas`` stage keeps
+a running bottom-k set per group ACROSS batches within each input
+partition — O(groups x k) state per task, exactly the
+TypedImperativeAggregate shape — so only ``partitions x k`` rows per
+group ever cross the wire, instead of every distinct value (the r4
+distinct+window formulation's shuffle). The final merge
+(distinct + ranked window over the tiny partial frame) is exact
+because bottom-k-of-distinct composes: bottom-k of a union equals
+bottom-k of the per-part bottom-k unions.
+
+The count-min builder needs no such fold: its ``groupBy(row, bucket)``
+partial hash-agg state is bounded by the sketch dimensions themselves
+(<= depth x width counters per task, 1024 at the defaults) — the
+shuffle already carries at most one partial counter row per (task,
+row, bucket), never a per-token row.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wagtail_vector_index_spark.functions.text_analysis import sha_hash64
+
+
+def _bottom_k_partials(
+    df: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Per-partition bottom-k-distinct fold over a ``__u`` double column:
+    one Arrow stage with O(groups x k) state per task, emitting at most
+    k rows per (group, input partition). The ``__u`` hash is computed
+    JVM-side before this stage, so only (group, double) columns cross
+    the Arrow boundary."""
+    schema = df.select(*group_cols, "__u").schema
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(group_cols, sort=False, dropna=False):
+                tup = key if isinstance(key, tuple) else (key,)
+                vals = grp["__u"].to_numpy()
+                prev = state.get(tup)
+                merged = (
+                    np.union1d(prev, vals) if prev is not None
+                    else np.unique(vals)
+                )
+                state[tup] = merged[:k]
+        if state:
+            keys = list(state)
+            out = pd.DataFrame(
+                [kt + (v,) for kt in keys for v in state[kt]],
+                columns=[*group_cols, "__u"],
+            )
+            yield out
+
+    return df.select(*group_cols, "__u").mapInPandas(fold, schema=schema)
+
+
+def _bottom_k(
+    df: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Exact per-group bottom-k distinct ``__u`` values: partition-local
+    fold (above) then a ranked window over the partials-only frame —
+    the heavy input never reaches the exchange."""
+    partials = _bottom_k_partials(df, group_cols, k).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__u").asc())
+    return (
+        partials.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def kmv_distinct(
@@ -47,11 +108,8 @@ def kmv_distinct(
     u = (sha_hash64(F.col(value_col).cast("string")) / F.lit(4294967296.0)).alias(
         "__u"
     )
-    d = df.select(*group_cols, u).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("__u").asc())
     bottom_k = (
-        d.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
+        _bottom_k(df.select(*group_cols, u), group_cols, k)
         .groupBy(*group_cols)
         .agg(F.max("__u").alias("__uk"), F.count(F.lit(1)).alias("__n"))
     )
@@ -88,11 +146,8 @@ def kmv_sketches(
     u = (
         sha_hash64(F.col(value_col).cast("string")) / F.lit(4294967296.0)
     ).alias("__u")
-    d = df.select(*group_cols, u).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("__u").asc())
     return (
-        d.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
+        _bottom_k(df.select(*group_cols, u), group_cols, k)
         .groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list("__u")).alias("kvals"))
     )
