@@ -22,69 +22,165 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERY_FNS["search_hash_knn"](spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver's 50-per-round sample already covered in rounds 1-2
-# (union of CORRECTNESS_r01/r02 keys). Catalog iteration puts everything
-# NOT in this set first so never-sampled and newly-added queries get
-# driver-green rows before re-sampling old ones. Pure ordering — no
-# renames, no semantic change.
-_DRIVER_SAMPLED = frozenset(
-    {
-        "ann_ivf_cosine", "ann_ivfpq_adc", "ann_lsh_cosine",
-        "ann_recall_ivf", "ann_recall_lsh", "ann_recall_pq",
-        "corpus_report", "dedup_apply", "dedup_components", "dedup_exact",
-        "dedup_jaccard_exact", "dedup_minhash_lsh",
-        "dedup_shared_passages", "dedup_simhash", "doc_fingerprint",
-        "embedding_neardup", "embedding_neardup_lsh", "find_similar_hash",
-        "hybrid_search_rrf", "knn_cosine", "knn_l2", "knn_mip",
-        "knn_threshold", "multimodal_audio_fingerprint",
-        "multimodal_decode_meta", "multimodal_feature_embed",
-        "multimodal_feature_knn", "multimodal_frame_sample",
-        "pipeline_chunk_explode", "pipeline_corpus_prep",
-        "pipeline_dataset_mix", "pipeline_decontaminate",
-        "pipeline_export_shards", "pipeline_incremental_staleness",
-        "pipeline_mix_epochs", "pipeline_pack_sequences",
-        "pipeline_quality_filter", "pipeline_shuffle_rank",
-        "pipeline_train_val_split", "q10_returned_items",
-        "q11_value_concentration", "q13_custdist", "q14_promo_share",
-        "q15_top_supplier", "q16_part_supplier_diversity",
-        "q17_small_qty_revenue", "q19_disjunctive_revenue",
-        "q1_pricing_summary", "q20_dominant_suppliers",
-        "q21_waiting_suppliers", "q22_idle_customers", "q2_min_supplier",
-        "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
-        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "q9_nation_profit", "q_above_global_avg", "q_above_nation_avg",
-        "q_anti_join", "q_array_functions", "q_asof_join",
-        "q_asof_join_forward", "q_big_orders", "q_case_agg",
-        "q_cube_lineitem", "q_distinct_agg", "q_events_anomaly",
-        "q_events_hourly", "q_events_json", "q_events_user_gaps",
-        "q_having", "q_median_price", "q_monthly_orders",
-        "q_outer_join_counts", "q_pivot_flags", "q_range_join_bands",
-        "q_rolling_revenue", "q_rollup_acctbal", "q_scalar_functions",
-        "q_semi_join", "q_session_window", "q_sessionize", "q_set_except",
-        "q_set_intersect", "q_ship_delay", "q_skew_salted_count",
-        "q_stats_agg", "q_top_customers", "q_union_all",
-        "q_window_analytics", "q_window_top_orders", "rag_batch_echo",
-        "search_hash_knn", "search_tfidf_knn", "similarity_join_topk",
-        "sketch_distinct_kmv", "streaming_click_view_join",
-        "streaming_events_hourly", "streaming_stateful_dedup",
-        "text_bm25", "text_gopher_rules", "text_lang_id",
-        "text_lang_id_ngram", "text_quality", "text_repetition",
-        "text_token_count", "text_top_ngram_frac", "text_unigram_logprob",
-        "text_wordcount", "vector_centroids",
-    }
-)
-
+# Driver-sample recency per catalog query (round of the most recent
+# CORRECTNESS_r0N row, merged r1-r4). Catalog iteration orders
+# least-recently-sampled first so the driver's 50-per-round sample
+# keeps rotating through the full catalog instead of re-drawing the
+# same keys; queries with no entry (newly added) go before everything.
+# Pure ordering - no renames, no semantic change.
+_DRIVER_LAST_SAMPLED = {
+    # last sampled in round 1 (13 queries)
+    "dedup_apply": 1,
+    "doc_fingerprint": 1,
+    "embedding_neardup": 1,
+    "find_similar_hash": 1,
+    "knn_cosine": 1,
+    "knn_l2": 1,
+    "knn_mip": 1,
+    "knn_threshold": 1,
+    "multimodal_decode_meta": 1,
+    "search_hash_knn": 1,
+    "similarity_join_topk": 1,
+    "streaming_stateful_dedup": 1,
+    "text_wordcount": 1,
+    # last sampled in round 2 (33 queries)
+    "dedup_exact": 2,
+    "dedup_jaccard_exact": 2,
+    "dedup_minhash_lsh": 2,
+    "dedup_simhash": 2,
+    "pipeline_dataset_mix": 2,
+    "pipeline_decontaminate": 2,
+    "pipeline_mix_epochs": 2,
+    "pipeline_quality_filter": 2,
+    "q10_returned_items": 2,
+    "q14_promo_share": 2,
+    "q6_forecast_revenue": 2,
+    "q_above_global_avg": 2,
+    "q_above_nation_avg": 2,
+    "q_big_orders": 2,
+    "q_case_agg": 2,
+    "q_distinct_agg": 2,
+    "q_events_anomaly": 2,
+    "q_events_hourly": 2,
+    "q_events_json": 2,
+    "q_having": 2,
+    "q_median_price": 2,
+    "q_monthly_orders": 2,
+    "q_outer_join_counts": 2,
+    "q_pivot_flags": 2,
+    "q_scalar_functions": 2,
+    "q_sessionize": 2,
+    "q_ship_delay": 2,
+    "q_stats_agg": 2,
+    "q_union_all": 2,
+    "q_window_analytics": 2,
+    "text_lang_id": 2,
+    "text_quality": 2,
+    "text_token_count": 2,
+    # last sampled in round 3 (37 queries)
+    "ann_ivf_cosine": 3,
+    "ann_ivfpq_adc": 3,
+    "ann_lsh_cosine": 3,
+    "ann_recall_ivf": 3,
+    "ann_recall_lsh": 3,
+    "ann_recall_pq": 3,
+    "corpus_report": 3,
+    "dedup_components": 3,
+    "dedup_shared_passages": 3,
+    "embedding_neardup_lsh": 3,
+    "hybrid_search_rrf": 3,
+    "multimodal_audio_fingerprint": 3,
+    "multimodal_feature_embed": 3,
+    "multimodal_feature_knn": 3,
+    "multimodal_frame_sample": 3,
+    "pipeline_chunk_explode": 3,
+    "pipeline_corpus_prep": 3,
+    "pipeline_export_shards": 3,
+    "pipeline_incremental_staleness": 3,
+    "pipeline_pack_sequences": 3,
+    "pipeline_shuffle_rank": 3,
+    "pipeline_train_val_split": 3,
+    "q_array_functions": 3,
+    "q_session_window": 3,
+    "q_skew_salted_count": 3,
+    "rag_batch_echo": 3,
+    "search_tfidf_knn": 3,
+    "sketch_distinct_kmv": 3,
+    "streaming_click_view_join": 3,
+    "streaming_events_hourly": 3,
+    "text_bm25": 3,
+    "text_gopher_rules": 3,
+    "text_lang_id_ngram": 3,
+    "text_repetition": 3,
+    "text_top_ngram_frac": 3,
+    "text_unigram_logprob": 3,
+    "vector_centroids": 3,
+    # last sampled in round 4 (50 queries)
+    "ann_ivf_filtered": 4,
+    "ann_recall_ivf_learned": 4,
+    "dedup_semantic": 4,
+    "graph_pagerank": 4,
+    "knn_binary_hamming": 4,
+    "knn_matryoshka_recall": 4,
+    "knn_quantized_int8": 4,
+    "pipeline_bpe_merges": 4,
+    "pipeline_dsir_select": 4,
+    "pipeline_incremental_neardup": 4,
+    "pipeline_source_cap": 4,
+    "q11_value_concentration": 4,
+    "q12_priority_shipping": 4,
+    "q13_custdist": 4,
+    "q15_top_supplier": 4,
+    "q16_part_supplier_diversity": 4,
+    "q17_small_qty_revenue": 4,
+    "q19_disjunctive_revenue": 4,
+    "q1_pricing_summary": 4,
+    "q20_dominant_suppliers": 4,
+    "q21_waiting_suppliers": 4,
+    "q22_idle_customers": 4,
+    "q2_min_supplier": 4,
+    "q3_shipping_priority": 4,
+    "q4_order_priority": 4,
+    "q5_region_revenue": 4,
+    "q7_volume_shipping": 4,
+    "q8_market_share": 4,
+    "q9_nation_profit": 4,
+    "q_anti_join": 4,
+    "q_asof_join": 4,
+    "q_asof_join_forward": 4,
+    "q_cube_lineitem": 4,
+    "q_events_user_gaps": 4,
+    "q_funnel_conversion": 4,
+    "q_range_join_bands": 4,
+    "q_retention_cohorts": 4,
+    "q_rolling_revenue": 4,
+    "q_rollup_acctbal": 4,
+    "q_semi_join": 4,
+    "q_set_except": 4,
+    "q_set_intersect": 4,
+    "q_top_customers": 4,
+    "q_value_histogram": 4,
+    "q_window_top_orders": 4,
+    "search_mmr_rerank": 4,
+    "sketch_countmin_tokens": 4,
+    "sketch_kmv_set_ops": 4,
+    "text_quality_classifier": 4,
+    "text_zipf_slope": 4,
+}
 
 
 
 def _ordered(mapping: dict) -> dict:
-    """Iteration order = driver sampling priority: entries that have
-    never received a driver correctness row (after merging the r1-r3
-    samples, exactly the 9 the r3 verdict lists) come first, then the
-    already-driver-green majority. Pure ordering — no renames."""
-    waited = {k: v for k, v in mapping.items() if k not in _DRIVER_SAMPLED}
-    seen = {k: v for k, v in mapping.items() if k in _DRIVER_SAMPLED}
-    return {**waited, **seen}
+    """Iteration order = driver sampling priority: never-sampled
+    entries first, then ascending round of most recent driver
+    correctness row (r1-sampled before r4-sampled). Pure ordering —
+    no renames."""
+    return dict(
+        sorted(
+            mapping.items(),
+            key=lambda kv: _DRIVER_LAST_SAMPLED.get(kv[0], 0),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

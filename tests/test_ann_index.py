@@ -460,3 +460,70 @@ def test_rebuild_at_same_path_self_invalidates_codebook_memo(
     probe_row = index_df.first()
     top = served.topk(list(probe_row["vector"]), nprobe=2, limit=3).collect()
     assert len(top) == 3
+
+
+def test_replay_race_never_rewrites_live_generation_in_place(
+    spark, index_df, centroids_df, tmp_path_factory
+):
+    """TOCTOU closure: two replays of the same batch can BOTH pass the
+    pre-write token check; the loser must not rewrite the winner's
+    now-live generation directory in place (readers would transiently
+    see deleted files). The staged write publishes via atomic rename,
+    which fails against a live non-empty directory and discards the
+    loser's copy."""
+    import os
+
+    from wagtail_vector_index_spark.operators.ann_index import (
+        _append_gen,
+        _commit_append,
+        _gen_write_path,
+        _publish_gen_dir,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_race"))
+    idx = IvfIndex.build(index_df, path=path, centroids_df=centroids_df)
+    batch = index_df.limit(5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "vector"
+    )
+    token = "batch-42"
+    log = idx.vectors_log
+    # BOTH writers pass the pre-write check before either commits
+    gen_a = _append_gen(log, token)
+    gen_b = _append_gen(log, token)
+    assert gen_a == gen_b and gen_a is not None
+
+    # writer A wins: writes, publishes, commits
+    idx.append(batch, dedup_token=token)
+    live_dir = log.gen_path(gen_a)
+    before = {
+        f: os.stat(os.path.join(live_dir, f)).st_mtime_ns
+        for f in os.listdir(live_dir)
+        if not f.startswith(".")
+    }
+    n_before = idx._vectors().count()
+
+    # writer B (the straggler replay) now performs its write + publish
+    # + commit using the stale gen name it already holds
+    staged = _gen_write_path(log, gen_b, token)
+    codebook = spark.read.parquet(idx.codebook_path)
+    from wagtail_vector_index_spark.operators.knn import ivf_assign
+
+    ivf_assign(
+        batch, codebook, index_id="vec_id", index_vec="vector"
+    ).repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        staged
+    )
+    _publish_gen_dir(log, staged, gen_b)
+    _commit_append(log, gen_b, dedup_token=token)
+
+    # the live directory was never touched, the staged copy is gone,
+    # and the table still reads exactly once
+    after = {
+        f: os.stat(os.path.join(live_dir, f)).st_mtime_ns
+        for f in os.listdir(live_dir)
+        if not f.startswith(".")
+    }
+    assert after == before
+    assert not os.path.exists(staged)
+    assert idx._vectors().count() == n_before
+    assert log.current().live.count(gen_a) == 1

@@ -426,3 +426,18 @@ def test_search_diversify_lambda_mmr(index):
     assert {r["doc_key"] for r in diverse} <= shortlist_keys
     # top-1 is always the plain best hit (empty-selection penalty is 0)
     assert diverse[0]["doc_key"] == plain[0]["doc_key"]
+
+
+def test_search_mmr_requires_cosine(spark, tmp_path):
+    """diversify_lambda composes relevance with cosine pairwise
+    similarity; a euclidean/MIP index must fail fast (same cosine-only
+    contract as build_ann_index) instead of silently skewing lambda."""
+    import pytest
+
+    cfg = IndexConfig(index_name="euclid_idx", distance="euclidean")
+    store = DocumentStore(spark, str(tmp_path / "euclid_store"))
+    idx = VectorIndex(
+        spark, cfg, store, embedding_backend=HashEmbeddingBackend(dimensions=8)
+    )
+    with pytest.raises(ValueError, match="cosine"):
+        idx.search("anything", diversify_lambda=0.5)

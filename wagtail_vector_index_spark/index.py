@@ -320,6 +320,15 @@ class VectorIndex:
         4 x limit) of best-chunk-per-document hits, then greedily pick
         ``limit`` results trading relevance (lambda) against redundancy
         (1 - lambda). Works with both the brute and ANN paths."""
+        if diversify_lambda is not None and self.cfg.distance != "cosine":
+            # MMR trades the relevance score against cosine pairwise
+            # similarity; for euclidean/max_inner_product the two terms
+            # are on incomparable scales and lambda silently loses its
+            # meaning — same cosine-only contract as build_ann_index
+            raise ValueError(
+                "diversify_lambda (MMR) requires cosine distance, got "
+                f"{self.cfg.distance!r}"
+            )
         qvec = self.embedding_backend.embed_batch([query])[0].tolist()
         retrieve = (
             limit

@@ -122,6 +122,59 @@ def _append_gen(log: ManifestLog, dedup_token: str | None) -> str | None:
     return gen
 
 
+def _gen_write_path(log: ManifestLog, gen: str, dedup_token: str | None) -> str:
+    """Where an append batch should be WRITTEN. Token-deduped appends
+    use deterministic generation names, so a racing replay of the same
+    batch could target a directory that is already live and serving —
+    those write to a unique staging directory first and are swapped
+    into place by :func:`_publish_gen_dir`. Tokenless appends get fresh
+    generation names (no collision possible) and write directly."""
+    if dedup_token is None:
+        return log.gen_path(gen)
+    import uuid
+
+    return log.gen_path(f"{gen}.stage-{uuid.uuid4().hex[:12]}")
+
+
+def _publish_gen_dir(log: ManifestLog, written: str, gen: str) -> None:
+    """Atomically move a staged generation directory into its final
+    name (no-op when the batch wrote directly). Closes the r4 TOCTOU:
+    the pre-write token/liveness check in :func:`_append_gen` could
+    pass for BOTH of two racing replays, and the loser's
+    ``mode('overwrite')`` write would transiently delete files under a
+    directory the winner had just committed as live. With a staged
+    write the loser's rename simply fails (POSIX rename won't clobber
+    a non-empty directory) and its identical copy is discarded; the
+    live directory is never rewritten in place. A crash leftover — the
+    directory exists but was never committed — is replaced only after
+    re-checking the manifest immediately before the swap, which
+    narrows (not eliminates: this is a local-FS stand-in for an
+    object-store conditional put) the remaining window to
+    rmtree-vs-concurrent-commit of byte-identical data."""
+    import os
+    import shutil
+
+    final = log.gen_path(gen)
+    if written == final:
+        return
+    try:
+        os.rename(written, final)
+        return
+    except OSError:
+        pass
+    cur = log.current()
+    if cur is not None and gen in cur.live:
+        # a racing replay won and its (identical) data is serving
+        shutil.rmtree(written, ignore_errors=True)
+        return
+    # uncommitted leftover from a crashed writer: replace it
+    shutil.rmtree(final, ignore_errors=True)
+    try:
+        os.rename(written, final)
+    except OSError:
+        shutil.rmtree(written, ignore_errors=True)
+
+
 def _commit_rewrite(log: ManifestLog, gen: str, base: Manifest | None) -> Manifest:
     """Publish ``gen`` as a rewrite of the state read at ``base``;
     generations appended by concurrent writers since ``base`` are carried
@@ -310,12 +363,14 @@ class IvfIndex:
             index_id=self.id_col,
             index_vec=self.vec_col,
         )
+        written = _gen_write_path(log, gen, dedup_token)
         (
             assigned.repartition("cid")
             .write.mode("overwrite")
             .partitionBy("cid")
-            .parquet(log.gen_path(gen))
+            .parquet(written)
         )
+        _publish_gen_dir(log, written, gen)
         _commit_append(log, gen, dedup_token=dedup_token)
 
     def _check_append_schema(self, df: DataFrame, *, computed: set) -> None:
@@ -711,12 +766,14 @@ class IvfPqIndex(IvfIndex):
         ).repartition("cid").withColumn(
             "codes", pq_encode_udf(cb)(F.col(self.vec_col))
         )
+        written = _gen_write_path(log, gen, dedup_token)
         (
             assigned
             .write.mode("overwrite")
             .partitionBy("cid")
-            .parquet(log.gen_path(gen))
+            .parquet(written)
         )
+        _publish_gen_dir(log, written, gen)
         _commit_append(log, gen, dedup_token=dedup_token)
 
     def adc_topk(
@@ -943,7 +1000,9 @@ class LshIndex:
         gen = _append_gen(log, dedup_token)
         if gen is None:
             return
-        self._write_gen(self._bucketize(df), log.gen_path(gen))
+        written = _gen_write_path(log, gen, dedup_token)
+        self._write_gen(self._bucketize(df), written)
+        _publish_gen_dir(log, written, gen)
         _commit_append(log, gen, dedup_token=dedup_token)
 
     def delete_ids(self, ids_df: DataFrame) -> None:

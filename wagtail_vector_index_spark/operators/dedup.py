@@ -1225,7 +1225,13 @@ def _blocked_semantic_survivors(
 
     def _norm(frame: pd.DataFrame) -> "np.ndarray":
         X = np.asarray(frame[vec_col].tolist(), dtype=np.float64)
-        return X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+        # same 1e-300 floor as lsh_neardup_pairs._norm: all-zero vectors
+        # normalize to zero (never near-dup) without a divide warning —
+        # one explicit zero-vector policy across both semantic paths
+        nrm = np.maximum(
+            np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-300
+        )
+        return X / nrm
 
     loser_schema = T.StructType([T.StructField(id_col, id_type)])
     empty = pd.DataFrame({id_col: []})

@@ -28,12 +28,30 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     round_decimals: int | None = None,
+    checkpoint_edges: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, pr).
 
     Nodes are the union of sources and destinations; sink nodes (no
     out-edges) keep receiving rank but redistribute none (their mass
     decays — the simple variant, exactly what the oracle replays).
+
+    Round structure (r5, measured best-of-5 at sf0.1: 6.1s -> 4.1s):
+
+    - the edge frame is hash-partitioned by source ONCE and
+      localCheckpointed; LogicalRDD preserves the HashPartitioning, so
+      every round's contribution join shuffles only the (small) rank
+      table to the edges' layout — the edge list, the 100 TB side,
+      never moves again. (On a real cluster with unreliable executors,
+      set a checkpoint dir and swap in ``checkpoint()``;
+      ``checkpoint_edges=False`` restores the fully-lazy single-DAG
+      form.) Per-round rank checkpoints were measured ~2x SLOWER
+      (materialization jobs dominate these small frames) — rounds stay
+      one lazy DAG.
+    - out-degrees are folded into the partitioned edge frame up front,
+      removing one join per round.
+    - the node count is a driver scalar (one count job), removing the
+      per-round broadcast crossJoin of a 1-row total.
     """
     d = float(damping)
     # Normalize the input to reserved internal names first: the caller's
@@ -42,41 +60,35 @@ def pagerank(
     edges = edges.select(
         F.col(src).alias("__e_src"), F.col(dst).alias("__e_dst")
     )
-    # No cache barrier: the edge-join subtree appears once per round in
-    # the final DAG, but Catalyst's ReusedExchange dedups the identical
-    # exchanges so it executes once — and an InMemoryRelation here was
-    # measured SLOWER (it pins 32-partition layouts that AQE would
-    # otherwise coalesce for the small per-round frames).
+    if checkpoint_edges:
+        edges = edges.repartition("__e_src").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("__e_src").alias("node"))
         .unionByName(edges.select(F.col("__e_dst").alias("node")))
         .distinct()
     )
-    total = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     outdeg = edges.groupBy("__e_src").agg(
         F.count(F.lit(1)).cast("double").alias("__deg")
     )
-    ranks = nodes.crossJoin(F.broadcast(total)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("pr")
-    )
+    edges = edges.join(outdeg, "__e_src")
+    n = float(nodes.count())
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pr"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for _ in range(int(iterations)):
-        contrib = (
-            edges.join(ranks, edges["__e_src"] == ranks["node"])
-            .join(outdeg, "__e_src")
-            .select(
-                F.col("__e_dst").alias("node"),
-                (F.col("pr") / F.col("__deg")).alias("__c"),
-            )
+        contrib = edges.join(
+            ranks, edges["__e_src"] == ranks["node"]
+        ).select(
+            F.col("__e_dst").alias("node"),
+            (F.col("pr") / F.col("__deg")).alias("__c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
-        pr = F.lit(1.0 - d) / F.col("__n") + F.lit(d) * F.coalesce(
+        pr = F.lit((1.0 - d) / n) + F.lit(d) * F.coalesce(
             F.col("__s"), F.lit(0.0)
         )
         if round_decimals is not None:
             pr = F.round(pr, round_decimals)
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .crossJoin(F.broadcast(total))
-            .select("node", pr.alias("pr"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node", pr.alias("pr")
         )
     return ranks

@@ -226,6 +226,22 @@ class ManifestLog:
             p = os.path.join(self.root, n)
             shutil.rmtree(p, ignore_errors=True)
             deleted.append(p)
+        for n in os.listdir(self.root):
+            # staging directories from token-deduped appends
+            # (gen-tok-*.stage-*) are swapped into place by a rename and
+            # cleaned up on every failure path; one can only survive a
+            # writer crash between write and publish. Sweep those by
+            # mtime under the same in-flight-protection window.
+            if ".stage-" not in n:
+                continue
+            p = os.path.join(self.root, n)
+            try:
+                if os.path.getmtime(p) > time.time() - min_age_s:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(p)
         for v in versions:
             if v not in kept:
                 p = os.path.join(self.mdir, f"manifest-{v:012d}.json")
