@@ -687,3 +687,50 @@ def test_incremental_neardup_reusable_corpus_signatures(spark):
 
     with _pytest.raises(ValueError, match="exactly one"):
         incremental_neardup_pairs(new, corpus, corpus_signatures=sigs)
+
+
+def test_corpus_signatures_lifecycle_keeps_storage_flat(spark, documents_df):
+    """Ingestion-loop hygiene (r4 ADVICE -> r5 API): with a persisted
+    CorpusSignatures reused across batches, repeated dedup_against
+    batches must not accumulate pinned storage — the corpus side is ONE
+    persisted frame, and the new side's localCheckpoint blocks are
+    reclaimed by the ContextCleaner once the batch's frames drop."""
+    import gc
+    import time
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        CorpusSignatures,
+        incremental_neardup_filter,
+    )
+
+    corpus = documents_df.limit(200).select("doc_id", "text")
+    sc = spark.sparkContext
+
+    def persistent_rdds() -> int:
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    with CorpusSignatures.build(corpus) as sigs:
+        sigs.df.count()  # materialize the one allowed pin
+        base = persistent_rdds()
+        for i in range(4):
+            batch = documents_df.where(
+                F.col("doc_id") % 4 == i
+            ).limit(50).select(
+                (F.col("doc_id") + 10000 * (i + 1)).alias("doc_id"), "text"
+            )
+            incremental_neardup_filter(
+                batch, None, corpus_signatures=sigs, threshold=0.5
+            ).count()
+        # let the ContextCleaner reclaim the batches' checkpoint blocks
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            gc.collect()
+            spark._jvm.System.gc()
+            if persistent_rdds() <= base + 1:
+                break
+            time.sleep(0.5)
+        assert persistent_rdds() <= base + 1, (
+            f"pinned RDDs grew from {base} to {persistent_rdds()} over 4 "
+            "batches — per-batch storage is leaking"
+        )
+    # rollover: the corpus pin itself is released

@@ -643,12 +643,16 @@ def lsh_neardup_pairs(
     block_counts: dict[tuple[int, int], int] = {}
     if max_bucket_rows is not None:
         cap = int(max_bucket_rows)
-        # cache: the count precheck and the verify job both consume the
-        # banded frame — the barrier saves re-running the bucketing
-        # projection (and the source scan) a second time. Disable the
-        # guard (max_bucket_rows=None) to keep a single-pass plan when
-        # caching bands x data is unacceptable.
-        banded = banded.cache()
+        # The precheck job is a NARROW branch of the banding plan:
+        # Catalyst prunes everything but the vector column (needed for
+        # the bucket arithmetic) out of its scan, and the map-side
+        # partial agg collapses to <= bands * 2^bits_per_band rows per
+        # task before the (tiny) shuffle. r5 removed the banded-frame
+        # cache() that used to sit here: it pinned bands x rows
+        # INCLUDING VECTORS in storage for the lifetime of the session
+        # to save re-running cheap projection arithmetic, which is the
+        # wrong trade at 100 TB — the verify job now just re-scans the
+        # (columnar, pruned) source once.
         for r in (
             banded.groupBy("band_no", "band_val")
             .count()
@@ -1074,9 +1078,12 @@ def simhash_pairs_dense(
     fp = (
         _ensure_parallelism(df, id_col)
         .select(F.col(id_col), simhash32_col(F.col(text_col)).alias("__sh"))
-        .cache()
+        # eager localCheckpoint instead of cache()+count(): one
+        # materialization job either way, but the checkpoint blocks are
+        # reclaimed by the ContextCleaner when the frame drops instead
+        # of pinning the CacheManager for the session (r5)
+        .localCheckpoint(eager=True)
     )
-    fp.count()  # materialize once — both join sides read the cache
     a = fp.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     hamming = F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b")))
@@ -1318,12 +1325,12 @@ def semantic_dedup(
 
         if max_cluster_rows is not None:
             cap = int(max_cluster_rows)
-            # cache: the precheck count and the survivor job (and, when
-            # the guard trips, the blocked path's losers + anti-join
-            # sides) all consume `assigned` — without a barrier the
-            # assignment kernel re-runs once per consumer. MEMORY_AND_
-            # DISK default: spills rather than recomputes at scale.
-            assigned = assigned.cache()
+            # The precheck is a narrow uncached branch (r5): its scan
+            # reads only the vector column (the cid derives from the
+            # assignment argmin) and the per-cid partial agg collapses
+            # to <= k rows per task before the shuffle — no cache pin
+            # on the common, untripped path, and the survivor kernel's
+            # job keeps a single source scan.
             oversized = (
                 assigned.groupBy("cid")
                 .count()
@@ -1331,6 +1338,10 @@ def semantic_dedup(
                 .collect()  # <= k rows (codebook size)
             )
             if oversized:
+                # the TRIPPED path has three consumers (losers kernel +
+                # both anti-join sides) — there the barrier earns its
+                # pin; MEMORY_AND_DISK spills rather than recomputes
+                assigned = assigned.cache()
                 block_counts = {
                     int(r["cid"]): -(-int(r["count"]) // cap) for r in oversized
                 }
@@ -1393,6 +1404,52 @@ def semantic_dedup(
     return assigned.select(id_col, "cid").join(losers, id_col, "left_anti")
 
 
+class CorpusSignatures:
+    """Lifecycle manager for the STANDING-corpus MinHash signatures an
+    ingestion loop reuses every batch (the API form of the
+    per-batch-loop warning on :func:`incremental_neardup_pairs`).
+
+    ``build()`` computes the signatures once and ``persist()``s them;
+    pass the instance (or its ``.df``) as ``corpus_signatures=`` to
+    :func:`incremental_neardup_pairs` / ``Corpus.dedup_against`` on
+    every batch; call :meth:`unpersist` (or use the instance as a
+    context manager) on corpus rollover. Without this, passing
+    ``corpus_df`` per batch recomputes AND cache()-pins a fresh copy of
+    the corpus signatures on every call — the storage leak the r4
+    ADVICE flagged.
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    @classmethod
+    def build(
+        cls,
+        corpus_df: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_hashes: int = 16,
+    ) -> "CorpusSignatures":
+        from pyspark import StorageLevel
+
+        sig = minhash_signatures(
+            corpus_df, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, cache=False,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        return cls(sig)
+
+    def unpersist(self) -> None:
+        self.df.unpersist()
+
+    def __enter__(self) -> "CorpusSignatures":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
+
 def incremental_neardup_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame | None = None,
@@ -1403,7 +1460,7 @@ def incremental_neardup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
-    corpus_signatures: DataFrame | None = None,
+    corpus_signatures: "DataFrame | CorpusSignatures | None" = None,
 ) -> DataFrame:
     """Asymmetric MinHash near-dup detection for continuous ingestion:
     which NEW rows near-duplicate the STANDING corpus. Returns
@@ -1415,20 +1472,30 @@ def incremental_neardup_pairs(
     SAME prep as minhash_lsh_pairs (:func:`minhash_signatures` — one
     shared construction, so the two paths cannot drift).
 
-    **Per-batch loops**: pass ``corpus_signatures`` — the output of
-    ``minhash_signatures(corpus_df, ..., cache=False)`` that YOU
-    ``persist()`` once and unpersist on corpus rollover — instead of
+    **Per-batch loops**: pass ``corpus_signatures`` — a
+    :class:`CorpusSignatures` (persisted once, unpersisted on corpus
+    rollover) or an equivalent frame you persist yourself — instead of
     ``corpus_df``. Passing ``corpus_df`` recomputes and cache()-pins the
     corpus signatures on EVERY call, which leaks storage across a long
-    ingestion loop (each call pins a fresh copy)."""
+    ingestion loop (each call pins a fresh copy). The NEW side's
+    signatures are localCheckpointed, not cache()-pinned (r5): their
+    blocks are reclaimed by the ContextCleaner when the batch's frames
+    go out of scope, so the per-batch side cannot accumulate either."""
     if (corpus_df is None) == (corpus_signatures is None):
         raise ValueError(
             "pass exactly one of corpus_df or corpus_signatures"
         )
+    if isinstance(corpus_signatures, CorpusSignatures):
+        corpus_signatures = corpus_signatures.df
     rows_per_band = num_hashes // bands
+    # lazy localCheckpoint instead of cache(): same double-consumption
+    # reuse (band join + verify fetch-back) and the same optimizer
+    # barrier, but self-releasing — a long ingestion loop would pin a
+    # fresh CacheManager entry per batch otherwise
     new_side = minhash_signatures(
-        new_df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
-    )
+        new_df, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, cache=False,
+    ).localCheckpoint(eager=False)
     corpus_side = (
         corpus_signatures
         if corpus_signatures is not None
