@@ -141,3 +141,59 @@ def test_pagerank_tolerates_colliding_column_names(spark):
     # symmetric 3-cycle: all ranks equal 1/3
     for r in out:
         assert r["pr"] == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_pagerank_dangling_redistribute_conserves_mass(spark):
+    """dangling='redistribute' keeps ranks a probability distribution
+    (sum ~1 every graph), matches a numpy power iteration with the
+    same dangling term, and agrees with 'drop' on a sink-free graph."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators.graph import pagerank
+
+    # graph WITH sinks: 0->1, 0->2, 1->2 (2 is a sink)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges, iterations=20, dangling="redistribute"
+        ).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # numpy reference: same recurrence
+    n, d = 3, 0.85
+    pr = np.full(n, 1.0 / n)
+    out = {0: [1, 2], 1: [2]}
+    for _ in range(20):
+        new = np.full(n, (1 - d) / n)
+        m = pr[2]  # sink mass
+        for u, vs in out.items():
+            for v in vs:
+                new[v] += d * pr[u] / len(vs)
+        new += d * m / n
+        pr = new
+    for i in range(n):
+        assert got[i] == pytest.approx(pr[i], abs=1e-9)
+
+    # sink-free cycle: both policies identical
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    drop = {
+        r["node"]: r["pr"]
+        for r in pagerank(cyc, iterations=8, round_decimals=10).collect()
+    }
+    redis = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            cyc, iterations=8, round_decimals=10, dangling="redistribute"
+        ).collect()
+    }
+    assert drop == redis
+
+    # drop policy leaks mass on the sink graph
+    dropped = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=20).collect()
+    }
+    assert sum(dropped.values()) < 0.999

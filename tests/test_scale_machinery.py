@@ -95,3 +95,46 @@ def test_stratified_sample_controls_mixture(spark):
     # deterministic per seed
     again = stratified_sample(docs, "lang", fractions).count()
     assert again == sampled.count()
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark):
+    """A-ES weighted sampling: exact budget, no replacement, identical
+    across repartitionings (content-addressed uniforms), and heavy
+    weights genuinely oversampled — rows with 20x the weight must
+    dominate the sample of a half-heavy population."""
+    from wagtail_vector_index_spark.operators.skew import weighted_sample
+
+    rows = [(i, "heavy" if i % 2 == 0 else "light",
+             20.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, cls string, w double")
+
+    got = weighted_sample(df, key_col="id", weight_col="w", k=50)
+    ids = sorted(r["id"] for r in got.collect())
+    assert len(ids) == 50 and len(set(ids)) == 50
+    # resplit the data: membership must not change
+    ids2 = sorted(
+        r["id"]
+        for r in weighted_sample(
+            df.repartition(13), key_col="id", weight_col="w", k=50
+        ).collect()
+    )
+    assert ids2 == ids
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    # E[heavy] ~ 47/50 under 20:1 weights; uniform would give ~25
+    assert heavy >= 40
+
+    # per-group form: exact per-group budgets, groups independent
+    per = weighted_sample(
+        df, key_col="id", weight_col="w", k=10, group_col="cls"
+    ).collect()
+    by_cls = {}
+    for r in per:
+        by_cls.setdefault(r["cls"], set()).add(r["id"])
+    assert len(by_cls["heavy"]) == 10 and len(by_cls["light"]) == 10
+
+    # zero/negative weights are outside the scheme's domain
+    z = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], "id long, w double"
+    )
+    kept = weighted_sample(z, key_col="id", weight_col="w", k=10).collect()
+    assert [r["id"] for r in kept] == [3]

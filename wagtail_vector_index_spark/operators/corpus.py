@@ -379,6 +379,31 @@ class Corpus:
             .drop("__rk")
         )
 
+    def sample_weighted(
+        self,
+        k: int,
+        *,
+        weight_col: str,
+        per_source: bool = False,
+    ) -> "Corpus":
+        """Weighted sample without replacement (Efraimidis-Spirakis over
+        a content-addressed uniform — operators/skew.py::weighted_sample):
+        exactly ``k`` rows (per source when ``per_source``), drawn with
+        probability proportional to ``weight_col``, reproducible across
+        runs and engines. The budgeted counterpart of
+        ``quality_filter``'s thresholding."""
+        from wagtail_vector_index_spark.operators.skew import weighted_sample
+
+        return self._wrap(
+            weighted_sample(
+                self.df,
+                key_col=self.id_col,
+                weight_col=weight_col,
+                k=k,
+                group_col=self.source_col if per_source else None,
+            )
+        )
+
     def with_quality_score(
         self, *, col: str = "quality_score", dims: int = 256
     ) -> "Corpus":

@@ -29,12 +29,23 @@ def pagerank(
     damping: float = 0.85,
     round_decimals: int | None = None,
     checkpoint_edges: bool = True,
+    dangling: str = "drop",
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, pr).
 
-    Nodes are the union of sources and destinations; sink nodes (no
-    out-edges) keep receiving rank but redistribute none (their mass
-    decays — the simple variant, exactly what the oracle replays).
+    Nodes are the union of sources and destinations. Sink nodes (no
+    out-edges) keep receiving rank but redistribute none; what happens
+    to their mass is ``dangling``:
+
+    - ``"drop"`` (default): the mass decays — the simple variant the
+      ``graph_pagerank`` oracle replays; rank sums total < 1.
+    - ``"redistribute"``: the textbook variant — each round adds the
+      total dangling mass back uniformly
+      (``pr += d * m_i / N`` where ``m_i = sum of sink ranks``), so
+      ranks stay a probability distribution. Costs one extra tiny agg
+      per round: the sink-mass sum is an anti-join of the rank table
+      against the (broadcastable, distinct-source) out-degree keys,
+      aggregated to one row and broadcast into the update.
 
     Round structure (r5, measured best-of-5 at sf0.1: 6.1s -> 4.1s):
 
@@ -53,6 +64,8 @@ def pagerank(
     - the node count is a driver scalar (one count job), removing the
       per-round broadcast crossJoin of a 1-row total.
     """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"unknown dangling policy {dangling!r}")
     d = float(damping)
     # Normalize the input to reserved internal names first: the caller's
     # edge frame may carry columns named node/pr/__deg (or dst='node'),
@@ -70,12 +83,13 @@ def pagerank(
     outdeg = edges.groupBy("__e_src").agg(
         F.count(F.lit(1)).cast("double").alias("__deg")
     )
+    src_keys = outdeg.select(F.col("__e_src").alias("node"))
     edges = edges.join(outdeg, "__e_src")
     n = float(nodes.count())
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("pr"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-    for _ in range(int(iterations)):
+    for i in range(int(iterations)):
         contrib = edges.join(
             ranks, edges["__e_src"] == ranks["node"]
         ).select(
@@ -83,12 +97,32 @@ def pagerank(
             (F.col("pr") / F.col("__deg")).alias("__c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
-        pr = F.lit((1.0 - d) / n) + F.lit(d) * F.coalesce(
-            F.col("__s"), F.lit(0.0)
+        base = nodes.join(summed, "node", "left")
+        extra = F.lit(0.0)
+        if dangling == "redistribute":
+            # sink mass = rank held by nodes with no out-edges; one
+            # 1-row agg broadcast into the update. Rounded to 6 dp when
+            # rounds are pinned: a ~N-term float sum is order-dependent
+            # across engines, and 6 dp leaves ~5 orders of magnitude of
+            # margin over the summation error while staying exactly
+            # replayable in the oracle.
+            m = (
+                ranks.join(src_keys, "node", "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__m"))
+            )
+            if round_decimals is not None:
+                m = m.select(F.round("__m", 6).alias("__m"))
+            base = base.crossJoin(F.broadcast(m))
+            extra = F.col("__m") / F.lit(n)
+        pr = F.lit((1.0 - d) / n) + F.lit(d) * (
+            F.coalesce(F.col("__s"), F.lit(0.0)) + extra
         )
         if round_decimals is not None:
             pr = F.round(pr, round_decimals)
-        ranks = nodes.join(summed, "node", "left").select(
-            "node", pr.alias("pr")
-        )
+        ranks = base.select("node", pr.alias("pr"))
+        if dangling == "redistribute" and (i + 1) % 4 == 0 and i + 1 < iterations:
+            # the sink-mass agg references `ranks` a second time, so the
+            # lazy plan TREE doubles per round; a checkpoint every 4
+            # rounds bounds the growth at 2^4 subtree copies
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

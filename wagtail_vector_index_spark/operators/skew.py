@@ -205,3 +205,66 @@ def mix_epochs(
         F.array().cast("array<int>")
     )
     return df.withColumn(epoch_col, F.explode(epochs))
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (per group), by the
+    Efraimidis-Spirakis A-ES scheme ("Weighted random sampling with a
+    reservoir", IPL 2006): each row draws a uniform u and is ranked by
+    u^(1/w) — equivalently by ascending -ln(u)/w, the exponential-clocks
+    form used here — and the k best ranks are the sample, which is
+    distributed exactly as sequential weighted draws without
+    replacement.
+
+    Two engine-grade properties:
+
+    - **Deterministic**: u is content-addressed
+      (``(sha_hash64(key)+1)/2^32``, the same sha-uniform every sampler
+      in this repo uses), so the sample is a pure function of
+      (key, weight) — stable across runs, partitionings, and engines,
+      and exactly replayable by a SQL oracle. The selection key is
+      rounded to 12 dp with the row key as tie-break, pinning the one
+      place (libm ``ln``) where engines could disagree by an ulp.
+    - **Scalable**: per-group selection is a ranked window, which
+      Catalyst executes with a map-side WindowGroupLimit (only ~k rows
+      per group per task reach the exchange); the global form is an
+      ``orderBy().limit(k)`` TakeOrderedAndProject. Rows with
+      non-positive weight are excluded, matching the w>0 domain of the
+      scheme.
+
+    The training-pipeline use: quality- or length-weighted corpus
+    subsampling where a Bernoulli rate (``deterministic_keep_col``)
+    can't hit an exact row budget and uniform sampling ignores the
+    weights.
+    """
+    from pyspark.sql import Window
+
+    from wagtail_vector_index_spark.functions.text_analysis import sha_hash64
+
+    u = (sha_hash64(F.col(key_col).cast("string")) + F.lit(1)) / F.lit(
+        4294967296.0
+    )
+    w = F.col(weight_col).cast("double")
+    sel = F.round(-F.log(u) / w, 12)
+    src = df.where(w > F.lit(0.0)).withColumn("__sel", sel)
+    if group_col is None:
+        return (
+            src.orderBy(F.col("__sel").asc(), F.col(key_col).asc())
+            .limit(int(k))
+            .drop("__sel")
+        )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("__sel").asc(), F.col(key_col).asc()
+    )
+    return (
+        src.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= int(k))
+        .drop("__sel", "__rn")
+    )

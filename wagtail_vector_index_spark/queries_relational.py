@@ -1565,7 +1565,9 @@ def sketch_kmv_set_ops(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(iters: int, damping: float, rd: int) -> str:
+def _pagerank_oracle(
+    iters: int, damping: float, rd: int, *, dangling: bool = False
+) -> str:
     parts = [
         """edges AS (
       SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
@@ -1578,11 +1580,19 @@ def _pagerank_oracle(iters: int, damping: float, rd: int) -> str:
         "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
     ]
     for i in range(1, iters + 1):
+        if dangling:
+            # sink mass of the previous round, rounded to 6 dp (the
+            # determinism pin on an order-dependent ~N-term float sum)
+            parts.append(f"""m{i} AS (
+      SELECT round(coalesce(sum(pr), 0), 6) AS m FROM r{i - 1} r
+      WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.node))""")
+        extra = f" + m{i}.m / nn.n" if dangling else ""
+        mjoin = f" CROSS JOIN m{i}" if dangling else ""
         parts.append(f"""r{i} AS (
       SELECT nodes.node,
              round((1 - {damping}) / nn.n
-                   + {damping} * coalesce(s.s, 0), {rd}) AS pr
-      FROM nodes CROSS JOIN nn
+                   + {damping} * (coalesce(s.s, 0){extra}), {rd}) AS pr
+      FROM nodes CROSS JOIN nn{mjoin}
       LEFT JOIN (
         SELECT e.dst AS node, sum(r.pr / deg.d) AS s
         FROM edges e JOIN r{i - 1} r ON e.src = r.node
@@ -1596,6 +1606,44 @@ def _pagerank_oracle(iters: int, damping: float, rd: int) -> str:
              row_number() OVER (ORDER BY pr DESC, node) AS rn
       FROM r{iters}) WHERE rn <= 20
     """
+
+
+@register(
+    "graph_pagerank_dangling",
+    oracle=_pagerank_oracle(5, 0.85, 10, dangling=True),
+)
+def graph_pagerank_dangling(spark, sf_dir):
+    """Textbook PageRank (dangling mass redistributed) over the same
+    supplier->customer graph as ``graph_pagerank``: every customer node
+    is a sink (customers are never sources), so each round's sink mass
+    — one anti-join + 1-row agg, broadcast into the update
+    (operators/graph.py, ``dangling="redistribute"``) — flows back
+    uniformly and ranks remain a probability distribution. The 6-dp
+    rounding of the sink-mass sum is the cross-engine determinism pin
+    for an order-dependent ~N-term float accumulation; the oracle
+    replays all five rounds plus the mass term as chained CTEs."""
+    from wagtail_vector_index_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(
+        edges, iterations=5, damping=0.85, round_decimals=10,
+        dangling="redistribute",
+    )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 20)
+        .select("node", F.round("pr", 8).alias("pr"))
+    )
 
 
 @register("graph_pagerank", oracle=_pagerank_oracle(5, 0.85, 10))

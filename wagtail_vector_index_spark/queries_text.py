@@ -796,6 +796,40 @@ def text_wordcount(spark, sf_dir):
 
 
 @register(
+    "pipeline_weighted_sample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             round(-ln((('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT
+                        + 1) / 4294967296.0)
+                   / n_chars::DOUBLE, 12) AS sel
+      FROM documents WHERE n_chars::DOUBLE > 0)
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY sel, doc_id) AS rn
+      FROM s) WHERE rn <= 20
+    """,
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    """Length-weighted corpus subsample: 20 docs per source drawn
+    WITHOUT replacement with probability proportional to n_chars —
+    Efraimidis-Spirakis exponential clocks over a content-addressed
+    uniform (operators/skew.py::weighted_sample), so the 'random'
+    sample is a pure function of (doc_id, weight) that the oracle
+    replays term for term. Per-group selection runs as a ranked window
+    (map-side WindowGroupLimit keeps ~k rows per group per task); the
+    curation move it serves is hitting an exact per-source row budget
+    where a Bernoulli rate can't."""
+    from wagtail_vector_index_spark.operators.skew import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, key_col="doc_id", weight_col="n_chars", k=20,
+        group_col="source",
+    ).select("doc_id", "source")
+
+
+@register(
     "pipeline_shuffle_rank",
     oracle="""
     SELECT doc_id,
