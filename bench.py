@@ -83,6 +83,9 @@ ADDED = [
     "sketch_countmin_tokens",
     "pipeline_bpe_merges",
     "pipeline_incremental_neardup",
+    # r5 additions
+    "graph_pagerank_dangling",
+    "pipeline_weighted_sample",
 ]
 
 SPARK_RUNS = 5

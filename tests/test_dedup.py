@@ -734,3 +734,69 @@ def test_corpus_signatures_lifecycle_keeps_storage_flat(spark, documents_df):
             "batches — per-batch storage is leaking"
         )
     # rollover: the corpus pin itself is released
+
+
+def test_prefix_jaccard_matches_cocount_exact(spark):
+    """Prefix filtering (AllPairs/PPJoin) must return EXACTLY the
+    co-count answer — same pairs, same jaccard values — across
+    thresholds, including docs with ubiquitous shared shingles (the
+    case whose candidates it exists to prune)."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat near the door by the house"),
+        (2, "the cat sat on the mat near the door by the barn"),
+        (3, "the cat sat on the mat close to the gate by a barn"),
+        (4, "a completely different sentence about spark joins and shuffles"),
+        (5, "another unrelated line mentioning the cat once only here"),
+        (6, "the cat sat on the mat near the door by the house"),  # dup of 1
+        (7, "short text"),
+        (8, "the the the the the the the the"),  # degenerate repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        want = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_prefix(df, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}: {got} != {want}"
+    assert (1, 6) in {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs_prefix(df, threshold=0.8).collect()
+    }
+
+
+def test_prefix_jaccard_property_random_docs(spark):
+    """Randomized differential: prefix filter == co-count on corpora of
+    random words (heavy shingle overlap by construction)."""
+    import random
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 18))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.4, 0.7):
+        want = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs_prefix(df, threshold=t).collect()
+        }
+        assert got == want

@@ -108,6 +108,7 @@ def main() -> None:
         lsh_neardup_pairs,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
         semantic_dedup,
     )
 
@@ -136,6 +137,14 @@ def main() -> None:
                 num_planes=24, bands=3, dim=64,
             ).count(),
             "n-gram Jaccard pairs (threshold 0.1)": _pairs,
+            "exact Jaccard t=0.5 (co-count)": lambda: ngram_jaccard_pairs(
+                docs, n=3, threshold=0.5
+            ).count(),
+            "exact Jaccard t=0.5 (prefix filter)": (
+                lambda: ngram_jaccard_pairs_prefix(
+                    docs, n=3, threshold=0.5
+                ).count()
+            ),
             "connected components (star)": lambda: connected_components(
                 state["pairs"]
             ).count(),

@@ -31,7 +31,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -152,6 +152,109 @@ def ngram_jaccard_pairs(
         F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
     )
     return _exact_jaccard_pairs(shingled, id_col=id_col, threshold=threshold)
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): identical output to :func:`ngram_jaccard_pairs`, far fewer
+    candidates at realistic thresholds.
+
+    The co-count formulation joins documents on EVERY shared shingle,
+    so one ubiquitous shingle mates everything that contains it. Prefix
+    filtering orders each document's shingles by ascending global
+    document frequency (rarest first, id tie-break — a total order) and
+    joins only on each document's first ``n_sh - ceil(t * n_sh) + 1``
+    shingles: if J(x, y) >= t the two prefixes must share a shingle, so
+    no qualifying pair is lost, while the frequent shingles that cause
+    the candidate blowup sit in the suffixes and never join. A length
+    filter (``t*n_a <= n_b`` and vice versa) prunes impossible pairs in
+    the same join; survivors are verified exactly on the full shingle
+    arrays (:func:`_jaccard_verify`, the same verify the MinHash path
+    uses — shingle arrays are distinct, so array-intersect equals the
+    co-count).
+
+    WHEN to use which (measured, SCALE.md): on benign corpora (shared
+    shingles rare) the co-count's two-shuffle plan wins outright — the
+    prefix machinery (document-frequency pass + per-doc ranking +
+    per-candidate verify) is pure overhead there. On boilerplate-heavy
+    corpora — a template sentence, a license header, a navigation
+    footer shared by most documents — every ubiquitous shingle mates
+    O(N²) co-count rows and the co-count join detonates, while the
+    prefix join never touches those shingles; that skewed-token regime
+    at threshold >= ~0.5 is what this variant is for. Verification
+    runs on per-document sorted 60-bit-hash arrays (built once from
+    the same exploded pass), not string arrays — smaller shuffle,
+    cheaper intersects, same collision caveat the co-count join
+    already documents. Differentially tested against
+    ngram_jaccard_pairs and gated by dedup_jaccard_prefix against the
+    same co-count oracle family.
+    """
+    t = float(threshold)
+    df = _ensure_parallelism(df, id_col)
+    shingled = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    )
+    sized = shingled.select(
+        id_col, "shingles", F.size("shingles").alias("n_sh")
+    ).where(F.col("n_sh") > 0)
+    ex = sized.select(
+        id_col, "n_sh", F.explode("shingles").alias("__s")
+    ).select(
+        id_col,
+        "n_sh",
+        F.conv(F.substring(F.sha2(F.col("__s"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sh"),
+    )
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("sh").asc()
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    pre = (
+        ex.join(dfreq, "sh")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= prefix_len)
+        .select(id_col, "n_sh", "sh")
+    )
+    a = pre.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh"
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "sh"
+    )
+    cand = (
+        a.join(b, "sh")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    arrs = ex.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("sh")).alias("__arr")
+    )
+    va = arrs.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__a"))
+    vb = arrs.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__b"))
+    inter = F.size(F.array_intersect("__a", "__b"))
+    union = F.size("__a") + F.size("__b") - inter
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= F.lit(t))
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_signatures(

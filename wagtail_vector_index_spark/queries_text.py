@@ -118,6 +118,40 @@ def dedup_jaccard_exact(spark, sf_dir):
 
 
 @register(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, round(ni::DOUBLE / (n_a + n_b - ni), 6) AS jaccard
+    FROM inter WHERE ni::DOUBLE / (n_a + n_b - ni) >= 0.5
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard >= 0.5 via prefix filtering (AllPairs/PPJoin —
+    operators/dedup.py::ngram_jaccard_pairs_prefix): documents join
+    only on their rarest ``n - ceil(t*n) + 1`` shingles (global
+    document-frequency order), so ubiquitous shingles never generate
+    candidates; a length filter prunes impossible size ratios in the
+    same join and survivors verify on the full shingle arrays. The
+    oracle is the plain co-count formulation — prefix filtering is an
+    exact optimization, so both must produce identical pairs AND
+    values."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    pairs = ngram_jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
