@@ -86,6 +86,8 @@ ADDED = [
     # r5 additions
     "graph_pagerank_dangling",
     "pipeline_weighted_sample",
+    "sketch_quantiles_price",
+    "vector_pca_power",
 ]
 
 SPARK_RUNS = 5

@@ -142,3 +142,66 @@ def test_countmin_partial_agg_state_is_sketch_sized(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in plan
+
+
+def test_quantile_sketch_estimates_and_merge_property(spark):
+    """Deterministic-sample quantiles: (a) estimates land within the
+    O(1/sqrt(k)) rank-error band of the exact percentiles; (b) the
+    sample is a pure function of keys (repartition-invariant); (c) the
+    bottom-k-hash sample MERGES: the union's sample equals the bottom-k
+    of the two halves' samples — the property that lets executors keep
+    partial samples."""
+    from wagtail_vector_index_spark.operators.sketches import quantile_sketch
+    from wagtail_vector_index_spark.functions.text_analysis import sha_hash64
+
+    df = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    row = quantile_sketch(
+        df, key_col="k", value_col="v", quantiles=(0.5, 0.9), k=256
+    ).first()
+    # uniform 0..999: p50 ~ 500, p90 ~ 900; rank error ~1.96/sqrt(256)=12%
+    assert abs(row["p5_est"] - row["p5_exact"]) <= 150
+    assert abs(row["p9_est"] - row["p9_exact"]) <= 150
+    row2 = quantile_sketch(
+        df.repartition(17), key_col="k", value_col="v",
+        quantiles=(0.5, 0.9), k=256,
+    ).first()
+    assert row2["p5_est"] == row["p5_est"] and row2["p9_est"] == row["p9_est"]
+
+    # merge: bottom-256 of (bottom-256(half1) ∪ bottom-256(half2))
+    # equals bottom-256 of the union
+    def sample_vals(frame):
+        return [
+            r["__v"]
+            for r in frame.select(
+                sha_hash64(F.col("k").cast("string")).alias("__u"),
+                F.col("v").alias("__v"),
+            )
+            .orderBy("__u", "__v")
+            .limit(256)
+            .collect()
+        ]
+
+    h1, h2 = df.where(F.col("k") < 10000), df.where(F.col("k") >= 10000)
+    whole = sorted(sample_vals(df))
+    merged = sorted(
+        v
+        for _, v in sorted(
+            [
+                (u, v)
+                for half in (h1, h2)
+                for u, v in (
+                    (r["__u"], r["__v"])
+                    for r in half.select(
+                        sha_hash64(F.col("k").cast("string")).alias("__u"),
+                        F.col("v").alias("__v"),
+                    )
+                    .orderBy("__u", "__v")
+                    .limit(256)
+                    .collect()
+                )
+            ]
+        )[:256]
+    )
+    assert merged == whole

@@ -32,7 +32,7 @@ row, bucket), never a per-token row.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -249,3 +249,59 @@ def countmin_estimates(
         .groupBy(value_col)
         .agg(F.min("c").alias("cm_estimate"))
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    k: int = 512,
+) -> DataFrame:
+    """Quantile estimates from a DETERMINISTIC uniform row sample: keep
+    the k rows whose sha-derived key hash is smallest (a
+    content-addressed bottom-k reservoir — the same mergeable bottom-k
+    state KMV uses, so per-executor partial samples merge exactly), and
+    read each requested quantile off the sorted sampled values at
+    position ``floor(q * (m - 1))``. Error is the usual
+    O(1/sqrt(k)) sampling error on the rank; the ESTIMATE itself is a
+    pure function of (keys, values) — identical across runs, engines,
+    and partitionings, which is what lets the oracle replay it value
+    for value (seeded-RNG reservoirs cannot cross engines).
+
+    Exact interpolated percentiles ride along per quantile
+    (``p{q}_exact``) so the gate also pins the measured sampling error.
+    One TakeOrderedAndProject (k rows to the driver-side plan, nothing
+    else) plus one exact-percentile agg for the comparison column —
+    drop the exact columns in production and the whole sketch is the
+    ordered k-sample.
+    """
+    u = sha_hash64(F.col(key_col).cast("string")).alias("__u")
+    sampled = (
+        df.select(u, F.col(value_col).cast("double").alias("__v"))
+        .orderBy(F.col("__u").asc(), F.col("__v").asc())
+        .limit(int(k))
+    )
+    arr = sampled.agg(
+        F.sort_array(F.collect_list("__v")).alias("__a"),
+        F.count(F.lit(1)).alias("__m"),
+    )
+    exact = df.agg(
+        *[
+            F.percentile(F.col(value_col).cast("double"), F.lit(q)).alias(
+                f"__x{i}"
+            )
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    out = arr.crossJoin(F.broadcast(exact))
+    cols = []
+    for i, q in enumerate(quantiles):
+        pos = F.floor(F.lit(float(q)) * (F.col("__m") - 1)).cast("int") + 1
+        tag = str(q).replace("0.", "p").replace(".", "_")
+        cols.append(
+            F.round(F.element_at("__a", pos), 6).alias(f"{tag}_est")
+        )
+        cols.append(F.round(F.col(f"__x{i}"), 6).alias(f"{tag}_exact"))
+    return out.select(*cols)

@@ -1565,6 +1565,45 @@ def sketch_kmv_set_ops(spark, sf_dir):
     )
 
 
+@register(
+    "sketch_quantiles_price",
+    oracle="""
+    WITH s AS (
+      SELECT ('0x' || substr(sha256(o_orderkey::VARCHAR), 1, 8))::UBIGINT AS u,
+             o_totalprice::DOUBLE AS v
+      FROM orders ORDER BY u ASC, v ASC LIMIT 512),
+    arr AS (SELECT list_sort(list(v)) AS a, count(*) AS m FROM s),
+    ex AS (SELECT quantile_cont(o_totalprice::DOUBLE, 0.5) AS x0,
+                  quantile_cont(o_totalprice::DOUBLE, 0.9) AS x1,
+                  quantile_cont(o_totalprice::DOUBLE, 0.99) AS x2
+           FROM orders)
+    SELECT round(a[(floor(0.5 * (m - 1)))::INT + 1], 6) AS p5_est,
+           round(x0, 6) AS p5_exact,
+           round(a[(floor(0.9 * (m - 1)))::INT + 1], 6) AS p9_est,
+           round(x1, 6) AS p9_exact,
+           round(a[(floor(0.99 * (m - 1)))::INT + 1], 6) AS p99_est,
+           round(x2, 6) AS p99_exact
+    FROM arr CROSS JOIN ex
+    """,
+)
+def sketch_quantiles_price(spark, sf_dir):
+    """Mergeable quantile sketch (operators/sketches.py::quantile_sketch):
+    p50/p90/p99 of order value estimated from a DETERMINISTIC 512-row
+    bottom-k-hash sample — a content-addressed reservoir whose
+    membership is a pure function of the keys, so per-executor partial
+    samples merge exactly and the oracle replays the estimate value for
+    value (a seeded-RNG reservoir cannot cross engines). Exact
+    interpolated percentiles ride along, so the gate pins the measured
+    sampling error too."""
+    from wagtail_vector_index_spark.operators.sketches import quantile_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    return quantile_sketch(
+        orders, key_col="o_orderkey", value_col="o_totalprice",
+        quantiles=(0.5, 0.9, 0.99), k=512,
+    )
+
+
 def _pagerank_oracle(
     iters: int, damping: float, rd: int, *, dangling: bool = False
 ) -> str:

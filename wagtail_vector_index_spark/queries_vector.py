@@ -2296,6 +2296,59 @@ def _centroid_oracle(dims: int = 64) -> str:
     """
 
 
+def _pca_oracle(dim: int, iterations: int, rd: int) -> str:
+    parts = [
+        f"rng AS (SELECT range::INT AS i FROM range(1, {dim + 1}))",
+        f"""g AS (
+      SELECT r1.i AS i, r2.i AS j,
+             round(sum(embedding[r1.i]::DOUBLE * embedding[r2.i]::DOUBLE),
+                   {rd}) AS g
+      FROM embeddings CROSS JOIN rng r1 CROSS JOIN rng r2
+      GROUP BY 1, 2)""",
+        f"v0 AS (SELECT i, round(1.0 / sqrt({dim}.0), {rd}) AS v FROM rng)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"""w{t} AS (
+      SELECT g.i AS i, sum(g.g * v{t - 1}.v) AS w
+      FROM g JOIN v{t - 1} ON g.j = v{t - 1}.i GROUP BY g.i)"""
+        )
+        parts.append(f"n{t} AS (SELECT sqrt(sum(w * w)) AS n FROM w{t})")
+        parts.append(
+            f"""v{t} AS (
+      SELECT i, round(w / n{t}.n, {rd}) AS v FROM w{t} CROSS JOIN n{t})"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT i AS dim_idx, v AS loading FROM v{iterations}
+    """
+
+
+@register("vector_pca_power", oracle=_pca_oracle(64, 8, 6))
+def vector_pca_power(spark, sf_dir):
+    """Top principal direction of the embedding corpus by distributed
+    Gram accumulation + 8 rounds of power iteration
+    (operators/pca.py): the only data-sized pass is an Arrow fold
+    keeping one 64x64 accumulator per task (dim^2 rows per task reach
+    the exchange — the same bounded-partial-state discipline as the KMV
+    fold); iteration happens on the collected dim^2 Gram table, the
+    k-row-collect class. Gram entries and each normalized iterate are
+    rounded to 6 dp — the cross-engine float-summation pin — and the
+    oracle replays the entire computation (Gram, all 8 matvec/normalize
+    rounds) as chained CTEs. The learned counterpart of the Matryoshka
+    PREFIX-truncation gate, for spaces that aren't rotation-aligned."""
+    from wagtail_vector_index_spark.operators.pca import pca_power_component
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    comp = pca_power_component(emb, vec_col="v", dim=64, iterations=8)
+    return spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(comp)], "dim_idx int, loading double"
+    )
+
+
 @register("vector_centroids", oracle=_centroid_oracle())
 def vector_centroids(spark, sf_dir):
     """Element-wise mean vector per label — the training step an IVF/
