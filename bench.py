@@ -88,6 +88,8 @@ ADDED = [
     "pipeline_weighted_sample",
     "sketch_quantiles_price",
     "vector_pca_power",
+    "dedup_keep_best",
+    "knn_jl_recall",
 ]
 
 SPARK_RUNS = 5

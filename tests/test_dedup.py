@@ -800,3 +800,28 @@ def test_prefix_jaccard_property_random_docs(spark):
             for r in ngram_jaccard_pairs_prefix(df, threshold=t).collect()
         }
         assert got == want
+
+
+def test_keep_representatives_exact_prefer_col(spark):
+    """prefer_col keeps the component member maximizing the column
+    (min-id tie-break), including chained clusters and singletons."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        keep_representatives_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (4, 5.0), (9, 7.0)],
+        "doc_id long, q double",
+    )
+    # chain 1~2~3 (one cluster), 4 alone in pairs, 9 never paired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 4)], "id_a long, id_b long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in keep_representatives_exact(
+            docs, pairs, prefer_col="q"
+        ).collect()
+    }
+    # cluster {1,2,3}: max q is 30 shared by 2 and 3 -> min id 2 wins
+    assert kept == {2, 4, 9}

@@ -56,3 +56,63 @@ def test_gram_fold_state_is_dim_squared_per_task(spark):
     for r in rows:
         G[r["i"] - 1, r["j"] - 1] = r["g"]
     assert np.allclose(G, X.T @ X, atol=1e-8)
+
+
+def test_jl_projection_preserves_cosine_and_is_deterministic(spark):
+    """Rademacher JL projection: 64->32 keeps pairwise cosines within a
+    loose JL band on unit vectors, output is a pure function of the
+    input (no RNG), and the sign matrix matches its sha definition."""
+    import hashlib
+
+    from wagtail_vector_index_spark.functions.vector import (
+        jl_project_col,
+        jl_signs,
+    )
+
+    s = jl_signs(4, 6)
+    for k in range(4):
+        for j in range(6):
+            want = (
+                1
+                if int(
+                    hashlib.sha256(f"jl:{k}:{j}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 2
+                == 0
+                else -1
+            )
+            assert s[k][j] == want
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(60, 64))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "id long, v array<double>",
+    )
+    proj = {
+        r["id"]: np.array(r["p"])
+        for r in df.select(
+            "id", jl_project_col(F.col("v"), out_dim=32, dim=64).alias("p")
+        ).collect()
+    }
+    # distance preservation: mean |cos_projected - cos_full| small
+    errs = []
+    for i in range(0, 30):
+        for j in range(30, 60):
+            a, b = proj[i], proj[j]
+            cp = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            errs.append(abs(cp - float(X[i] @ X[j])))
+    assert np.mean(errs) < 0.15 and np.max(errs) < 0.55
+    # deterministic across partitionings
+    proj2 = {
+        r["id"]: np.array(r["p"])
+        for r in df.repartition(11)
+        .select(
+            "id", jl_project_col(F.col("v"), out_dim=32, dim=64).alias("p")
+        )
+        .collect()
+    }
+    for i in proj:
+        assert (proj[i] == proj2[i]).all()

@@ -154,3 +154,56 @@ def vector_dim(a: Column) -> Column:
     """Dimensionality column — the reference tracks this per row and filters
     on it at query time (pgvector/models.py:70, pgvector/provider.py:112)."""
     return F.array_size(a)
+
+
+def jl_signs(out_dim: int, dim: int) -> list[list[int]]:
+    """Deterministic Rademacher (+-1) Johnson-Lindenstrauss projection
+    matrix derived from sha256 — the single source of truth shared by
+    the Spark expression and the generated oracle SQL (same convention
+    as minhash_params): sign[k][j] = +1 iff the first 8 hex chars of
+    sha256('jl:k:j') are even. Achlioptas 2003: Rademacher entries give
+    the JL distance-preservation guarantee with database-friendly
+    arithmetic (no gaussians to agree on across engines)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.sha256(f"jl:{k}:{j}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1
+            for j in range(dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def jl_project_col(
+    vec: Column, *, out_dim: int, dim: int, round_decimals: int = 6
+) -> Column:
+    """Project a ``dim``-vector column to ``out_dim`` via the
+    deterministic Rademacher matrix (:func:`jl_signs`), scaled by
+    1/sqrt(out_dim). Each output component is a sequential
+    ``aggregate(zip_with(...))`` fold against a literal sign array —
+    fully JVM, zero Python, and a SMALL expression tree (an explicit
+    unrolled sum at out_dim x dim terms was measured to blow codegen
+    heap) — rounded to ``round_decimals`` so the per-component values
+    are bit-identical to the oracle's (group-summed) replay regardless
+    of either engine's float summation order."""
+    import math
+
+    signs = jl_signs(out_dim, dim)
+    scale = 1.0 / math.sqrt(float(out_dim))
+    comps = []
+    for k in range(out_dim):
+        srow = F.array(*[F.lit(float(s)) for s in signs[k]])
+        acc = F.aggregate(
+            F.zip_with(vec, srow, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        comps.append(F.round(acc * F.lit(scale), round_decimals))
+    return F.array(*comps)

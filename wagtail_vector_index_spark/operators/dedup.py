@@ -1146,16 +1146,39 @@ def keep_representatives_exact(
     pairs: DataFrame,
     *,
     id_col: str = "doc_id",
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Exact duplicate-cluster pruning: connected components over the
-    pairs graph, then keep only each component's minimum id. Unlike
+    pairs graph, then one representative per component. Unlike
     :func:`keep_representatives`, chained near-dups (A≈B≈C with A̸≈C)
-    collapse to a single representative."""
+    collapse to a single representative.
+
+    By default the representative is the minimum id (cheap: losers
+    anti-join straight off the component labels). With ``prefer_col``
+    the representative is the component member MAXIMIZING that column
+    (min id tie-break) — what production dedup actually wants: keep the
+    highest-quality / longest / newest member of each duplicate
+    cluster, not whichever got the smallest id. That path labels the
+    corpus (left join + coalesce, singletons label themselves) and
+    ranks within components with one WindowGroupLimit — still
+    shuffle-on-key work end to end."""
     comp = connected_components(pairs)
-    losers = comp.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if prefer_col is None:
+        losers = comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    labeled = df.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))
+    w = Window.partitionBy("__comp").orderBy(
+        F.col(prefer_col).desc(), F.col(id_col).asc()
     )
-    return df.join(losers, id_col, "left_anti")
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__comp", "component")
+    )
 
 
 def simhash_pairs_dense(

@@ -631,6 +631,61 @@ def dedup_components(spark, sf_dir):
 
 
 @register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE ni::DOUBLE / (n_a + n_b - ni) >= 0.1),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    walk(u, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component FROM walk GROUP BY u),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+      FROM labeled) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-preferring cluster pruning: near-dup components (exact
+    3-gram Jaccard >= 0.1, loose so clusters chain) reduced to the
+    LONGEST member of each cluster (min doc_id tie-break) instead of
+    the smallest id — keep_representatives_exact(prefer_col=), the
+    policy production dedup wants (keep the best copy, drop the rest).
+    Components run on the r5 star algorithm; the oracle re-derives the
+    clustering with the recursive transitive-closure CTE and ranks
+    within components identically."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        keep_representatives_exact,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    return keep_representatives_exact(
+        docs, pairs, prefer_col="n_chars"
+    ).select("doc_id", "n_chars")
+
+
+@register(
     "text_bm25",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),

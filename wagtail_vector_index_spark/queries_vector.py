@@ -1646,6 +1646,115 @@ def knn_matryoshka_recall(spark, sf_dir):
     )
 
 
+def _jl_oracle(out_dims: tuple[int, ...], dim: int = 64) -> str:
+    blocks = []
+    tops = []
+    for K in out_dims:
+        blocks.append(f"""signs{K} AS (
+      SELECT k.range AS k, j.range AS j,
+             CASE WHEN ('0x' || substr(
+                 sha256('jl:' || k.range || ':' || j.range), 1, 8))::UBIGINT
+                  % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+      FROM range(0, {K}) k, range(0, {dim}) j)""")
+        blocks.append(f"""proj{K} AS (
+      SELECT vec_id, list(p ORDER BY k) AS pv FROM (
+        SELECT e.vec_id, s.k,
+               round(sum(e.v[s.j + 1] * s.s) / sqrt({K}.0), 6) AS p
+        FROM e, signs{K} s GROUP BY 1, 2)
+      GROUP BY vec_id)""")
+        tops.append(f"""
+    SELECT {K} AS proj_dim, vec_id FROM (
+      SELECT c.vec_id,
+             row_number() OVER (ORDER BY
+               {_cos_sql("c.pv", "q.pv")} DESC, c.vec_id) AS rn
+      FROM proj{K} c, (SELECT pv FROM proj{K} WHERE vec_id = 0) q
+      WHERE c.vec_id <> 0) WHERE rn <= 10""")
+    per_dim = "\nUNION ALL\n".join(tops)
+    ctes = ",\n    ".join(blocks)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    brute AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               row_number() OVER (ORDER BY {_cos_sql("e.v", "p.pv")} DESC,
+                                  e.vec_id) AS rn
+        FROM e, p WHERE e.vec_id <> 0) WHERE rn <= 10),
+    {ctes},
+    projected AS ({per_dim})
+    SELECT t.proj_dim::INT AS proj_dim,
+           sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hits,
+           sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10
+             AS recall_at_10
+    FROM projected t LEFT JOIN brute b USING (vec_id)
+    GROUP BY t.proj_dim
+    """
+
+
+@register("knn_jl_recall", oracle=_jl_oracle((16, 32)))
+def knn_jl_recall(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection evaluation: cosine top-10
+    after projecting 64-d embeddings to 16/32 dims with a deterministic
+    Rademacher matrix (functions/vector.jl_signs — sha-derived signs,
+    Achlioptas 2003), scored against the full-dimension brute ranking.
+    The data-independent counterpart of the Matryoshka prefix-truncation
+    and PCA gates: no training pass, distance preservation by the JL
+    lemma, and the projection is a pure JVM expression (explicit
+    literal-sign folds, rounded to 6 dp — the cross-engine pin that
+    makes the projected vectors bit-identical in both engines). The
+    oracle re-derives the sign matrix FROM THE SAME sha convention and
+    replays projection, ranking, and recall."""
+    from wagtail_vector_index_spark.functions.vector import (
+        jl_project_col,
+        similarity_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = vecs.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    cands = vecs.where(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+
+    brute_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("__sim").desc(), F.col("vec_id").asc()
+    )
+    brute = (
+        cands.withColumn(
+            "__sim", similarity_col(F.col("v"), F.col("pv"), "cosine")
+        )
+        .withColumn("__rn", F.row_number().over(brute_w))
+        .where(F.col("__rn") <= 10)
+        .select("vec_id", F.lit(1).alias("__hit"))
+    )
+    levels = None
+    for K in (16, 32):
+        pc = jl_project_col(F.col("v"), out_dim=K, dim=64)
+        pp = jl_project_col(F.col("pv"), out_dim=K, dim=64)
+        lv = (
+            cands.withColumn("__pc", pc)
+            .withColumn("__pp", pp)
+            .withColumn(
+                "__sim", similarity_col(F.col("__pc"), F.col("__pp"), "cosine")
+            )
+            .withColumn("__rn", F.row_number().over(brute_w))
+            .where(F.col("__rn") <= 10)
+            .select(F.lit(K).alias("proj_dim"), "vec_id")
+        )
+        levels = lv if levels is None else levels.unionByName(lv)
+    return (
+        levels.join(F.broadcast(brute), "vec_id", "left")
+        .groupBy("proj_dim")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(10)
+            ).alias("recall_at_10"),
+        )
+    )
+
+
 def _mmr_oracle(n: int, k: int, lam: float) -> str:
     cos = _cos_sql
     return f"""
