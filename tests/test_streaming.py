@@ -224,3 +224,76 @@ def test_incremental_ann_stream_lsh(spark, embeddings_df, tmp_path):
     top = idx.topk(probe, max_probe_hamming=1, limit=3).collect()
     assert top[0]["vec_id"] == 880002
     assert len(idx.vectors_log.current().live) == 1  # compacted
+
+
+def test_neardup_corpus_stream_matches_sequential_batches(spark, tmp_path):
+    """Streaming fuzzy-dedup corpus maintenance: after three file-stream
+    batches (with exact dups, near dups within and across batches), the
+    manifest-committed table equals the SEQUENTIAL batch-mode
+    application of within-batch exact pruning + asymmetric corpus
+    filtering — stream == batch, and a second run over the same source
+    with the same checkpoint appends nothing (exactly-once)."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        incremental_neardup_filter,
+        keep_representatives_exact,
+        minhash_lsh_pairs,
+    )
+    from wagtail_vector_index_spark.sources.manifest import read_live_table
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        neardup_corpus_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    batches = [
+        [(1, base), (2, base), (3, "completely different content one here")],
+        # 10 near-dups batch 1's survivor; 11 fresh
+        [(10, base.replace("river", "canal")),
+         (11, "another fresh document about spark adaptive execution")],
+        # 20 dups within its own batch vs 21; 22 near-dups doc 3
+        [(20, "unique text for the third batch arriving now"),
+         (21, "unique text for the third batch arriving now"),
+         (22, "completely different content one there")],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "doc_stream")
+    table = str(tmp_path / "dedup_corpus")
+    ckpt = str(tmp_path / "ckpt_neardup")
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = neardup_corpus_stream(
+            stream, path=table, checkpoint_dir=ckpt, threshold=0.4,
+        )
+        q.awaitTermination(300)
+
+    # batch-mode reference applied sequentially
+    want_rows: list = []
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        b = spark.createDataFrame(rows, schema)
+        pairs = minhash_lsh_pairs(b, threshold=0.4)
+        surv = keep_representatives_exact(b, pairs)
+        if want_rows:
+            corpus = spark.createDataFrame(want_rows, schema)
+            surv = incremental_neardup_filter(
+                surv, corpus, threshold=0.4
+            )
+        want_rows += [(r["doc_id"], r["text"]) for r in surv.collect()]
+
+    run_stream()
+    got = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+    assert got == {d for d, _ in want_rows}
+    assert 1 in got and 2 not in got and 10 not in got and 11 in got
+    assert (20 in got) != (21 in got) and 22 not in got
+
+    # replay with a FRESH checkpoint over the same files: every batch
+    # carries an already-applied token... no — a fresh checkpoint means
+    # new tokens; instead restart with the SAME checkpoint: all offsets
+    # are committed, so the stream appends nothing
+    before = read_live_table(spark, table).count()
+    run_stream()
+    assert read_live_table(spark, table).count() == before

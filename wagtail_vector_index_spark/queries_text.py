@@ -1375,6 +1375,70 @@ def streaming_stateful_dedup(spark, sf_dir):
 
 
 @register(
+    "streaming_neardup_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    hashed AS (SELECT doc_id, shingles, {HS_SQL} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_minhash_sig_sql()} AS sig FROM hashed),
+    bands AS (SELECT doc_id, shingles,
+                     unnest({_band_keys_sql('sig')}) AS band FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+      WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified),
+    walk(u, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component FROM walk GROUP BY u)
+    SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
+    WHERE coalesce(c.component, d.doc_id) = d.doc_id
+    """,
+)
+def streaming_neardup_corpus(spark, sf_dir):
+    """Streaming fuzzy-dedup corpus maintenance
+    (streaming/maintenance.py::neardup_corpus_stream) run as an
+    availableNow stream over the corpus: survivors land in a
+    manifest-committed table (exactly-once per batch token) and must
+    equal the batch-mode MinHash-LSH + exact-component + min-id-per-
+    cluster answer — stream == batch. The oracle re-derives band
+    candidates, exact-Jaccard verification, the transitive closure, and
+    the surviving representatives entirely in SQL; the multi-batch
+    ordering semantics (earlier batches win over later near-dups) are
+    pinned by the sequential-parity pytest."""
+    import tempfile
+
+    from wagtail_vector_index_spark.sources.manifest import read_live_table
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        neardup_corpus_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = tempfile.mkdtemp(prefix="wvi_sneardup_src_")
+    docs.coalesce(1).write.mode("overwrite").parquet(staged)
+    table = tempfile.mkdtemp(prefix="wvi_sneardup_tbl_") + "/corpus"
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    q = neardup_corpus_stream(
+        stream,
+        path=table,
+        checkpoint_dir=tempfile.mkdtemp(prefix="wvi_sneardup_ck_"),
+        threshold=0.5,
+    )
+    q.awaitTermination(300)
+    return read_live_table(spark, table).select("doc_id")
+
+
+@register(
     "pipeline_source_cap",
     oracle="""
     SELECT doc_id, source, n_chars FROM (

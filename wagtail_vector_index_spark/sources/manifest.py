@@ -248,3 +248,18 @@ class ManifestLog:
                 os.unlink(p)
                 deleted.append(p)
         return deleted
+
+
+def read_live_table(spark, root: str):
+    """The live rows of a manifest-committed table at ``root``: union of
+    the committed generation scans (partition pruning applies per
+    scan). Raises FileNotFoundError when nothing is committed —
+    a data directory without a manifest reads as never-written."""
+    from functools import reduce
+
+    log = ManifestLog(root)
+    cur = log.current()
+    if cur is None or not cur.live:
+        raise FileNotFoundError(f"no committed table at {root}")
+    frames = [spark.read.parquet(p) for p in log.live_paths(cur)]
+    return reduce(lambda a, b: a.unionByName(b), frames)

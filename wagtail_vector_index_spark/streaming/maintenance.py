@@ -147,3 +147,94 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def neardup_corpus_stream(
+    doc_stream: DataFrame,
+    *,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    trigger_once: bool = True,
+    **minhash_kwargs,
+) -> StreamingQuery:
+    """Maintain a FUZZY-DEDUPLICATED corpus table from a document
+    stream: each micro-batch keeps only rows that near-duplicate
+    neither the standing corpus (asymmetric banded MinHash —
+    operators/dedup.incremental_neardup_filter, per-batch cost, never
+    corpus²) nor an earlier row of the same batch (within-batch
+    MinHash pairs + exact component pruning), and appends the
+    survivors as a new manifest generation. The streaming counterpart
+    of ``Corpus.dedup_against`` for continuous ingestion.
+
+    Exactly-once: the same dedup-token protocol as
+    :func:`incremental_ann_stream` — each append carries a token
+    derived from (checkpoint, batch_id), stored IN the manifest, so a
+    crash-replayed foreachBatch resolves to the already-live
+    generation and becomes a no-op; replayed generation data is staged
+    and atomically renamed, never rewritten in place.
+
+    Read the standing corpus with
+    ``sources.manifest.read_live_table(spark, f"{path}")`` (or any
+    manifest-aware reader).
+    """
+    from functools import reduce
+
+    from wagtail_vector_index_spark.operators.ann_index import (
+        _append_gen,
+        _commit_append,
+        _gen_write_path,
+        _publish_gen_dir,
+    )
+    from wagtail_vector_index_spark.operators.dedup import (
+        incremental_neardup_filter,
+        keep_representatives_exact,
+        minhash_lsh_pairs,
+    )
+    from wagtail_vector_index_spark.sources.manifest import ManifestLog
+
+    log = ManifestLog(path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        token = f"{checkpoint_dir}#{batch_id}"
+        gen = _append_gen(log, token)
+        if gen is None:
+            return  # replayed batch: already live
+        spark = batch_df.sparkSession
+        # within-batch self-dedup first (chains collapse exactly)
+        pairs = minhash_lsh_pairs(
+            batch_df, id_col=id_col, text_col=text_col,
+            threshold=threshold, **minhash_kwargs,
+        )
+        survivors = keep_representatives_exact(batch_df, pairs, id_col=id_col)
+        cur = log.current()
+        if cur is not None and cur.live:
+            corpus = reduce(
+                DataFrame.unionByName,
+                [spark.read.parquet(p) for p in log.live_paths(cur)],
+            )
+            survivors = incremental_neardup_filter(
+                survivors,
+                corpus,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+                **minhash_kwargs,
+            )
+        written = _gen_write_path(log, gen, token)
+        survivors.write.mode("overwrite").parquet(written)
+        _publish_gen_dir(log, written, gen)
+        _commit_append(log, gen, dedup_token=token)
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
