@@ -825,3 +825,35 @@ def test_keep_representatives_exact_prefer_col(spark):
     }
     # cluster {1,2,3}: max q is 30 shared by 2 and 3 -> min id 2 wins
     assert kept == {2, 4, 9}
+
+
+def test_connected_components_star_cutoff_keeps_one_row_per_node(spark):
+    """max_iter exhaustion mid-collapse must degrade gracefully: one
+    row per node (best-known label), never conflicting duplicates."""
+    from wagtail_vector_index_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(199)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = connected_components(pairs, max_iter=2).collect()
+    assert len(out) == 200
+    assert len({r["id"] for r in out}) == 200
+    # labels never exceed the node id (monotone toward the minimum)
+    assert all(r["component"] <= r["id"] for r in out)
+
+
+def test_keep_representatives_exact_prefer_col_component_column(spark):
+    """A caller frame that already carries a 'component' column (e.g.
+    from a prior dedup_components pass) must not break the prefer_col
+    path with an ambiguous reference."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        keep_representatives_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5.0, "x"), (2, 9.0, "x"), (3, 1.0, "y")],
+        "doc_id long, q double, component string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept = keep_representatives_exact(docs, pairs, prefer_col="q").collect()
+    assert {r["doc_id"] for r in kept} == {2, 3}
+    assert "component" in kept[0].asDict()  # caller column preserved

@@ -205,3 +205,15 @@ def test_quantile_sketch_estimates_and_merge_property(spark):
         )[:256]
     )
     assert merged == whole
+
+
+def test_quantile_sketch_empty_input_yields_nulls(spark):
+    from wagtail_vector_index_spark.operators.sketches import quantile_sketch
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    ).where(F.col("k") < 0)
+    row = quantile_sketch(
+        df, key_col="k", value_col="v", quantiles=(0.5,), k=16
+    ).first()
+    assert row["p5_est"] is None

@@ -104,16 +104,22 @@ def main() -> None:
                     f"out={holder.get('out')}",
                     flush=True,
                 )
-        if res["co-count"][1] is not None:
+        if (
+            res["co-count"][1] is not None
+            and res["prefix filter"][1] is not None
+        ):
             assert res["co-count"][1] == res["prefix filter"][1]
-        cc = (
-            f"{res['co-count'][0]:.1f}s"
-            if res["co-count"][0] is not None
-            else ">240s (cancelled: hot-shingle straggler tasks)"
+
+        def fmt(cell):
+            t, _ = cell
+            return f"{t:.1f}s" if t is not None else ">240s (cancelled)"
+
+        pairs_out = next(
+            (n for _, n in res.values() if n is not None), "DNF"
         )
         rows.append(
-            f"| {tag} | {cc} | {res['prefix filter'][0]:.1f}s | "
-            f"{res['prefix filter'][1]} |"
+            f"| {tag} | {fmt(res['co-count'])} | "
+            f"{fmt(res['prefix filter'])} | {pairs_out} |"
         )
 
     lines = [

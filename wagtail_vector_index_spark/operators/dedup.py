@@ -205,14 +205,22 @@ def ngram_jaccard_pairs_prefix(
     sized = shingled.select(
         id_col, "shingles", F.size("shingles").alias("n_sh")
     ).where(F.col("n_sh") > 0)
-    ex = sized.select(
-        id_col, "n_sh", F.explode("shingles").alias("__s")
-    ).select(
-        id_col,
-        "n_sh",
-        F.conv(F.substring(F.sha2(F.col("__s"), 256), 1, 15), 16, 10)
-        .cast("long")
-        .alias("sh"),
+    ex = (
+        sized.select(id_col, "n_sh", F.explode("shingles").alias("__s"))
+        .select(
+            id_col,
+            "n_sh",
+            F.conv(F.substring(F.sha2(F.col("__s"), 256), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh"),
+        )
+        # lazy localCheckpoint: the exploded+hashed frame feeds THREE
+        # consumers (document-frequency agg, prefix ranking, verify
+        # arrays) and the sha-per-shingle pass is the dominant CPU cost
+        # on the boilerplate corpora this path targets; the checkpoint
+        # materializes it once and the blocks are reclaimed by the
+        # ContextCleaner when the frame drops (no session-lifetime pin)
+        .localCheckpoint(eager=False)
     )
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(
@@ -1030,14 +1038,19 @@ def _cc_star(
     # At fixpoint every component is a star oriented child→center, the
     # center being the component minimum. Labels: every child points at
     # its center; centers (and nodes whose only pairs were self-loops,
-    # which never enter the edge frame) label themselves.
+    # which never enter the edge frame) label themselves. The min-agg
+    # keeps the one-row-per-node contract even if max_iter cut the loop
+    # before the star fixpoint (a node could still hold edges to two
+    # targets mid-collapse; the label then degrades to the node's best
+    # known target — same graceful-cutoff class as label propagation —
+    # instead of emitting conflicting duplicate rows).
     nodes = (
         pairs.select(F.col(id_a).alias(out_id))
         .unionByName(pairs.select(F.col(id_b).alias(out_id)))
         .distinct()
     )
-    child_labels = edges.select(
-        F.col("u").alias(out_id), F.col("v").alias(out_comp)
+    child_labels = edges.groupBy(F.col("u").alias(out_id)).agg(
+        F.min("v").alias(out_comp)
     )
     return nodes.join(child_labels, out_id, "left").select(
         F.col(out_id),
@@ -1168,16 +1181,22 @@ def keep_representatives_exact(
             F.col("id").alias(id_col)
         )
         return df.join(losers, id_col, "left_anti")
-    labeled = df.join(
-        comp.withColumnRenamed("id", id_col), id_col, "left"
-    ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))
-    w = Window.partitionBy("__comp").orderBy(
+    # reserved internal names: the caller's frame may itself carry a
+    # 'component' column (e.g. output of a prior dedup_components pass),
+    # which would make the coalesce ambiguous
+    labels = comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("__wvi_comp")
+    )
+    labeled = df.join(labels, id_col, "left").withColumn(
+        "__wvi_comp", F.coalesce(F.col("__wvi_comp"), F.col(id_col))
+    )
+    w = Window.partitionBy("__wvi_comp").orderBy(
         F.col(prefer_col).desc(), F.col(id_col).asc()
     )
     return (
-        labeled.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__comp", "component")
+        labeled.withColumn("__wvi_rn", F.row_number().over(w))
+        .where(F.col("__wvi_rn") == 1)
+        .drop("__wvi_rn", "__wvi_comp")
     )
 
 

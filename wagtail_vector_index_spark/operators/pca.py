@@ -95,7 +95,12 @@ def pca_power_component(
     v = np.round(np.full(d, 1.0 / np.sqrt(d)), round_decimals)
     for _ in range(int(iterations)):
         w = G @ v
-        v = np.round(w / np.sqrt(float(w @ w)), round_decimals)
+        # 1e-300 floor (the repo-wide zero-norm policy): an empty or
+        # all-zero corpus yields G = 0 and a zero iterate — return the
+        # zero vector instead of silently propagating NaNs
+        v = np.round(
+            w / max(np.sqrt(float(w @ w)), 1e-300), round_decimals
+        )
     return [float(x) for x in v]
 
 

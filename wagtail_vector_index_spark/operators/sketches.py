@@ -300,8 +300,11 @@ def quantile_sketch(
     for i, q in enumerate(quantiles):
         pos = F.floor(F.lit(float(q)) * (F.col("__m") - 1)).cast("int") + 1
         tag = str(q).replace("0.", "p").replace(".", "_")
-        cols.append(
-            F.round(F.element_at("__a", pos), 6).alias(f"{tag}_est")
+        # empty input: m = 0 would make pos 0 (element_at rejects index
+        # 0); emit NULL estimates instead of a runtime error
+        est = F.when(
+            F.col("__m") > 0, F.round(F.element_at("__a", pos), 6)
         )
+        cols.append(est.alias(f"{tag}_est"))
         cols.append(F.round(F.col(f"__x{i}"), 6).alias(f"{tag}_exact"))
     return out.select(*cols)

@@ -180,8 +180,6 @@ def neardup_corpus_stream(
     ``sources.manifest.read_live_table(spark, f"{path}")`` (or any
     manifest-aware reader).
     """
-    from functools import reduce
-
     from wagtail_vector_index_spark.operators.ann_index import (
         _append_gen,
         _commit_append,
@@ -192,8 +190,12 @@ def neardup_corpus_stream(
         incremental_neardup_filter,
         keep_representatives_exact,
         minhash_lsh_pairs,
+        minhash_signatures,
     )
-    from wagtail_vector_index_spark.sources.manifest import ManifestLog
+    from wagtail_vector_index_spark.sources.manifest import (
+        ManifestLog,
+        read_live_table,
+    )
 
     log = ManifestLog(path)
 
@@ -213,16 +215,27 @@ def neardup_corpus_stream(
         survivors = keep_representatives_exact(batch_df, pairs, id_col=id_col)
         cur = log.current()
         if cur is not None and cur.live:
-            corpus = reduce(
-                DataFrame.unionByName,
-                [spark.read.parquet(p) for p in log.live_paths(cur)],
-            )
-            survivors = incremental_neardup_filter(
-                survivors,
+            corpus = read_live_table(spark, path)
+            # self-releasing corpus signatures (localCheckpoint, not the
+            # cache() the corpus_df= convenience path would pin): a
+            # long-running stream must not accumulate one pinned copy of
+            # the ever-growing corpus signatures PER BATCH — the exact
+            # leak CorpusSignatures exists to prevent in batch loops
+            corpus_sigs = minhash_signatures(
                 corpus,
                 id_col=id_col,
                 text_col=text_col,
+                n=minhash_kwargs.get("n", 3),
+                num_hashes=minhash_kwargs.get("num_hashes", 16),
+                cache=False,
+            ).localCheckpoint(eager=False)
+            survivors = incremental_neardup_filter(
+                survivors,
+                None,
+                id_col=id_col,
+                text_col=text_col,
                 threshold=threshold,
+                corpus_signatures=corpus_sigs,
                 **minhash_kwargs,
             )
         written = _gen_write_path(log, gen, token)
