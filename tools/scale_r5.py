@@ -30,9 +30,14 @@ from wagtail_vector_index_spark.session import build_session  # noqa: E402
 SF = "/root/testdata/sf0.1"
 QUERIES = (
     "graph_pagerank",
+    "graph_pagerank_dangling",
     "pipeline_dsir_select",
     "sketch_countmin_tokens",
     "knn_matryoshka_recall",
+    "knn_jl_recall",
+    "sketch_quantiles_price",
+    "pipeline_weighted_sample",
+    "vector_pca_power",
 )
 # id columns to shift per replica so the replicas are disjoint; every
 # other column is carried verbatim. replica 0 keeps original ids (the
