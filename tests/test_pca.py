@@ -116,3 +116,31 @@ def test_jl_projection_preserves_cosine_and_is_deterministic(spark):
     }
     for i in proj:
         assert (proj[i] == proj2[i]).all()
+
+
+def test_pca_deflation_recovers_top_two_directions(spark):
+    """Deflated power iteration: two planted orthogonal variance
+    directions are recovered in order (|cos| ~ 1 vs numpy SVD), the
+    eigenvalues decrease, and the components are near-orthogonal."""
+    from wagtail_vector_index_spark.operators.pca import pca_power_components
+
+    rng = np.random.default_rng(6)
+    d = 12
+    u1 = np.zeros(d); u1[0] = 1.0
+    u2 = np.zeros(d); u2[1] = 1.0
+    X = (
+        rng.normal(size=(3000, d)) * 0.3
+        + 8.0 * np.outer(rng.normal(size=3000), u1)
+        + 4.0 * np.outer(rng.normal(size=3000), u2)
+    )
+    df = spark.createDataFrame(
+        [(r.tolist(),) for r in X], "v array<double>"
+    )
+    comps = pca_power_components(df, vec_col="v", dim=d, k=2, iterations=12)
+    (v1, l1), (v2, l2) = comps
+    v1, v2 = np.array(v1), np.array(v2)
+    svd_v = np.linalg.svd(X, full_matrices=False)[2]
+    assert abs(float(v1 @ svd_v[0])) > 0.999
+    assert abs(float(v2 @ svd_v[1])) > 0.99
+    assert l1 > l2 > 0
+    assert abs(float(v1 @ v2)) < 0.01

@@ -125,3 +125,47 @@ def project_component(
     if round_decimals is not None:
         proj = F.round(proj, round_decimals)
     return df.withColumn(alias, proj)
+
+
+def pca_power_components(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    dim: int,
+    k: int = 2,
+    iterations: int = 8,
+    round_decimals: int = 6,
+) -> list[tuple[list[float], float]]:
+    """Top-k principal directions by power iteration WITH DEFLATION:
+    after each component converges, its Rayleigh quotient
+    ``lambda = v^T G v`` is subtracted as a rank-1 update
+    (``G <- G - lambda v v^T``) and the next component is extracted
+    from the deflated matrix. Returns ``[(vector, eigenvalue), ...]``
+    in decreasing-eigenvalue order.
+
+    Same determinism discipline as :func:`pca_power_component`: the
+    data pass is the one bounded-state Gram fold; every iterate, the
+    two-stage Rayleigh quotient (``w = G v`` then ``v . w`` — the order
+    the oracle replays), and each deflated matrix entry are rounded to
+    ``round_decimals``, so the whole k-component computation replays
+    exactly in chained SQL CTEs."""
+    d = int(dim)
+    rows = gram_matrix(
+        df, vec_col=vec_col, dim=d, round_decimals=round_decimals
+    ).collect()
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+    out: list[tuple[list[float], float]] = []
+    for _ in range(int(k)):
+        v = np.round(np.full(d, 1.0 / np.sqrt(d)), round_decimals)
+        for _ in range(int(iterations)):
+            w = G @ v
+            v = np.round(
+                w / max(np.sqrt(float(w @ w)), 1e-300), round_decimals
+            )
+        w = G @ v
+        lam = round(float(v @ w), round_decimals)
+        out.append(([float(x) for x in v], lam))
+        G = np.round(G - lam * np.outer(v, v), round_decimals)
+    return out

@@ -2408,7 +2408,7 @@ def _centroid_oracle(dims: int = 64) -> str:
 def _pca_oracle(dim: int, iterations: int, rd: int) -> str:
     parts = [
         f"rng AS (SELECT range::INT AS i FROM range(1, {dim + 1}))",
-        f"""g AS (
+        f"""g AS MATERIALIZED (
       SELECT r1.i AS i, r2.i AS j,
              round(sum(embedding[r1.i]::DOUBLE * embedding[r2.i]::DOUBLE),
                    {rd}) AS g
@@ -2432,6 +2432,99 @@ def _pca_oracle(dim: int, iterations: int, rd: int) -> str:
     WITH {ctes}
     SELECT i AS dim_idx, v AS loading FROM v{iterations}
     """
+
+
+def _pca_topk_oracle(dim: int, iterations: int, rd: int, k: int) -> str:
+    parts = [
+        f"rng AS (SELECT range::INT AS i FROM range(1, {dim + 1}))",
+        # AS MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+        # the deflation chain references each Gram/iterate many times —
+        # unmaterialized, the inlining grows exponentially until the
+        # planner exhausts file descriptors re-opening the parquet
+        f"""g0 AS MATERIALIZED (
+      SELECT r1.i AS i, r2.i AS j,
+             round(sum(embedding[r1.i]::DOUBLE * embedding[r2.i]::DOUBLE),
+                   {rd}) AS g
+      FROM embeddings CROSS JOIN rng r1 CROSS JOIN rng r2
+      GROUP BY 1, 2)""",
+    ]
+    selects = []
+    for c in range(k):
+        parts.append(
+            f"v{c}_0 AS (SELECT i, round(1.0 / sqrt({dim}.0), {rd}) AS v "
+            f"FROM rng)"
+        )
+        for t in range(1, iterations + 1):
+            parts.append(
+                f"""w{c}_{t} AS (
+      SELECT g.i AS i, sum(g.g * v.v) AS w
+      FROM g{c} g JOIN v{c}_{t - 1} v ON g.j = v.i GROUP BY g.i)"""
+            )
+            parts.append(
+                f"n{c}_{t} AS (SELECT sqrt(sum(w * w)) AS n FROM w{c}_{t})"
+            )
+            parts.append(
+                f"""v{c}_{t} AS MATERIALIZED (
+      SELECT i, round(w / n{c}_{t}.n, {rd}) AS v
+      FROM w{c}_{t} CROSS JOIN n{c}_{t})"""
+            )
+        T = iterations
+        parts.append(
+            f"""wl{c} AS (
+      SELECT g.i AS i, sum(g.g * v.v) AS w
+      FROM g{c} g JOIN v{c}_{T} v ON g.j = v.i GROUP BY g.i)"""
+        )
+        parts.append(
+            f"""lam{c} AS MATERIALIZED (
+      SELECT round(sum(v.v * wl.w), {rd}) AS l
+      FROM v{c}_{T} v JOIN wl{c} wl ON v.i = wl.i)"""
+        )
+        if c + 1 < k:
+            parts.append(
+                f"""g{c + 1} AS MATERIALIZED (
+      SELECT g.i, g.j, round(g.g - lam{c}.l * vi.v * vj.v, {rd}) AS g
+      FROM g{c} g CROSS JOIN lam{c}
+      JOIN v{c}_{T} vi ON g.i = vi.i JOIN v{c}_{T} vj ON g.j = vj.i)"""
+            )
+        selects.append(
+            f"SELECT {c + 1} AS component, i AS dim_idx, v AS loading, "
+            f"lam{c}.l AS eigenvalue FROM v{c}_{T} CROSS JOIN lam{c}"
+        )
+    ctes = ",\n    ".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+    WITH {ctes}
+    {union}
+    """
+
+
+@register("vector_pca_top2", oracle=_pca_topk_oracle(64, 8, 6, 2))
+def vector_pca_top2(spark, sf_dir):
+    """Top-2 principal directions with eigenvalues by power iteration +
+    DEFLATION (operators/pca.py::pca_power_components): after the first
+    component converges, its 6-dp-rounded Rayleigh quotient
+    (``w = G v`` then ``v . w`` — the two-stage order the oracle
+    replays) is subtracted as a rank-1 update and the second component
+    is extracted from the deflated matrix. One bounded-state Gram pass
+    over the data; the oracle replays BOTH components' iterations, the
+    Rayleigh quotient, and every deflated matrix entry as chained
+    CTEs."""
+    from wagtail_vector_index_spark.operators.pca import pca_power_components
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    comps = pca_power_components(
+        emb, vec_col="v", dim=64, k=2, iterations=8
+    )
+    rows = [
+        (c + 1, i + 1, x, lam)
+        for c, (vec, lam) in enumerate(comps)
+        for i, x in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, dim_idx int, loading double, eigenvalue double"
+    )
 
 
 @register("vector_pca_power", oracle=_pca_oracle(64, 8, 6))
