@@ -186,24 +186,66 @@ def jl_project_col(
 ) -> Column:
     """Project a ``dim``-vector column to ``out_dim`` via the
     deterministic Rademacher matrix (:func:`jl_signs`), scaled by
-    1/sqrt(out_dim). Each output component is a sequential
-    ``aggregate(zip_with(...))`` fold against a literal sign array —
-    fully JVM, zero Python, and a SMALL expression tree (an explicit
-    unrolled sum at out_dim x dim terms was measured to blow codegen
-    heap) — rounded to ``round_decimals`` so the per-component values
-    are bit-identical to the oracle's (group-summed) replay regardless
-    of either engine's float summation order."""
+    1/sqrt(out_dim). The whole projection is ONE ``transform`` over a
+    nested sign-MATRIX literal, each row a sequential
+    ``aggregate(zip_with(...))`` fold — fully JVM, zero Python, and a
+    tiny expression tree: an explicit unrolled sum at out_dim x dim
+    terms was measured to blow codegen heap, and even out_dim separate
+    fold expressions cost ~1.4 s of Catalyst ANALYSIS per projection
+    (per query run — the dominant cost at any data size). Components
+    are rounded to ``round_decimals`` so the values are bit-identical
+    to the oracle's (group-summed) replay regardless of either
+    engine's float summation order."""
     import math
 
-    signs = jl_signs(out_dim, dim)
     scale = 1.0 / math.sqrt(float(out_dim))
-    comps = []
-    for k in range(out_dim):
-        srow = F.array(*[F.lit(float(s)) for s in signs[k]])
-        acc = F.aggregate(
-            F.zip_with(vec, srow, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        comps.append(F.round(acc * F.lit(scale), round_decimals))
-    return F.array(*comps)
+    # ONE literal for the whole sign matrix (a single py4j call):
+    # building out_dim x dim individual F.lit columns costs >1 s of
+    # py4j round trips per projection PER QUERY RUN, and deriving the
+    # matrix from in-plan sha2 expressions (though constant-foldable)
+    # was measured slower still once the optimizer re-folds it across
+    # union/AQE passes. A plain nested-list literal is free at both
+    # analysis and execution.
+    matrix = F.lit(
+        [[float(s) for s in row] for row in jl_signs(out_dim, dim)]
+    )
+    return F.transform(
+        matrix,
+        lambda srow: F.round(
+            F.aggregate(
+                F.zip_with(vec, srow, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            * F.lit(scale),
+            round_decimals,
+        ),
+    )
+
+
+def jl_project_with(
+    vec: Column, matrix: Column, *, out_dim: int, round_decimals: int = 6
+) -> Column:
+    """JL projection against a sign-matrix COLUMN — same sequential
+    fold and rounding as :func:`jl_project_col`, but the matrix arrives
+    as data (typically a broadcast 1-row frame built from
+    :func:`jl_signs`) instead of a plan literal. Use this form when a
+    query builds several projections: Catalyst charges ~1 s of
+    analysis PER out_dim x dim literal on every run, while a broadcast
+    matrix column costs nothing at plan time and one tiny hash join at
+    execution."""
+    import math
+
+    scale = 1.0 / math.sqrt(float(out_dim))
+    return F.transform(
+        matrix,
+        lambda srow: F.round(
+            F.aggregate(
+                F.zip_with(vec, srow, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            * F.lit(scale),
+            round_decimals,
+        ),
+    )

@@ -1700,13 +1700,17 @@ def knn_jl_recall(spark, sf_dir):
     Achlioptas 2003), scored against the full-dimension brute ranking.
     The data-independent counterpart of the Matryoshka prefix-truncation
     and PCA gates: no training pass, distance preservation by the JL
-    lemma, and the projection is a pure JVM expression (explicit
-    literal-sign folds, rounded to 6 dp — the cross-engine pin that
-    makes the projected vectors bit-identical in both engines). The
-    oracle re-derives the sign matrix FROM THE SAME sha convention and
+    lemma, and the projection is a pure JVM expression (sequential
+    sign folds, rounded to 6 dp — the cross-engine pin that makes the
+    projected vectors bit-identical in both engines). The sign
+    matrices ship as broadcast 1-row frames, not plan literals —
+    Catalyst charges ~1 s of analysis per out_dim x dim literal on
+    EVERY run (functions/vector.jl_project_with). The oracle
+    re-derives the sign matrix from the same sha convention and
     replays projection, ranking, and recall."""
     from wagtail_vector_index_spark.functions.vector import (
-        jl_project_col,
+        jl_project_with,
+        jl_signs,
         similarity_col,
     )
 
@@ -1730,11 +1734,18 @@ def knn_jl_recall(spark, sf_dir):
     )
     levels = None
     for K in (16, 32):
-        pc = jl_project_col(F.col("v"), out_dim=K, dim=64)
-        pp = jl_project_col(F.col("pv"), out_dim=K, dim=64)
+        mat = spark.createDataFrame(
+            [([[float(s) for s in row] for row in jl_signs(K, 64)],)],
+            "m array<array<double>>",
+        )
         lv = (
-            cands.withColumn("__pc", pc)
-            .withColumn("__pp", pp)
+            cands.crossJoin(F.broadcast(mat))
+            .withColumn(
+                "__pc", jl_project_with(F.col("v"), F.col("m"), out_dim=K)
+            )
+            .withColumn(
+                "__pp", jl_project_with(F.col("pv"), F.col("m"), out_dim=K)
+            )
             .withColumn(
                 "__sim", similarity_col(F.col("__pc"), F.col("__pp"), "cosine")
             )
