@@ -90,6 +90,7 @@ ADDED = [
     "vector_pca_power",
     "dedup_keep_best",
     "knn_jl_recall",
+    "vector_pca_top2",
 ]
 
 SPARK_RUNS = 5
