@@ -217,3 +217,125 @@ def test_quantile_sketch_empty_input_yields_nulls(spark):
         df, key_col="k", value_col="v", quantiles=(0.5,), k=16
     ).first()
     assert row["p5_est"] is None
+
+
+def test_kmv_overlap_single_pass_matches_composition(spark):
+    """kmv_overlap (r6, one scan + one grouped fold) must produce the
+    SAME estimates as the two-sketch composition it replaced, plus
+    exact counts by inclusion-exclusion over the folded tag counts."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketches,
+        kmv_union_intersect,
+    )
+
+    rows = [("a", f"u{i}") for i in range(500)] + [
+        ("b", f"u{i}") for i in range(300, 900)
+    ]
+    df = spark.createDataFrame(rows, "g string, user string")
+    row = kmv_overlap(
+        df,
+        value_col="user",
+        cond_a=F.col("g") == "a",
+        cond_b=F.col("g") == "b",
+        k=64,
+    ).first()
+    assert row["union_exact"] == 900
+    assert row["intersect_exact"] == 200
+    sk = kmv_sketches(df, group_cols=["g"], value_col="user", k=64)
+    ref = kmv_union_intersect(
+        sk.where(F.col("g") == "a"), sk.where(F.col("g") == "b"), k=64
+    ).first()
+    assert row["union_est"] == ref["union_est"]
+    assert row["intersect_est"] == ref["intersect_est"]
+
+    prod = kmv_overlap(
+        df,
+        value_col="user",
+        cond_a=F.col("g") == "a",
+        cond_b=F.col("g") == "b",
+        k=64,
+        eval_exact=False,
+    )
+    assert prod.columns == ["union_est", "intersect_est"]
+    p = prod.first()
+    assert p["union_est"] == row["union_est"]
+    assert p["intersect_est"] == row["intersect_est"]
+
+
+def test_kmv_overlap_one_arrow_stage_and_one_scan(spark):
+    """The regression fix's plan contract: exactly ONE Python/Arrow
+    stage and ONE scan of the input in the whole query."""
+    from wagtail_vector_index_spark.operators.sketches import kmv_overlap
+
+    df = spark.range(1000).select(
+        F.col("id").alias("user"), (F.col("id") % 3).alias("seg")
+    )
+    plan = kmv_overlap(
+        df,
+        value_col="user",
+        cond_a=F.col("seg") == 0,
+        cond_b=F.col("seg") == 1,
+        k=32,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Range") == 1
+
+
+def test_kmv_overlap_empty_segments(spark):
+    from wagtail_vector_index_spark.operators.sketches import kmv_overlap
+
+    df = spark.range(10).select(
+        F.col("id").alias("user"), F.lit("x").alias("seg")
+    )
+    row = kmv_overlap(
+        df,
+        value_col="user",
+        cond_a=F.col("seg") == "a",
+        cond_b=F.col("seg") == "b",
+        k=8,
+    ).first()
+    assert row["union_exact"] == 0
+    assert row["intersect_exact"] == 0
+    assert row["union_est"] == 0.0
+    assert row["intersect_est"] == 0.0
+
+
+def test_eval_exact_false_drops_the_exact_pass(spark):
+    """Production forms: kmv_distinct/quantile_sketch with
+    eval_exact=False emit only sketch columns and their plans carry no
+    exact-side aggregate over the input."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_distinct,
+        quantile_sketch,
+    )
+
+    df = spark.range(1000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    prod = kmv_distinct(
+        df, group_cols=["grp"], value_col="v", k=64, eval_exact=False
+    )
+    assert prod.columns == ["grp", "kmv_estimate"]
+    ev = kmv_distinct(df, group_cols=["grp"], value_col="v", k=64).first()
+    assert prod.first()["kmv_estimate"] == ev["kmv_estimate"]
+    # exactly one scan of the input (the eval form pays two)
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range") == 1
+
+    qdf = spark.range(500).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    qprod = quantile_sketch(
+        qdf, key_col="k", value_col="v", quantiles=(0.5, 0.9), k=64,
+        eval_exact=False,
+    )
+    assert qprod.columns == ["p5_est", "p9_est"]
+    qev = quantile_sketch(
+        qdf, key_col="k", value_col="v", quantiles=(0.5, 0.9), k=64
+    ).first()
+    qp = qprod.first()
+    assert qp["p5_est"] == qev["p5_est"]
+    assert qp["p9_est"] == qev["p9_est"]
+    qplan = qprod._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in qplan.lower()

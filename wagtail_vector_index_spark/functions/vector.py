@@ -223,6 +223,26 @@ def jl_project_col(
     )
 
 
+def jl_raw_folds(vec: Column, matrix: Column) -> Column:
+    """The UNSCALED, UNROUNDED sign folds against a sign-matrix column —
+    the shared inner product every JL level is an affine function of.
+    Because :func:`jl_signs` derives row k the same way at every
+    out_dim, the K-dim projection is ``round(scale_K * folds[:K])``:
+    compute the folds ONCE at the largest level, then each level is K
+    multiplies instead of K x dim fold work (the fold is an interpreted
+    higher-order function — the dominant per-row cost). Same sequential
+    summation order as :func:`jl_project_with`, so
+    ``round(raw * scale)`` is bit-identical to the direct projection."""
+    return F.transform(
+        matrix,
+        lambda srow: F.aggregate(
+            F.zip_with(vec, srow, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+
+
 def jl_project_with(
     vec: Column, matrix: Column, *, out_dim: int, round_decimals: int = 6
 ) -> Column:

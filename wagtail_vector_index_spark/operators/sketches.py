@@ -43,17 +43,33 @@ from wagtail_vector_index_spark.functions.text_analysis import sha_hash64
 
 
 def _bottom_k_partials(
-    df: DataFrame, group_cols: list[str], k: int
+    df: DataFrame, group_cols: list[str], k: int, *, with_count: bool = False
 ) -> DataFrame:
     """Per-partition bottom-k-distinct fold over a ``__u`` double column:
     one Arrow stage with O(groups x k) state per task, emitting at most
     k rows per (group, input partition). The ``__u`` hash is computed
     JVM-side before this stage, so only (group, double) columns cross
-    the Arrow boundary."""
-    schema = df.select(*group_cols, "__u").schema
+    the Arrow boundary.
+
+    ``with_count=True`` additionally folds the per-group INPUT ROW count
+    through the same state (one long per group) and emits it as a
+    ``__c`` column riding the first emitted row of each (task, group) —
+    ``sum(__c)`` downstream is then the exact per-group row count for
+    free, without a second scan. Only meaningful when the input is
+    already value-grain (each value one row), as in
+    :func:`kmv_overlap`."""
+    src = df.select(*group_cols, "__u")
+    schema = src.schema
+    if with_count:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [*schema.fields, StructField("__c", LongType(), False)]
+        )
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[tuple, np.ndarray] = {}
+        counts: dict[tuple, int] = {}
         for pdf in batches:
             for key, grp in pdf.groupby(group_cols, sort=False, dropna=False):
                 tup = key if isinstance(key, tuple) else (key,)
@@ -64,15 +80,22 @@ def _bottom_k_partials(
                     else np.unique(vals)
                 )
                 state[tup] = merged[:k]
+                if with_count:
+                    counts[tup] = counts.get(tup, 0) + len(grp)
         if state:
             keys = list(state)
-            out = pd.DataFrame(
-                [kt + (v,) for kt in keys for v in state[kt]],
-                columns=[*group_cols, "__u"],
-            )
-            yield out
+            rows = []
+            for kt in keys:
+                for i, v in enumerate(state[kt]):
+                    if with_count:
+                        c = counts[kt] if i == 0 else 0
+                        rows.append(kt + (v, c))
+                    else:
+                        rows.append(kt + (v,))
+            cols = [*group_cols, "__u"] + (["__c"] if with_count else [])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(*group_cols, "__u").mapInPandas(fold, schema=schema)
+    return src.mapInPandas(fold, schema=schema)
 
 
 def _bottom_k(
@@ -97,14 +120,19 @@ def kmv_distinct(
     value_col: str,
     k: int = 64,
     est_alias: str = "kmv_estimate",
+    eval_exact: bool = True,
 ) -> DataFrame:
     """Per-group approximate distinct count via the KMV bottom-k sketch.
 
-    Returns one row per group: the group columns, ``exact_distinct``
-    (for gate/eval comparison — drop it in production), the KMV
-    estimate, and the relative error. Groups with fewer than k distinct
-    values are exact by construction (the sketch hasn't saturated).
-    """
+    Returns one row per group: the group columns, the KMV estimate,
+    and — when ``eval_exact=True`` (the gate/eval default) —
+    ``exact_distinct`` plus the measured relative error, each computed
+    by a full ``count_distinct`` pass over the input. **Production is
+    ``eval_exact=False``**: the whole operator is then the bottom-k
+    fold alone (the exact pass is gate scaffolding for pinning the
+    sketch's error, not part of the sketch). Groups with fewer than k
+    distinct values are exact by construction (the sketch hasn't
+    saturated)."""
     u = (sha_hash64(F.col(value_col).cast("string")) / F.lit(4294967296.0)).alias(
         "__u"
     )
@@ -113,11 +141,13 @@ def kmv_distinct(
         .groupBy(*group_cols)
         .agg(F.max("__u").alias("__uk"), F.count(F.lit(1)).alias("__n"))
     )
-    exact = df.groupBy(*group_cols).agg(
-        F.count_distinct(F.col(value_col)).alias("exact_distinct")
-    )
     est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
         F.lit(float(k - 1)) / F.col("__uk")
+    )
+    if not eval_exact:
+        return bottom_k.withColumn(est_alias, est).drop("__uk", "__n")
+    exact = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
     )
     return (
         bottom_k.join(exact, group_cols)
@@ -171,18 +201,22 @@ def kmv_union_intersect(
     (exact count when unsaturated)."""
     a = sketch_a.select(F.col("kvals").alias("ka"))
     b = sketch_b.select(F.col("kvals").alias("kb"))
-    merged = F.slice(
-        F.array_sort(F.array_union(F.col("ka"), F.col("kb"))), 1, k
-    )
-    out = a.crossJoin(b).withColumn("m", merged)
-    saturated = F.size("m") >= k
-    uk = F.element_at(F.col("m"), F.size("m"))
+    return a.crossJoin(b).select(*_kmv_pair_estimates(k))
+
+
+def _kmv_pair_estimates(k: int) -> list:
+    """Union/intersection estimator columns over a frame carrying two
+    bottom-k arrays ``ka``/``kb`` (shared by :func:`kmv_union_intersect`
+    and :func:`kmv_overlap` so the two paths cannot drift)."""
+    m = F.slice(F.array_sort(F.array_union(F.col("ka"), F.col("kb"))), 1, k)
+    saturated = F.size(m) >= k
+    uk = F.element_at(m, F.size(m))
     union_est = F.when(
         saturated, F.lit(float(k - 1)) / uk
-    ).otherwise(F.size("m").cast("double"))
+    ).otherwise(F.size(m).cast("double"))
     inter_cnt = F.size(
         F.filter(
-            F.col("m"),
+            m,
             lambda x: F.array_contains(F.col("ka"), x)
             & F.array_contains(F.col("kb"), x),
         )
@@ -190,8 +224,91 @@ def kmv_union_intersect(
     inter_est = F.when(
         saturated, inter_cnt.cast("double") / F.lit(float(k)) * union_est
     ).otherwise(inter_cnt.cast("double"))
-    return out.select(
-        union_est.alias("union_est"), inter_est.alias("intersect_est")
+    return [union_est.alias("union_est"), inter_est.alias("intersect_est")]
+
+
+def kmv_overlap(
+    df: DataFrame,
+    *,
+    value_col: str,
+    cond_a,
+    cond_b,
+    k: int = 64,
+    eval_exact: bool = True,
+) -> DataFrame:
+    """Audience-overlap report in ONE pass: distinct-count union and
+    intersection estimates for the two segments ``cond_a`` / ``cond_b``
+    (boolean Columns over ``df``), from two KMV sketches built in a
+    single scan + a single Arrow fold.
+
+    Shape (the r5 ``sketch_kmv_set_ops`` regression fix — the old
+    composition referenced a lazy sketch frame twice and re-executed
+    the whole scan per reference):
+
+    1. one map-side-combinable ``groupBy(value)`` agg → value-grain
+       rows with segment membership flags (this IS the distinct);
+    2. explode each value into its segment tags (``a``, ``b``, and
+       ``i`` for the intersection when ``eval_exact``);
+    3. ONE grouped bottom-k Arrow fold (``with_count=True``) — the
+       per-tag sketch AND the per-tag exact count come out of the same
+       O(tags x k)-state stage;
+    4. a tiny two-level agg pivots the ≤3 tag rows into one row and
+       applies the shared pair estimators.
+
+    Exact counts (``eval_exact=True``, the gate default) are
+    inclusion-exclusion over the folded tag counts —
+    ``union_exact = c_a + c_b - c_i`` — so the eval companion costs no
+    extra pass, unlike :func:`kmv_distinct`'s. ``eval_exact=False``
+    drops the exact columns and the ``i`` tag."""
+    flags = df.groupBy(F.col(value_col).alias("__val")).agg(
+        F.max(cond_a.cast("int")).alias("__in_a"),
+        F.max(cond_b.cast("int")).alias("__in_b"),
+    )
+    tags = [
+        F.when(F.col("__in_a") == 1, F.lit("a")),
+        F.when(F.col("__in_b") == 1, F.lit("b")),
+    ]
+    if eval_exact:
+        tags.append(
+            F.when((F.col("__in_a") == 1) & (F.col("__in_b") == 1), F.lit("i"))
+        )
+    tagged = flags.select(
+        F.explode(
+            F.filter(F.array(*tags), lambda x: x.isNotNull())
+        ).alias("__tag"),
+        (
+            sha_hash64(F.col("__val").cast("string")) / F.lit(4294967296.0)
+        ).alias("__u"),
+    )
+    partials = _bottom_k_partials(tagged, ["__tag"], k, with_count=True)
+    # value-grain input means every (tag, u) is globally unique (no
+    # cross-task dedup needed): sort+slice of the ≤ tasks*k partials is
+    # the exact per-tag bottom-k, and sum(__c) the exact tag count.
+    per_tag = partials.groupBy("__tag").agg(
+        F.slice(F.sort_array(F.collect_list("__u")), 1, k).alias("kvals"),
+        F.sum("__c").alias("cnt"),
+    )
+    row = per_tag.agg(
+        F.max(F.when(F.col("__tag") == "a", F.col("kvals"))).alias("ka"),
+        F.max(F.when(F.col("__tag") == "b", F.col("kvals"))).alias("kb"),
+        F.sum(F.when(F.col("__tag") == "a", F.col("cnt"))).alias("__ca"),
+        F.sum(F.when(F.col("__tag") == "b", F.col("cnt"))).alias("__cb"),
+        F.sum(F.when(F.col("__tag") == "i", F.col("cnt"))).alias("__ci"),
+    ).select(
+        F.coalesce(F.col("ka"), F.array().cast("array<double>")).alias("ka"),
+        F.coalesce(F.col("kb"), F.array().cast("array<double>")).alias("kb"),
+        F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        F.coalesce(F.col("__ci"), F.lit(0)).alias("__ci"),
+    )
+    ests = _kmv_pair_estimates(k)
+    if not eval_exact:
+        return row.select(*ests)
+    return row.select(
+        (F.col("__ca") + F.col("__cb") - F.col("__ci")).alias("union_exact"),
+        ests[0],
+        F.col("__ci").alias("intersect_exact"),
+        ests[1],
     )
 
 
@@ -258,6 +375,7 @@ def quantile_sketch(
     value_col: str,
     quantiles: Sequence[float] = (0.5, 0.9, 0.99),
     k: int = 512,
+    eval_exact: bool = True,
 ) -> DataFrame:
     """Quantile estimates from a DETERMINISTIC uniform row sample: keep
     the k rows whose sha-derived key hash is smallest (a
@@ -270,12 +388,13 @@ def quantile_sketch(
     and partitionings, which is what lets the oracle replay it value
     for value (seeded-RNG reservoirs cannot cross engines).
 
-    Exact interpolated percentiles ride along per quantile
-    (``p{q}_exact``) so the gate also pins the measured sampling error.
-    One TakeOrderedAndProject (k rows to the driver-side plan, nothing
-    else) plus one exact-percentile agg for the comparison column —
-    drop the exact columns in production and the whole sketch is the
-    ordered k-sample.
+    When ``eval_exact=True`` (the gate/eval default), exact
+    interpolated percentiles ride along per quantile (``p{q}_exact``)
+    so the gate also pins the measured sampling error — a full
+    exact-percentile agg over the input. **Production is
+    ``eval_exact=False``**: the whole operator is then one
+    TakeOrderedAndProject (k rows to the driver-side plan, nothing
+    else).
     """
     u = sha_hash64(F.col(key_col).cast("string")).alias("__u")
     sampled = (
@@ -287,15 +406,18 @@ def quantile_sketch(
         F.sort_array(F.collect_list("__v")).alias("__a"),
         F.count(F.lit(1)).alias("__m"),
     )
-    exact = df.agg(
-        *[
-            F.percentile(F.col(value_col).cast("double"), F.lit(q)).alias(
-                f"__x{i}"
-            )
-            for i, q in enumerate(quantiles)
-        ]
-    )
-    out = arr.crossJoin(F.broadcast(exact))
+    if eval_exact:
+        exact = df.agg(
+            *[
+                F.percentile(F.col(value_col).cast("double"), F.lit(q)).alias(
+                    f"__x{i}"
+                )
+                for i, q in enumerate(quantiles)
+            ]
+        )
+        out = arr.crossJoin(F.broadcast(exact))
+    else:
+        out = arr
     cols = []
     for i, q in enumerate(quantiles):
         pos = F.floor(F.lit(float(q)) * (F.col("__m") - 1)).cast("int") + 1
@@ -306,5 +428,6 @@ def quantile_sketch(
             F.col("__m") > 0, F.round(F.element_at("__a", pos), 6)
         )
         cols.append(est.alias(f"{tag}_est"))
-        cols.append(F.round(F.col(f"__x{i}"), 6).alias(f"{tag}_exact"))
+        if eval_exact:
+            cols.append(F.round(F.col(f"__x{i}"), 6).alias(f"{tag}_exact"))
     return out.select(*cols)

@@ -1524,40 +1524,30 @@ _KMV_U = "('0x' || substr(sha256(user_id::VARCHAR), 1, 8))::UBIGINT / 4294967296
     """,
 )
 def sketch_kmv_set_ops(spark, sf_dir):
-    """Mergeable-sketch set operations (Beyer et al. 2007): build ONE
-    KMV sketch per event type, then estimate the distinct-user UNION
-    (merge bottom-k sets, (k-1)/u_k) and INTERSECTION (k-min coincidence
-    fraction x union estimate) of view/click audiences from the sketches
-    alone — the property that lets per-executor partial sketches answer
-    cross-segment dashboards without re-reading 100 TB. Exact counts
-    ride along so the gate also pins the measured error; every hash,
-    merge, and estimator step is replayed by the oracle."""
-    from wagtail_vector_index_spark.operators.sketches import (
-        kmv_sketches,
-        kmv_union_intersect,
-    )
+    """Mergeable-sketch set operations (Beyer et al. 2007): estimate
+    the distinct-user UNION (merge bottom-k sets, (k-1)/u_k) and
+    INTERSECTION (k-min coincidence fraction x union estimate) of the
+    view/click audiences from KMV sketches — the property that lets
+    per-executor partial sketches answer cross-segment dashboards
+    without re-reading 100 TB. r6: one :func:`kmv_overlap` pass — ONE
+    events scan, ONE Arrow fold carrying both sketches AND the exact
+    counts (inclusion-exclusion over folded tag counts) — replacing
+    the r5 composition that re-executed the sketch subplan per
+    reference plus three exact-count scans (0.48→1.02s regression).
+    Output values are identical, so the oracle is unchanged."""
+    from wagtail_vector_index_spark.operators.sketches import kmv_overlap
 
     ev = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "click")
     )
-    sk = kmv_sketches(
-        ev, group_cols=["event_type"], value_col="user_id", k=64
-    )
-    est = kmv_union_intersect(
-        sk.where(F.col("event_type") == "view"),
-        sk.where(F.col("event_type") == "click"),
+    out = kmv_overlap(
+        ev,
+        value_col="user_id",
+        cond_a=F.col("event_type") == "view",
+        cond_b=F.col("event_type") == "click",
         k=64,
     )
-    view_u = ev.where(F.col("event_type") == "view").select("user_id").distinct()
-    click_u = ev.where(F.col("event_type") == "click").select("user_id").distinct()
-    exact = (
-        ev.agg(F.count_distinct("user_id").alias("union_exact"))
-        .crossJoin(
-            view_u.join(click_u, "user_id")
-            .agg(F.count(F.lit(1)).alias("intersect_exact"))
-        )
-    )
-    return exact.crossJoin(F.broadcast(est)).select(
+    return out.select(
         "union_exact",
         F.round("union_est", 2).alias("union_est"),
         "intersect_exact",

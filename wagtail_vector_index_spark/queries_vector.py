@@ -1705,11 +1705,13 @@ def knn_jl_recall(spark, sf_dir):
     projected vectors bit-identical in both engines). The sign
     matrices ship as broadcast 1-row frames, not plan literals —
     Catalyst charges ~1 s of analysis per out_dim x dim literal on
-    EVERY run (functions/vector.jl_project_with). The oracle
+    EVERY run (functions/vector.jl_raw_folds). The oracle
     re-derives the sign matrix from the same sha convention and
     replays projection, ranking, and recall."""
+    import math
+
     from wagtail_vector_index_spark.functions.vector import (
-        jl_project_with,
+        jl_raw_folds,
         jl_signs,
         similarity_col,
     )
@@ -1719,38 +1721,57 @@ def knn_jl_recall(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     probe = vecs.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
-    cands = vecs.where(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
 
-    brute_w = Window.partitionBy(F.lit(1)).orderBy(
-        F.col("__sim").desc(), F.col("vec_id").asc()
+    # ONE heavy pass for everything (r6): jl_signs row k is the same at
+    # every out_dim, so the K-dim projection is round(scale_K *
+    # folds[:K]) — compute the raw 32-row folds AND the full-dimension
+    # brute cosine in a single scan per candidate, lazily
+    # localCheckpoint the scored frame (60k x 33 doubles; blocks
+    # reclaimed by the ContextCleaner when the frame drops), and each
+    # ranking is then a TakeOrderedAndProject over the checkpointed
+    # frame — a 10-row heap per partition merged on the driver, vs the
+    # single-task global sort a partitionBy(lit(1)) row_number window
+    # forces (the repo's documented rule), and no re-paying the
+    # interpreted K x dim fold per level. The probe's folds ride a
+    # broadcast 1-row frame — projecting pv inline re-paid the fold
+    # per candidate row.
+    mat = spark.createDataFrame(
+        [([[float(s) for s in row] for row in jl_signs(32, 64)],)],
+        "m array<array<double>>",
+    )
+    scored = (
+        vecs.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .crossJoin(F.broadcast(mat))
+        .select(
+            "vec_id",
+            similarity_col(F.col("v"), F.col("pv"), "cosine").alias("__bsim"),
+            jl_raw_folds(F.col("v"), F.col("m")).alias("__f"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pfold = probe.crossJoin(F.broadcast(mat)).select(
+        jl_raw_folds(F.col("pv"), F.col("m")).alias("__pf")
     )
     brute = (
-        cands.withColumn(
-            "__sim", similarity_col(F.col("v"), F.col("pv"), "cosine")
-        )
-        .withColumn("__rn", F.row_number().over(brute_w))
-        .where(F.col("__rn") <= 10)
+        scored.orderBy(F.col("__bsim").desc(), F.col("vec_id").asc())
+        .limit(10)
         .select("vec_id", F.lit(1).alias("__hit"))
     )
     levels = None
     for K in (16, 32):
-        mat = spark.createDataFrame(
-            [([[float(s) for s in row] for row in jl_signs(K, 64)],)],
-            "m array<array<double>>",
+        scale = 1.0 / math.sqrt(float(K))
+        proj = lambda col: F.transform(  # noqa: E731
+            F.slice(col, 1, K), lambda x: F.round(x * F.lit(scale), 6)
         )
         lv = (
-            cands.crossJoin(F.broadcast(mat))
+            scored.crossJoin(F.broadcast(pfold))
             .withColumn(
-                "__pc", jl_project_with(F.col("v"), F.col("m"), out_dim=K)
+                "__sim",
+                similarity_col(proj(F.col("__f")), proj(F.col("__pf")), "cosine"),
             )
-            .withColumn(
-                "__pp", jl_project_with(F.col("pv"), F.col("m"), out_dim=K)
-            )
-            .withColumn(
-                "__sim", similarity_col(F.col("__pc"), F.col("__pp"), "cosine")
-            )
-            .withColumn("__rn", F.row_number().over(brute_w))
-            .where(F.col("__rn") <= 10)
+            .orderBy(F.col("__sim").desc(), F.col("vec_id").asc())
+            .limit(10)
             .select(F.lit(K).alias("proj_dim"), "vec_id")
         )
         levels = lv if levels is None else levels.unionByName(lv)
