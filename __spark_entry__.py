@@ -23,60 +23,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-sample recency per catalog query (round of the most recent
-# CORRECTNESS_r0N row, merged r1-r4). Catalog iteration orders
+# CORRECTNESS_r0N row, merged r1-r5). Catalog iteration orders
 # least-recently-sampled first so the driver's 50-per-round sample
 # keeps rotating through the full catalog instead of re-drawing the
 # same keys; queries with no entry (newly added) go before everything.
 # Pure ordering - no renames, no semantic change.
 _DRIVER_LAST_SAMPLED = {
-    # last sampled in round 1 (13 queries)
-    "dedup_apply": 1,
-    "doc_fingerprint": 1,
-    "embedding_neardup": 1,
-    "find_similar_hash": 1,
-    "knn_cosine": 1,
-    "knn_l2": 1,
-    "knn_mip": 1,
-    "knn_threshold": 1,
-    "multimodal_decode_meta": 1,
-    "search_hash_knn": 1,
-    "similarity_join_topk": 1,
-    "streaming_stateful_dedup": 1,
-    "text_wordcount": 1,
-    # last sampled in round 2 (33 queries)
-    "dedup_exact": 2,
-    "dedup_jaccard_exact": 2,
-    "dedup_minhash_lsh": 2,
-    "dedup_simhash": 2,
+    # last sampled in round 2 (5 queries)
     "pipeline_dataset_mix": 2,
     "pipeline_decontaminate": 2,
     "pipeline_mix_epochs": 2,
     "pipeline_quality_filter": 2,
-    "q10_returned_items": 2,
-    "q14_promo_share": 2,
-    "q6_forecast_revenue": 2,
-    "q_above_global_avg": 2,
-    "q_above_nation_avg": 2,
-    "q_big_orders": 2,
-    "q_case_agg": 2,
-    "q_distinct_agg": 2,
-    "q_events_anomaly": 2,
-    "q_events_hourly": 2,
-    "q_events_json": 2,
-    "q_having": 2,
-    "q_median_price": 2,
-    "q_monthly_orders": 2,
-    "q_outer_join_counts": 2,
-    "q_pivot_flags": 2,
-    "q_scalar_functions": 2,
-    "q_sessionize": 2,
-    "q_ship_delay": 2,
-    "q_stats_agg": 2,
-    "q_union_all": 2,
-    "q_window_analytics": 2,
     "text_lang_id": 2,
-    "text_quality": 2,
-    "text_token_count": 2,
     # last sampled in round 3 (37 queries)
     "ann_ivf_cosine": 3,
     "ann_ivfpq_adc": 3,
@@ -166,6 +124,57 @@ _DRIVER_LAST_SAMPLED = {
     "sketch_kmv_set_ops": 4,
     "text_quality_classifier": 4,
     "text_zipf_slope": 4,
+    # last sampled in round 5 (50 queries)
+    "dedup_apply": 5,
+    "dedup_exact": 5,
+    "dedup_jaccard_exact": 5,
+    "dedup_jaccard_prefix": 5,
+    "dedup_keep_best": 5,
+    "dedup_minhash_lsh": 5,
+    "dedup_simhash": 5,
+    "doc_fingerprint": 5,
+    "embedding_neardup": 5,
+    "find_similar_hash": 5,
+    "graph_pagerank_dangling": 5,
+    "knn_cosine": 5,
+    "knn_jl_recall": 5,
+    "knn_l2": 5,
+    "knn_mip": 5,
+    "knn_threshold": 5,
+    "multimodal_decode_meta": 5,
+    "pipeline_weighted_sample": 5,
+    "q10_returned_items": 5,
+    "q14_promo_share": 5,
+    "q6_forecast_revenue": 5,
+    "q_above_global_avg": 5,
+    "q_above_nation_avg": 5,
+    "q_big_orders": 5,
+    "q_case_agg": 5,
+    "q_distinct_agg": 5,
+    "q_events_anomaly": 5,
+    "q_events_hourly": 5,
+    "q_events_json": 5,
+    "q_having": 5,
+    "q_median_price": 5,
+    "q_monthly_orders": 5,
+    "q_outer_join_counts": 5,
+    "q_pivot_flags": 5,
+    "q_scalar_functions": 5,
+    "q_sessionize": 5,
+    "q_ship_delay": 5,
+    "q_stats_agg": 5,
+    "q_union_all": 5,
+    "q_window_analytics": 5,
+    "search_hash_knn": 5,
+    "similarity_join_topk": 5,
+    "sketch_quantiles_price": 5,
+    "streaming_neardup_corpus": 5,
+    "streaming_stateful_dedup": 5,
+    "text_quality": 5,
+    "text_token_count": 5,
+    "text_wordcount": 5,
+    "vector_pca_power": 5,
+    "vector_pca_top2": 5,
 }
 
 

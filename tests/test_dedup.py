@@ -244,6 +244,29 @@ def test_connected_components_star_pointer_doubling_rounds(spark):
     assert star_stats["rounds"] < label_stats["rounds"]
 
 
+def test_connected_components_fixed_rounds_probeless(spark):
+    """fixed_rounds (r6): probeless star execution must match the
+    signature-probed default when the budget covers convergence, run
+    exactly the requested rounds, and reject the label algorithm."""
+    import pytest
+
+    from wagtail_vector_index_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    stats: dict = {}
+    fixed = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, algorithm="star", fixed_rounds=8, stats=stats
+        ).collect()
+    }
+    assert fixed == {i: 0 for i in range(64)}
+    assert stats["rounds"] == 8
+    with pytest.raises(ValueError, match="fixed_rounds"):
+        connected_components(pairs, algorithm="label", fixed_rounds=4)
+
+
 def test_connected_components_star_matches_label_on_mixed_graph(spark):
     """Both algorithms produce identical labels on a graph mixing a
     clique, a chain, self-loops, duplicate/reversed edges, and string
@@ -771,6 +794,37 @@ def test_prefix_jaccard_matches_cocount_exact(spark):
         (r["id_a"], r["id_b"])
         for r in ngram_jaccard_pairs_prefix(df, threshold=0.8).collect()
     }
+
+
+def test_prefix_jaccard_exact_threshold_boundary(spark):
+    """Float-ceiling boundary (r6 advice fix): with t=0.55 and a
+    20-shingle doc, 0.55*20 computes as 11.000000000000002 — a naive
+    ceil gives 12, shortening the prefix below the AllPairs bound and
+    over-tightening the length filter, so a pair whose Jaccard is
+    EXACTLY the threshold gets silently dropped. B ⊂ A with |A|=20,
+    |B|=11 ⇒ J = 11/20 = 0.55; the epsilon-robust ceiling must keep
+    it, matching the co-count path's >= t contract."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    words = [f"w{i}" for i in range(20)]
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words[:11])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.55).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs_prefix(df, n=1, threshold=0.55).collect()
+    }
+    assert want == {(1, 2): 0.55}
+    assert got == want
 
 
 def test_prefix_jaccard_property_random_docs(spark):

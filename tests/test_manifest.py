@@ -12,6 +12,7 @@ The claims under test are the ones that matter on an object store:
 import json
 import os
 import threading
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -136,6 +137,32 @@ def test_gc_respects_references_and_age(tmp_path):
     os.makedirs(log.gen_path(g_inflight))
     assert log.gc(keep_manifests=1, min_age_s=3600.0) == []
     assert os.path.isdir(log.gen_path(g_inflight))
+
+
+def test_gc_collects_unreferenced_token_generations(tmp_path):
+    """Token generations (gen-tok-<24hex>, content-addressed names with
+    no timestamp) must be collectable once unreferenced — superseded by
+    compaction or abandoned by a crashed stream — under the same
+    in-flight age guard, via mtime (r6 advice fix: the main sweep's
+    regex never matched them, so they leaked forever)."""
+    log = ManifestLog(str(tmp_path))
+    tok_live = "gen-tok-" + "a" * 24
+    tok_orphan = "gen-tok-" + "b" * 24
+    os.makedirs(log.gen_path(tok_live))
+    os.makedirs(log.gen_path(tok_orphan))
+    log.commit(lambda cur: ([tok_live], {}, ["token-1"]))
+    # fresh orphan survives via the age guard (possible in-flight writer)
+    assert log.gc(keep_manifests=1, min_age_s=3600.0) == []
+    assert os.path.isdir(log.gen_path(tok_orphan))
+    # aged orphan is collected; the live token generation never is
+    old = time.time() - 7200
+    os.utime(log.gen_path(tok_orphan), (old, old))
+    deleted = log.gc(keep_manifests=1, min_age_s=3600.0)
+    assert log.gen_path(tok_orphan) in deleted
+    assert os.path.isdir(log.gen_path(tok_live))
+    # exactly-once memory lives in the manifest, not the directory:
+    # the token window still records the applied batch after GC
+    assert "token-1" in log.current().tokens
 
 
 # -- DocumentStore on the manifest log --------------------------------------

@@ -226,7 +226,19 @@ def ngram_jaccard_pairs_prefix(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("sh").asc()
     )
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+
+    # ceil(t * n) computed in float can land just ABOVE an exact
+    # integer (0.55 * 20 = 11.000000000000002 -> ceil 12, true 11),
+    # which would shorten the prefix below the AllPairs lemma's bound
+    # and over-tighten the length filter — silently dropping pairs
+    # whose Jaccard is exactly t. Subtracting an epsilon far larger
+    # than the product's representation error (but far smaller than 1)
+    # errs only in the safe direction: a longer prefix / looser filter
+    # admits extra candidates, and the exact verify removes them.
+    def _tceil(ncol):
+        return F.ceil(F.lit(t) * ncol - F.lit(1e-9))
+
+    prefix_len = F.col("n_sh") - _tceil(F.col("n_sh")) + 1
     pre = (
         ex.join(dfreq, "sh")
         .withColumn("__rn", F.row_number().over(w))
@@ -243,8 +255,8 @@ def ngram_jaccard_pairs_prefix(
         a.join(b, "sh")
         .where(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
-            & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
+            & (F.col("n_b") >= _tceil(F.col("n_a")))
+            & (F.col("n_a") >= _tceil(F.col("n_b")))
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -898,6 +910,7 @@ def connected_components(
     max_iter: int = 30,
     algorithm: str = "star",
     stats: dict | None = None,
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected duplicate-pair graph.
     Returns one row per node that appears in a pair: (``out_id``,
@@ -927,6 +940,17 @@ def connected_components(
 
     Pass ``stats={}`` to receive ``stats["rounds"]`` (checkpointed
     rounds actually executed) for either algorithm.
+
+    ``fixed_rounds`` (star only): run exactly that many rounds with NO
+    per-round convergence probe — one driver action per round
+    (the checkpoint) instead of two (checkpoint + signature agg). Use
+    when the duplicate graph's longest chain is known-bounded (LSH
+    near-dup chains rarely exceed a few dozen hops:
+    ``ceil(log2(chain)) + 1`` rounds suffice — paths halve per round).
+    The signature probe stays the default because it EARLY-EXITS:
+    typical duplicate graphs converge in 3-5 rounds, far under any
+    safe a-priori bound, and the probe is a tiny agg over the
+    just-checkpointed blocks.
     """
     if algorithm == "star":
         return _cc_star(
@@ -937,7 +961,10 @@ def connected_components(
             out_comp=out_comp,
             max_iter=max_iter,
             stats=stats,
+            fixed_rounds=fixed_rounds,
         )
+    if fixed_rounds is not None:
+        raise ValueError("fixed_rounds only applies to algorithm='star'")
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     return _cc_label_propagation(
@@ -960,6 +987,7 @@ def _cc_star(
     out_comp: str,
     max_iter: int,
     stats: dict | None,
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star (see :func:`connected_components`).
 
@@ -1023,15 +1051,28 @@ def _cc_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = _signature(edges)
     rounds = 0
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        rounds += 1
-        sig = _signature(edges)
-        if sig == prev:
-            break
-        prev = sig
+    if fixed_rounds is not None:
+        # probeless execution: exactly one driver action per round (the
+        # lineage-truncating checkpoint); correct as long as
+        # fixed_rounds covers the true convergence count — extra
+        # rounds are no-ops over the already-star edge set.
+        for _ in range(int(fixed_rounds)):
+            edges = _small_star(_large_star(edges)).localCheckpoint(
+                eager=True
+            )
+            rounds += 1
+    else:
+        prev = _signature(edges)
+        for _ in range(max_iter):
+            edges = _small_star(_large_star(edges)).localCheckpoint(
+                eager=True
+            )
+            rounds += 1
+            sig = _signature(edges)
+            if sig == prev:
+                break
+            prev = sig
     if stats is not None:
         stats["rounds"] = rounds
 

@@ -30,6 +30,7 @@ def pagerank(
     round_decimals: int | None = None,
     checkpoint_edges: bool = True,
     dangling: str = "drop",
+    mass_round_decimals: int = 6,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, pr).
 
@@ -46,6 +47,15 @@ def pagerank(
       per round: the sink-mass sum is an anti-join of the rank table
       against the (broadcastable, distinct-source) out-degree keys,
       aggregated to one row and broadcast into the update.
+      When rounds are pinned (``round_decimals`` set), the sink-mass
+      SUM is additionally rounded to ``mass_round_decimals`` (default
+      6) before entering the update: an ~N-term float sum is
+      order-dependent across engines, and the coarser mass pin leaves
+      orders of magnitude of margin over the summation error while
+      staying exactly replayable. Any oracle replaying the recurrence
+      must use the SAME two precisions (``_pagerank_oracle`` in
+      queries_relational.py takes them as paired parameters so the
+      two sides cannot drift).
 
     Round structure (r5, measured best-of-5 at sf0.1: 6.1s -> 4.1s):
 
@@ -101,17 +111,16 @@ def pagerank(
         extra = F.lit(0.0)
         if dangling == "redistribute":
             # sink mass = rank held by nodes with no out-edges; one
-            # 1-row agg broadcast into the update. Rounded to 6 dp when
-            # rounds are pinned: a ~N-term float sum is order-dependent
-            # across engines, and 6 dp leaves ~5 orders of magnitude of
-            # margin over the summation error while staying exactly
-            # replayable in the oracle.
+            # 1-row agg broadcast into the update, rounded to
+            # mass_round_decimals when rounds are pinned (see above).
             m = (
                 ranks.join(src_keys, "node", "left_anti")
                 .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__m"))
             )
             if round_decimals is not None:
-                m = m.select(F.round("__m", 6).alias("__m"))
+                m = m.select(
+                    F.round("__m", int(mass_round_decimals)).alias("__m")
+                )
             base = base.crossJoin(F.broadcast(m))
             extra = F.col("__m") / F.lit(n)
         pr = F.lit((1.0 - d) / n) + F.lit(d) * (
@@ -121,8 +130,17 @@ def pagerank(
             pr = F.round(pr, round_decimals)
         ranks = base.select("node", pr.alias("pr"))
         if dangling == "redistribute" and (i + 1) % 4 == 0 and i + 1 < iterations:
-            # the sink-mass agg references `ranks` a second time, so the
-            # lazy plan TREE doubles per round; a checkpoint every 4
-            # rounds bounds the growth at 2^4 subtree copies
+            # the sink-mass agg references `ranks` a second time, so
+            # the lazy plan TREE doubles per round; a checkpoint every
+            # 4 rounds bounds the growth at 2^4 subtree copies. r6
+            # measured the "clean" alternative — eagerly checkpointing
+            # `summed` EVERY round, which makes the tree linear — at
+            # 11.2s vs 7.4s for this bounded-lazy form (sf0.1, same
+            # session): per-round materialization jobs dominate these
+            # small frames, exactly as the r5 per-round rank
+            # checkpoints did, while the duplicated lazy subtrees are
+            # deduplicated at execution by ReuseExchange (the cost is
+            # plan-analysis size, bounded by the cadence). The lazy
+            # form with a bounded cadence is the keeper.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

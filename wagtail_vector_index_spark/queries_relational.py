@@ -1595,8 +1595,18 @@ def sketch_quantiles_price(spark, sf_dir):
 
 
 def _pagerank_oracle(
-    iters: int, damping: float, rd: int, *, dangling: bool = False
+    iters: int,
+    damping: float,
+    rd: int,
+    *,
+    dangling: bool = False,
+    mass_rd: int = 6,
 ) -> str:
+    """Chained-CTE replay of operators/graph.py::pagerank. ``rd`` and
+    ``mass_rd`` MUST match the operator call's ``round_decimals`` /
+    ``mass_round_decimals`` — the two precisions are paired parameters
+    on both sides so they cannot drift (r6 advice fix: the mass pin
+    was a hardcoded 6 in both places)."""
     parts = [
         """edges AS (
       SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
@@ -1610,10 +1620,10 @@ def _pagerank_oracle(
     ]
     for i in range(1, iters + 1):
         if dangling:
-            # sink mass of the previous round, rounded to 6 dp (the
+            # sink mass of the previous round, rounded to mass_rd (the
             # determinism pin on an order-dependent ~N-term float sum)
             parts.append(f"""m{i} AS (
-      SELECT round(coalesce(sum(pr), 0), 6) AS m FROM r{i - 1} r
+      SELECT round(coalesce(sum(pr), 0), {int(mass_rd)}) AS m FROM r{i - 1} r
       WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.node))""")
         extra = f" + m{i}.m / nn.n" if dangling else ""
         mjoin = f" CROSS JOIN m{i}" if dangling else ""
@@ -1639,7 +1649,7 @@ def _pagerank_oracle(
 
 @register(
     "graph_pagerank_dangling",
-    oracle=_pagerank_oracle(5, 0.85, 10, dangling=True),
+    oracle=_pagerank_oracle(5, 0.85, 10, dangling=True, mass_rd=6),
 )
 def graph_pagerank_dangling(spark, sf_dir):
     """Textbook PageRank (dangling mass redistributed) over the same
@@ -1665,7 +1675,7 @@ def graph_pagerank_dangling(spark, sf_dir):
     )
     ranks = pagerank(
         edges, iterations=5, damping=0.85, round_decimals=10,
-        dangling="redistribute",
+        dangling="redistribute", mass_round_decimals=6,
     )
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
     return (

@@ -50,6 +50,10 @@ from dataclasses import dataclass
 MANIFEST_DIR = "_manifests"
 _MANIFEST_RE = re.compile(r"^manifest-(\d{12})\.json$")
 _GEN_RE = re.compile(r"^gen-\d{20}-[0-9a-f]{8}$")
+# deterministic token generations (exactly-once appends keyed on a
+# dedup token — ann_index.py): the name is content-addressed, so it
+# carries no timestamp; GC ages these by directory mtime instead.
+_TOK_GEN_RE = re.compile(r"^gen-tok-[0-9a-f]{24}$")
 
 
 def has_data_files(path: str) -> bool:
@@ -224,6 +228,23 @@ class ManifestLog:
             if created_ns > cutoff_ns:
                 continue  # possibly a writer staging its commit
             p = os.path.join(self.root, n)
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(p)
+        for n in os.listdir(self.root):
+            # token generations (gen-tok-<24hex>): content-addressed
+            # names carry no timestamp, so the in-flight-writer window
+            # uses mtime. Unreferenced ones arise when compaction
+            # supersedes a token append, or when a writer crashed
+            # between publish-rename and commit on an abandoned stream
+            # — without this sweep they leak forever.
+            if not _TOK_GEN_RE.match(n) or n in referenced:
+                continue
+            p = os.path.join(self.root, n)
+            try:
+                if os.path.getmtime(p) > time.time() - min_age_s:
+                    continue
+            except OSError:
+                continue
             shutil.rmtree(p, ignore_errors=True)
             deleted.append(p)
         for n in os.listdir(self.root):
