@@ -91,6 +91,8 @@ ADDED = [
     "dedup_keep_best",
     "knn_jl_recall",
     "vector_pca_top2",
+    # r6 additions
+    "pipeline_perplexity_buckets",
 ]
 
 SPARK_RUNS = 5

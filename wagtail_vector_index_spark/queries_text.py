@@ -1333,6 +1333,65 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
+_PPLX_LAM = 0.7
+_PPLX_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, {TOKS_SQL} AS l FROM documents),
+    uni AS MATERIALIZED (
+      SELECT tok, count(*)::BIGINT AS c
+      FROM (SELECT unnest(l) AS tok FROM tk) GROUP BY tok),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM uni),
+    pairs AS (
+      SELECT doc_id, z[1] AS prev, z[2] AS tok FROM (
+        SELECT doc_id,
+               unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+        FROM tk WHERE len(l) >= 2)),
+    bi AS MATERIALIZED (
+      SELECT prev, tok, count(*)::BIGINT AS cb
+      FROM pairs GROUP BY prev, tok),
+    sc AS MATERIALIZED (
+      SELECT p.doc_id,
+             round(avg(ln({_PPLX_LAM!r} * (bi.cb::DOUBLE / up.c)
+                          + {(1.0 - _PPLX_LAM)!r} * (ut.c::DOUBLE / tot.n))),
+                   4) AS logprob
+      FROM pairs p
+      JOIN bi ON bi.prev = p.prev AND bi.tok = p.tok
+      JOIN uni up ON up.tok = p.prev
+      JOIN uni ut ON ut.tok = p.tok
+      CROSS JOIN tot
+      GROUP BY p.doc_id),
+    th AS (SELECT round(quantile_cont(logprob, {(1 / 3)!r}), 4) AS t1,
+                  round(quantile_cont(logprob, {(2 / 3)!r}), 4) AS t2
+           FROM sc)
+    SELECT CASE WHEN logprob > t2 THEN 'head'
+                WHEN logprob > t1 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*)::BIGINT AS n_docs,
+           round(sum(logprob), 4) AS sum_logprob
+    FROM sc CROSS JOIN th
+    GROUP BY 1
+    """
+
+
+@register("pipeline_perplexity_buckets", oracle=_PPLX_ORACLE)
+def pipeline_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019): score
+    every document under a corpus-trained interpolated bigram LM
+    (operators/lm.py — the replayable stand-in for CCNet's KenLM) and
+    split the corpus into head/middle/tail by score tertiles, the
+    quality split a web-crawl curation pipeline applies before
+    training. The unigram table broadcasts; the bigram scoring join
+    shuffles on (prev, tok) — the 100 TB-safe shape since observed
+    bigrams outgrow any broadcast. Determinism pins: 4 dp per-document
+    scores, grid-rounded tertile thresholds (never near a rounding
+    boundary — see perplexity_buckets), round(SUM) per bucket. The
+    oracle replays counts, interpolation, thresholds, and buckets."""
+    from wagtail_vector_index_spark.operators.lm import perplexity_buckets
+
+    return perplexity_buckets(
+        _t(spark, sf_dir, "documents"), lam=_PPLX_LAM
+    )
+
+
 @register(
     "streaming_stateful_dedup",
     oracle=f"""
