@@ -93,6 +93,7 @@ ADDED = [
     "vector_pca_top2",
     # r6 additions
     "pipeline_perplexity_buckets",
+    "dedup_substring_coverage",
 ]
 
 SPARK_RUNS = 5

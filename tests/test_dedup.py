@@ -911,3 +911,60 @@ def test_keep_representatives_exact_prefer_col_component_column(spark):
     kept = keep_representatives_exact(docs, pairs, prefer_col="q").collect()
     assert {r["doc_id"] for r in kept} == {2, 3}
     assert "component" in kept[0].asDict()  # caller column preserved
+
+
+def test_substring_duplicate_coverage_closed_form(spark):
+    """Hand-checkable ExactSubstr coverage (r6): overlapping duplicated
+    windows merge via min(gap, k); disjoint spans add; unique docs
+    report zero; sub-k docs are excluded."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        substring_duplicate_coverage,
+    )
+
+    shared = "one two three four"  # a duplicated 4-token span
+    rows = [
+        # docs 1 and 2 share the 4-gram -> each fully covered over it
+        (1, shared + " aaa bbb ccc"),
+        (2, "xxx yyy " + shared + " zzz"),
+        # doc 3: unique words only
+        (3, "p q r s t u v"),
+        # doc 4: shorter than k -> excluded
+        (4, "a b"),
+        # doc 5: the shared span twice WITHIN one doc (intra-doc dup)
+        (5, shared + " mid1 mid2 mid3 mid4 " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_duplicate_coverage(df, k=4).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    # docs 1/2: exactly one duplicated window of 4 tokens
+    assert out[1]["n_dup_windows"] == 1 and out[1]["covered_tokens"] == 4
+    assert out[1]["coverage"] == round(4 / 7, 4)
+    assert out[2]["covered_tokens"] == 4 and out[2]["n_toks"] == 7
+    assert out[3]["n_dup_windows"] == 0 and out[3]["coverage"] == 0.0
+    # doc 5: two disjoint duplicated windows (gap 8 >= k) -> 8 tokens
+    assert out[5]["n_dup_windows"] == 2 and out[5]["covered_tokens"] == 8
+    assert out[5]["n_toks"] == 12
+
+
+def test_substring_coverage_overlapping_windows_union(spark):
+    """A long duplicated run produces overlapping k-windows whose UNION
+    (not sum) is counted: two copies of an 8-token run with k=4 give
+    coverage of exactly 8 tokens each — 5 windows x 4 tokens would
+    overcount to 20."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        substring_duplicate_coverage,
+    )
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [(1, run + " u1 u2"), (2, "v1 v2 " + run)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_duplicate_coverage(df, k=4).collect()
+    }
+    assert out[1]["n_dup_windows"] == 5
+    assert out[1]["covered_tokens"] == 8
+    assert out[2]["covered_tokens"] == 8

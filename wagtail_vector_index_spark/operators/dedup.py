@@ -138,6 +138,110 @@ def _exact_jaccard_pairs(
     ).where(F.col("jaccard") >= F.lit(threshold))
 
 
+def substring_duplicate_coverage(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): slide a k-token window over every document, flag
+    windows whose content occurs >= 2 times ANYWHERE in the corpus
+    (cross-document or repeated within one document), and report per
+    document how much of it sits inside a duplicated span. This is the
+    sub-document counterpart of whole-document fingerprints and the
+    fixed-grain counterpart of the content-defined-chunk shared-passage
+    detector: memorization-risk boilerplate (license headers, quoted
+    blocks, templated intros) shows up as high coverage even when the
+    whole document is unique. The paper drops or trims spans >= 50 BPE
+    tokens; ``k`` plays that role at word grain.
+
+    Returns one row per document with >= k tokens: (``id_col``,
+    ``n_toks``, ``n_dup_windows``, ``covered_tokens``, ``coverage``).
+    ``covered_tokens`` is the exact size of the UNION of the
+    duplicated k-windows — computed with a closed form instead of an
+    interval-merge fold: for consecutive duplicated window starts p,
+    p' in a document, the union gains ``min(p' - p, k)`` tokens
+    (windows are fixed-length, so a gap >= k means no overlap), one
+    ``lead()`` over a per-document window — doc-keyed, never global.
+
+    Scale shape: one explode (n windows per doc), one
+    map-side-combinable count to find duplicated hashes, one shuffle
+    join back on the 64-bit window hash (collision caveat shared with
+    every hashed-shingle path here), one doc-keyed window + agg. All
+    JVM expressions; the sha window hash is the replayable
+    :func:`sha_hash64` convention.
+    """
+    kk = int(k)
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__tk")
+    )
+    sized = toks.select(
+        id_col, "__tk", F.size("__tk").cast("long").alias("n_toks")
+    ).where(F.col("n_toks") >= kk)
+    wins = sized.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_toks") - kk + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    sha_hash64(
+                        F.array_join(F.slice(F.col("__tk"), i, kk), " ")
+                    ).alias("wh"),
+                ),
+            )
+        ).alias("__w"),
+    ).select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh"))
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("wh")
+    )
+    wnd = Window.partitionBy(id_col).orderBy("pos")
+    agg = (
+        wins.join(dup, "wh")
+        .withColumn(
+            "__cov",
+            F.least(
+                F.lit(kk),
+                F.coalesce(
+                    F.lead("pos").over(wnd) - F.col("pos"), F.lit(kk)
+                ),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("__cov").alias("covered_tokens"),
+        )
+    )
+    return (
+        sized.select(id_col, "n_toks")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_toks",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias(
+                "covered_tokens"
+            ),
+            # single integer division — identical doubles in any
+            # engine, no order-dependent accumulation to pin
+            F.round(
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.col("n_toks"),
+                4,
+            ).alias("coverage"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

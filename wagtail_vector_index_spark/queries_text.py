@@ -1026,6 +1026,61 @@ def dedup_shared_passages(spark, sf_dir):
     )
 
 
+_SUBSTR_K = 8
+
+
+@register(
+    "dedup_substring_coverage",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS_SQL} AS l FROM documents),
+    sized AS (SELECT doc_id, l, len(l)::BIGINT AS n FROM tk
+              WHERE len(l) >= {_SUBSTR_K}),
+    w AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(sha256(
+                array_to_string(l[pos:pos + {_SUBSTR_K - 1}], ' ')), 1, 8)
+             )::UBIGINT AS wh
+      FROM (SELECT doc_id, l,
+                   unnest(range(1, n - {_SUBSTR_K} + 2)) AS pos
+            FROM sized)),
+    dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id,
+             least({_SUBSTR_K},
+                   coalesce(lead(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) - pos,
+                            {_SUBSTR_K})) AS c
+      FROM w JOIN dup USING (wh)),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+                   sum(c)::BIGINT AS covered
+            FROM cov GROUP BY doc_id)
+    SELECT s.doc_id, s.n AS n_toks,
+           coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           coalesce(a.covered, 0)::BIGINT AS covered_tokens,
+           round(coalesce(a.covered, 0)::BIGINT / s.n, 4) AS coverage
+    FROM sized s LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_substring_coverage(spark, sf_dir):
+    """ExactSubstr duplicated-span coverage (Lee et al. 2022): for
+    every document, the fraction of tokens sitting inside an 8-word
+    window whose content occurs >= 2 times anywhere in the corpus —
+    the sub-document memorization-risk signal whole-document
+    fingerprints miss and the fixed-grain sibling of the
+    content-defined-chunk shared-passage gate. Union size via the
+    closed form min(next_start - start, k) over a doc-keyed lead()
+    (operators/dedup.py::substring_duplicate_coverage); the only
+    non-integer step is one final division, so the oracle replays
+    values exactly with no accumulation pins."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        substring_duplicate_coverage,
+    )
+
+    return substring_duplicate_coverage(
+        _t(spark, sf_dir, "documents"), k=_SUBSTR_K
+    )
+
+
 @register(
     "corpus_report",
     oracle=f"""
