@@ -220,3 +220,34 @@ def test_corpus_dedup_against_standing_corpus(spark):
     )
     kept = Corpus(batch).dedup_against(standing, threshold=0.5)
     assert [r["doc_id"] for r in kept.df.collect()] == [11]
+
+
+def test_corpus_perplexity_and_coverage_columns(spark):
+    """r6 facade additions: with_perplexity_score / with_substring_coverage
+    attach left-joined score columns without dropping rows; unscorable
+    docs carry NULL."""
+    rows = [
+        (1, "s", "one two three four five six seven eight nine ten"),
+        (2, "s", "one two three four five six seven eight nine ten"),
+        (3, "s", "totally different words entirely here now ok fine yes sure"),
+        (4, "s", "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in Corpus(df)
+        .with_perplexity_score()
+        .with_substring_coverage(k=8)
+        .df.collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1/2 are exact dups: fully covered, and scored by the LM
+    assert out[1]["dup_coverage"] == 1.0
+    assert out[2]["dup_coverage"] == 1.0
+    assert out[3]["dup_coverage"] == 0.0
+    assert out[1]["lm_logprob"] is not None
+    # the repeated doc is more probable under the corpus LM than the unique one
+    assert out[1]["lm_logprob"] > out[3]["lm_logprob"]
+    # sub-bigram / sub-k doc: NULL scores, row retained
+    assert out[4]["lm_logprob"] is None
+    assert out[4]["dup_coverage"] is None

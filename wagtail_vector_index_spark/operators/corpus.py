@@ -539,3 +539,38 @@ class Corpus:
             threshold=threshold,
         ).select(self.id_col)
         return self._wrap(self.df.join(survivors, self.id_col, "semi"))
+
+    def with_perplexity_score(
+        self, *, col: str = "lm_logprob", lam: float = 0.7
+    ) -> "Corpus":
+        """Attach the corpus-trained interpolated bigram-LM score
+        (operators/lm.bigram_lm_scores — the CCNet perplexity signal).
+        Documents with fewer than two tokens score NULL; filter or
+        coalesce downstream. Chain before quality_filter /
+        select_to_target to curate by perplexity."""
+        from wagtail_vector_index_spark.operators.lm import bigram_lm_scores
+
+        scores = bigram_lm_scores(
+            self.df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            lam=lam,
+        ).select(self.id_col, F.col("logprob").alias(col))
+        return self._wrap(self.df.join(scores, self.id_col, "left"))
+
+    def with_substring_coverage(
+        self, *, col: str = "dup_coverage", k: int = 8
+    ) -> "Corpus":
+        """Attach the ExactSubstr duplicated-span coverage fraction
+        (operators/dedup.substring_duplicate_coverage, Lee et al.
+        2022). Documents shorter than k tokens get coverage NULL.
+        Filter high-coverage docs before training to cut memorization
+        risk the whole-document dedup family cannot see."""
+        from wagtail_vector_index_spark.operators.dedup import (
+            substring_duplicate_coverage,
+        )
+
+        cov = substring_duplicate_coverage(
+            self.df, id_col=self.id_col, text_col=self.text_col, k=k
+        ).select(self.id_col, F.col("coverage").alias(col))
+        return self._wrap(self.df.join(cov, self.id_col, "left"))
