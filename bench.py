@@ -94,6 +94,7 @@ ADDED = [
     # r6 additions
     "pipeline_perplexity_buckets",
     "dedup_substring_coverage",
+    "graph_triangles",
 ]
 
 SPARK_RUNS = 5

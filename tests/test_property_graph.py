@@ -197,3 +197,46 @@ def test_pagerank_dangling_redistribute_conserves_mass(spark):
         for r in pagerank(edges, iterations=20).collect()
     }
     assert sum(dropped.values()) < 0.999
+
+
+def test_triangle_counts_closed_form(spark):
+    """K4 (every node in C(3,2)=3 triangles), one disjoint triangle,
+    and a triangle-free chain — counts match the hand answer and
+    chain nodes are absent."""
+    from wagtail_vector_index_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    chain = [(20, 21), (21, 22), (22, 23)]
+    edges = spark.createDataFrame(
+        k4 + tri + chain, "src long, dst long"
+    )
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1}
+
+
+def test_triangle_counts_orientation_invariance(spark):
+    """Degree-ordered enumeration must count exactly what the naive
+    triple-join counts, on a random graph with duplicate/reversed/self
+    edges thrown in."""
+    import itertools
+    import random
+
+    from wagtail_vector_index_spark.operators.graph import triangle_counts
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    base = [
+        (a, b) for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.2
+    ]
+    noisy = base + [(b, a) for a, b in base[:20]] + [(5, 5), (7, 7)]
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    es = {tuple(sorted(e)) for e in base}
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= es:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert out == want

@@ -144,3 +144,60 @@ def pagerank(
             # form with a bounded cadence is the keeper.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list; returns
+    (node, n_tri) for every node in at least one triangle.
+
+    Degree-ordered enumeration (Suri & Vassilvitskii WWW'11, the
+    MapReduce "compact-forward" shape): orient every edge from its
+    lower-(degree, id) endpoint to the higher, enumerate wedges only
+    between each pivot's OUT-neighbors, and close them against the
+    canonical edge set. Each triangle is generated exactly once, at
+    its minimum-rank vertex, and per-pivot wedge work is outdeg² with
+    outdeg <= O(sqrt(m)) under degree orientation — the bound that
+    keeps a power-law graph's hub nodes from exploding the wedge join
+    (id-ordered orientation would put deg(hub)² wedges on every hub).
+    Three shuffles total: degree agg, wedge self-join on the pivot,
+    closing join on the wedge pair. Pure integer math — an oracle can
+    replay counts with the naive id-ordered enumeration and match
+    exactly."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1 = oriented.select("s", F.col("t").alias("a"))
+    o2 = oriented.select("s", F.col("t").alias("b"))
+    wedges = o1.join(o2, "s").where(F.col("a") < F.col("b"))
+    tri = wedges.join(
+        e,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+    ).select("s", "a", "b")
+    member = tri.select(F.explode(F.array("s", "a", "b")).alias("node"))
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -1685,6 +1685,64 @@ def graph_pagerank_dangling(spark, sf_dir):
     )
 
 
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+    e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    member AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri),
+    cnt AS (
+      SELECT node, count(*)::BIGINT AS n_tri FROM member GROUP BY node)
+    SELECT node, n_tri FROM (
+      SELECT node, n_tri,
+             row_number() OVER (ORDER BY n_tri DESC, node) AS rn
+      FROM cnt) WHERE rn <= 10
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle counting over the part co-purchase graph (parts sharing
+    an order, orders subsampled 4:1 to keep the gate-size wedge join
+    honest): top-10 parts by triangle membership. The operator
+    (operators/graph.py::triangle_counts) enumerates wedges under
+    DEGREE-ordered edge orientation — outdeg is O(sqrt(m))-bounded, so
+    hub nodes cannot explode the wedge join at 100 TB — while the
+    oracle counts the same triangles with the naive id-ordered triple
+    join: two different enumeration orders, identical integer counts,
+    which is exactly the cross-check a counting operator wants."""
+    from wagtail_vector_index_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0
+    ).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    counts = triangle_counts(edges)
+    w = Window.orderBy(F.col("n_tri").desc(), F.col("node").asc())
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .select("node", "n_tri")
+    )
+
+
 @register("graph_pagerank", oracle=_pagerank_oracle(5, 0.85, 10))
 def graph_pagerank(spark, sf_dir):
     """PageRank over the supplier->customer fulfillment graph (distinct
