@@ -95,6 +95,8 @@ ADDED = [
     "pipeline_perplexity_buckets",
     "dedup_substring_coverage",
     "graph_triangles",
+    "sketch_heavy_hitters",
+    "graph_pagerank_seeded",
 ]
 
 SPARK_RUNS = 5

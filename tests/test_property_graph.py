@@ -240,3 +240,44 @@ def test_triangle_counts_orientation_invariance(spark):
             for n in (a, b, c):
                 want[n] = want.get(n, 0) + 1
     assert out == want
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    """Teleporting to a seed keeps rank in its component/neighborhood:
+    on two disjoint star graphs, seeding one leaves the other at zero,
+    total mass stays <= 1, and the seed outranks uniform PageRank's
+    score for it."""
+    from wagtail_vector_index_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a"),
+         ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    ppr = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=10, teleport=seeds).collect()
+    }
+    assert ppr["x"] == 0.0 and ppr["y"] == 0.0
+    assert ppr["a"] > ppr["b"] > 0
+    assert sum(ppr.values()) <= 1.0 + 1e-9
+    uni = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=10).collect()
+    }
+    assert ppr["a"] > uni["a"]
+
+
+def test_personalized_pagerank_guards(spark):
+    import pytest
+
+    from wagtail_vector_index_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    empty = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError, match="no nodes"):
+        pagerank(edges, teleport=empty)
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="teleport composes"):
+        pagerank(edges, teleport=seeds, dangling="redistribute")

@@ -339,3 +339,47 @@ def test_eval_exact_false_drops_the_exact_pass(spark):
     assert qp["p9_est"] == qev["p9_est"]
     qplan = qprod._jdf.queryExecution().executedPlan().toString()
     assert "percentile" not in qplan.lower()
+
+
+def test_heavy_hitters_exact_on_zipf_and_certified(spark):
+    """SpaceSaving candidates + exact recount return the true top-k on
+    a skewed stream, with the union-bound certificate set; the fold's
+    state stays at `capacity` counters."""
+    from wagtail_vector_index_spark.operators.sketches import heavy_hitters
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 200
+        + [("mild",)] * 50
+        + [(f"cold{i}",) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    out = heavy_hitters(df, value_col="v", k=3, capacity=64).collect()
+    assert [(r["v"], r["freq"]) for r in out] == [
+        ("hot", 500), ("warm", 200), ("mild", 50)
+    ]
+    # n=1050, capacity 64 -> bound ~16.4; all three clear it
+    assert all(r["guaranteed_exact"] for r in out)
+
+
+def test_heavy_hitters_certificate_goes_false_when_underprovisioned(spark):
+    """With capacity too small for the tail, the k-th hitter fails the
+    n/capacity bound and the certificate must say so (the result may
+    still be right — the flag is about PROOF, not luck)."""
+    from wagtail_vector_index_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"v{i % 40}",) for i in range(400)]  # uniform: all freq 10
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    out = heavy_hitters(df, value_col="v", k=5, capacity=8).collect()
+    assert len(out) == 5
+    # bound = 400/8 = 50 > every freq (10): nothing is certified
+    assert not any(r["guaranteed_exact"] for r in out)
+
+
+def test_heavy_hitters_ties_rank_by_value(spark):
+    from wagtail_vector_index_spark.operators.sketches import heavy_hitters
+
+    rows = [("b",)] * 5 + [("a",)] * 5 + [("c",)] * 3
+    df = spark.createDataFrame(rows, "v string")
+    out = heavy_hitters(df, value_col="v", k=2, capacity=16).collect()
+    assert [r["v"] for r in out] == ["a", "b"]

@@ -31,8 +31,21 @@ def pagerank(
     checkpoint_edges: bool = True,
     dangling: str = "drop",
     mass_round_decimals: int = 6,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, pr).
+
+    ``teleport`` (optional) switches to PERSONALIZED PageRank (Page et
+    al. 1999 §6; the graph-proximity ranking behind related-item and
+    seed-expansion retrieval): a 1-column ``node`` frame of seed
+    nodes. The teleport vector puts mass 1/|seeds| on each seed and 0
+    elsewhere — both the initial ranks and the per-round restart term
+    use it, so rank concentrates in the seeds' neighborhoods instead
+    of spreading uniformly. Seeds are folded into the node frame as a
+    column ONCE (one broadcast join before the loop); the per-round
+    plan is unchanged. Only ``dangling="drop"`` composes with
+    personalization here (redistributing sink mass to the teleport
+    set is a one-line extension nobody has asked for yet).
 
     Nodes are the union of sources and destinations. Sink nodes (no
     out-edges) keep receiving rank but redistribute none; what happens
@@ -76,6 +89,8 @@ def pagerank(
     """
     if dangling not in ("drop", "redistribute"):
         raise ValueError(f"unknown dangling policy {dangling!r}")
+    if teleport is not None and dangling != "drop":
+        raise ValueError("teleport composes only with dangling='drop'")
     d = float(damping)
     # Normalize the input to reserved internal names first: the caller's
     # edge frame may carry columns named node/pr/__deg (or dst='node'),
@@ -98,7 +113,26 @@ def pagerank(
     n = float(nodes.count())
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("pr"))
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    if teleport is not None:
+        seeds = teleport.select(F.col("node")).distinct()
+        ns = float(seeds.count())
+        if ns == 0:
+            raise ValueError("teleport frame has no nodes")
+        nodes = nodes.join(
+            F.broadcast(seeds.withColumn("__is_seed", F.lit(True))),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.when(F.col("__is_seed"), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("__tele"),
+        )
+        restart = F.lit(1.0 - d) * F.col("__tele")
+        ranks = nodes.select("node", F.col("__tele").alias("pr"))
+    else:
+        restart = F.lit((1.0 - d) / n)
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for i in range(int(iterations)):
         contrib = edges.join(
             ranks, edges["__e_src"] == ranks["node"]
@@ -123,7 +157,7 @@ def pagerank(
                 )
             base = base.crossJoin(F.broadcast(m))
             extra = F.col("__m") / F.lit(n)
-        pr = F.lit((1.0 - d) / n) + F.lit(d) * (
+        pr = restart + F.lit(d) * (
             F.coalesce(F.col("__s"), F.lit(0.0)) + extra
         )
         if round_decimals is not None:

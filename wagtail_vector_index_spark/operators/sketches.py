@@ -431,3 +431,78 @@ def quantile_sketch(
         if eval_exact:
             cols.append(F.round(F.col(f"__x{i}"), 6).alias(f"{tag}_exact"))
     return out.select(*cols)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    *,
+    value_col: str,
+    k: int = 10,
+    capacity: int = 256,
+) -> DataFrame:
+    """Exact top-k frequent values via bounded-state candidate
+    generation: a per-partition SpaceSaving summary (Metwally et al.
+    2005) of ``capacity`` counters feeds an exact recount of the
+    surviving candidates, then TakeOrdered picks the top k.
+
+    Why not ``groupBy().count().orderBy().limit()``: that shuffles one
+    partial-count row per DISTINCT value — at 100 TB with an unbounded
+    key space (URLs, n-grams, user agents) the exchange carries the
+    full cardinality. Here the only full-data pass is the Arrow
+    SpaceSaving fold with O(capacity) state per task emitting at most
+    ``partitions x capacity`` candidate rows; the recount pass
+    broadcast-semi-joins the candidate set (map-side filter, tiny
+    exchange) and is exact.
+
+    Exactness guarantee (the SpaceSaving union bound): any value with
+    global count > n_total / capacity survives in at least one
+    partition summary — if it were evicted everywhere, each partition
+    would bound its local count by n_p / capacity, summing below the
+    threshold. The output's ``guaranteed_exact`` column reports
+    whether the k-th recounted frequency clears that bound, i.e.
+    whether the top-k is PROVABLY complete (raise ``capacity`` until
+    it is; Zipf-shaped data clears it at tiny capacities).
+    Ties rank by value ascending — fully deterministic."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    cap = int(capacity)
+    src = df.select(F.col(value_col).cast("string").alias("__v"))
+    schema = StructType([StructField("__v", StringType(), False)])
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v, c in pdf["__v"].value_counts().items():
+                c = int(c)
+                if v in counters:
+                    counters[v] += c
+                elif len(counters) < cap:
+                    counters[v] = c
+                else:
+                    # SpaceSaving eviction: the incoming value inherits
+                    # the minimum counter + its own count (overestimate,
+                    # never an undercount of any retained value)
+                    mv = min(counters, key=lambda x: (counters[x], x))
+                    mc = counters.pop(mv)
+                    counters[v] = mc + c
+        if counters:
+            yield pd.DataFrame({"__v": list(counters)})
+
+    cands = src.mapInPandas(fold, schema=schema).distinct()
+    counted = (
+        src.join(F.broadcast(cands), "__v")
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        counted.orderBy(F.col("freq").desc(), F.col("__v").asc())
+        .limit(int(k))
+    )
+    total = src.agg(F.count(F.lit(1)).alias("__n"))
+    return top.crossJoin(F.broadcast(total)).select(
+        F.col("__v").alias(value_col),
+        "freq",
+        (F.col("freq") > F.col("__n") / F.lit(cap)).alias(
+            "guaranteed_exact"
+        ),
+    )

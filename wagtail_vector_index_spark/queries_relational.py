@@ -1601,12 +1601,16 @@ def _pagerank_oracle(
     *,
     dangling: bool = False,
     mass_rd: int = 6,
+    seeds: int = 0,
 ) -> str:
     """Chained-CTE replay of operators/graph.py::pagerank. ``rd`` and
     ``mass_rd`` MUST match the operator call's ``round_decimals`` /
     ``mass_round_decimals`` — the two precisions are paired parameters
     on both sides so they cannot drift (r6 advice fix: the mass pin
-    was a hardcoded 6 in both places)."""
+    was a hardcoded 6 in both places). ``seeds > 0`` replays the
+    PERSONALIZED variant: teleport mass 1/seeds on the lexicographic
+    first ``seeds`` supplier nodes, matching the graph_pagerank_seeded
+    query's seed selection."""
     parts = [
         """edges AS (
       SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
@@ -1616,8 +1620,21 @@ def _pagerank_oracle(
         SELECT src AS node FROM edges UNION SELECT dst FROM edges))""",
         "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
         "deg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src)",
-        "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
     ]
+    if seeds:
+        parts.append(f"""sd AS MATERIALIZED (
+      SELECT node FROM nodes WHERE node LIKE 's%'
+      ORDER BY node LIMIT {int(seeds)})""")
+        parts.append(f"""nt AS MATERIALIZED (
+      SELECT nodes.node,
+             CASE WHEN sd.node IS NOT NULL
+                  THEN 1.0 / {float(seeds)!r} ELSE 0.0 END AS tele
+      FROM nodes LEFT JOIN sd ON sd.node = nodes.node)""")
+        parts.append("r0 AS (SELECT node, tele AS pr FROM nt)")
+    else:
+        parts.append(
+            "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"
+        )
     for i in range(1, iters + 1):
         if dangling:
             # sink mass of the previous round, rounded to mass_rd (the
@@ -1627,16 +1644,22 @@ def _pagerank_oracle(
       WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.node))""")
         extra = f" + m{i}.m / nn.n" if dangling else ""
         mjoin = f" CROSS JOIN m{i}" if dangling else ""
+        restart = (
+            f"(1 - {damping}) * nt.tele"
+            if seeds
+            else f"(1 - {damping}) / nn.n"
+        )
+        base = "nt" if seeds else "nodes"
         parts.append(f"""r{i} AS (
-      SELECT nodes.node,
-             round((1 - {damping}) / nn.n
+      SELECT {base}.node,
+             round({restart}
                    + {damping} * (coalesce(s.s, 0){extra}), {rd}) AS pr
-      FROM nodes CROSS JOIN nn{mjoin}
+      FROM {base} CROSS JOIN nn{mjoin}
       LEFT JOIN (
         SELECT e.dst AS node, sum(r.pr / deg.d) AS s
         FROM edges e JOIN r{i - 1} r ON e.src = r.node
         JOIN deg ON deg.src = e.src
-        GROUP BY e.dst) s ON s.node = nodes.node)""")
+        GROUP BY e.dst) s ON s.node = {base}.node)""")
     ctes = ",\n    ".join(parts)
     return f"""
     WITH {ctes}
@@ -1645,6 +1668,50 @@ def _pagerank_oracle(
              row_number() OVER (ORDER BY pr DESC, node) AS rn
       FROM r{iters}) WHERE rn <= 20
     """
+
+
+@register(
+    "graph_pagerank_seeded",
+    oracle=_pagerank_oracle(5, 0.85, 10, seeds=5),
+)
+def graph_pagerank_seeded(spark, sf_dir):
+    """Personalized PageRank (Page et al. 1999 §6) over the
+    supplier->customer graph: teleport mass concentrated on the five
+    lexicographically-first supplier nodes, so rank measures proximity
+    to that seed set — the graph-expansion retrieval primitive
+    (related suppliers/customers from a seed portfolio). Same
+    once-shuffled edge loop as graph_pagerank; the teleport vector is
+    folded into the node frame as a column before the loop
+    (operators/graph.py ``teleport=``). The oracle replays seed
+    selection, teleport weights, and all five rounds."""
+    from wagtail_vector_index_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+    )
+    ranks = pagerank(
+        edges, iterations=5, damping=0.85, round_decimals=10,
+        teleport=seeds,
+    )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 20)
+        .select("node", F.round("pr", 8).alias("pr"))
+    )
 
 
 @register(

@@ -1388,6 +1388,38 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
+@register(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH tk AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*)::BIGINT AS freq FROM tk GROUP BY tok),
+    tot AS (SELECT sum(freq)::BIGINT AS n FROM cnt)
+    SELECT tok, freq, freq > n / 256 AS guaranteed_exact
+    FROM (SELECT tok, freq,
+                 row_number() OVER (ORDER BY freq DESC, tok) AS rn
+          FROM cnt) CROSS JOIN tot
+    WHERE rn <= 10
+    """,
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Exact top-10 frequent tokens via bounded-state candidate
+    generation (operators/sketches.py::heavy_hitters): per-partition
+    SpaceSaving summaries (256 counters of state per task — the
+    exchange carries partitions x 256 candidate rows instead of one
+    row per DISTINCT token) feed an exact broadcast-filtered recount.
+    The guaranteed_exact column certifies the SpaceSaving union bound
+    (k-th frequency > n/capacity), which the oracle — a plain full
+    groupBy top-10 — must agree with value for value: the certificate
+    IS the claim that the bounded-state path lost nothing."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+    from wagtail_vector_index_spark.operators.sketches import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(toks, value_col="tok", k=10, capacity=256)
+
+
 _PPLX_LAM = 0.7
 _PPLX_ORACLE = f"""
     WITH tk AS (SELECT doc_id, {TOKS_SQL} AS l FROM documents),
