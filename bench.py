@@ -97,6 +97,7 @@ ADDED = [
     "graph_triangles",
     "sketch_heavy_hitters",
     "graph_pagerank_seeded",
+    "q18_large_volume_customer",
 ]
 
 SPARK_RUNS = 5

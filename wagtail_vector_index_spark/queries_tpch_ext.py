@@ -485,6 +485,75 @@ def q17_small_qty_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Q18: large-volume customers (IN-subquery on an aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice, sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN big      ON big.l_orderkey = o_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18: customers behind the largest orders — the
+    `o_orderkey IN (SELECT ... HAVING sum(qty) > t)` subquery
+    decorrelated into a semi-joinable aggregate (threshold 250 instead
+    of 300: the scaled-down fact table needs a scaled-down tail cut to
+    return a meaningful set). The big-order key set is one
+    partial-agg'd shuffle over lineitem and then SEMI-joins the fact —
+    under AQE the tiny qualifying key set broadcasts, so the fact
+    table is filtered map-side instead of re-shuffled; customer is a
+    broadcast dim. Ranking pinned by (o_totalprice, o_orderdate,
+    o_orderkey) so ties cannot reorder across engines; TakeOrdered
+    serves the limit."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q19: disjunctive brand/size/quantity bands (OR-pushdown)
 # ---------------------------------------------------------------------------
 
