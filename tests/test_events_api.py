@@ -182,3 +182,26 @@ def test_retention_counts_cohort_cells(spark):
         ("2024-01", 1): 1,
         ("2024-02", 0): 1,
     }
+
+
+def test_top_paths_counts_consecutive_triples(spark):
+    """r6: top_paths counts per-entity consecutive type sequences in
+    (ts, order) order and never crosses entities."""
+    import datetime as dt
+
+    from wagtail_vector_index_spark.operators.events import EventLog
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"), (1, t0, 2, "b"), (1, t0, 3, "c"),
+        (1, t0, 4, "a"),
+        (2, t0, 5, "b"), (2, t0, 6, "c"), (2, t0, 7, "a"),
+        # entity 3 has only two events: no triple
+        (3, t0, 8, "a"), (3, t0, 9, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r["path"]: r["n"] for r in EventLog(df).top_paths(k=5).collect()}
+    # entity 1: a>b>c, b>c>a; entity 2: b>c>a — no cross-entity a>b>b etc.
+    assert out == {"a>b>c": 1, "b>c>a": 2}

@@ -248,3 +248,36 @@ class EventLog:
             )
             .agg(F.count(F.lit(1)).alias("n_users"))
         )
+
+    def top_paths(
+        self,
+        *,
+        type_col: str = "event_type",
+        steps: int = 3,
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k ``steps``-long consecutive event-type paths per entity
+        (the 'what do users do next' product query; gated by
+        q_event_paths). One entity-keyed window pass; the count key
+        space is bounded by |event_types|^steps. Deterministic:
+        (ts, order_col) ordering, ties ranked by path string."""
+        w = Window.partitionBy(self.entity_col).orderBy(
+            self.ts_col, self.order_col
+        )
+        cols = [F.col(type_col)] + [
+            F.lead(type_col, i).over(w) for i in range(1, int(steps))
+        ]
+        named = [c.alias(f"__e{i}") for i, c in enumerate(cols)]
+        s = self.df.select(self.entity_col, *named)
+        return (
+            s.where(F.col(f"__e{int(steps) - 1}").isNotNull())
+            .select(
+                F.concat_ws(
+                    ">", *[f"__e{i}" for i in range(int(steps))]
+                ).alias("path")
+            )
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("path").asc())
+            .limit(int(k))
+        )

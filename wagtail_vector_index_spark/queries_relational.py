@@ -296,6 +296,48 @@ def q_events_user_gaps(spark, sf_dir):
 
 
 @register(
+    "q_event_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           count(*)::BIGINT AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q_event_paths(spark, sf_dir):
+    """Top-10 three-step behavioral paths (the product-analytics
+    'what do users do next' query): consecutive event-type triples per
+    user in (ts, event_id) order — the event_id tie-break is the
+    determinism pin for simultaneous events — counted and ranked. One
+    user-keyed window pass + one map-side-combinable count over a
+    |event_types|³-bounded key space; TakeOrdered serves the limit."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+@register(
     "q9_nation_profit",
     oracle="""
     SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
