@@ -262,3 +262,30 @@ def test_store_read_raises_when_never_written(spark, tmp_path):
     store = DocumentStore(spark, str(tmp_path / "never"))
     with pytest.raises(FileNotFoundError):
         store.read()
+
+
+def test_read_live_table_schema_evolution(spark, tmp_path):
+    """r6: a generation written before a column existed reads that
+    column as NULL (lakehouse append-only evolution); opting out makes
+    drift a hard error."""
+    from wagtail_vector_index_spark.sources.manifest import read_live_table
+
+    root = str(tmp_path / "tbl")
+    log = ManifestLog(root)
+    g1 = log.new_generation()
+    spark.createDataFrame([(1, "a")], "id long, txt string").write.parquet(
+        log.gen_path(g1)
+    )
+    log.commit(lambda cur: ([g1], {}))
+    g2 = log.new_generation()
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, txt string, score double"
+    ).write.parquet(log.gen_path(g2))
+    log.commit(lambda cur: ([g1, g2], {}))
+
+    rows = {r["id"]: r for r in read_live_table(spark, root).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["score"] is None and rows[2]["score"] == 0.9
+
+    with pytest.raises(Exception, match="column|COLUMN"):
+        read_live_table(spark, root, allow_schema_evolution=False).collect()

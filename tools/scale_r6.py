@@ -39,12 +39,26 @@ QUERIES = (
     "knn_jl_recall",
     "vector_pca_top2",
     "sketch_quantiles_price",
+    "pipeline_perplexity_buckets",
+    "dedup_substring_coverage",
+    "sketch_heavy_hitters",
+    "graph_triangles",
+    "graph_pagerank_seeded",
+    "q_event_paths",
+    "q18_large_volume_customer",
 )
 SHIFTS = {
     "events": {"event_id": 100_000_000, "user_id": 10_000_000},
     "embeddings": {"vec_id": 1_000_000},
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     "documents": {"doc_id": 1_000_000},
+    # l_partkey shifted too: the triangle gate's co-purchase graph
+    # becomes 10 disjoint copies instead of one denser graph
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_suppkey": 1_000_000,
+        "l_partkey": 1_000_000,
+    },
 }
 
 
@@ -175,9 +189,11 @@ def main() -> None:
         "### r6 10x stagings (key-shifted replicas; reworked queries + production sketch forms)",
         "",
         "10 disjoint key-shifted replicas of sf0.1 events/embeddings/",
-        "orders/documents (tools/scale_r6.py): the kmv overlap sees 10x",
-        "distinct users, JL/PCA a 10x candidate set, quantiles a 10x",
-        "order stream. Warm best-of-3. [prod] rows time the",
+        "orders/documents/lineitem (tools/scale_r6.py): kmv/heavy-",
+        "hitters/event-paths see 10x users+events, JL/PCA a 10x",
+        "candidate set, quantiles/q18 a 10x order stream, perplexity/",
+        "substring a 10x corpus, triangles/seeded-pagerank 10 disjoint",
+        "graph copies. Warm best-of-3. [prod] rows time the",
         "eval_exact=False operator forms directly (the gated queries",
         "carry the exact-eval companions; these are what production",
         "pays).",

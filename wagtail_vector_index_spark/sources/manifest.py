@@ -271,11 +271,18 @@ class ManifestLog:
         return deleted
 
 
-def read_live_table(spark, root: str):
+def read_live_table(spark, root: str, *, allow_schema_evolution: bool = True):
     """The live rows of a manifest-committed table at ``root``: union of
     the committed generation scans (partition pruning applies per
     scan). Raises FileNotFoundError when nothing is committed —
-    a data directory without a manifest reads as never-written."""
+    a data directory without a manifest reads as never-written.
+
+    ``allow_schema_evolution`` (default on — the expected lakehouse
+    contract): generations written before a column existed read that
+    column as NULL instead of failing the union, so appending a batch
+    with a new column never requires rewriting history (compaction
+    materializes the unified schema whenever it next runs). Pass False
+    to make any schema drift a hard error instead."""
     from functools import reduce
 
     log = ManifestLog(root)
@@ -283,4 +290,9 @@ def read_live_table(spark, root: str):
     if cur is None or not cur.live:
         raise FileNotFoundError(f"no committed table at {root}")
     frames = [spark.read.parquet(p) for p in log.live_paths(cur)]
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    return reduce(
+        lambda a, b: a.unionByName(
+            b, allowMissingColumns=allow_schema_evolution
+        ),
+        frames,
+    )
