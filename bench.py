@@ -98,6 +98,7 @@ ADDED = [
     "sketch_heavy_hitters",
     "graph_pagerank_seeded",
     "q18_large_volume_customer",
+    "sketch_quantiles_by_type",
 ]
 
 SPARK_RUNS = 5

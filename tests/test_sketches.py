@@ -383,3 +383,53 @@ def test_heavy_hitters_ties_rank_by_value(spark):
     df = spark.createDataFrame(rows, "v string")
     out = heavy_hitters(df, value_col="v", k=2, capacity=16).collect()
     assert [r["v"] for r in out] == ["a", "b"]
+
+
+def test_grouped_quantile_sketch_matches_global_per_group(spark):
+    """r6 grouped path: per-group estimates must equal running the
+    GLOBAL sketch on each group's rows separately (same bottom-k
+    semantics, duplicates kept), across a partitioned input."""
+    from wagtail_vector_index_spark.operators.sketches import quantile_sketch
+
+    rows = (
+        [("a", i, float(i)) for i in range(300)]
+        + [("b", 1000 + i, float(i * 2)) for i in range(80)]
+        # duplicate keys: same key twice with different values
+        + [("a", 7, 999.0), ("b", 1003, -5.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "g string, k long, v double"
+    ).repartition(7)
+    grouped = {
+        r["g"]: r
+        for r in quantile_sketch(
+            df, key_col="k", value_col="v", quantiles=(0.5, 0.9), k=64,
+            group_cols=["g"],
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = quantile_sketch(
+            df.where(F.col("g") == g), key_col="k", value_col="v",
+            quantiles=(0.5, 0.9), k=64,
+        ).first()
+        assert grouped[g]["p5_est"] == solo["p5_est"], g
+        assert grouped[g]["p9_est"] == solo["p9_est"], g
+        assert grouped[g]["p5_exact"] == solo["p5_exact"], g
+
+
+def test_grouped_quantile_sketch_prod_form_and_small_groups(spark):
+    from wagtail_vector_index_spark.operators.sketches import quantile_sketch
+
+    rows = [("a", i, float(i)) for i in range(10)] + [("b", 99, 5.0)]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = {
+        r["g"]: r
+        for r in quantile_sketch(
+            df, key_col="k", value_col="v", quantiles=(0.5,), k=64,
+            group_cols=["g"], eval_exact=False,
+        ).collect()
+    }
+    # unsaturated groups are the exact sample; singleton group = its value
+    assert out["b"]["p5_est"] == 5.0
+    assert out["a"]["p5_est"] == 4.0  # floor(0.5*9)=4 -> value 4.0
+    assert list(out["a"].asDict()) == ["g", "p5_est"]

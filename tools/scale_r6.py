@@ -51,6 +51,7 @@ SHIFTS = {
     "events": {"event_id": 100_000_000, "user_id": 10_000_000},
     "embeddings": {"vec_id": 1_000_000},
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
     "documents": {"doc_id": 1_000_000},
     # l_partkey shifted too: the triangle gate's co-purchase graph
     # becomes 10 disjoint copies instead of one denser graph

@@ -376,6 +376,7 @@ def quantile_sketch(
     quantiles: Sequence[float] = (0.5, 0.9, 0.99),
     k: int = 512,
     eval_exact: bool = True,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from a DETERMINISTIC uniform row sample: keep
     the k rows whose sha-derived key hash is smallest (a
@@ -388,6 +389,16 @@ def quantile_sketch(
     and partitionings, which is what lets the oracle replay it value
     for value (seeded-RNG reservoirs cannot cross engines).
 
+    ``group_cols`` (r6) computes one estimate row PER GROUP — the
+    per-source / per-segment distribution dashboard. The global form's
+    TakeOrdered doesn't group, so the grouped path runs a
+    partition-local bottom-k-rows Arrow fold (O(groups x k) state per
+    task, the KMV fold's shape) and merges partials with a ranked
+    window over at most partitions x k rows per group. Duplicate keys
+    are legitimate sample rows in both forms, and every partial keeps
+    its partition's k smallest rows, so the merged bottom-k equals the
+    global bottom-k exactly — no distinct step.
+
     When ``eval_exact=True`` (the gate/eval default), exact
     interpolated percentiles ride along per quantile (``p{q}_exact``)
     so the gate also pins the measured sampling error — a full
@@ -397,28 +408,42 @@ def quantile_sketch(
     else).
     """
     u = sha_hash64(F.col(key_col).cast("string")).alias("__u")
-    sampled = (
-        df.select(u, F.col(value_col).cast("double").alias("__v"))
-        .orderBy(F.col("__u").asc(), F.col("__v").asc())
-        .limit(int(k))
-    )
-    arr = sampled.agg(
-        F.sort_array(F.collect_list("__v")).alias("__a"),
-        F.count(F.lit(1)).alias("__m"),
-    )
-    if eval_exact:
-        exact = df.agg(
-            *[
-                F.percentile(F.col(value_col).cast("double"), F.lit(q)).alias(
-                    f"__x{i}"
-                )
-                for i, q in enumerate(quantiles)
-            ]
+    gcols = list(group_cols or [])
+    if gcols:
+        src = df.select(
+            *gcols, u, F.col(value_col).cast("double").alias("__v")
         )
-        out = arr.crossJoin(F.broadcast(exact))
+        sampled = _bottom_k_rows(src, gcols, int(k))
+        arr = sampled.groupBy(*gcols).agg(
+            F.sort_array(F.collect_list("__v")).alias("__a"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+    else:
+        sampled = (
+            df.select(u, F.col(value_col).cast("double").alias("__v"))
+            .orderBy(F.col("__u").asc(), F.col("__v").asc())
+            .limit(int(k))
+        )
+        arr = sampled.agg(
+            F.sort_array(F.collect_list("__v")).alias("__a"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+    if eval_exact:
+        exact_aggs = [
+            F.percentile(F.col(value_col).cast("double"), F.lit(q)).alias(
+                f"__x{i}"
+            )
+            for i, q in enumerate(quantiles)
+        ]
+        if gcols:
+            exact = df.groupBy(*gcols).agg(*exact_aggs)
+            out = arr.join(exact, gcols)
+        else:
+            exact = df.agg(*exact_aggs)
+            out = arr.crossJoin(F.broadcast(exact))
     else:
         out = arr
-    cols = []
+    cols = list(gcols)
     for i, q in enumerate(quantiles):
         pos = F.floor(F.lit(float(q)) * (F.col("__m") - 1)).cast("int") + 1
         tag = str(q).replace("0.", "p").replace(".", "_")
@@ -431,6 +456,47 @@ def quantile_sketch(
         if eval_exact:
             cols.append(F.round(F.col(f"__x{i}"), 6).alias(f"{tag}_exact"))
     return out.select(*cols)
+
+
+def _bottom_k_rows(
+    df: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Exact per-group k smallest (``__u``, ``__v``) ROWS (duplicates
+    kept — unlike :func:`_bottom_k`'s distinct-value contract):
+    partition-local Arrow fold with O(groups x k) state, then a ranked
+    window over the <= partitions x k partial rows. Every partial
+    keeps its partition's k smallest rows and each global winner is
+    one partition's row, so the merge is exact."""
+    cols = [*group_cols, "__u", "__v"]
+    src = df.select(*cols)
+    schema = src.schema
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, pd.DataFrame] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(group_cols, sort=False, dropna=False):
+                tup = key if isinstance(key, tuple) else (key,)
+                cur = grp[["__u", "__v"]]
+                prev = state.get(tup)
+                both = cur if prev is None else pd.concat((prev, cur))
+                state[tup] = both.sort_values(
+                    ["__u", "__v"], kind="mergesort"
+                ).head(k)
+        for tup, rows in state.items():
+            out = rows.copy()
+            for c, v in zip(group_cols, tup):
+                out[c] = v
+            yield out[cols]
+
+    partials = src.mapInPandas(fold, schema=schema)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__u").asc(), F.col("__v").asc()
+    )
+    return (
+        partials.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def heavy_hitters(

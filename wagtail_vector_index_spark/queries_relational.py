@@ -1636,6 +1636,58 @@ def sketch_quantiles_price(spark, sf_dir):
     )
 
 
+@register(
+    "sketch_quantiles_by_type",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             ('0x' || substr(sha256(event_id::VARCHAR), 1, 8))::UBIGINT AS u,
+             value::DOUBLE AS v
+      FROM events),
+    r AS (
+      SELECT event_type, u, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY u, v) AS rn
+      FROM s),
+    arr AS (
+      SELECT event_type, list_sort(list(v)) AS a, count(*) AS m
+      FROM r WHERE rn <= 256 GROUP BY event_type),
+    ex AS (
+      SELECT event_type,
+             quantile_cont(value::DOUBLE, 0.5) AS x0,
+             quantile_cont(value::DOUBLE, 0.9) AS x1
+      FROM events GROUP BY event_type)
+    SELECT arr.event_type,
+           round(a[(floor(0.5 * (m - 1)))::INT + 1], 6) AS p5_est,
+           round(x0, 6) AS p5_exact,
+           round(a[(floor(0.9 * (m - 1)))::INT + 1], 6) AS p9_est,
+           round(x1, 6) AS p9_exact
+    FROM arr JOIN ex USING (event_type)
+    """,
+)
+def sketch_quantiles_by_type(spark, sf_dir):
+    """GROUPED quantile sketch (r6): p50/p90 of event value per event
+    type from one content-addressed bottom-k sample per group —
+    the per-segment distribution dashboard. The global form's
+    TakeOrdered can't group, so this path runs the KMV-shaped Arrow
+    fold (O(groups x k) state per task, partials-only exchange) and a
+    ranked-window merge; duplicate keys are legitimate sample rows and
+    the merge is exact without a distinct step
+    (operators/sketches.py::quantile_sketch(group_cols=...)). Exact
+    per-group percentiles ride along to pin the sampling error."""
+    from wagtail_vector_index_spark.operators.sketches import quantile_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_sketch(
+        ev,
+        key_col="event_id",
+        value_col="value",
+        quantiles=(0.5, 0.9),
+        k=256,
+        group_cols=["event_type"],
+    )
+
+
 def _pagerank_oracle(
     iters: int,
     damping: float,
