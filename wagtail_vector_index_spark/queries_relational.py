@@ -1789,6 +1789,11 @@ def graph_pagerank_seeded(spark, sf_dir):
             F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # the edge frame feeds THREE consumers (seed derivation, the
+        # operator's teleport count, the loop's own partition+checkpoint)
+        # — materialize the join once instead of re-executing it per
+        # consumer (lazy: blocks reclaimed when the frame drops)
+        .localCheckpoint(eager=False)
     )
     seeds = (
         edges.select(F.col("src").alias("node"))
