@@ -99,6 +99,7 @@ ADDED = [
     "graph_pagerank_seeded",
     "q18_large_volume_customer",
     "sketch_quantiles_by_type",
+    "graph_communities",
 ]
 
 SPARK_RUNS = 5

@@ -281,3 +281,43 @@ def test_personalized_pagerank_guards(spark):
     seeds = spark.createDataFrame([("a",)], "node string")
     with pytest.raises(ValueError, match="teleport composes"):
         pagerank(edges, teleport=seeds, dangling="redistribute")
+
+
+def test_label_propagation_separates_dense_blocks(spark):
+    """Two cliques joined by one bridge edge: LPA assigns each clique
+    one community (components would merge them), labels are the clique
+    minima, and every node is labeled exactly once."""
+    from wagtail_vector_index_spark.operators.graph import label_propagation
+
+    import itertools
+
+    c1 = list(itertools.combinations(range(0, 5), 2))
+    c2 = list(itertools.combinations(range(10, 15), 2))
+    bridge = [(4, 10)]
+    edges = spark.createDataFrame(
+        c1 + c2 + bridge, "src long, dst long"
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(
+        edges, rounds=4
+    ).collect()}
+    assert len(out) == 10
+    assert {out[n] for n in range(0, 5)} == {0}
+    assert {out[n] for n in range(10, 15)} == {10}
+
+
+def test_label_propagation_is_deterministic_across_partitionings(spark):
+    """Synchronous rounds + total tie order: identical labels no matter
+    how the edges are partitioned."""
+    import random
+
+    from wagtail_vector_index_spark.operators.graph import label_propagation
+
+    rng = random.Random(5)
+    edges = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(150)
+    ]
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df2 = spark.createDataFrame(edges, "src long, dst long").repartition(13)
+    a = {r["node"]: r["community"] for r in label_propagation(df1).collect()}
+    b = {r["node"]: r["community"] for r in label_propagation(df2).collect()}
+    assert a == b

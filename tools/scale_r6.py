@@ -46,6 +46,7 @@ QUERIES = (
     "graph_pagerank_seeded",
     "q_event_paths",
     "q18_large_volume_customer",
+    "sketch_quantiles_by_type",
 )
 SHIFTS = {
     "events": {"event_id": 100_000_000, "user_id": 10_000_000},

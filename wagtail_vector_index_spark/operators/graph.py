@@ -16,7 +16,7 @@ Simplified update (dangling mass dropped, documented):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -238,3 +238,60 @@ def triangle_counts(
     ).select("s", "a", "b")
     member = tri.select(F.explode(F.array("s", "a", "b")).alias("node"))
     return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007); returns (node, community) after a FIXED number of
+    rounds. Each round every node adopts the most frequent label among
+    its neighbors — majority count, ties broken by the smaller label —
+    so dense neighborhoods converge onto one label while sparse
+    bridges keep communities apart. Connected components answers
+    "reachable at all"; this answers "densely connected", the
+    modularity-flavored split a co-occurrence graph wants.
+
+    Determinism is the design constraint: synchronous updates (every
+    round reads only the previous round's labels), a total tie order
+    (count desc, label asc), and a fixed round count make the result a
+    pure function of the edge set — an external engine replays it as
+    chained CTEs, which the async/randomized textbook variant can
+    never be. Per round: one join of the symmetrized (once-shuffled,
+    checkpointed) edge list against the label table + one
+    map-side-combinable count + one per-node argmax window — all
+    node-keyed shuffles, no driver state."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("community").asc()
+    )
+    for _ in range(int(rounds)):
+        neigh = sym.join(
+            labels, sym["v"] == labels["node"]
+        ).select(F.col("u").alias("node"), "community")
+        counted = neigh.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        labels = (
+            counted.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "community")
+        )
+    return labels

@@ -1851,6 +1851,73 @@ def graph_pagerank_dangling(spark, sf_dir):
     )
 
 
+def _lpa_oracle(rounds: int) -> str:
+    parts = [
+        """li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0)""",
+        """e AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """sym AS MATERIALIZED (
+      SELECT u, v FROM e UNION SELECT v, u FROM e)""",
+        "l0 AS (SELECT DISTINCT u AS node, u AS community FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""c{i} AS (
+      SELECT s.u AS node, l.community, count(*) AS c
+      FROM sym s JOIN l{i - 1} l ON l.node = s.v
+      GROUP BY s.u, l.community)""")
+        parts.append(f"""l{i} AS MATERIALIZED (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, community) AS rn
+        FROM c{i}) WHERE rn = 1)""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT community, count(*)::BIGINT AS n_nodes
+    FROM l{rounds} GROUP BY community
+    ORDER BY n_nodes DESC, community LIMIT 10
+    """
+
+
+@register("graph_communities", oracle=_lpa_oracle(3))
+def graph_communities(spark, sf_dir):
+    """Community detection (synchronous label propagation, Raghavan et
+    al. 2007) over the part co-purchase graph: three deterministic
+    rounds — every node adopts its neighbors' majority label, ties to
+    the smaller — then the ten largest communities. Complements
+    connected components (reachability) and triangles (local density)
+    with the mesoscale split; the fixed round count + total tie order
+    make the labels a pure function of the edge set, replayed by the
+    oracle as chained CTEs (operators/graph.py::label_propagation)."""
+    from wagtail_vector_index_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0
+    ).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    labels = label_propagation(edges, rounds=3)
+    w = Window.orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+    return (
+        labels.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .select("community", "n_nodes")
+    )
+
+
 @register(
     "graph_triangles",
     oracle="""
