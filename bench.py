@@ -100,6 +100,7 @@ ADDED = [
     "q18_large_volume_customer",
     "sketch_quantiles_by_type",
     "graph_communities",
+    "q_bloom_semi_join",
 ]
 
 SPARK_RUNS = 5

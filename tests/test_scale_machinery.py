@@ -138,3 +138,52 @@ def test_weighted_sample_is_deterministic_and_weight_biased(spark):
     )
     kept = weighted_sample(z, key_col="id", weight_col="w", k=10).collect()
     assert [r["id"] for r in kept] == [3]
+
+
+def test_bloom_semi_join_exact_and_no_false_negatives(spark):
+    """r6: the bloomed semi join returns EXACTLY the plain semi join
+    (no false negatives by construction, false positives removed by
+    the exactness pass); the prefilter-only form is a superset."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.operators.skew import bloom_semi_join
+
+    big = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).alias("grp")
+    )
+    small = spark.range(400, 700).select(F.col("id"))
+    want = {
+        r["id"]
+        for r in big.join(small, "id", "left_semi").collect()
+    }
+    got = {
+        r["id"]
+        for r in bloom_semi_join(big, small, "id").collect()
+    }
+    assert got == want
+    approx = {
+        r["id"]
+        for r in bloom_semi_join(big, small, "id", exact=False).collect()
+    }
+    assert want <= approx
+    # an 8 KiB filter over 300 keys should be a TIGHT prefilter
+    assert len(approx) <= len(want) + 50
+
+
+def test_bloom_semi_join_prefilter_cuts_rows_with_tiny_filter(spark):
+    """Undersized filter: correctness still holds (exact pass), the
+    prefilter just passes more — the m_bits knob trades bytes for
+    selectivity, never correctness."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.operators.skew import bloom_semi_join
+
+    big = spark.range(2000)
+    small = spark.range(100).select(F.col("id"))
+    out = {
+        r["id"]
+        for r in bloom_semi_join(
+            big, small, "id", m_bits=256, k_hashes=2
+        ).collect()
+    }
+    assert out == set(range(100))

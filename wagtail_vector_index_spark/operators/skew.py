@@ -268,3 +268,92 @@ def weighted_sample(
         .where(F.col("__rn") <= int(k))
         .drop("__sel", "__rn")
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join ``big`` against ``small``'s keys through a DETERMINISTIC
+    Bloom filter — the runtime-filter pattern for 100 TB joins: instead
+    of shuffling the big side to meet the key set, a ``m_bits``-bit
+    filter (here 8 KiB at the default) built from the small side
+    broadcasts, and big-side rows whose k probe bits are not all set
+    are dropped MAP-SIDE before any exchange. Bloom filters have no
+    false negatives, so no qualifying row is lost; ``exact=True`` (the
+    default) finishes with a broadcast semi join that removes the
+    ~(1 - e^{-kn/m})^k false positives, making the result exactly the
+    plain semi join at a fraction of the shuffled bytes. Spark's own
+    AQE runtime filters do this opportunistically; this operator is
+    the explicit, engine-independent form (sha-derived bit positions —
+    replayable anywhere, unlike engine-internal filter state).
+
+    The filter is a ``m_bits/64``-row (word_index, word) frame built
+    with one explode + ``bit_or`` agg on the small side and joined
+    broadcast; per big row the k probes fold over a map lookup
+    expression, all JVM."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    from wagtail_vector_index_spark.functions.text_analysis import sha_hash64
+
+    def positions(col):
+        return [
+            F.pmod(
+                sha_hash64(F.concat(F.lit(f"bloom{j}:"), col.cast("string"))),
+                F.lit(m_bits),
+            )
+            for j in range(int(k_hashes))
+        ]
+
+    keys = small.select(F.col(key).alias("__k")).distinct()
+    bits = (
+        keys.select(
+            F.explode(F.array(*positions(F.col("__k")))).alias("__p")
+        )
+        .select(
+            F.expr("__p DIV 64").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))"
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__word"))
+    )
+    # ship the words as ONE map per executor via a broadcast 1-row
+    # frame (a m/64-row join per probe would re-shuffle big)
+    table = bits.agg(
+        F.map_from_arrays(
+            F.collect_list("__w"), F.collect_list("__word")
+        ).alias("__bloom")
+    )
+    probed = big.crossJoin(F.broadcast(table)).select(
+        "*",
+        *[
+            p.alias(f"__bp{j}")
+            for j, p in enumerate(positions(F.col(key)))
+        ],
+    )
+    cond = None
+    for j in range(int(k_hashes)):
+        c = F.expr(
+            f"(coalesce(element_at(__bloom, __bp{j} DIV 64), "
+            f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(__bp{j} % 64 AS INT))) != 0"
+        )
+        cond = c if cond is None else cond & c
+    filtered = probed.where(cond).select(*big.columns)
+    if not exact:
+        return filtered
+    # exactness pass: a PLAIN semi join (no broadcast hint — the whole
+    # point is that `small` may be too big to broadcast while its bloom
+    # is 8 KiB; only the bloom SURVIVORS reach this exchange, which is
+    # the shuffled-bytes saving). AQE still broadcasts when small
+    # actually fits.
+    return filtered.join(
+        keys, F.col(key) == F.col("__k"), "left_semi"
+    )

@@ -1851,6 +1851,42 @@ def graph_pagerank_dangling(spark, sf_dir):
     )
 
 
+@register(
+    "q_bloom_semi_join",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_bloom_semi_join(spark, sf_dir):
+    """Runtime-filter semi join (operators/skew.py::bloom_semi_join):
+    revenue of lineitems belonging to urgent orders, with the big side
+    pre-filtered MAP-SIDE by an 8 KiB deterministic sha-Bloom built
+    from the key set — only bloom survivors reach the exactness
+    exchange, the shuffled-bytes saving that matters when the key set
+    itself is too big to broadcast. Bloom filters have no false
+    negatives and the exact pass removes false positives, so the
+    result — and the oracle — is the plain IN-subquery semi join."""
+    from wagtail_vector_index_spark.operators.skew import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    kept = bloom_semi_join(li, urgent, "l_orderkey")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 def _lpa_oracle(rounds: int) -> str:
     parts = [
         """li AS (
