@@ -251,3 +251,45 @@ def test_corpus_perplexity_and_coverage_columns(spark):
     # sub-bigram / sub-k doc: NULL scores, row retained
     assert out[4]["lm_logprob"] is None
     assert out[4]["dup_coverage"] is None
+
+
+def test_split_without_leakage_drops_fuzzy_val_copies(spark):
+    """r6: a val doc near-duplicating a train doc is dropped; clean val
+    docs and all train docs survive; split labels stay attached."""
+    base = "the quick brown fox jumps over the lazy dog by the river bank"
+    rows = []
+    for i in range(40):
+        rows.append((i, "s", f"unique document number {i} about topic "
+                     + " ".join(f"w{i}x{j}" for j in range(8))))
+    # two exact copies of the same text under different ids: whichever
+    # lands in train poisons the other's split
+    rows.append((100, "s", base))
+    rows.append((101, "s", base))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = (
+        Corpus(df)
+        .split_without_leakage({"train": 0.6, "val": 0.4}, threshold=0.5)
+        .df.collect()
+    )
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    splits_100 = {by_id.get(100), by_id.get(101)} - {None}
+    # the pair can't span train and an eval split in the result
+    assert splits_100 == {"train"} or "val" not in splits_100 or len(
+        [i for i in (100, 101) if i in by_id]
+    ) <= 1 + (1 if splits_100 == {"train"} else 0)
+    # more precisely: if one is train and the other was assigned val,
+    # the val one must be gone
+    from wagtail_vector_index_spark.operators.skew import split_col
+    assigned = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id", split_col(F.col("doc_id"), {"train": 0.6, "val": 0.4}).alias("split")
+        ).collect()
+    }
+    for a, b in ((100, 101), (101, 100)):
+        if assigned[a] == "train" and assigned[b] == "val":
+            assert b not in by_id
+    # clean docs all survive with their assigned label
+    for i in range(40):
+        if assigned[i] is not None:
+            assert by_id[i] == assigned[i]

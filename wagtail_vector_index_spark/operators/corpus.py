@@ -574,3 +574,47 @@ class Corpus:
             self.df, id_col=self.id_col, text_col=self.text_col, k=k
         ).select(self.id_col, F.col("coverage").alias(col))
         return self._wrap(self.df.join(cov, self.id_col, "left"))
+
+    def split_without_leakage(
+        self,
+        fractions: dict[str, float],
+        *,
+        col: str = "split",
+        train_label: str = "train",
+        threshold: float = 0.5,
+        **neardup_kwargs,
+    ) -> "Corpus":
+        """Deterministic split PLUS eval-leakage removal: after
+        labeling (with_split), any non-train document that NEAR-
+        DUPLICATES a train document is dropped — the held-out sets
+        measure generalization only if their members aren't fuzzy
+        copies of training data (the contamination the exact-id split
+        cannot see; Lee et al. 2022 §6 measure the effect). One
+        asymmetric band join per eval split against the train side
+        (operators/dedup.incremental_neardup_filter — per-batch cost,
+        never corpus²); train rows pass through untouched."""
+        labeled = self.with_split(fractions, col=col)
+        train = labeled.df.where(F.col(col) == train_label)
+        keep = [train]
+        for name in fractions:
+            if name == train_label:
+                continue
+            part = labeled.df.where(F.col(col) == name)
+            from wagtail_vector_index_spark.operators.dedup import (
+                incremental_neardup_filter,
+            )
+
+            keep.append(
+                incremental_neardup_filter(
+                    part,
+                    train,
+                    id_col=self.id_col,
+                    text_col=self.text_col,
+                    threshold=threshold,
+                    **neardup_kwargs,
+                )
+            )
+        out = keep[0]
+        for p in keep[1:]:
+            out = out.unionByName(p)
+        return self._wrap(out)
