@@ -745,7 +745,9 @@ def test_corpus_signatures_lifecycle_keeps_storage_flat(spark, documents_df):
                 batch, None, corpus_signatures=sigs, threshold=0.5
             ).count()
         # let the ContextCleaner reclaim the batches' checkpoint blocks
-        deadline = time.time() + 15
+        # (generous: the cleaner thread is starved on a loaded host —
+        # 15s flaked once under a concurrent full-gate run)
+        deadline = time.time() + 60
         while time.time() < deadline:
             gc.collect()
             spark._jvm.System.gc()
