@@ -89,3 +89,35 @@ def test_unigram_table_broadcasts_and_bigram_join_shuffles(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_collocations_pmi_hand_computed(spark):
+    """PMI on a corpus tiny enough to verify by hand: 'x y' always
+    co-occurs (high PMI), 'a b' is one of many pairings of frequent
+    singles (low PMI); min_count drops rare pairs; ties rank by
+    (prev, tok)."""
+    import math
+
+    from wagtail_vector_index_spark.operators.lm import collocations_pmi
+
+    # 6 docs of "x y" (x,y appear ONLY together) + filler where a..d mix
+    rows = [(i, "x y") for i in range(6)] + [
+        (10, "a b a c a d"),
+        (11, "b a c a d a"),
+        (12, "a b c d a b"),
+    ]
+    df = _docs(spark, rows)
+    out = collocations_pmi(df, min_count=2, k=5).collect()
+    got = {(r["prev"], r["tok"]): r for r in out}
+    # corpus: Nu = 12 + 18 = 30 tokens; Nb = 6 + 15 = 21 bigrams
+    # c(x)=c(y)=6, c(x,y)=6 -> pmi = ln(6*30*30/(21*6*6))
+    assert ("x", "y") in got
+    expect = round(math.log((6 * 30.0 * 30.0) / (21.0 * 6.0 * 6.0)), 6)
+    assert got[("x", "y")]["pmi"] == expect
+    assert got[("x", "y")]["pair_freq"] == 6
+    # every returned pair clears min_count and the list is PMI-sorted
+    assert all(r["pair_freq"] >= 2 for r in out)
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+    # (x,y) has the maximal PMI (exclusive co-occurrence)
+    assert out[0]["prev"] == "x" and out[0]["tok"] == "y"

@@ -385,6 +385,35 @@ def test_heavy_hitters_ties_rank_by_value(spark):
     assert [r["v"] for r in out] == ["a", "b"]
 
 
+def test_grouped_heavy_hitters_exact_per_group_under_eviction(spark):
+    """r6 grouped path: per-group SpaceSaving with capacity below each
+    group's cardinality (eviction exercised) still returns each group's
+    exact top-k on skewed data, certificates evaluated per group, and
+    the global form is unchanged for group_cols=None."""
+    from wagtail_vector_index_spark.operators.sketches import heavy_hitters
+
+    rows = (
+        [("g1", "hot")] * 400
+        + [("g1", "warm")] * 100
+        + [("g1", f"tail{i}") for i in range(200)]
+        + [("g2", "other")] * 50
+        + [("g2", f"t{i % 30}") for i in range(90)]  # uniform freq-3 tail
+    )
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    out = heavy_hitters(
+        df, value_col="v", k=2, capacity=16, group_cols=["g"]
+    ).collect()
+    got = {(r["g"], r["v"]): (r["freq"], r["guaranteed_exact"]) for r in out}
+    # g1: n=700, bound 700/16=43.75 -> both certified
+    assert got[("g1", "hot")] == (400, True)
+    assert got[("g1", "warm")] == (100, True)
+    # g2: n=140, bound 8.75 -> 'other' (50) certified, freq-3 tail not
+    assert got[("g2", "other")] == (50, True)
+    assert len(out) == 4
+    g2_second = [r for r in out if r["g"] == "g2" and r["v"] != "other"][0]
+    assert g2_second["freq"] == 3 and not g2_second["guaranteed_exact"]
+
+
 def test_grouped_quantile_sketch_matches_global_per_group(spark):
     """r6 grouped path: per-group estimates must equal running the
     GLOBAL sketch on each group's rows separately (same bottom-k

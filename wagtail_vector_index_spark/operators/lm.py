@@ -102,6 +102,78 @@ def bigram_lm_scores(
     )
 
 
+def collocations_pmi(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Top-k word collocations by pointwise mutual information (Church
+    & Hanks 1990) — the classic phrase-discovery signal ("new york",
+    "machine learning") a tokenizer-training or phrase-merging pipeline
+    runs before building its vocab. Returns (``prev``, ``tok``,
+    ``pair_freq``, ``pmi``) for the ``k`` highest-PMI adjacent bigrams
+    with ``pair_freq >= min_count`` (the standard guard against the
+    1/c(a)c(b) noise of rare pairs).
+
+    ``pmi = ln( P(a,b) / (P(a) P(b)) )`` computed as the single
+    left-associated expression ``ln(cb*Nu*Nu / (Nb*ca*cb2))`` so an
+    external oracle writing the same expression text performs the
+    identical IEEE operation sequence — the ln of a ratio of integer
+    products is then bit-identical across engines and the
+    ``round_decimals`` pin is belt-and-braces, not load-bearing.
+
+    Scale shape: bigram/unigram tables collapse under map-side partial
+    agg (bounded by observed-bigram count, not corpus size); the
+    unigram side broadcasts twice (vocab-sized); the totals are 1-row
+    broadcast scalars; top-k is a TakeOrdered, never a global sort.
+    """
+    toks = df.select(tokens_col(F.col(text_col)).alias("__tk"))
+    uni = (
+        toks.select(F.explode("__tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    nu = uni.agg(F.sum("__c").cast("double").alias("__nu"))
+    pairs = toks.where(F.size("__tk") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__tk"), 1, F.size("__tk") - 1).alias("prev"),
+                F.slice(F.col("__tk"), 2, F.size("__tk") - 1).alias("tok"),
+            )
+        ).alias("__bg")
+    ).select(F.col("__bg.prev").alias("prev"), F.col("__bg.tok").alias("tok"))
+    bi = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("pair_freq"))
+    nb = bi.agg(F.sum("pair_freq").cast("double").alias("__nb"))
+    ca = uni.select(F.col("tok").alias("prev"), F.col("__c").alias("__ca"))
+    cb2 = uni.select("tok", F.col("__c").alias("__cb2"))
+    pmi = F.log(
+        F.col("pair_freq").cast("double") * F.col("__nu") * F.col("__nu")
+        / (
+            F.col("__nb")
+            * F.col("__ca").cast("double")
+            * F.col("__cb2").cast("double")
+        )
+    )
+    return (
+        bi.where(F.col("pair_freq") >= int(min_count))
+        .join(F.broadcast(ca), "prev")
+        .join(F.broadcast(cb2), "tok")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "prev",
+            "tok",
+            "pair_freq",
+            F.round(pmi, int(round_decimals)).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("prev").asc(), F.col("tok").asc())
+        .limit(int(k))
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     *,

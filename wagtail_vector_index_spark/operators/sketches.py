@@ -505,6 +505,7 @@ def heavy_hitters(
     value_col: str,
     k: int = 10,
     capacity: int = 256,
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Exact top-k frequent values via bounded-state candidate
     generation: a per-partition SpaceSaving summary (Metwally et al.
@@ -528,44 +529,82 @@ def heavy_hitters(
     whether the k-th recounted frequency clears that bound, i.e.
     whether the top-k is PROVABLY complete (raise ``capacity`` until
     it is; Zipf-shaped data clears it at tiny capacities).
-    Ties rank by value ascending — fully deterministic."""
+    Ties rank by value ascending — fully deterministic.
+
+    ``group_cols`` (r6) switches to the GROUPED form — top-k per group
+    (top URLs per host, top tokens per language), the per-segment
+    dashboard shape. Each task keeps an independent ``capacity``-counter
+    SpaceSaving summary per group (O(groups x capacity) state, the same
+    bounded-state contract as the grouped KMV/quantile folds); the
+    recount and the certificate are per group (``freq > n_group /
+    capacity``), and the ranked window replaces the global TakeOrdered.
+    The union bound holds per group by the same argument — a value
+    evicted from every task's summary for its group is bounded by
+    sum_p n_{g,p} / capacity = n_g / capacity."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     cap = int(capacity)
-    src = df.select(F.col(value_col).cast("string").alias("__v"))
-    schema = StructType([StructField("__v", StringType(), False)])
+    groups = list(group_cols) if group_cols else []
+    src = df.select(*groups, F.col(value_col).cast("string").alias("__v"))
+    schema = StructType(
+        [*src.select(*groups).schema.fields]
+        + [StructField("__v", StringType(), False)]
+    )
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        # one SpaceSaving summary per group tuple; () for the global form
+        counters: dict[tuple, dict[str, int]] = {}
         for pdf in batches:
-            for v, c in pdf["__v"].value_counts().items():
+            vc = pdf.value_counts([*groups, "__v"], sort=False)
+            for key, c in vc.items():
+                # single-column value_counts yields scalar keys, not tuples
+                kt = key if isinstance(key, tuple) else (key,)
+                gt, v = kt[:-1], kt[-1]
+                summ = counters.setdefault(gt, {})
                 c = int(c)
-                if v in counters:
-                    counters[v] += c
-                elif len(counters) < cap:
-                    counters[v] = c
+                if v in summ:
+                    summ[v] += c
+                elif len(summ) < cap:
+                    summ[v] = c
                 else:
                     # SpaceSaving eviction: the incoming value inherits
                     # the minimum counter + its own count (overestimate,
                     # never an undercount of any retained value)
-                    mv = min(counters, key=lambda x: (counters[x], x))
-                    mc = counters.pop(mv)
-                    counters[v] = mc + c
-        if counters:
-            yield pd.DataFrame({"__v": list(counters)})
+                    mv = min(summ, key=lambda x: (summ[x], x))
+                    mc = summ.pop(mv)
+                    summ[v] = mc + c
+        rows = [
+            gt + (v,) for gt, summ in counters.items() for v in summ
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=[*groups, "__v"])
 
     cands = src.mapInPandas(fold, schema=schema).distinct()
     counted = (
-        src.join(F.broadcast(cands), "__v")
-        .groupBy("__v")
+        src.join(F.broadcast(cands), [*groups, "__v"])
+        .groupBy(*groups, "__v")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    top = (
-        counted.orderBy(F.col("freq").desc(), F.col("__v").asc())
-        .limit(int(k))
-    )
-    total = src.agg(F.count(F.lit(1)).alias("__n"))
-    return top.crossJoin(F.broadcast(total)).select(
+    if groups:
+        w = Window.partitionBy(*groups).orderBy(
+            F.col("freq").desc(), F.col("__v").asc()
+        )
+        top = (
+            counted.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(k))
+            .drop("__rn")
+        )
+        total = src.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))
+        joined = top.join(F.broadcast(total), groups)
+    else:
+        top = (
+            counted.orderBy(F.col("freq").desc(), F.col("__v").asc())
+            .limit(int(k))
+        )
+        total = src.agg(F.count(F.lit(1)).alias("__n"))
+        joined = top.crossJoin(F.broadcast(total))
+    return joined.select(
+        *groups,
         F.col("__v").alias(value_col),
         "freq",
         (F.col("freq") > F.col("__n") / F.lit(cap)).alias(

@@ -1420,6 +1420,87 @@ def sketch_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, value_col="tok", k=10, capacity=256)
 
 
+@register(
+    "sketch_heavy_hitters_grouped",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang, unnest({TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT lang, tok, count(*)::BIGINT AS freq
+            FROM tk GROUP BY lang, tok),
+    tot AS (SELECT lang, sum(freq)::BIGINT AS n FROM cnt GROUP BY lang)
+    SELECT lang, tok, freq, freq > n / 256 AS guaranteed_exact
+    FROM (SELECT lang, tok, freq,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY freq DESC, tok) AS rn
+          FROM cnt) JOIN tot USING (lang)
+    WHERE rn <= 5
+    """,
+)
+def sketch_heavy_hitters_grouped(spark, sf_dir):
+    """GROUPED heavy hitters (r6): top-5 tokens per language — the
+    per-segment frequency dashboard (top URLs per host, top n-grams per
+    source). Each task keeps an independent SpaceSaving summary per
+    group inside ONE Arrow fold (O(groups x capacity) state, the same
+    bounded-state contract as the grouped KMV/quantile folds), the
+    exact recount broadcast-filters per (group, value), and the
+    per-group certificate ``freq > n_lang/capacity`` carries the
+    SpaceSaving union bound group-wise
+    (operators/sketches.py::heavy_hitters(group_cols=...)). The
+    eviction path's exactness-under-skew is pinned separately by a
+    tiny-capacity Zipf test (test_sketches.py)."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+    from wagtail_vector_index_spark.operators.sketches import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(
+        toks, value_col="tok", k=5, capacity=256, group_cols=["lang"]
+    )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH tk AS (SELECT {TOKS_SQL} AS l FROM documents),
+    uni AS MATERIALIZED (
+      SELECT tok, count(*)::BIGINT AS c
+      FROM (SELECT unnest(l) AS tok FROM tk) GROUP BY tok),
+    nu AS (SELECT sum(c)::DOUBLE AS nu FROM uni),
+    pairs AS (
+      SELECT z[1] AS prev, z[2] AS tok FROM (
+        SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+        FROM tk WHERE len(l) >= 2)),
+    bi AS MATERIALIZED (
+      SELECT prev, tok, count(*)::BIGINT AS pair_freq
+      FROM pairs GROUP BY prev, tok),
+    nb AS (SELECT sum(pair_freq)::DOUBLE AS nb FROM bi)
+    SELECT bi.prev AS prev, bi.tok AS tok, pair_freq,
+           round(ln((pair_freq::DOUBLE * nu.nu * nu.nu)
+                    / (nb.nb * ua.c::DOUBLE * ub.c::DOUBLE)), 6) AS pmi
+    FROM bi JOIN uni ua ON ua.tok = bi.prev
+    JOIN uni ub ON ub.tok = bi.tok
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE pair_freq >= 5
+    QUALIFY row_number() OVER (ORDER BY pmi DESC, bi.prev, bi.tok) <= 20
+    """,
+)
+def text_collocations_pmi(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information (Church &
+    Hanks 1990) over the corpus — the phrase-discovery pass a
+    tokenizer-training pipeline runs before vocab construction
+    (operators/lm.py::collocations_pmi). The PMI is one left-associated
+    expression mirrored verbatim in the oracle, so both engines execute
+    the identical IEEE sequence on integer-product inputs; min_count=5
+    drops the rare-pair noise floor, and top-k is a TakeOrdered on the
+    (already vocab²-bounded) bigram table."""
+    from wagtail_vector_index_spark.operators.lm import collocations_pmi
+
+    return collocations_pmi(
+        _t(spark, sf_dir, "documents"), text_col="text", min_count=5, k=20
+    )
+
+
 _PPLX_LAM = 0.7
 _PPLX_ORACLE = f"""
     WITH tk AS (SELECT doc_id, {TOKS_SQL} AS l FROM documents),
