@@ -321,3 +321,39 @@ def test_label_propagation_is_deterministic_across_partitionings(spark):
     a = {r["node"]: r["community"] for r in label_propagation(df1).collect()}
     b = {r["node"]: r["community"] for r in label_propagation(df2).collect()}
     assert a == b
+
+
+def test_kcore_peels_tendrils_and_keeps_the_clique(spark):
+    """A 5-clique (every degree 4) with pendant chains hanging off it:
+    the 3-core is exactly the clique — the chains peel away round by
+    round, and the peel must CASCADE (removing a chain tip drops its
+    neighbor below k next round)."""
+    from wagtail_vector_index_spark.operators.graph import kcore
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    # chain 5-6-7 hangs off clique node 0; chain 8-9 off node 1
+    chains = [(0, 5), (5, 6), (6, 7), (1, 8), (8, 9)]
+    df = spark.createDataFrame(clique + chains, "src long, dst long")
+    out = {r["node"]: r["deg"] for r in kcore(df, k=3, rounds=5).collect()}
+    assert out == {i: 4 for i in range(5)}
+
+
+def test_kcore_extra_rounds_past_convergence_are_noops(spark):
+    from wagtail_vector_index_spark.operators.graph import kcore
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    df = spark.createDataFrame(
+        clique + [(0, 10), (10, 11)], "src long, dst long"
+    ).repartition(7)
+    a = sorted(map(tuple, kcore(df, k=2, rounds=3).collect()))
+    b = sorted(map(tuple, kcore(df, k=2, rounds=8).collect()))
+    assert a == b
+    assert [n for n, _ in a] == [0, 1, 2, 3]
+
+
+def test_kcore_empty_result_when_graph_too_sparse(spark):
+    from wagtail_vector_index_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    assert kcore(df, k=2, rounds=6).count() == 0

@@ -240,6 +240,61 @@ def triangle_counts(
     return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
+def kcore(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """k-core peel (Seidman 1983; the distributed fixed-point form of
+    Matula & Beck's peeling): repeatedly delete every node whose degree
+    in the REMAINING graph is below ``k``, for a FIXED number of
+    ``rounds``; returns (node, deg) — survivors with their degree
+    inside the surviving subgraph. When the peel has converged (one
+    round removes nothing) the result IS the k-core, the standard
+    dense-subgraph / graph-cleaning primitive (core numbers gate which
+    nodes are worth embedding; spam rings live in high cores).
+
+    Fixed rounds rather than a convergence probe keeps the operator a
+    pure function of the edge set — exactly replayable by chained CTEs
+    — and avoids per-round driver actions; peeling is monotone
+    (deletions only), so extra rounds past convergence are no-ops.
+    Per round: one degree agg + two semi-join filters, all node-keyed
+    shuffles on a frame that only SHRINKS. The remaining-edge frame is
+    eagerly localCheckpointed every ``checkpoint_every`` rounds: each
+    round references the previous frame three times (degree agg + both
+    endpoint filters), so the lazy plan tree grows 3x per round and a
+    bounded cadence caps it at 3^cadence subtree copies — the same
+    bounded-lazy tradeoff measured for the dangling-PageRank loop
+    (per-round eager materialization dominated; see pagerank notes).
+    On a real cluster swap localCheckpoint for checkpoint()."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    for i in range(int(rounds)):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.where(F.col("__d") >= int(k)).select("u")
+        sym = sym.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        if (i + 1) % int(checkpoint_every) == 0 and i + 1 < int(rounds):
+            sym = sym.localCheckpoint(eager=True)
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     *,

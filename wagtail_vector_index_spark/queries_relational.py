@@ -1920,6 +1920,67 @@ def _lpa_oracle(rounds: int) -> str:
     """
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [
+        """li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0)""",
+        """e AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """s0 AS MATERIALIZED (
+      SELECT u, v FROM e UNION SELECT v, u FROM e)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""k{i} AS MATERIALIZED (
+      SELECT u AS node FROM (
+        SELECT u, count(*) AS d FROM s{i - 1} GROUP BY u)
+      WHERE d >= {int(k)})""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+      SELECT s.u, s.v FROM s{i - 1} s
+      JOIN k{i} a ON a.node = s.u JOIN k{i} b ON b.node = s.v)""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT node, deg FROM (
+      SELECT u AS node, count(*)::BIGINT AS deg,
+             row_number() OVER (ORDER BY count(*) DESC, u) AS rn
+      FROM s{rounds} GROUP BY u) WHERE rn <= 10
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle(18, 6))
+def graph_kcore(spark, sf_dir):
+    """k-core of the part co-purchase graph (k=18, six peel rounds —
+    converged at the gate scale, so the survivors ARE the 18-core):
+    top-10 surviving parts by within-core degree. The peel
+    (operators/graph.py::kcore) is the dense-subgraph cleaning
+    primitive — each round one degree agg + two semi-join filters over
+    an only-shrinking edge frame, fixed rounds so the chained-CTE
+    oracle replays every deletion exactly."""
+    from wagtail_vector_index_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0
+    ).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    core = kcore(edges, k=18, rounds=6)
+    w = Window.orderBy(F.col("deg").desc(), F.col("node").asc())
+    return (
+        core.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .select("node", "deg")
+    )
+
+
 @register("graph_communities", oracle=_lpa_oracle(3))
 def graph_communities(spark, sf_dir):
     """Community detection (synchronous label propagation, Raghavan et
