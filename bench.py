@@ -101,6 +101,9 @@ ADDED = [
     "sketch_quantiles_by_type",
     "graph_communities",
     "q_bloom_semi_join",
+    "graph_kcore",
+    "sketch_heavy_hitters_grouped",
+    "text_collocations_pmi",
 ]
 
 SPARK_RUNS = 5

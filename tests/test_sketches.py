@@ -462,3 +462,44 @@ def test_grouped_quantile_sketch_prod_form_and_small_groups(spark):
     assert out["b"]["p5_est"] == 5.0
     assert out["a"]["p5_est"] == 4.0  # floor(0.5*9)=4 -> value 4.0
     assert list(out["a"].asDict()) == ["g", "p5_est"]
+
+
+def test_ams_f2_exact_and_estimate_on_skew(spark):
+    """AMS sketch: exact F2 is right, and the depth-32 median estimate
+    lands within the median-of-estimators concentration band on a
+    skewed distribution (deterministic sha signs -> never flakes)."""
+    from wagtail_vector_index_spark.operators.sketches import ams_f2
+
+    # one heavy key (600 rows) + 400 singletons: F2 = 600^2 + 400
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 600, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("v")
+    )
+    out = ams_f2(df, value_col="v", depth=32).collect()[0]
+    assert out["f2_exact"] == 600 * 600 + 400
+    assert out["rel_err"] < 0.5
+    # estimate can never be negative and is >= the all-distinct floor
+    # only in expectation — just pin positivity here
+    assert out["f2_estimate"] > 0
+
+
+def test_ams_f2_production_form_is_sketch_only(spark):
+    from wagtail_vector_index_spark.operators.sketches import ams_f2
+
+    df = spark.range(100).select((F.col("id") % 7).alias("v"))
+    out = ams_f2(df, value_col="v", depth=8, eval_exact=False)
+    assert out.columns == ["f2_estimate"]
+    assert out.count() == 1
+
+
+def test_ams_f2_guards_odd_depth(spark):
+    import pytest
+
+    from wagtail_vector_index_spark.operators.sketches import ams_f2
+
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        ams_f2(df, value_col="v", depth=7)
+    with pytest.raises(ValueError):
+        ams_f2(df, value_col="v", depth=0)

@@ -611,3 +611,77 @@ def heavy_hitters(
             "guaranteed_exact"
         ),
     )
+
+
+def ams_f2(
+    df: DataFrame,
+    *,
+    value_col: str,
+    depth: int = 32,
+    est_alias: str = "f2_estimate",
+    eval_exact: bool = True,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996):
+    estimate ``F2 = sum_v f_v^2`` — the SELF-JOIN SIZE of ``value_col``
+    — in one pass with ``depth`` counters of state.
+
+    Each estimator j derives a 4-wise-ish sign ``s_j(v) in {-1,+1}``
+    from the shared sha hash (parity of ``sha_hash64(j ':' v)``), and
+    keeps the running sum ``Z_j = sum_rows s_j(v)`` — frequency
+    weighting is automatic because every occurrence contributes its
+    sign. ``E[Z_j^2] = F2``; the estimate is the MEDIAN of the depth
+    squared sums (for even depth, the mean of the two middle order
+    statistics), which concentrates by Chebyshev + median-of-means.
+
+    This is the join-size / skew estimator a planner consults before
+    choosing a strategy at 100 TB: the whole pass is ``depth``
+    partial-aggregated sums (one long each per task — map-side
+    combined, no per-value state at all, unlike count-min's
+    depth x width or KMV's k values), so the exchange carries one
+    depth-column row per task. Every step — sha parity, sums, median —
+    is deterministic and exactly replayable in ANSI SQL.
+
+    ``eval_exact=True`` (the gate default) adds the exact F2 via a full
+    ``groupBy(value)`` + sum-of-squares second pass plus the measured
+    relative error; production is ``eval_exact=False`` — the sketch
+    pass alone."""
+    if depth < 2 or depth % 2:
+        raise ValueError("depth must be an even integer >= 2")
+    v = F.col(value_col).cast("string")
+    signs = [
+        (
+            F.lit(1)
+            - F.lit(2) * (sha_hash64(F.concat_ws(":", F.lit(j), v)) % 2)
+        ).alias(f"__s{j}")
+        for j in range(depth)
+    ]
+    sums = df.select(*signs).agg(
+        *[F.sum(f"__s{j}").alias(f"__z{j}") for j in range(depth)]
+    )
+    sq = F.array_sort(
+        F.array(*[(F.col(f"__z{j}") * F.col(f"__z{j}")).cast("double")
+                  for j in range(depth)])
+    )
+    mid = depth // 2
+    est = (
+        (F.element_at(sq, mid) + F.element_at(sq, mid + 1)) / F.lit(2.0)
+    ).alias(est_alias)
+    sketch = sums.select(est)
+    if not eval_exact:
+        return sketch
+    exact = (
+        df.groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .agg(F.sum(F.col("__f") * F.col("__f")).alias("f2_exact"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(sketch))
+        .select(
+            "f2_exact",
+            F.col(est_alias),
+            (
+                F.abs(F.col(est_alias) - F.col("f2_exact"))
+                / F.col("f2_exact")
+            ).alias("rel_err"),
+        )
+    )

@@ -2104,3 +2104,57 @@ def graph_pagerank(spark, sf_dir):
         .where(F.col("__rn") <= 20)
         .select("node", F.round("pr", 8).alias("pr"))
     )
+
+
+_AMS_DEPTH = 32
+_AMS_SIGN = (
+    "(1 - 2 * ((('0x' || substr(sha256('{j}:' || user_id::VARCHAR),"
+    " 1, 8))::UBIGINT % 2)::BIGINT))"
+)
+_AMS_SUMS = ", ".join(
+    f"sum({_AMS_SIGN.format(j=j)})::BIGINT AS z{j}"
+    for j in range(_AMS_DEPTH)
+)
+_AMS_SQ = ", ".join(
+    f"(z{j} * z{j})::DOUBLE" for j in range(_AMS_DEPTH)
+)
+
+
+@register(
+    "sketch_f2_selfjoin",
+    oracle=f"""
+    WITH z AS (SELECT {_AMS_SUMS} FROM events),
+    sq AS (SELECT list_sort([{_AMS_SQ}]) AS s FROM z),
+    est AS (
+      SELECT (s[{_AMS_DEPTH // 2}] + s[{_AMS_DEPTH // 2 + 1}]) / 2.0
+             AS f2_estimate
+      FROM sq),
+    ex AS (
+      SELECT sum(f * f)::BIGINT AS f2_exact FROM (
+        SELECT count(*)::BIGINT AS f FROM events GROUP BY user_id))
+    SELECT ex.f2_exact,
+           round(est.f2_estimate, 2) AS f2_estimate,
+           round(abs(est.f2_estimate - ex.f2_exact) / ex.f2_exact, 4)
+             AS rel_err
+    FROM ex, est
+    """,
+)
+def sketch_f2_selfjoin(spark, sf_dir):
+    """Self-join size (second frequency moment F2) of ``events.user_id``
+    via the AMS sign sketch — the one-pass, 32-longs-of-state join-size
+    estimator a planner consults before picking a strategy at 100 TB
+    (operators/sketches.py::ams_f2). Every occurrence adds a
+    sha-parity-derived +-1 to each of 32 partial-agg'd counters; the
+    estimate is the median of the squared sums. The exact F2
+    (sum of per-user count squared) is the ``eval_exact`` gate
+    companion; production drops it and the whole operator is one
+    map-side-combined agg row."""
+    from wagtail_vector_index_spark.operators.sketches import ams_f2
+
+    ev = _t(spark, sf_dir, "events")
+    out = ams_f2(ev, value_col="user_id", depth=_AMS_DEPTH)
+    return out.select(
+        "f2_exact",
+        F.round("f2_estimate", 2).alias("f2_estimate"),
+        F.round("rel_err", 4).alias("rel_err"),
+    )
