@@ -104,6 +104,8 @@ ADDED = [
     "graph_kcore",
     "sketch_heavy_hitters_grouped",
     "text_collocations_pmi",
+    "sketch_f2_selfjoin",
+    "graph_hits",
 ]
 
 SPARK_RUNS = 5

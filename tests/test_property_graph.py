@@ -357,3 +357,38 @@ def test_kcore_empty_result_when_graph_too_sparse(spark):
     path = [(i, i + 1) for i in range(6)]
     df = spark.createDataFrame(path, "src long, dst long")
     assert kcore(df, k=2, rounds=6).count() == 0
+
+
+def test_hits_ranks_the_popular_authority_first(spark):
+    """Bipartite graph: item i1 is bought by all three hubs, i2 by two,
+    i3 by one -> auth(i1) > auth(i2) > auth(i3), hubs with more good
+    items rank higher, and max-normalization pins top scores at 1.0."""
+    from wagtail_vector_index_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [
+            ("h1", "i1"), ("h2", "i1"), ("h3", "i1"),
+            ("h1", "i2"), ("h2", "i2"),
+            ("h3", "i3"),
+        ],
+        ["src", "dst"],
+    )
+    out = {r["node"]: r for r in hits(edges, rounds=3).collect()}
+    assert out["i1"]["auth"] == 1.0
+    assert out["i1"]["auth"] > out["i2"]["auth"] > out["i3"]["auth"]
+    assert out["h1"]["hub"] == out["h2"]["hub"] == 1.0
+    assert out["h3"]["hub"] < out["h1"]["hub"]
+    # bipartite: pure hubs have no authority and vice versa
+    assert out["h1"]["auth"] == 0.0
+    assert out["i1"]["hub"] == 0.0
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    from wagtail_vector_index_spark.operators.graph import hits
+
+    rows = [(f"u{i % 7}", f"v{i % 11}") for i in range(200)]
+    e1 = spark.createDataFrame(rows, ["src", "dst"]).repartition(1)
+    e2 = spark.createDataFrame(rows, ["src", "dst"]).repartition(16)
+    r1 = sorted(map(tuple, hits(e1, rounds=4, round_decimals=10).collect()))
+    r2 = sorted(map(tuple, hits(e2, rounds=4, round_decimals=10).collect()))
+    assert r1 == r2

@@ -350,3 +350,80 @@ def label_propagation(
             .select("node", "community")
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    round_decimals: int | None = None,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list; returns (node, hub, auth) after a FIXED number of mutual-
+    reinforcement rounds. Authorities are nodes pointed at by good
+    hubs; hubs are nodes pointing at good authorities — on a bipartite
+    buyer->item or supplier->part graph the authority side ranks the
+    items that matter and the hub side the actors with taste, the
+    complement of PageRank's single-score prestige.
+
+    Per round: ``auth = normalize(sum of in-neighbor hub scores)`` then
+    ``hub = normalize(sum of out-neighbor auth scores)`` — two
+    contribution joins + two per-node sums, all node-keyed shuffles
+    with no driver-side graph state. Normalization is by the MAX score
+    (a 1-row agg broadcast into the update) rather than the textbook
+    L2 norm: scale-invariant for ranking, and exactly replayable in
+    ANSI SQL without sqrt-of-sum-of-squares float ambiguity. Fixed
+    rounds + per-round rounding (``round_decimals``, same pin as
+    :func:`pagerank`) make the result a pure function of the edge set,
+    replayed by chained CTEs.
+
+    The edge frame is shuffled ONCE per join key (one copy hash-
+    partitioned by ``u`` for the auth step, one by ``v`` for the hub
+    step, both localCheckpointed) so only the small score tables move
+    per round. The max-normalization references each score frame a
+    second time, doubling the lazy tree per round — bounded by the
+    ``checkpoint_every`` cadence, the same bounded-lazy tradeoff
+    measured for the dangling-PageRank loop. On a real cluster swap
+    localCheckpoint for checkpoint()."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e_u = e.repartition("u").localCheckpoint(eager=True)
+    e_v = e_u.repartition("v").localCheckpoint(eager=True)
+
+    def rnd(c):
+        return F.round(c, round_decimals) if round_decimals is not None else c
+
+    hubs = e_u.select("u").distinct().select("u", F.lit(1.0).alias("h"))
+    auth = None
+    for i in range(int(rounds)):
+        raw_a = e_u.join(hubs, "u").groupBy("v").agg(
+            rnd(F.sum("h")).alias("a")
+        )
+        amax = raw_a.agg(F.max("a").alias("__m"))
+        auth = raw_a.crossJoin(F.broadcast(amax)).select(
+            "v", rnd(F.col("a") / F.col("__m")).alias("a")
+        )
+        raw_h = e_v.join(auth, "v").groupBy("u").agg(
+            rnd(F.sum("a")).alias("h")
+        )
+        hmax = raw_h.agg(F.max("h").alias("__m"))
+        hubs = raw_h.crossJoin(F.broadcast(hmax)).select(
+            "u", rnd(F.col("h") / F.col("__m")).alias("h")
+        )
+        if (i + 1) % int(checkpoint_every) == 0 and i + 1 < int(rounds):
+            # only hubs needs the cut: the next round (and transitively
+            # the final auth) reads nothing but this frame, so one
+            # checkpoint resets the whole chain's lazy tree (~4x/round:
+            # each max-normalization references its raw frame twice)
+            hubs = hubs.localCheckpoint(eager=True)
+    return (
+        hubs.select(F.col("u").alias("node"), "h")
+        .join(auth.select(F.col("v").alias("node"), "a"), "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("auth"),
+        )
+    )

@@ -2158,3 +2158,70 @@ def sketch_f2_selfjoin(spark, sf_dir):
         F.round("f2_estimate", 2).alias("f2_estimate"),
         F.round("rel_err", 4).alias("rel_err"),
     )
+
+
+def _hits_oracle(rounds: int, rd: int) -> str:
+    """Chained-CTE replay of operators/graph.py::hits on the
+    supplier->part bipartite graph: every contribution sum and
+    max-normalization, rounded identically per round."""
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT 's' || l_suppkey AS u, 'p' || l_partkey AS v
+      FROM lineitem)""",
+        "h0 AS (SELECT DISTINCT u, 1.0 AS h FROM e)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""ar{t} AS MATERIALIZED (
+      SELECT v, round(sum(h), {rd}) AS a
+      FROM e JOIN h{t - 1} USING (u) GROUP BY v)"""
+        )
+        parts.append(
+            f"""a{t} AS (
+      SELECT v, round(a / (SELECT max(a) FROM ar{t}), {rd}) AS a
+      FROM ar{t})"""
+        )
+        parts.append(
+            f"""hr{t} AS MATERIALIZED (
+      SELECT u, round(sum(a), {rd}) AS h
+      FROM e JOIN a{t} USING (v) GROUP BY u)"""
+        )
+        parts.append(
+            f"""h{t} AS (
+      SELECT u, round(h / (SELECT max(h) FROM hr{t}), {rd}) AS h
+      FROM hr{t})"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT node, auth FROM (
+      SELECT v AS node, round(a, 8) AS auth,
+             row_number() OVER (ORDER BY a DESC, v) AS rn
+      FROM a{rounds}) WHERE rn <= 10
+    """
+
+
+@register("graph_hits", oracle=_hits_oracle(4, 10))
+def graph_hits(spark, sf_dir):
+    """HITS authorities over the supplier->part bipartite graph
+    (distinct (l_suppkey, l_partkey) edges): four mutual-reinforcement
+    rounds, top-10 parts by authority score — "the items good hubs
+    buy", the complement of PageRank's single-score prestige
+    (operators/graph.py::hits). Both edge copies shuffle once; only
+    the small hub/auth score tables move per round. Per-round 10-dp
+    rounding pins the order-dependent float sums; the oracle replays
+    all four rounds (sums + max-normalizations) as chained CTEs."""
+    from wagtail_vector_index_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    scores = hits(edges, rounds=4, round_decimals=10)
+    w = Window.orderBy(F.col("auth").desc(), F.col("node").asc())
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .select("node", F.round("auth", 8).alias("auth"))
+    )
