@@ -106,6 +106,7 @@ ADDED = [
     "text_collocations_pmi",
     "sketch_f2_selfjoin",
     "graph_hits",
+    "text_keywords_tfidf",
 ]
 
 SPARK_RUNS = 5

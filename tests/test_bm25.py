@@ -92,3 +92,45 @@ def test_redact_pii_col(spark):
     assert got[2] == "call <PHONE> or <PHONE> now"  # +1 prefix consumed
     assert got[3] == "server at <IP> and <IP> responded"
     assert got[4] == rows[3][1]  # untouched
+
+
+def test_tfidf_keywords_prefers_rare_terms(spark):
+    """A term unique to one doc outranks a corpus-wide term regardless
+    of raw counts: idf zeroes tokens present in every document."""
+    from wagtail_vector_index_spark.operators.bm25 import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common unique1"),
+            (2, "common unique2 unique2"),
+            (3, "common filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in all docs -> idf = ln(1) = 0 -> never the top pick
+    top1 = {d: rows[0]["keyword"] for d, rows in by_doc.items()}
+    assert top1[1] == "unique1"
+    assert top1[2] == "unique2"
+    assert all(r["score"] == 0.0 for r in out if r["keyword"] == "common")
+    # tf weighting: unique2 seen twice scores double unique1's idf
+    s1 = next(r["score"] for r in out if r["keyword"] == "unique1")
+    s2 = next(r["score"] for r in out if r["keyword"] == "unique2")
+    # scores are rounded to 6 dp, so the doubling holds to that grain
+    assert abs(s2 - 2 * s1) < 2.1e-6
+
+
+def test_tfidf_keywords_topk_and_tiebreak(spark):
+    from wagtail_vector_index_spark.operators.bm25 import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "zz")], ["doc_id", "text"]
+    )
+    out = tfidf_keywords(docs, k=3).collect()
+    d1 = sorted(r["keyword"] for r in out if r["doc_id"] == 1)
+    # four tied-score candidates, k=3, ties broken token-ascending
+    assert d1 == ["aa", "bb", "cc"]
+    assert [r["keyword"] for r in out if r["doc_id"] == 2] == ["zz"]

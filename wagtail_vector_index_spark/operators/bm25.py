@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wagtail_vector_index_spark.functions.text_analysis import tokens_col
@@ -85,4 +85,62 @@ def bm25_scores(
         .withColumn("__contrib", contrib)
         .groupBy(id_col)
         .agg(F.sum("__contrib").alias("score"))
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` tokens by
+    tf-idf (``tf * ln(N / df)``) — the scale path for tagging,
+    faceting, and routing a 100 TB corpus without a model.
+
+    One explode feeds both aggregates: term frequencies shuffle on
+    (doc, token) with map-side combine; document frequencies derive
+    from the tf frame (already one row per (doc, token), so a plain
+    count on token IS the df) and shuffle on token. The tf x df join
+    is token-keyed — the df side is vocabulary-sized, much smaller
+    than the corpus but potentially too large to force-broadcast, so
+    the strategy is left to AQE. Top-k per doc is a WindowGroupLimit
+    (rank pushed before the sort), ties broken by token asc. Rounding
+    pins the float product for cross-engine replay."""
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("__tok"),
+    )
+    tf = toks.groupBy("__doc", "__tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("__n")
+    )
+    scored = (
+        tf.join(df_t, "__tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__doc",
+            "__tok",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")),
+                round_decimals,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("__doc").orderBy(
+        F.col("score").desc(), F.col("__tok").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("__tok").alias("keyword"),
+            "tf",
+            "score",
+        )
     )

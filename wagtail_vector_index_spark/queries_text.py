@@ -2009,3 +2009,37 @@ def pipeline_incremental_neardup(spark, sf_dir):
     return pairs.select(
         "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@register(
+    "text_keywords_tfidf",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+           FROM tk GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS score
+      FROM tf JOIN dfreq USING (tok), n)
+    SELECT doc_id, tok AS keyword, tf, score
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_keywords_tfidf(spark, sf_dir):
+    """Per-document keyword extraction: top-3 tokens by tf-idf — the
+    model-free tagging/faceting pass a 100 TB corpus pipeline runs to
+    route documents (operators/bm25.py::tfidf_keywords). One explode
+    feeds both aggregates (tf on (doc, token), df derived from the tf
+    grain on token); the token-keyed tf x df join is left to AQE
+    because the df side is vocabulary-sized — smaller than the corpus
+    but not always broadcastable; top-3 per doc is a WindowGroupLimit."""
+    from wagtail_vector_index_spark.operators.bm25 import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, id_col="doc_id", text_col="text", k=3)
