@@ -107,6 +107,7 @@ ADDED = [
     "sketch_f2_selfjoin",
     "graph_hits",
     "text_keywords_tfidf",
+    "knn_mutual_graph",
 ]
 
 SPARK_RUNS = 5

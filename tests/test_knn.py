@@ -339,3 +339,44 @@ def test_mmr_rerank_matches_bruteforce_python(spark):
                     best, bs = cid, sc
             sel.append(best)
         assert sorted(got[p]) == [(i + 1, s) for i, s in enumerate(sel)], p
+
+
+def test_mutual_knn_graph_filters_hub_edges(spark):
+    """Two tight pairs + one hub-ish outlier: reciprocal pairs survive,
+    the outlier's one-directional edges don't, and engines agree."""
+    import math
+
+    from wagtail_vector_index_spark.operators.knn import mutual_knn_graph
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [
+        (0, unit(0.00)), (1, unit(0.02)),      # tight pair A
+        (2, unit(1.50)), (3, unit(1.52)),      # tight pair B
+        (4, unit(0.75)),                       # lone midpoint vector
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        (r["a"], r["b"]): r["similarity"]
+        for r in mutual_knn_graph(df, k=1, engine="sql").collect()
+    }
+    assert set(out) == {(0, 1), (2, 3)}
+    assert all(v > 0.99 for v in out.values())
+    gem = {
+        (r["a"], r["b"]): r["similarity"]
+        for r in mutual_knn_graph(df, k=1, engine="gemm").collect()
+    }
+    assert gem == out
+
+
+def test_mutual_knn_graph_k_covers_everything_makes_it_symmetric_topk(spark):
+    """With k >= n-1 every directed edge exists, so the mutual graph is
+    all unordered pairs — the semi-join keeps exactly one copy each."""
+    from wagtail_vector_index_spark.operators.knn import mutual_knn_graph
+
+    rows = [(i, [float(i % 3 + 1), float((i * 2) % 5 + 1)]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = mutual_knn_graph(df, k=5, engine="sql").collect()
+    assert len(out) == 15  # C(6,2)
+    assert all(r["a"] < r["b"] for r in out)

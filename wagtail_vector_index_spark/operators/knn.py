@@ -539,3 +539,61 @@ def gemm_topk_join(
         .where(F.col("__rank") <= limit)
         .drop("__rank")
     )
+
+
+def mutual_knn_graph(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    engine: str = "gemm",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Mutual k-NN graph over one embedding table: canonical edges
+    (a, b, similarity) with ``a < b`` where b is in a's cosine top-k
+    AND a is in b's — the reciprocal-neighbor graph whose edges are
+    the high-precision input to clustering, near-dup mining, and
+    diversity analysis (one-directional kNN edges are noisy around hub
+    vectors; mutuality filters the hubs out).
+
+    Both directions come from ONE top-(k+1) self-join pass (self
+    matches dropped after ranking); the mutuality check is a
+    self-semi-join of that edge list against its own swap — edge-keyed,
+    no second scan of the vectors. ``engine="gemm"`` ranks via
+    per-partition BLAS (:func:`gemm_topk_join`, the 100 TB path);
+    ``engine="sql"`` uses the declarative broadcast form
+    (:func:`similarity_join`), exactly replayable in ANSI SQL — both
+    share the (similarity desc, id asc) tie order."""
+    probes = df.select(
+        F.col(id_col).alias("__pid"),
+        F.col(vec_col).cast("array<double>").alias("__pv"),
+    )
+    index = df.select(
+        F.col(id_col).alias("__iid"),
+        F.col(vec_col).cast("array<double>").alias("__iv"),
+    )
+    join_fn = gemm_topk_join if engine == "gemm" else similarity_join
+    if engine not in ("gemm", "sql"):
+        raise ValueError(f"unknown engine {engine!r}")
+    nn = join_fn(
+        probes,
+        index,
+        probe_id="__pid",
+        probe_vec="__pv",
+        index_id="__iid",
+        index_vec="__iv",
+        limit=int(k) + 1,
+    )
+    sim = F.col("similarity")
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    edges = nn.where(F.col("__pid") != F.col("__iid")).select(
+        F.col("__pid").alias("a"),
+        F.col("__iid").alias("b"),
+        sim.alias("similarity"),
+    )
+    swapped = edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return edges.join(swapped, ["a", "b"], "left_semi").where(
+        F.col("a") < F.col("b")
+    )

@@ -2805,3 +2805,53 @@ def knn_quantized_int8(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", F.round("__sim", 6).alias("cos_sim_q"))
     )
+
+
+@register(
+    "knn_mutual_graph",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ranked AS (
+      SELECT a, b, sim FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               {_cos_sql('x.v', 'y.v')} AS sim,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY {_cos_sql('x.v', 'y.v')} DESC, y.vec_id) AS rn
+        FROM e x JOIN e y ON len(x.v) = len(y.v))
+      WHERE rn <= 6 AND a <> b),
+    nn AS (SELECT a, b, round(sim, 6) AS sim FROM ranked),
+    m AS (
+      SELECT nn.a, nn.b, nn.sim
+      FROM nn JOIN nn r ON nn.a = r.b AND nn.b = r.a
+      WHERE nn.a < nn.b)
+    SELECT a, b, sim AS similarity FROM (
+      SELECT a, b, sim,
+             row_number() OVER (ORDER BY sim DESC, a, b) AS rn
+      FROM m) WHERE rn <= 25
+    """,
+)
+def knn_mutual_graph(spark, sf_dir):
+    """Mutual k-NN graph over the embedding table (k=5): the 25
+    strongest reciprocal-neighbor edges — pairs in each other's cosine
+    top-5, the hub-filtered, high-precision edge set clustering and
+    near-dup mining build on (operators/knn.py::mutual_knn_graph).
+    One top-(k+1) self-join ranking pass feeds both directions; the
+    mutuality check is an edge-keyed semi-join of the edge list
+    against its own swap, no second vector scan. The gate runs the
+    declarative engine="sql" form (exactly SQL-replayable, including
+    the rank-with-self-then-drop construction); engine="gemm" is the
+    per-partition-BLAS 100 TB path sharing the same tie order."""
+    from wagtail_vector_index_spark.operators.knn import mutual_knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = mutual_knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", k=5, engine="sql"
+    )
+    w = Window.orderBy(
+        F.col("similarity").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return (
+        edges.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 25)
+        .select("a", "b", "similarity")
+    )
