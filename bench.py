@@ -108,6 +108,7 @@ ADDED = [
     "graph_hits",
     "text_keywords_tfidf",
     "knn_mutual_graph",
+    "vector_meanpool_docs",
 ]
 
 SPARK_RUNS = 5

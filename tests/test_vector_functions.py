@@ -84,3 +84,35 @@ def test_works_on_float_arrays(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "id int, v array<float>")
     val = df.select(dot_product(F.col("v"), F.col("v")).alias("d")).first()["d"]
     assert val == pytest.approx(5.0)
+
+
+def test_meanpool_vectors_exact_and_ordered(spark):
+    from wagtail_vector_index_spark.functions.vector import meanpool_vectors
+
+    df = spark.createDataFrame(
+        [
+            ("d1", [1.0, 2.0, 30.0]),
+            ("d1", [3.0, 4.0, 10.0]),
+            ("d2", [5.0, 6.0, 7.0]),
+        ],
+        ["doc", "v"],
+    )
+    out = {
+        r["doc"]: r["pooled"]
+        for r in meanpool_vectors(
+            df, group_col="doc", vec_col="v", round_decimals=None
+        ).collect()
+    }
+    assert out["d1"] == [2.0, 3.0, 20.0]
+    assert out["d2"] == [5.0, 6.0, 7.0]
+
+
+def test_meanpool_vectors_order_insensitive_across_partitionings(spark):
+    from wagtail_vector_index_spark.functions.vector import meanpool_vectors
+
+    rows = [("g", [float(i), float(i * i % 7)]) for i in range(50)]
+    a = spark.createDataFrame(rows, ["doc", "v"]).repartition(1)
+    b = spark.createDataFrame(rows, ["doc", "v"]).repartition(16)
+    ra = meanpool_vectors(a, group_col="doc", vec_col="v").collect()
+    rb = meanpool_vectors(b, group_col="doc", vec_col="v").collect()
+    assert ra[0]["pooled"] == rb[0]["pooled"]

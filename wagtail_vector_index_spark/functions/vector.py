@@ -269,3 +269,49 @@ def jl_project_with(
             round_decimals,
         ),
     )
+
+
+def meanpool_vectors(
+    df,
+    *,
+    group_col: str,
+    vec_col: str,
+    out_col: str = "pooled",
+    round_decimals: int | None = 6,
+):
+    """Mean-pool many vectors into one per group — the chunk->document
+    embedding aggregation every long-document retrieval stack runs
+    (embed chunks, serve documents), and the generic "average the
+    per-item vectors per entity" reducer.
+
+    posexplode -> per-(group, position) avg -> ordered reassembly: both
+    shuffles key on the group (the position rides along), partial
+    averages combine map-side, and no row ever carries more than one
+    scalar between the explode and the final array — at 100 TB the
+    exchange moves (groups x dim) doubles, not the input vectors.
+    Reassembly sorts a (position, value) struct array, so the output
+    dimension order is exact regardless of shuffle order. Groups with
+    vectors of unequal dimension would silently pool per-position
+    (short vectors just stop contributing); callers wanting a guard
+    should pre-filter on ``array_size``. Rounding pins the
+    order-dependent float average for cross-engine replay."""
+    exploded = df.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__i", "__x"
+        ),
+    )
+    m = F.avg("__x")
+    if round_decimals is not None:
+        m = F.round(m, round_decimals)
+    pooled = exploded.groupBy("__g", "__i").agg(m.alias("__m"))
+    return (
+        pooled.groupBy("__g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__m"))),
+                lambda s: s["__m"],
+            ).alias(out_col)
+        )
+        .withColumnRenamed("__g", group_col)
+    )

@@ -2218,7 +2218,7 @@ def _est_sql(x: str) -> str:
     )
 
 
-def _chunk_explode_oracle(chunk_size: int, overlap: int) -> str:
+def _chunk_walk_ctes(chunk_size: int, overlap: int) -> str:
     r"""Recursive-CTE replay of the splitter's greedy merge fold
     (functions/text_splitting.py:_merge_pieces) in the no-recursion
     regime: split the text on its active separator, then walk the pieces
@@ -2308,7 +2308,12 @@ def _chunk_explode_oracle(chunk_size: int, overlap: int) -> str:
                                list_reduce(w, (x, y) -> x || s || y), {ws}),
                              '')
                         END AS fj
-            FROM walk WHERE i = n) f)
+            FROM walk WHERE i = n) f)"""
+
+
+def _chunk_explode_oracle(chunk_size: int, overlap: int) -> str:
+    """Chunk-walk CTEs + the exploded per-chunk final select."""
+    return f"""{_chunk_walk_ctes(chunk_size, overlap)}
     SELECT doc_key, (u.idx - 1)::INT AS chunk_no,
            length(u.c)::BIGINT AS chunk_chars, sha256(u.c) AS chunk_sha
     FROM (SELECT doc_key, unnest(chunks) AS c,
@@ -2854,4 +2859,63 @@ def knn_mutual_graph(spark, sf_dir):
         edges.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= 25)
         .select("a", "b", "similarity")
+    )
+
+
+@register(
+    "vector_meanpool_docs",
+    oracle=f"""{_chunk_walk_ctes(60, 10)},
+    chx AS (SELECT doc_key, unnest(chunks) AS c FROM fin),
+    emb AS (SELECT doc_key, {_hash_emb_sql('c')}::DOUBLE[] AS v FROM chx),
+    dims AS (
+      SELECT doc_key, u.x, u.i
+      FROM (SELECT doc_key, unnest(v) AS x, generate_subscripts(v, 1) AS i
+            FROM emb) u(doc_key, x, i)),
+    pooled AS (
+      SELECT doc_key, i, round(avg(x), 6) AS m
+      FROM dims GROUP BY doc_key, i),
+    vecs AS (
+      SELECT doc_key, list(m ORDER BY i) AS pv FROM pooled GROUP BY doc_key),
+    q AS (SELECT {_hash_emb_sql("'" + SEARCH_QUERY + "'")}::DOUBLE[] AS qv)
+    SELECT doc_key, round(sim, 6) AS similarity FROM (
+      SELECT vecs.doc_key, {_cos_sql('vecs.pv', 'q.qv')} AS sim
+      FROM vecs, q)
+    ORDER BY sim DESC, doc_key LIMIT 10
+    """,
+)
+def vector_meanpool_docs(spark, sf_dir):
+    """Chunk->document embedding aggregation: split every document with
+    the real recursive splitter (chunk_size=60, overlap=10 — the same
+    walk the pipeline_chunk_explode oracle replays), hash-embed each
+    chunk JVM-side, MEAN-POOL the chunk vectors back to one document
+    embedding (functions/vector.py::meanpool_vectors — the exchange
+    moves (docs x dim) scalars, never the chunk vectors), then serve a
+    cosine top-10 against the standard probe query. This is the
+    long-document retrieval shape: embed at chunk granularity, rank at
+    document granularity."""
+    from wagtail_vector_index_spark.config import IndexConfig
+    from wagtail_vector_index_spark.functions.vector import meanpool_vectors
+    from wagtail_vector_index_spark.plans.indexing import chunk_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = docs.select(
+        F.concat_ws(":", "source", "doc_id").alias("object_key"),
+        F.array(F.concat_ws(":", "source", "doc_id")).alias("object_keys"),
+        "text",
+    )
+    cfg = IndexConfig(index_name="pool", chunk_overlap=10)
+    chunks = chunk_sources(sources, cfg, chunk_size=60)
+    backend = HashEmbeddingBackend(dimensions=8)
+    emb = chunks.select(
+        "doc_key", backend.as_column(F.col("content")).alias("v")
+    )
+    pooled = meanpool_vectors(
+        emb, group_col="doc_key", vec_col="v", round_decimals=6
+    )
+    qvec = [float(x) for x in HashEmbeddingBackend(dimensions=8).embed_one(SEARCH_QUERY)]
+    hits = topk_similar(
+        pooled, qvec, vector_col="pooled", id_col="doc_key", limit=10
+    )
+    return hits.select(
+        "doc_key", F.round("similarity", 6).alias("similarity")
     )
