@@ -109,6 +109,7 @@ ADDED = [
     "text_keywords_tfidf",
     "knn_mutual_graph",
     "vector_meanpool_docs",
+    "dedup_containment",
 ]
 
 SPARK_RUNS = 5

@@ -970,3 +970,39 @@ def test_substring_coverage_overlapping_windows_union(spark):
     assert out[1]["n_dup_windows"] == 5
     assert out[1]["covered_tokens"] == 8
     assert out[2]["covered_tokens"] == 8
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 in
+    the short->long direction, while Jaccard sits near |A|/|B| and a
+    0.5 Jaccard threshold never fires."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"tok{i} filler{i} pad{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "совсем unrelated words entirely here")],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert [(r["contained"], r["container"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_emits_both_directions_for_twins(spark):
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    t = "one two three four five six"
+    docs = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    pairs = sorted(
+        (r["contained"], r["container"], r["containment"])
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.5).collect()
+    )
+    assert pairs == [(1, 2, 1.0), (2, 1, 1.0)]

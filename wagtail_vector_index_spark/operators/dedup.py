@@ -78,14 +78,27 @@ def exact_duplicates(
     )
 
 
-def _exact_jaccard_pairs(
-    shingled: DataFrame, *, id_col: str, threshold: float
-) -> DataFrame:
-    """Exact Jaccard over pre-shingled rows (id, shingles array<string>).
+def _co_counts(ex: DataFrame, id_col: str) -> DataFrame:
+    """Canonical (id_a < id_b) shared-shingle co-counts over an exploded
+    (id, n_sh, sh) frame: one shuffle on the shingle key + one on the
+    pair key. Shared by the Jaccard and containment pair generators."""
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), F.col("sh")
+    )
+    return (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
 
-    Co-count join: explode distinct shingles, self-join on shingle (only
-    docs sharing a shingle ever pair), count intersections, divide by
-    |A|+|B|-|A∩B|. One shuffle on the shingle key + one on the pair key.
+
+def _exploded_shingles(shingled: DataFrame, id_col: str) -> DataFrame:
+    """Exploded (id, n_sh, sh) rows over pre-shingled input, hashed and
+    cached for a co-count self-join.
 
     The join key is a 60-bit sha256 prefix of the shingle, not the string:
     the wide shuffle then carries three longs per row instead of a text
@@ -94,13 +107,18 @@ def _exact_jaccard_pairs(
     practice (collision expectation n^2/2^61: ~4e-8 at 3e5 distinct
     shingles, ~0.25 at 1e9); the oracle joins raw strings, so the gate
     itself would surface a collision ever changing a result.
+
+    The cache() — WITHOUT a blocking count — materializes the frame
+    before the self-join: the InMemoryRelation boundary (which stops
+    projection collapse from inlining the sha into both join sides)
+    exists at plan time, and concurrent first-fill tasks serialize on
+    the block manager's per-partition write lock — an eager count()
+    only added a full pass that serialized the job (r3 verdict item 7).
     """
     sizes = shingled.select(
         F.col(id_col), F.size("shingles").alias("n_sh"), F.col("shingles")
     )
-    # materialize before the self-join: otherwise projection collapse
-    # inlines the shingle construction into both join sides
-    ex = (
+    return (
         sizes.select(id_col, "n_sh", F.explode("shingles").alias("__shs"))
         .select(
             id_col,
@@ -111,24 +129,19 @@ def _exact_jaccard_pairs(
         )
         .cache()
     )
-    # cache() WITHOUT a blocking count: the InMemoryRelation boundary
-    # (which stops projection collapse from inlining the sha into both
-    # join sides) exists at plan time, and concurrent first-fill tasks
-    # serialize on the block manager's per-partition write lock — the
-    # eager count() only added a full pass that serialized the job
-    # (r3 verdict item 7).
-    a = ex.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
-    )
-    b = ex.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), F.col("sh")
-    )
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+
+
+def _exact_jaccard_pairs(
+    shingled: DataFrame, *, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over pre-shingled rows (id, shingles array<string>).
+
+    Co-count join: explode distinct shingles, self-join on shingle (only
+    docs sharing a shingle ever pair), count intersections, divide by
+    |A|+|B|-|A∩B|. One shuffle on the shingle key + one on the pair key
+    (see :func:`_exploded_shingles` for the hashed-key and cache notes).
+    """
+    inter = _co_counts(_exploded_shingles(shingled, id_col), id_col)
     return inter.select(
         "id_a",
         "id_b",
@@ -256,6 +269,48 @@ def ngram_jaccard_pairs(
         F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
     )
     return _exact_jaccard_pairs(shingled, id_col=id_col, threshold=threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC containment near-duplicate pairs: directed rows
+    (contained, container, containment) where
+    ``C(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| >=
+    threshold`` and A != B.
+
+    Jaccard misses subset duplication by construction: a 50-shingle
+    document quoted verbatim inside a 500-shingle page scores
+    J ~= 0.1 but containment 1.0 — the quoted-boilerplate /
+    aggregator-page case a training-data pipeline must catch (the
+    same asymmetry motivates the suffix-array ExactSubstr pass; this
+    is its set-grain sibling). Both directions come from ONE co-count
+    pass (:func:`_co_counts` — the identical two-shuffle plan as
+    :func:`ngram_jaccard_pairs`): each canonical (id_a < id_b) pair
+    row fans out into up to two directed rows, ``ni/n_a`` and
+    ``ni/n_b``, so containment costs nothing over Jaccard."""
+    df = _ensure_parallelism(df, id_col)
+    shingled = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    )
+    inter = _co_counts(_exploded_shingles(shingled, id_col), id_col)
+    t = F.lit(float(threshold))
+    fwd = inter.select(
+        F.col("id_a").alias("contained"),
+        F.col("id_b").alias("container"),
+        (F.col("n_inter") / F.col("n_a")).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("id_b").alias("contained"),
+        F.col("id_a").alias("container"),
+        (F.col("n_inter") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= t)
 
 
 def ngram_jaccard_pairs_prefix(

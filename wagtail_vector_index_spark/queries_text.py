@@ -2043,3 +2043,43 @@ def text_keywords_tfidf(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return tfidf_keywords(docs, id_col="doc_id", text_col="text", k=3)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    dirs AS (
+      SELECT id_a AS contained, id_b AS container,
+             ni::DOUBLE / n_a AS c FROM inter
+      UNION ALL
+      SELECT id_b, id_a, ni::DOUBLE / n_b FROM inter)
+    SELECT contained, container, round(c, 6) AS containment
+    FROM dirs WHERE c >= 0.6
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup: directed (contained, container) pairs with
+    shingle containment |A∩B|/|A| >= 0.6 — the quoted-boilerplate /
+    subset-duplication case Jaccard structurally misses (a short doc
+    quoted inside a long page has J ~= |A|/|B| but containment 1.0).
+    Both directions come from the SAME single co-count pass as the
+    Jaccard gate (operators/dedup.py::ngram_containment_pairs): each
+    canonical pair row fans out into two directed candidates, so the
+    asymmetric measure costs nothing over the symmetric one."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    pairs = ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6
+    )
+    return pairs.select(
+        "contained", "container", F.round("containment", 6).alias("containment")
+    )
