@@ -110,6 +110,7 @@ ADDED = [
     "knn_mutual_graph",
     "vector_meanpool_docs",
     "dedup_containment",
+    "sketch_kmv_sliding",
 ]
 
 SPARK_RUNS = 5

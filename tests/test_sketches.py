@@ -503,3 +503,53 @@ def test_ams_f2_guards_odd_depth(spark):
         ams_f2(df, value_col="v", depth=7)
     with pytest.raises(ValueError):
         ams_f2(df, value_col="v", depth=0)
+
+
+def test_kmv_sliding_exact_when_unsaturated(spark):
+    """Below k distinct per window the merged sketch IS the exact set:
+    estimates equal the exact trailing-window distinct counts."""
+    import datetime as dt
+
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_sliding_distinct,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # day i contributes users {10*i .. 10*i+9}: 3-day windows overlap
+    for i in range(5):
+        for u in range(10):
+            rows.append((base + dt.timedelta(days=i, hours=u), 10 * i + u))
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    out = {
+        r["day"].isoformat(): r
+        for r in kmv_sliding_distinct(
+            df, ts_col="ts", value_col="user_id", window=3, k=64
+        ).collect()
+    }
+    assert len(out) == 5
+    # day 0: 10, day 1: 20, days >= 2: 30 (three full disjoint days)
+    assert out["2024-01-01"]["exact_distinct"] == 10
+    assert out["2024-01-02"]["exact_distinct"] == 20
+    assert out["2024-01-03"]["exact_distinct"] == 30
+    assert all(r["kmv_estimate"] == r["exact_distinct"] for r in out.values())
+    assert all(r["rel_err"] == 0.0 for r in out.values())
+
+
+def test_kmv_sliding_production_form_is_sketch_only(spark):
+    import datetime as dt
+
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_sliding_distinct,
+    )
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + i % 3, i % 24), i % 40) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    out = kmv_sliding_distinct(
+        df, ts_col="ts", value_col="user_id", window=2, k=16,
+        eval_exact=False,
+    )
+    assert out.columns == ["day", "kmv_estimate"]
+    assert out.count() == 3

@@ -685,3 +685,94 @@ def ams_f2(
             ).alias("rel_err"),
         )
     )
+
+
+def kmv_sliding_distinct(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    window: int = 3,
+    k: int = 64,
+    est_alias: str = "kmv_estimate",
+    eval_exact: bool = True,
+) -> DataFrame:
+    """Sliding-window distinct counts from per-day KMV sketches: for
+    every day, estimate the distinct ``value_col`` count over the
+    trailing ``window`` days — the rolling-reach dashboard.
+
+    This is the mergeability payoff in time: the raw stream is scanned
+    ONCE to build one bottom-k sketch per day (the same O(k)-state fold
+    as :func:`kmv_distinct`), and every window estimate is a MERGE of
+    ``<= window`` k-value arrays — a range self-join of the days-row
+    sketch table (broadcast; days, not events), flatten, distinct,
+    re-truncate to k, estimate. At 100 TB the daily sketches are what
+    you'd persist: any window length is then answerable without
+    touching the raw data again, which is exactly how this operator
+    computes it. Merged bottom-k of unions is exact bottom-k of the
+    union (Beyer et al. 2007), so the window estimator carries the
+    same (k-1)/u_k guarantees as the single-set sketch.
+
+    ``eval_exact=True`` (the gate default) joins the exact trailing
+    distinct count (a day-grain distinct + range join, the expensive
+    pass the sketch replaces) plus the measured relative error."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    u = (
+        sha_hash64(F.col(value_col).cast("string")) / F.lit(4294967296.0)
+    ).alias("__u")
+    src = df.select(day.alias("day"), u)
+    sketches = (
+        _bottom_k(src, ["day"], k)
+        .groupBy("day")
+        .agg(F.sort_array(F.collect_list("__u")).alias("kvals"))
+    )
+    anchors = sketches.select("day")
+    hist = sketches.select(
+        F.col("day").alias("__bday"), F.col("kvals").alias("__kb")
+    )
+    merged = (
+        anchors.join(
+            F.broadcast(hist),
+            (F.col("__bday") <= F.col("day"))
+            & (F.col("__bday") >= F.date_sub(F.col("day"), int(window) - 1)),
+        )
+        .groupBy("day")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("__kb")))),
+                1,
+                k,
+            ).alias("__m")
+        )
+    )
+    m = F.col("__m")
+    est = F.when(
+        F.size(m) >= k, F.lit(float(k - 1)) / F.element_at(m, k)
+    ).otherwise(F.size(m).cast("double"))
+    out = merged.select("day", est.alias(est_alias))
+    if not eval_exact:
+        return out
+    dv = df.select(
+        day.alias("__vday"), F.col(value_col).alias("__val")
+    ).distinct()
+    exact = (
+        anchors.join(
+            dv,
+            (F.col("__vday") <= F.col("day"))
+            & (F.col("__vday") >= F.date_sub(F.col("day"), int(window) - 1)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("__val").alias("exact_distinct"))
+    )
+    return (
+        out.join(exact, "day")
+        .select(
+            "day",
+            "exact_distinct",
+            F.col(est_alias),
+            (
+                F.abs(F.col(est_alias) - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_err"),
+        )
+    )

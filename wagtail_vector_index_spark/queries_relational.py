@@ -2225,3 +2225,65 @@ def graph_hits(spark, sf_dir):
         .where(F.col("__rn") <= 10)
         .select("node", F.round("auth", 8).alias("auth"))
     )
+
+
+@register(
+    "sketch_kmv_sliding",
+    oracle=f"""
+    WITH src AS (
+      SELECT date_trunc('day', ts)::DATE AS day, {_KMV_U} AS u FROM events),
+    d AS (SELECT DISTINCT day, u FROM src),
+    r AS (SELECT day, u,
+                 row_number() OVER (PARTITION BY day ORDER BY u) AS rn
+          FROM d),
+    sk AS (SELECT day, list_sort(list(u)) AS kvals
+           FROM r WHERE rn <= 64 GROUP BY day),
+    m AS (
+      SELECT a.day,
+             list_sort(list_distinct(flatten(list(b.kvals))))[1:64] AS mv
+      FROM sk a JOIN sk b
+        ON b.day <= a.day AND b.day >= a.day - INTERVAL 2 DAY
+      GROUP BY a.day),
+    est AS (
+      SELECT day,
+             CASE WHEN len(mv) >= 64 THEN 63.0 / mv[len(mv)]
+                  ELSE len(mv)::DOUBLE END AS e
+      FROM m),
+    dv AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS vday, user_id
+           FROM events),
+    ex AS (
+      SELECT a.day, count(DISTINCT v.user_id)::BIGINT AS exact_distinct
+      FROM (SELECT day FROM sk) a JOIN dv v
+        ON v.vday <= a.day AND v.vday >= a.day - INTERVAL 2 DAY
+      GROUP BY a.day)
+    SELECT ex.day, ex.exact_distinct, round(est.e, 2) AS kmv_estimate,
+           round(abs(est.e - ex.exact_distinct) / ex.exact_distinct, 4)
+             AS rel_err
+    FROM ex JOIN est USING (day)
+    """,
+)
+def sketch_kmv_sliding(spark, sf_dir):
+    """Rolling 3-day distinct-user reach per day, answered from per-day
+    KMV sketches (operators/sketches.py::kmv_sliding_distinct): the
+    raw events scan once into one bottom-k sketch per day; every
+    window estimate merges <= 3 day-sketches via a broadcast range
+    self-join of the days-row sketch table — the persist-daily-
+    sketches, merge-any-window-at-query-time pattern that answers
+    rolling-reach dashboards at 100 TB without rescanning. The exact
+    trailing distinct (day-grain distinct + range join, the pass the
+    sketch replaces) rides as the eval_exact companion with measured
+    relative error."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_sliding_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = kmv_sliding_distinct(
+        ev, ts_col="ts", value_col="user_id", window=3, k=64
+    )
+    return out.select(
+        "day",
+        "exact_distinct",
+        F.round("kmv_estimate", 2).alias("kmv_estimate"),
+        F.round("rel_err", 4).alias("rel_err"),
+    )
