@@ -2287,3 +2287,103 @@ def sketch_kmv_sliding(spark, sf_dir):
         F.round("kmv_estimate", 2).alias("kmv_estimate"),
         F.round("rel_err", 4).alias("rel_err"),
     )
+
+
+@register(
+    "q_drift_ks",
+    oracle="""
+    WITH c AS (
+      SELECT value,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_b
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY value),
+    cum AS (
+      SELECT sum(n_a) OVER (ORDER BY value) AS ca,
+             sum(n_b) OVER (ORDER BY value) AS cb
+      FROM c),
+    tot AS (SELECT max(ca) AS ta, max(cb) AS tb FROM cum)
+    SELECT ta AS n_view, tb AS n_click,
+           round(max(abs(ca::DOUBLE / ta - cb::DOUBLE / tb)), 6) AS d_stat
+    FROM cum, tot GROUP BY ta, tb
+    """,
+)
+def q_drift_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the view
+    and click value distributions — the distribution-shift monitor every
+    production pipeline runs between yesterday's data and today's. The
+    sup|F_a - F_b| is attained at sample points, so: aggregate to
+    distinct-value grain (map-side-combinable, the only pass over the
+    raw events), then a DISTRIBUTED prefix scan
+    (operators/prefixsum.py — range-sort + O(P) offsets + one Arrow
+    pass) turns per-value counts into both ECDFs with no single-task
+    global window; the final max is a plain agg. At 100 TB the scan's
+    state is one row per partition on the driver and the heavy input
+    never sees a one-task stage."""
+    from wagtail_vector_index_spark.operators.prefixsum import prefix_sum
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click")
+    )
+    counts = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n_b"
+        ),
+    )
+    cum = prefix_sum(
+        counts, order_cols=["value"], value_cols=["n_a", "n_b"]
+    )
+    tot = cum.agg(
+        F.max("n_a_cum").alias("ta"), F.max("n_b_cum").alias("tb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("ta").alias("n_view"),
+            F.max("tb").alias("n_click"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("n_a_cum") / F.col("ta")
+                        - F.col("n_b_cum") / F.col("tb")
+                    )
+                ),
+                6,
+            ).alias("d_stat"),
+        )
+    )
+
+
+@register(
+    "pipeline_dense_ids",
+    oracle="""
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id DESC) AS rank
+    FROM documents
+    """,
+)
+def pipeline_dense_ids(spark, sf_dir):
+    """Gapless ordered id assignment (longest-document-first) with NO
+    single-task stage — the numbering every graph build, shard layout,
+    and reproducible-shuffle pipeline needs, where the naive
+    row_number() OVER (ORDER BY ...) collapses 100 TB into one task.
+    operators/prefixsum.py::assign_dense_ids: Spark's own distributed
+    range sort assigns ascending key ranges to ascending partition ids,
+    a one-row-per-partition count aggregate becomes exclusive offsets on
+    the driver (O(P) state), and one narrow Arrow pass numbers each
+    partition from its offset. doc_id rides as the unique tiebreaker so
+    the numbering is deterministic."""
+    from wagtail_vector_index_spark.operators.prefixsum import (
+        assign_dense_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return assign_dense_ids(
+        docs,
+        order_cols=["n_chars", "doc_id"],
+        out_col="rank",
+        descending=True,
+    )

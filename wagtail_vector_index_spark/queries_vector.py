@@ -2919,3 +2919,79 @@ def vector_meanpool_docs(spark, sf_dir):
     return hits.select(
         "doc_key", F.round("similarity", 6).alias("similarity")
     )
+
+
+@register(
+    "vector_silhouette",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    cent AS (
+      SELECT label AS c_label, d, round(avg(x), 6) AS cx
+      FROM e GROUP BY 1, 2),
+    dist AS (
+      SELECT p.vec_id, p.label, c.c_label,
+             sqrt(sum((p.x - c.cx) * (p.x - c.cx))) AS dist
+      FROM e p JOIN cent c USING (d)
+      GROUP BY 1, 2, 3),
+    ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN c_label = label THEN dist END) AS a,
+             min(CASE WHEN c_label <> label THEN dist END) AS b
+      FROM dist GROUP BY 1, 2),
+    s AS (
+      SELECT label,
+             CASE WHEN greatest(a, b) = 0 THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END AS s
+      FROM ab)
+    SELECT label, round(avg(s), 6) AS silhouette, count(*) AS n
+    FROM s GROUP BY label
+    """,
+)
+def vector_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette score (centroid form: a = L2 to
+    own centroid, b = L2 to nearest other centroid, s = (b-a)/max(a,b))
+    over the labeled embeddings — the cluster-quality report card every
+    clustering/labeling pipeline emits. Centroids come from the
+    meanpool reducer (the exchange moves labels x dim scalars, never
+    the vectors), rounded to 6 dp both sides to pin the order-dependent
+    float average; the k-row centroid table then broadcast-crossJoins
+    the points (a k-fold narrow expansion, no shuffle), so at 100 TB
+    the only shuffle is the labels x dim centroid agg. The classic full
+    silhouette is O(n^2) pairwise — the centroid form is the one that
+    scales, and the one sklearn's docs recommend sampling for
+    otherwise."""
+    from wagtail_vector_index_spark.functions.vector import meanpool_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = meanpool_vectors(
+        emb, group_col="label", vec_col="v", out_col="cv", round_decimals=6
+    ).withColumnRenamed("label", "c_label")
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        euclidean_distance(F.col("v"), F.col("cv")).alias("dist"),
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    s = ab.select(
+        "label",
+        F.when(F.greatest("a", "b") == 0, F.lit(0.0))
+        .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+        .alias("s"),
+    )
+    return s.groupBy("label").agg(
+        F.round(F.avg("s"), 6).alias("silhouette"),
+        F.count(F.lit(1)).alias("n"),
+    )
