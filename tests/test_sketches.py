@@ -553,3 +553,49 @@ def test_kmv_sliding_production_form_is_sketch_only(spark):
     )
     assert out.columns == ["day", "kmv_estimate"]
     assert out.count() == 3
+
+
+def test_overlap_matrix_exact_when_unsaturated(spark):
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_overlap_matrix,
+    )
+
+    # three segments with known overlaps: a={0..19}, b={10..29}, c={25..34}
+    rows = (
+        [("a", i) for i in range(20)]
+        + [("b", i) for i in range(10, 30)]
+        + [("c", i) for i in range(25, 35)]
+    )
+    df = spark.createDataFrame(rows, ["seg", "uid"])
+    out = {
+        (r["tag_a"], r["tag_b"]): r
+        for r in kmv_overlap_matrix(
+            df, value_col="uid", tag_col="seg", k=64
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["union_exact"], ab["intersect_exact"]) == (30, 10)
+    ac = out[("a", "c")]
+    assert (ac["union_exact"], ac["intersect_exact"]) == (30, 0)
+    bc = out[("b", "c")]
+    assert (bc["union_exact"], bc["intersect_exact"]) == (25, 5)
+    # k=64 > every union: the sketch estimates are exact too
+    for r in out.values():
+        assert r["union_est"] == r["union_exact"]
+        assert r["intersect_est"] == r["intersect_exact"]
+
+
+def test_overlap_matrix_production_form_drops_pair_tags(spark):
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_overlap_matrix,
+    )
+
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 30)]
+    df = spark.createDataFrame(rows, ["seg", "uid"])
+    out = kmv_overlap_matrix(
+        df, value_col="uid", tag_col="seg", k=64, eval_exact=False
+    )
+    assert out.columns == ["tag_a", "tag_b", "union_est", "intersect_est"]
+    row = out.collect()[0]
+    assert (row["union_est"], row["intersect_est"]) == (30.0, 10.0)

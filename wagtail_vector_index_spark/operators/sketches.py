@@ -776,3 +776,96 @@ def kmv_sliding_distinct(
             ).alias("rel_err"),
         )
     )
+
+
+def kmv_overlap_matrix(
+    df: DataFrame,
+    *,
+    value_col: str,
+    tag_col: str,
+    k: int = 64,
+    eval_exact: bool = True,
+) -> DataFrame:
+    """Pairwise audience-overlap matrix for EVERY pair of segments in
+    one pass: distinct-count union/intersection estimates for all
+    ``tag_col`` pairs from per-segment KMV sketches built by a single
+    grouped bottom-k fold — the N-segment generalization of
+    :func:`kmv_overlap`, and the shape a 100 TB cross-segment dashboard
+    actually needs (T segments answer T*(T-1)/2 cells from T sketches;
+    the raw data is scanned once, never per cell).
+
+    1. ``groupBy(value)`` collects each value's segment set (map-side
+       combinable; this IS the distinct);
+    2. each value explodes into its single-segment tags plus — when
+       ``eval_exact`` (the gate default) — its segment-PAIR tags
+       (``a|b`` for every pair in its set, ≤ C(m,2) per value), so the
+       exact pairwise intersection counts ride the same fold;
+    3. ONE grouped bottom-k Arrow fold (``with_count=True``) emits every
+       tag's sketch and exact count;
+    4. the ≤ T + C(T,2) tag rows self-join into the pair matrix and the
+       shared estimators produce the estimates.
+
+    ``eval_exact=False`` drops the pair tags and exact columns — the
+    production form's explode factor is m, not m + C(m,2)."""
+    vals = df.groupBy(F.col(value_col).alias("__val")).agg(
+        F.array_sort(F.collect_set(F.col(tag_col).cast("string"))).alias(
+            "__ts"
+        )
+    )
+    singles = F.col("__ts")
+    pair_tags = F.flatten(
+        F.transform(
+            F.col("__ts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ts"),
+                    i + F.lit(2),
+                    F.size(F.col("__ts")),
+                ),
+                lambda y: F.concat(x, F.lit("|"), y),
+            ),
+        )
+    )
+    tags = F.concat(singles, pair_tags) if eval_exact else singles
+    tagged = vals.select(
+        F.explode(tags).alias("__tag"),
+        (
+            sha_hash64(F.col("__val").cast("string")) / F.lit(4294967296.0)
+        ).alias("__u"),
+    )
+    partials = _bottom_k_partials(tagged, ["__tag"], k, with_count=True)
+    per_tag = partials.groupBy("__tag").agg(
+        F.slice(F.sort_array(F.collect_list("__u")), 1, k).alias("kvals"),
+        F.sum("__c").alias("cnt"),
+    )
+    sk = per_tag.where(~F.col("__tag").contains("|"))
+    a = sk.select(
+        F.col("__tag").alias("tag_a"),
+        F.col("kvals").alias("ka"),
+        F.col("cnt").alias("__ca"),
+    )
+    b = sk.select(
+        F.col("__tag").alias("tag_b"),
+        F.col("kvals").alias("kb"),
+        F.col("cnt").alias("__cb"),
+    )
+    pairs = a.join(b, F.col("tag_a") < F.col("tag_b"))
+    ests = _kmv_pair_estimates(k)
+    if not eval_exact:
+        return pairs.select("tag_a", "tag_b", *ests)
+    inter = per_tag.where(F.col("__tag").contains("|")).select(
+        F.split("__tag", "\\|").getItem(0).alias("tag_a"),
+        F.split("__tag", "\\|").getItem(1).alias("tag_b"),
+        F.col("cnt").alias("__ci"),
+    )
+    out = pairs.join(inter, ["tag_a", "tag_b"], "left").withColumn(
+        "__ci", F.coalesce("__ci", F.lit(0))
+    )
+    return out.select(
+        "tag_a",
+        "tag_b",
+        (F.col("__ca") + F.col("__cb") - F.col("__ci")).alias("union_exact"),
+        ests[0],
+        F.col("__ci").alias("intersect_exact"),
+        ests[1],
+    )

@@ -2387,3 +2387,70 @@ def pipeline_dense_ids(spark, sf_dir):
         out_col="rank",
         descending=True,
     )
+
+
+@register(
+    "sketch_overlap_matrix",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type AS t, user_id FROM events),
+    uu AS (SELECT t, {_KMV_U} AS u FROM d),
+    r AS (
+      SELECT t, u, row_number() OVER (PARTITION BY t ORDER BY u) AS rn
+      FROM uu),
+    sk AS (
+      SELECT t, list_sort(list(u)) AS kvals
+      FROM r WHERE rn <= 64 GROUP BY t),
+    cnt AS (SELECT t, count(*) AS c FROM d GROUP BY t),
+    ix AS (
+      SELECT a.t AS ta, b.t AS tb, count(*) AS ci
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.t < b.t
+      GROUP BY 1, 2),
+    pair AS (
+      SELECT a.t AS tag_a, b.t AS tag_b, a.kvals AS ka, b.kvals AS kb,
+             list_sort(list_distinct(a.kvals || b.kvals))[1:64] AS m,
+             ca.c AS cca, cb.c AS ccb, coalesce(ix.ci, 0) AS cci
+      FROM sk a JOIN sk b ON a.t < b.t
+      JOIN cnt ca ON ca.t = a.t JOIN cnt cb ON cb.t = b.t
+      LEFT JOIN ix ON ix.ta = a.t AND ix.tb = b.t),
+    est AS (
+      SELECT tag_a, tag_b, cca, ccb, cci,
+             CASE WHEN len(m) >= 64 THEN 63.0 / m[len(m)]
+                  ELSE len(m)::DOUBLE END AS union_est,
+             len(list_filter(m, x -> list_contains(ka, x)
+                                    AND list_contains(kb, x))) AS ic,
+             len(m) >= 64 AS sat
+      FROM pair)
+    SELECT tag_a, tag_b, (cca + ccb - cci) AS union_exact,
+           round(union_est, 2) AS union_est,
+           cci AS intersect_exact,
+           round(CASE WHEN sat THEN ic / 64.0 * union_est
+                      ELSE ic::DOUBLE END, 2) AS intersect_est
+    FROM est
+    """,
+)
+def sketch_overlap_matrix(spark, sf_dir):
+    """Full pairwise audience-overlap matrix — distinct-user union and
+    intersection estimates for EVERY pair of the five event types — from
+    per-type KMV sketches built in ONE scan + ONE grouped Arrow fold
+    (operators/sketches.py::kmv_overlap_matrix). T segments answer
+    T*(T-1)/2 dashboard cells from T sketches; each value explodes into
+    its segment tags plus its segment-pair tags so the exact eval
+    companions ride the same fold (inclusion-exclusion, no extra scan).
+    The production form (eval_exact=False) explodes singles only."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_overlap_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = kmv_overlap_matrix(
+        ev, value_col="user_id", tag_col="event_type", k=64
+    )
+    return out.select(
+        "tag_a",
+        "tag_b",
+        "union_exact",
+        F.round("union_est", 2).alias("union_est"),
+        "intersect_exact",
+        F.round("intersect_est", 2).alias("intersect_est"),
+    )
