@@ -111,6 +111,10 @@ ADDED = [
     "vector_meanpool_docs",
     "dedup_containment",
     "sketch_kmv_sliding",
+    "q_drift_ks",
+    "pipeline_dense_ids",
+    "vector_silhouette",
+    "sketch_overlap_matrix",
 ]
 
 SPARK_RUNS = 5

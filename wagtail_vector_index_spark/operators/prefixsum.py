@@ -70,10 +70,12 @@ def _ranged_with_pid(
 
 def _exclusive_offsets(
     ck: DataFrame, value_cols: Sequence[str]
-) -> dict[int, list]:
+) -> tuple[dict[int, list], dict[str, float]]:
     """Per-partition exclusive prefix offsets from the O(P) totals agg
     (partition ids ascend with the range order, so a driver-side running
-    sum over the sorted ≤P rows is the whole cross-partition carry)."""
+    sum over the sorted ≤P rows is the whole cross-partition carry).
+    Also returns the grand total per value column — the carry's final
+    value — so callers needing totals don't re-scan."""
     totals = (
         ck.groupBy("__pid")
         .agg(*[F.sum(c).alias(c) for c in value_cols])
@@ -85,7 +87,7 @@ def _exclusive_offsets(
         offsets[int(row["__pid"])] = list(run)
         for i, c in enumerate(value_cols):
             run[i] += row[c] if row[c] is not None else 0
-    return offsets
+    return offsets, dict(zip(value_cols, run))
 
 
 def prefix_sum(
@@ -102,10 +104,35 @@ def prefix_sum(
     ``<col><suffix>`` column per value column; output rows arrive
     range-sorted. Equivalent to ``sum(col) OVER (ORDER BY order_cols
     ROWS UNBOUNDED PRECEDING)`` but with no single-task stage."""
+    out, _ = prefix_sum_with_totals(
+        df,
+        order_cols=order_cols,
+        value_cols=value_cols,
+        descending=descending,
+        suffix=suffix,
+        num_partitions=num_partitions,
+    )
+    return out
+
+
+def prefix_sum_with_totals(
+    df: DataFrame,
+    *,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    descending: bool = False,
+    suffix: str = "_cum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, float]]:
+    """:func:`prefix_sum` plus the grand totals as driver scalars — they
+    fall out of the offsets pass for free (the cross-partition carry's
+    final value IS the total), so normalizing consumers (ECDFs, shares)
+    don't pay a second pass or a scalar cross-join over the scanned
+    frame."""
     ck = _ranged_with_pid(
         df, order_cols, descending=descending, num_partitions=num_partitions
     )
-    offsets = _exclusive_offsets(ck, value_cols)
+    offsets, totals = _exclusive_offsets(ck, value_cols)
     base = [f for f in ck.schema.fields if f.name != "__pid"]
     out_schema = StructType(
         base
@@ -130,7 +157,7 @@ def prefix_sum(
                 run[i] = cs.iloc[-1]
             yield out
 
-    return ck.mapInPandas(gen, schema=out_schema)
+    return ck.mapInPandas(gen, schema=out_schema), totals
 
 
 def assign_dense_ids(

@@ -838,6 +838,11 @@ def kmv_overlap_matrix(
         F.slice(F.sort_array(F.collect_list("__u")), 1, k).alias("kvals"),
         F.sum("__c").alias("cnt"),
     )
+    if eval_exact:
+        # the single-segment branch and the pair-tag branch both read
+        # per_tag — pin the (≤ T + C(T,2))-row result so the scan + fold
+        # run once, not once per branch
+        per_tag = per_tag.localCheckpoint()
     sk = per_tag.where(~F.col("__tag").contains("|"))
     a = sk.select(
         F.col("__tag").alias("tag_a"),

@@ -2320,7 +2320,9 @@ def q_drift_ks(spark, sf_dir):
     global window; the final max is a plain agg. At 100 TB the scan's
     state is one row per partition on the driver and the heavy input
     never sees a one-task stage."""
-    from wagtail_vector_index_spark.operators.prefixsum import prefix_sum
+    from wagtail_vector_index_spark.operators.prefixsum import (
+        prefix_sum_with_totals,
+    )
 
     ev = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "click")
@@ -2333,27 +2335,19 @@ def q_drift_ks(spark, sf_dir):
             "n_b"
         ),
     )
-    cum = prefix_sum(
+    cum, totals = prefix_sum_with_totals(
         counts, order_cols=["value"], value_cols=["n_a", "n_b"]
     )
-    tot = cum.agg(
-        F.max("n_a_cum").alias("ta"), F.max("n_b_cum").alias("tb")
-    )
-    return (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            F.max("ta").alias("n_view"),
-            F.max("tb").alias("n_click"),
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("n_a_cum") / F.col("ta")
-                        - F.col("n_b_cum") / F.col("tb")
-                    )
-                ),
-                6,
-            ).alias("d_stat"),
-        )
+    ta, tb = float(totals["n_a"]), float(totals["n_b"])
+    return cum.agg(
+        F.lit(int(ta)).cast("long").alias("n_view"),
+        F.lit(int(tb)).cast("long").alias("n_click"),
+        F.round(
+            F.max(
+                F.abs(F.col("n_a_cum") / F.lit(ta) - F.col("n_b_cum") / F.lit(tb))
+            ),
+            6,
+        ).alias("d_stat"),
     )
 
 
@@ -2453,4 +2447,66 @@ def sketch_overlap_matrix(spark, sf_dir):
         F.round("union_est", 2).alias("union_est"),
         "intersect_exact",
         F.round("intersect_est", 2).alias("intersect_est"),
+    )
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, ts, user_id,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pts,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS ptype
+      FROM events)
+    SELECT coalesce(ptype, 'none') AS touch,
+           count(*)::BIGINT AS n_conversions,
+           round(avg(date_diff('second', pts, ts) / 60.0), 2) AS avg_minutes
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: every purchase is credited to
+    the same user's most recent PRIOR view/click (or 'none'), with the
+    mean minutes-to-convert per touch type — the marketing-analytics
+    staple. One window partitioned BY USER (thousands of small
+    per-user partitions — never a global sort), carrying the last
+    qualifying (ts, type) struct via last(ignorenulls) over an
+    unbounded-preceding frame; the attribution then aggregates
+    map-side to a three-row report. At 100 TB the shuffle keys on
+    user_id and each task streams its users' timelines once."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(
+            F.col("event_type").isin("view", "click"),
+            F.struct("ts", "event_type"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    ev = _t(spark, sf_dir, "events").withColumn("__prior", prior)
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("__prior.event_type"), F.lit("none")).alias("touch"),
+        (
+            (
+                F.col("ts").cast("long")
+                - F.col("__prior.ts").cast("long")
+            )
+            / 60.0
+        ).alias("mins"),
+    )
+    return conv.groupBy("touch").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.avg("mins"), 2).alias("avg_minutes"),
     )

@@ -2083,3 +2083,74 @@ def dedup_containment(spark, sf_dir):
     return pairs.select(
         "contained", "container", F.round("containment", 6).alias("containment")
     )
+
+
+@register(
+    "search_posting_lists",
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)
+      GROUP BY 1, 2),
+    d AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    top AS (SELECT tok, df FROM d ORDER BY df DESC, tok LIMIT 25),
+    r AS (
+      SELECT tf.tok, doc_id, tf.tf,
+             row_number() OVER (PARTITION BY tf.tok
+                                ORDER BY tf.tf DESC, doc_id) AS rn
+      FROM tf JOIN top USING (tok)),
+    p AS (
+      SELECT tok, array_to_string(list(doc_id ORDER BY rn), ',') AS postings
+      FROM r WHERE rn <= 8 GROUP BY tok)
+    SELECT top.tok, top.df, p.postings FROM top JOIN p USING (tok)
+    """,
+)
+def search_posting_lists(spark, sf_dir):
+    """Inverted-index build, the search-engine core: token -> document
+    frequency + the head of its posting list (top-8 docs by term
+    frequency), reported for the 25 highest-df terms. The token stream
+    collapses map-side at (tok, doc) grain before any exchange; the df
+    table cuts to 25 rows via TakeOrderedAndProject and broadcast-semi-
+    joins back, so the per-token posting window (a map-side
+    WindowGroupLimit) only ever ranks the 25 surviving tokens'
+    postings. At 100 TB posting lists are the thing you cap — the
+    head-of-list shape here is how impact-ordered indexes (WAND-style)
+    store them."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    top = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(25)
+    )
+    ranked = tf.join(F.broadcast(top), "tok").withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("tok").orderBy(
+                F.col("tf").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    postings = (
+        ranked.where(F.col("__rn") <= 8)
+        .groupBy("tok", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__rn", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return postings.select("tok", "df", "postings")
