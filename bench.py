@@ -115,6 +115,9 @@ ADDED = [
     "pipeline_dense_ids",
     "vector_silhouette",
     "sketch_overlap_matrix",
+    "q_attribution_last_touch",
+    "search_posting_lists",
+    "pipeline_bpe_encode",
 ]
 
 SPARK_RUNS = 5

@@ -119,3 +119,20 @@ def test_no_single_task_window_in_plan(spark, frame):
     # checkpoint scan + the Arrow stage; a global Window would appear
     # here if the scan were implemented the banned way
     assert "Window" not in plan
+
+
+def test_prefix_sum_with_totals_returns_grand_totals(spark, frame):
+    from wagtail_vector_index_spark.operators.prefixsum import (
+        prefix_sum_with_totals,
+    )
+
+    out, totals = prefix_sum_with_totals(
+        frame, order_cols=["k", "id"], value_cols=["v", "k"]
+    )
+    agg = frame.agg(F.sum("v"), F.sum("k")).collect()[0]
+    assert totals["v"] == agg[0]
+    assert totals["k"] == agg[1]
+    # and the scan's last row agrees with the totals
+    last = max(out.collect(), key=lambda r: (r["k"], r["id"]))
+    assert last["v_cum"] == totals["v"]
+    assert last["k_cum"] == totals["k"]

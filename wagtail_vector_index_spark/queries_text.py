@@ -1904,7 +1904,7 @@ def sketch_countmin_tokens(spark, sf_dir):
     )
 
 
-def _bpe_oracle(num_merges: int) -> str:
+def _bpe_merge_ctes(num_merges: int) -> list[str]:
     # sentinel-prefixed symbols: chr(1)||sym||' ' per symbol; ONE
     # replace pass per merge == the classic left-to-right fold (see
     # operators/bpe.py module doc)
@@ -1932,6 +1932,11 @@ def _bpe_oracle(num_merges: int) -> str:
                      chr(1) || m.a || ' ' || chr(1) || m.b || ' ',
                      chr(1) || m.a || m.b || ' ') AS syms, v.n
       FROM v{i - 1} v CROSS JOIN m{i} m)""")
+    return parts
+
+
+def _bpe_oracle(num_merges: int) -> str:
+    parts = _bpe_merge_ctes(num_merges)
     ctes = ",\n    ".join(parts)
     sel = "\n    UNION ALL ".join(
         f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, cnt "
@@ -2154,3 +2159,62 @@ def search_posting_lists(spark, sf_dir):
         )
     )
     return postings.select("tok", "df", "postings")
+
+
+def _bpe_encode_oracle(num_merges: int) -> str:
+    # merge learning CTEs (shared with pipeline_bpe_merges), then the
+    # SAME sentinel-replace per learned merge applied at doc-word grain
+    parts = list(_bpe_merge_ctes(num_merges))
+    parts.append(f"""e0 AS (
+      SELECT doc_id, regexp_replace(w, '(.)', chr(1) || '\\1 ', 'g') AS syms
+      FROM (SELECT doc_id, unnest({TOKS_SQL}) AS w FROM documents)
+      WHERE NOT contains(w, chr(1)))""")
+    for i in range(1, num_merges + 1):
+        parts.append(f"""e{i} AS (
+      SELECT doc_id,
+             replace(e.syms,
+                     chr(1) || m.a || ' ' || chr(1) || m.b || ' ',
+                     chr(1) || m.a || m.b || ' ') AS syms
+      FROM e{i - 1} e CROSS JOIN m{i} m)""")
+    ctes = ",\n    ".join(parts)
+    return f"""WITH {ctes}
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+           sum(len(list_filter(string_split(syms, ' '),
+                               x -> x <> '')))::BIGINT AS n_bpe_tokens
+    FROM e{num_merges} GROUP BY doc_id"""
+
+
+@register("pipeline_bpe_encode", oracle=_bpe_encode_oracle(10))
+def pipeline_bpe_encode(spark, sf_dir):
+    """Tokenizer INFERENCE at corpus scale: train the 10-merge BPE
+    tokenizer (pipeline_bpe_merges) and apply it to every document —
+    per word, the learned merges collapse symbol pairs
+    (operators/bpe.py::bpe_segment_col, the sentinel-replace
+    construction that equals the classic left-to-right fold), reported
+    as per-document word and BPE-token counts (the token-budget
+    accounting every training-data pipeline runs before packing).
+    Training is a 10-round driver loop over the VOCABULARY (not the
+    corpus); encoding is a pure JVM expression chain — zero Python
+    stages, embarrassingly parallel over documents, so at 100 TB the
+    encode pass is a map over the corpus with the merge table compiled
+    into the plan."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+    from wagtail_vector_index_spark.operators.bpe import (
+        SENTINEL,
+        bpe_segment_col,
+        learn_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, text_col="text", num_merges=10)
+    words = F.filter(
+        tokens_col(F.col("text")), lambda w: ~w.contains(SENTINEL)
+    )
+    segs = F.flatten(
+        F.transform(words, lambda w: bpe_segment_col(w, merges))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(segs).cast("long").alias("n_bpe_tokens"),
+    )
