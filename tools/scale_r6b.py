@@ -19,11 +19,12 @@ from scale_r6 import SF, stage_10x  # noqa: E402
 
 from wagtail_vector_index_spark.session import build_session  # noqa: E402
 
+REUSE_STAGED = "/tmp/scale_r6b_1jy98qr4"  # set to None to restage
+
 QUERIES = (
     "graph_hits",
     "graph_kcore",
     "graph_communities",
-    "knn_mutual_graph",
     "text_keywords_tfidf",
     "text_collocations_pmi",
     "dedup_containment",
@@ -54,8 +55,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from wagtail_vector_index_spark.queries import QUERY_FNS
 
-    tmp = tempfile.mkdtemp(prefix="scale_r6b_")
-    big = stage_10x(spark, tmp)
+    import os
+
+    if REUSE_STAGED and os.path.exists(
+        f"{REUSE_STAGED}/sf10x/lineitem.parquet/_SUCCESS"
+    ):
+        big = f"{REUSE_STAGED}/sf10x"
+    else:
+        tmp = tempfile.mkdtemp(prefix="scale_r6b_")
+        big = stage_10x(spark, tmp)
     sf_dirs = (("1x", SF), ("10x", big))
 
     for name in QUERIES:
@@ -79,6 +87,37 @@ def main() -> None:
         )
         print(rows[-1])
 
+    # knn_mutual_graph's GATE runs engine="sql" (the oracle-replayable
+    # broadcast+window form) — at 10x (50k vectors = 2.5B candidate
+    # pairs) that form DNFs (>10 min), which is exactly why the
+    # operator defaults to engine="gemm"; stage the gemm path, the one
+    # production runs.
+    from wagtail_vector_index_spark.catalog import _t
+    from wagtail_vector_index_spark.operators.knn import mutual_knn_graph
+
+    def mutual_gemm(d):
+        emb = _t(spark, d, "embeddings")
+        return mutual_knn_graph(
+            emb, id_col="vec_id", vec_col="embedding", k=5, engine="gemm"
+        )
+
+    mutual_gemm(SF).count()  # warm
+    best = {}
+    out = {}
+    for tag, d in sf_dirs:
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            out[tag] = mutual_gemm(d).count()
+            times.append(time.time() - t0)
+        best[tag] = min(times)
+    rows.append(
+        f"| mutual_knn_graph[gemm] | {best['1x']:.2f}s | {out['1x']} | "
+        f"{best['10x']:.2f}s | {out['10x']} | "
+        f"{best['10x'] / max(best['1x'], 1e-9):.1f}x |"
+    )
+    print(rows[-1])
+
     lines = [
         "",
         HEADER,
@@ -86,7 +125,10 @@ def main() -> None:
         "Same 10x key-shifted staging as the r6 table above (the graph",
         "gates see 10 disjoint graph copies; tfidf/pmi/containment a 10x",
         "corpus; the scan/sketch gates 10x users+orders). Warm",
-        "best-of-3.",
+        "best-of-3. knn_mutual_graph is staged as its engine=\"gemm\"",
+        "production form: the gate's engine=\"sql\" (oracle-replayable",
+        "broadcast+window) form DNFs (>10 min) at 50k vectors / 2.5B",
+        "candidate pairs — the measured reason gemm is the default.",
         "",
         "| query | 1x | 1x rows | 10x | 10x rows | time ratio |",
         "|---|---|---|---|---|---|",
