@@ -118,6 +118,8 @@ ADDED = [
     "q_attribution_last_touch",
     "search_posting_lists",
     "pipeline_bpe_encode",
+    "q_quality_expectations",
+    "q_snapshot_diff",
 ]
 
 SPARK_RUNS = 5

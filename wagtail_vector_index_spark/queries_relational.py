@@ -2510,3 +2510,138 @@ def q_attribution_last_touch(spark, sf_dir):
         F.count(F.lit(1)).alias("n_conversions"),
         F.round(F.avg("mins"), 2).alias("avg_minutes"),
     )
+
+
+@register(
+    "q_quality_expectations",
+    oracle="""
+    WITH rowchecks AS (
+      SELECT count(*) AS checked,
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_null,
+             sum(CASE WHEN NOT coalesce(o_totalprice <= 400000.0, FALSE)
+                      THEN 1 ELSE 0 END) AS v_price,
+             sum(CASE WHEN NOT coalesce(
+                        o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM'),
+                        FALSE) THEN 1 ELSE 0 END) AS v_prio
+      FROM orders),
+    dup AS (
+      SELECT coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS violations,
+             coalesce(sum(n), 0) AS checked
+      FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)),
+    fk AS (
+      SELECT count(*) AS violations FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+    fkc AS (
+      SELECT count(*) AS checked FROM orders WHERE o_custkey IS NOT NULL)
+    SELECT 'not_null(o_orderdate)' AS rule, v_null AS violations,
+           checked, v_null = 0 AS passed FROM rowchecks
+    UNION ALL
+    SELECT 'price_within_bound', v_price, checked, v_price = 0
+    FROM rowchecks
+    UNION ALL
+    SELECT 'in_set(o_orderpriority)', v_prio, checked, v_prio = 0
+    FROM rowchecks
+    UNION ALL
+    SELECT 'unique(o_custkey)', violations, checked, violations = 0 FROM dup
+    UNION ALL
+    SELECT 'foreign_key(o_custkey)', fk.violations, fkc.checked,
+           fk.violations = 0
+    FROM fk, fkc
+    """,
+)
+def q_quality_expectations(spark, sf_dir):
+    """Declarative data-quality gate (the Deequ / Great-Expectations
+    shape) over the orders feed: five constraints — a null check, a
+    numeric bound, set membership, key uniqueness, and referential
+    integrity against customer — evaluated by
+    operators/expectations.py::check_expectations. The three row-local
+    rules compile into ONE aggregate over ONE scan (each rule a
+    summed violation flag, map-side combinable — 10 rules cost the
+    same scan as one); uniqueness is one groupBy on the key;
+    the foreign key is one broadcast anti-join. The bound and
+    membership rules fire on real rows, so the gate pins nonzero
+    violation counts, not just the all-clean zeros."""
+    from wagtail_vector_index_spark.operators.expectations import (
+        check_expectations,
+        foreign_key,
+        in_set,
+        not_null,
+        satisfies,
+        unique,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rules = [
+        not_null("o_orderdate"),
+        satisfies(
+            "price_within_bound", F.col("o_totalprice") <= 400000.0
+        ),
+        in_set("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        unique("o_custkey"),
+        foreign_key("o_custkey", customer, "c_custkey"),
+    ]
+    return check_expectations(orders, rules)
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH a AS (SELECT doc_id, text FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 25 = 0),
+    j AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.text AS ta, b.text AS tb
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT doc_id,
+           CASE WHEN ta IS NULL THEN 'added'
+                WHEN tb IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM j
+    WHERE ta IS NULL OR tb IS NULL OR ta <> tb
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot change-data-capture: diff two table versions into
+    added / removed / changed rows — the SCD / incremental-sync
+    primitive every warehouse feed needs (snapshot B is derived
+    deterministically from A: every 17th doc deleted, every 10th
+    edited, every 25th re-added under a new id, so both engines build
+    identical inputs). ONE full outer join keyed on the id — at 100 TB
+    both snapshots shuffle once on the key (or zero times if both are
+    bucketed by id, the layout the repo's bucketed-join machinery
+    provides) and the change classification is a pure projection;
+    unchanged rows never leave the join."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text")
+    b = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    j = a.withColumnRenamed("text", "ta").join(
+        b.withColumnRenamed("text", "tb"), "doc_id", "full_outer"
+    )
+    return j.where(
+        F.col("ta").isNull()
+        | F.col("tb").isNull()
+        | (F.col("ta") != F.col("tb"))
+    ).select(
+        "doc_id",
+        F.when(F.col("ta").isNull(), F.lit("added"))
+        .when(F.col("tb").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
