@@ -120,6 +120,7 @@ ADDED = [
     "pipeline_bpe_encode",
     "q_quality_expectations",
     "q_snapshot_diff",
+    "q_user_value_deciles",
 ]
 
 SPARK_RUNS = 5

@@ -2645,3 +2645,64 @@ def q_snapshot_diff(spark, sf_dir):
         .otherwise(F.lit("changed"))
         .alias("change"),
     )
+
+
+@register(
+    "q_user_value_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, sum(value) AS spend
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    n AS (SELECT count(*) AS n FROM u),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend DESC, user_id) AS rn
+      FROM u)
+    SELECT floor(10 * (rn - 1) / n)::BIGINT AS decile,
+           count(*)::BIGINT AS users,
+           round(sum(spend), 2) AS total_spend,
+           round(avg(spend), 2) AS avg_spend
+    FROM r, n
+    GROUP BY 1
+    """,
+)
+def q_user_value_deciles(spark, sf_dir):
+    """Customer-value decile report (the LTV segmentation every growth
+    team runs): rank purchasers by total spend, cut into 10 equal-count
+    buckets, report size and spend per decile. The global rank uses
+    the DISTRIBUTED prefix scan (operators/prefixsum.py::
+    assign_dense_ids — range sort + O(P) offsets, NO single-task
+    window), with the user count read from the same pass's driver-side
+    partition counts; the decile arithmetic is integer floor division,
+    portable across engines. At 100 TB of events the only heavy
+    exchange is the user-grain spend agg (map-side combinable)."""
+    from wagtail_vector_index_spark.operators.prefixsum import (
+        assign_dense_ids,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    spend = ev.groupBy("user_id").agg(F.sum("value").alias("spend"))
+    # tie order (user_id DESC here vs ASC in the oracle) cannot change
+    # the report: rank permutations within an equal-spend group move
+    # identical spend values between buckets
+    ranked = assign_dense_ids(
+        spend, order_cols=["spend", "user_id"], out_col="rn", descending=True
+    )
+    n = spend.count()
+    return (
+        ranked.select(
+            F.floor(F.lit(10) * (F.col("rn") - 1) / F.lit(n))
+            .cast("bigint")
+            .alias("decile"),
+            "spend",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(F.avg("spend"), 2).alias("avg_spend"),
+        )
+    )
