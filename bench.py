@@ -121,6 +121,9 @@ ADDED = [
     "q_quality_expectations",
     "q_snapshot_diff",
     "q_user_value_deciles",
+    "sketch_join_size",
+    "q_daily_trend",
+    "streaming_drift_daily",
 ]
 
 SPARK_RUNS = 5

@@ -599,3 +599,47 @@ def test_overlap_matrix_production_form_drops_pair_tags(spark):
     assert out.columns == ["tag_a", "tag_b", "union_est", "intersect_est"]
     row = out.collect()[0]
     assert (row["union_est"], row["intersect_est"]) == (30.0, 10.0)
+
+
+def test_countmin_join_size_never_undercounts(spark):
+    from wagtail_vector_index_spark.operators.sketches import (
+        countmin_join_size,
+    )
+
+    # heavy key 7 on both sides: exact join size = 50*30 + singles
+    rows = (
+        [("a", 7)] * 50 + [("a", i) for i in range(100, 140)]
+        + [("b", 7)] * 30 + [("b", i) for i in range(100, 120)]
+    )
+    df = spark.createDataFrame(rows, ["side", "k"])
+    out = countmin_join_size(
+        df,
+        value_col="k",
+        cond_a=F.col("side") == "a",
+        cond_b=F.col("side") == "b",
+        depth=4,
+        width=64,
+    ).collect()[0]
+    exact = 50 * 30 + 20  # key 7 plus 20 shared singleton keys
+    assert out["join_size_exact"] == exact
+    assert out["join_size_est"] >= exact  # collisions only inflate
+    assert out["rel_overcount"] >= 0.0
+
+
+def test_countmin_join_size_production_form(spark):
+    from wagtail_vector_index_spark.operators.sketches import (
+        countmin_join_size,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], ["side", "k"]
+    )
+    out = countmin_join_size(
+        df,
+        value_col="k",
+        cond_a=F.col("side") == "a",
+        cond_b=F.col("side") == "b",
+        eval_exact=False,
+    )
+    assert out.columns == ["join_size_est"]
+    assert out.collect()[0][0] >= 1

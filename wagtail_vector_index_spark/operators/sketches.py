@@ -874,3 +874,81 @@ def kmv_overlap_matrix(
         F.col("__ci").alias("intersect_exact"),
         ests[1],
     )
+
+
+def countmin_join_size(
+    df: DataFrame,
+    *,
+    value_col: str,
+    cond_a,
+    cond_b,
+    depth: int = 4,
+    width: int = 256,
+    eval_exact: bool = True,
+) -> DataFrame:
+    """Equi-join cardinality estimation from count-min sketches (the
+    Cormode & Muthukrishnan inner-product estimator): |A ⋈_k B| =
+    Σ_k f_A(k)·f_B(k) is estimated as min over sketch rows of the
+    row-wise counter inner product — never an undercount, collisions
+    only inflate. The cardinality question every optimizer asks BEFORE
+    committing to a join strategy, answered from two depth×width
+    counter tables instead of scanning either side's key distribution.
+
+    One scan builds BOTH sides' sketches: each row explodes into its
+    depth (row, bucket) hashes tagged with its side (a generated
+    column, not two reads), and the partial-agg state is bounded by
+    2×depth×width counters per task. The inner product then runs over
+    the two ≤ depth×width-row tables. ``eval_exact=True`` (gate
+    default) adds the exact Σ f_A·f_B via a key-grain groupBy join."""
+    d, w = int(depth), int(width)
+    sides = df.select(
+        F.col(value_col).cast("string").alias("__v"),
+        F.when(cond_a, F.lit("a")).when(cond_b, F.lit("b")).alias("__side"),
+    ).where(F.col("__side").isNotNull())
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    sha_hash64(F.concat(F.lit(f"cm{r}:"), F.col("__v"))),
+                    F.lit(w),
+                ).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+    counters = (
+        sides.select("__side", F.explode(pairs).alias("h"))
+        .groupBy("__side", F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ta = counters.where(F.col("__side") == "a").select("row", "bucket", F.col("c").alias("ca"))
+    tb = counters.where(F.col("__side") == "b").select("row", "bucket", F.col("c").alias("cb"))
+    est = (
+        ta.join(tb, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("__ip"))
+        .agg(F.min("__ip").alias("join_size_est"))
+    )
+    if not eval_exact:
+        return est
+    ka = sides.where(F.col("__side") == "a").groupBy("__v").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    kb = sides.where(F.col("__side") == "b").groupBy("__v").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    exact = ka.join(kb, "__v").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
+            "join_size_exact"
+        )
+    )
+    return est.crossJoin(exact).select(
+        "join_size_exact",
+        "join_size_est",
+        F.round(
+            (F.col("join_size_est") - F.col("join_size_exact"))
+            / F.col("join_size_exact"),
+            6,
+        ).alias("rel_overcount"),
+    )

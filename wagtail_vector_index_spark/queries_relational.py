@@ -2706,3 +2706,109 @@ def q_user_value_deciles(spark, sf_dir):
             F.round(F.avg("spend"), 2).alias("avg_spend"),
         )
     )
+
+
+@register(
+    "sketch_join_size",
+    oracle="""
+    WITH s AS (
+      SELECT user_id::VARCHAR AS v,
+             CASE WHEN event_type = 'view' THEN 'a'
+                  WHEN event_type = 'click' THEN 'b' END AS side
+      FROM events WHERE event_type IN ('view', 'click')),
+    h AS (
+      SELECT side, r,
+             ('0x' || substr(sha256('cm' || r || ':' || v), 1, 8))::UBIGINT
+               % 256 AS bucket
+      FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+    t AS (SELECT side, r, bucket, count(*) AS c FROM h GROUP BY 1, 2, 3),
+    ip AS (
+      SELECT a.r, sum(a.c * b.c) AS ip
+      FROM t a JOIN t b ON a.r = b.r AND a.bucket = b.bucket
+      WHERE a.side = 'a' AND b.side = 'b'
+      GROUP BY a.r),
+    est AS (SELECT min(ip)::BIGINT AS join_size_est FROM ip),
+    ex AS (
+      SELECT coalesce(sum(na * nb), 0)::BIGINT AS join_size_exact
+      FROM (SELECT v, count(*) AS na FROM s WHERE side = 'a' GROUP BY v) x
+      JOIN (SELECT v, count(*) AS nb FROM s WHERE side = 'b' GROUP BY v) y
+        USING (v))
+    SELECT ex.join_size_exact, est.join_size_est,
+           round((est.join_size_est - ex.join_size_exact)
+                 / ex.join_size_exact::DOUBLE, 6) AS rel_overcount
+    FROM est CROSS JOIN ex
+    """,
+)
+def sketch_join_size(spark, sf_dir):
+    """Join-cardinality estimation BEFORE running the join — the
+    question every optimizer asks when choosing broadcast vs shuffle vs
+    skew handling: |view ⋈_user click| = Σ_u f_view(u)·f_click(u),
+    estimated as the count-min inner product (min over sketch rows of
+    the row-wise counter dot product — never an undercount, collisions
+    only inflate; Cormode & Muthukrishnan 2005). ONE scan builds both
+    sides' depth×width counter tables (side rides the generated hash
+    explode; partial-agg state ≤ 2×depth×width per task); the inner
+    product runs over two ≤1024-row tables. The exact Σ f·f companion
+    (eval_exact) pins the measured overcount."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        countmin_join_size,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return countmin_join_size(
+        ev,
+        value_col="user_id",
+        cond_a=F.col("event_type") == "view",
+        cond_b=F.col("event_type") == "click",
+        depth=4,
+        width=256,
+    )
+
+
+@register(
+    "q_daily_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             round(sum(value), 6) AS y
+      FROM events GROUP BY 1, 2),
+    x AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', day)::DOUBLE AS x, y
+      FROM d)
+    SELECT event_type, count(*)::BIGINT AS n_days,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope
+    FROM x GROUP BY event_type
+    """,
+)
+def q_daily_trend(spark, sf_dir):
+    """Per-segment trend detection: the OLS slope of daily revenue per
+    event type — the "is this metric drifting" primitive behind every
+    alerting dashboard. One map-side-combinable day-grain agg collapses
+    100 TB of events to (types × days) rows; the closed-form slope
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is then a second tiny agg. Day
+    indexes are CENTERED on a fixed epoch near the data so the
+    difference-of-products never catastrophically cancels (x ≈ 0–30,
+    not 19 700), and daily sums are rounded 6 dp in both engines to pin
+    the order-dependent float sum before the slope arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    x = F.datediff(
+        F.col("day"), F.to_date(F.lit("2024-01-01"))
+    ).cast("double")
+    pts = daily.select("event_type", x.alias("x"), "y")
+    n = F.count(F.lit(1)).cast("double")
+    return pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (
+                n * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            ),
+            6,
+        ).alias("slope"),
+    )

@@ -2995,3 +2995,99 @@ def vector_silhouette(spark, sf_dir):
         F.round(F.avg("s"), 6).alias("silhouette"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "streaming_drift_daily",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('day', ts)::DATE AS day,
+             least(floor(value / 50.0), 9)::INTEGER AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    pool AS (SELECT bucket, sum(n) AS n FROM h GROUP BY bucket),
+    dc AS (
+      SELECT day, bucket, sum(n) OVER (PARTITION BY day ORDER BY bucket) AS cn,
+             sum(n) OVER (PARTITION BY day) AS tot
+      FROM h),
+    pc AS (
+      SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cn,
+             sum(n) OVER () AS tot
+      FROM pool),
+    j AS (
+      SELECT dc.day, dc.tot AS n_day,
+             abs(dc.cn::DOUBLE / dc.tot - pc.cn::DOUBLE / pc.tot) AS d
+      FROM dc JOIN pc USING (bucket))
+    SELECT strftime(day, '%Y-%m-%d') AS day_str, n_day::BIGINT AS n_day,
+           round(max(d), 6) AS d_stat
+    FROM j GROUP BY 1, 2
+    """,
+)
+def streaming_drift_daily(spark, sf_dir):
+    """Continuous distribution-drift monitor: a STREAMING per-day value
+    histogram (streaming/maintenance.py::windowed_value_histogram —
+    mergeable integer bucket counts under a watermark, the state a
+    24/7 monitor actually keeps) whose final state is read by a cheap
+    batch KS query: each day's bucket ECDF against the pooled ECDF,
+    d = max |F_day − F_pool|. Stream state must equal the batch SQL
+    over the same data — and at 100 TB the monitor's cost is the
+    histogram upkeep (windows × buckets rows), never a rescan. The
+    bucketed KS is the streaming-feasible form of q_drift_ks's exact
+    sample-point statistic."""
+    import tempfile
+    import uuid
+
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        windowed_value_histogram,
+    )
+
+    staged = tempfile.mkdtemp(prefix="wvi_stream_")
+    events = _t(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    hist = windowed_value_histogram(stream, window_duration="1 day")
+    sink = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wvi_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    h = spark.table(sink).select(
+        F.to_date("window_start").alias("day"), "bucket", "n"
+    )
+    pool = h.groupBy("bucket").agg(F.sum("n").alias("pn"))
+    wd = Window.partitionBy("day").orderBy("bucket")
+    wdt = Window.partitionBy("day")
+    dc = h.select(
+        "day",
+        "bucket",
+        F.sum("n").over(wd).alias("cn"),
+        F.sum("n").over(wdt).alias("tot"),
+    )
+    wp = Window.orderBy("bucket")
+    wpt = Window.partitionBy(F.lit(1))
+    pc = pool.select(
+        F.col("bucket").alias("__pb"),
+        F.sum("pn").over(wp).alias("pcn"),
+        F.sum("pn").over(wpt).alias("ptot"),
+    )
+    j = dc.join(
+        F.broadcast(pc), dc["bucket"] == pc["__pb"]
+    ).select(
+        "day",
+        F.col("tot").alias("n_day"),
+        F.abs(
+            F.col("cn") / F.col("tot") - F.col("pcn") / F.col("ptot")
+        ).alias("d"),
+    )
+    return j.groupBy("day", "n_day").agg(
+        F.round(F.max("d"), 6).alias("d_stat")
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        F.col("n_day").cast("long").alias("n_day"),
+        "d_stat",
+    )

@@ -251,3 +251,30 @@ def neardup_corpus_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_value_histogram(
+    events_stream: DataFrame,
+    *,
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+    bucket_width: float = 50.0,
+    num_buckets: int = 10,
+) -> DataFrame:
+    """Streaming per-window value histogram — the MERGEABLE state a
+    continuous distribution-drift monitor keeps: counts per (window,
+    fixed-width bucket) are pure integer sums, so late data folds in
+    under the watermark and any two partial states merge exactly. The
+    downstream KS read (compare each window's bucket ECDF to the pooled
+    one) is a cheap batch query over this tiny state table — the
+    sketch-vs-read split every streaming monitor wants at 100 TB."""
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(float(bucket_width))),
+        F.lit(int(num_buckets) - 1),
+    ).cast("int")
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "bucket", "n")
+    )
