@@ -124,6 +124,8 @@ ADDED = [
     "sketch_join_size",
     "q_daily_trend",
     "streaming_drift_daily",
+    "dedup_source_overlap",
+    "q_column_entropy",
 ]
 
 SPARK_RUNS = 5

@@ -2812,3 +2812,67 @@ def q_daily_trend(spark, sf_dir):
             6,
         ).alias("slope"),
     )
+
+
+@register(
+    "q_column_entropy",
+    oracle="""
+    WITH vals AS (
+      SELECT 'event_type' AS col, event_type AS v FROM events
+      UNION ALL
+      SELECT 'value_bucket', least(floor(value / 50.0), 9)::VARCHAR
+      FROM events
+      UNION ALL
+      SELECT 'hour_of_day', extract(hour FROM ts)::VARCHAR FROM events),
+    c AS (SELECT col, v, count(*) AS n FROM vals GROUP BY 1, 2),
+    t AS (SELECT col, sum(n) AS tot, count(*) AS card FROM c GROUP BY col)
+    SELECT c.col, max(t.card)::BIGINT AS cardinality,
+           round(-sum((c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot)), 6)
+             AS entropy_nats
+    FROM c JOIN t USING (col)
+    GROUP BY c.col
+    """,
+)
+def q_column_entropy(spark, sf_dir):
+    """Column-profiling entropy report: Shannon entropy (nats) and
+    cardinality of three derived event columns — the profiling pass
+    that tells a pipeline which columns are informative keys, which
+    are near-constant, and which are near-unique. One scan unpivots
+    the columns into (col, value) rows (a generated-column explode, so
+    three profiles cost one pass), then two map-side-combinable aggs:
+    value-grain counts, then per-column -Σ p ln p. At 100 TB the
+    exchange carries value-grain partial counts, never rows."""
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("col"),
+                    F.col("event_type").alias("v"),
+                ),
+                F.struct(
+                    F.lit("value_bucket").alias("col"),
+                    F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+                    .cast("string")
+                    .alias("v"),
+                ),
+                F.struct(
+                    F.lit("hour_of_day").alias("col"),
+                    F.hour("ts").cast("string").alias("v"),
+                ),
+            )
+        ).alias("cv")
+    ).select("cv.col", "cv.v")
+    c = vals.groupBy("col", "v").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("col").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("card")
+    )
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "col")
+        .groupBy("col")
+        .agg(
+            F.max("card").alias("cardinality"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+    )

@@ -2218,3 +2218,81 @@ def pipeline_bpe_encode(spark, sf_dir):
         F.size(words).cast("long").alias("n_words"),
         F.size(segs).cast("long").alias("n_bpe_tokens"),
     )
+
+@register(
+    "dedup_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source AS t, unnest({_shingles_sql()}) AS v
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+    d AS (SELECT DISTINCT t, v FROM sh),
+    uu AS (SELECT t, ('0x' || substr(sha256(v), 1, 8))::UBIGINT
+                     / 4294967296.0 AS u FROM d),
+    r AS (
+      SELECT t, u, row_number() OVER (PARTITION BY t ORDER BY u) AS rn
+      FROM uu),
+    sk AS (
+      SELECT t, list_sort(list(u)) AS kvals
+      FROM r WHERE rn <= 64 GROUP BY t),
+    cnt AS (SELECT t, count(*) AS c FROM d GROUP BY t),
+    ix AS (
+      SELECT a.t AS ta, b.t AS tb, count(*) AS ci
+      FROM d a JOIN d b ON a.v = b.v AND a.t < b.t
+      GROUP BY 1, 2),
+    pair AS (
+      SELECT a.t AS tag_a, b.t AS tag_b, a.kvals AS ka, b.kvals AS kb,
+             list_sort(list_distinct(a.kvals || b.kvals))[1:64] AS m,
+             ca.c AS cca, cb.c AS ccb, coalesce(ix.ci, 0) AS cci
+      FROM sk a JOIN sk b ON a.t < b.t
+      JOIN cnt ca ON ca.t = a.t JOIN cnt cb ON cb.t = b.t
+      LEFT JOIN ix ON ix.ta = a.t AND ix.tb = b.t),
+    est AS (
+      SELECT tag_a, tag_b, cca, ccb, cci,
+             CASE WHEN len(m) >= 64 THEN 63.0 / m[len(m)]
+                  ELSE len(m)::DOUBLE END AS union_est,
+             len(list_filter(m, x -> list_contains(ka, x)
+                                    AND list_contains(kb, x))) AS ic,
+             len(m) >= 64 AS sat
+      FROM pair)
+    SELECT tag_a, tag_b, (cca + ccb - cci) AS union_exact,
+           round(union_est, 2) AS union_est,
+           cci AS intersect_exact,
+           round(CASE WHEN sat THEN ic / 64.0 * union_est
+                      ELSE ic::DOUBLE END, 2) AS intersect_est
+    FROM est
+    """,
+)
+def dedup_source_overlap(spark, sf_dir):
+    """Cross-SOURCE content-overlap matrix: how much 3-gram shingle
+    vocabulary every pair of sources shares — the corpus-composition
+    audit run before mixing sources into a training set (boilerplate
+    or mirrored content shows up as a fat intersection). Reuses
+    sketches.py::kmv_overlap_matrix verbatim with tag=source and
+    value=shingle: one scan + one grouped bottom-k fold answers all
+    pairs; the exact companions ride the same fold via pair tags."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        word_shingles_col,
+    )
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_overlap_matrix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    sh = docs.select(
+        "source",
+        F.explode(word_shingles_col(F.col("text"), 3)).alias("shingle"),
+    )
+    out = kmv_overlap_matrix(
+        sh, value_col="shingle", tag_col="source", k=64
+    )
+    return out.select(
+        "tag_a",
+        "tag_b",
+        "union_exact",
+        F.round("union_est", 2).alias("union_est"),
+        "intersect_exact",
+        F.round("intersect_est", 2).alias("intersect_est"),
+    )
