@@ -136,3 +136,77 @@ def test_prefix_sum_with_totals_returns_grand_totals(spark, frame):
     last = max(out.collect(), key=lambda r: (r["k"], r["id"]))
     assert last["v_cum"] == totals["v"]
     assert last["k_cum"] == totals["k"]
+
+
+def test_prefix_max_matches_global_window(spark, frame):
+    from wagtail_vector_index_spark.operators.prefixsum import prefix_max
+
+    got = {
+        r["id"]: r["v_cummax"]
+        for r in prefix_max(
+            frame, order_cols=["k", "id"], value_cols=["v"]
+        ).collect()
+    }
+    w = (
+        Window.orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["cv"]
+        for r in frame.select("id", F.max("v").over(w).alias("cv")).collect()
+    }
+    assert got == want
+
+
+def test_prefix_max_exclusive_and_descending(spark, frame):
+    from wagtail_vector_index_spark.operators.prefixsum import prefix_max
+
+    got = {
+        r["id"]: r["v_cummax"]
+        for r in prefix_max(
+            frame,
+            order_cols=["k", "id"],
+            value_cols=["v"],
+            descending=True,
+            exclusive=True,
+            num_partitions=7,
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("k").desc(), F.col("id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["id"]: r["cv"]
+        for r in frame.select("id", F.max("v").over(w).alias("cv")).collect()
+    }
+    assert got == want  # includes the NULL first row
+
+
+def test_prefix_max_timestamps_partition_invariant(spark):
+    from datetime import datetime
+
+    from wagtail_vector_index_spark.operators.prefixsum import prefix_max
+
+    rows = [
+        (float(i), datetime(2024, 1, 1 + (i * 13) % 28)) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "price double, d timestamp")
+    outs = []
+    for n in (1, 9):
+        outs.append(
+            {
+                r["price"]: r["d_cummax"]
+                for r in prefix_max(
+                    df,
+                    order_cols=["price"],
+                    value_cols=["d"],
+                    descending=True,
+                    exclusive=True,
+                    num_partitions=n,
+                ).collect()
+            }
+        )
+    assert outs[0] == outs[1]
+    # highest price has no strictly-higher-price predecessor
+    assert outs[0][79.0] is None

@@ -482,6 +482,45 @@ def _jaccard_verify(
     )
 
 
+def _band_candidates(sig: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id_a, id_b) candidate pairs from a minhash-signature frame: band
+    the signatures, self-join on the band key, dedup. The wide shuffle
+    carries two longs + a short hash, never the shingle arrays."""
+    banded = sig.select(
+        id_col,
+        F.explode(lsh_band_keys_col(F.col("sig"), bands, rows_per_band)).alias("band"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), "band")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """UNVERIFIED LSH candidate pairs — the banding stage alone, exposed
+    for recall evaluation (``dedup_lsh_recall``) and for pipelines that
+    verify with a different similarity than Jaccard. Same banding as
+    :func:`minhash_lsh_pairs`; output is a superset of its pairs."""
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes,
+        cache=False,
+    )
+    return _band_candidates(sig, id_col, bands, num_hashes // bands)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -500,25 +539,10 @@ def minhash_lsh_pairs(
     pairs carry their exact Jaccard, so output ⊆ ngram_jaccard_pairs with
     LSH-probabilistic recall.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
     )
-    # band join on bare (id, band) keys — the wide shuffle carries two
-    # longs + a short hash, never the shingle arrays
-    banded = sig.select(
-        id_col,
-        F.explode(lsh_band_keys_col(F.col("sig"), bands, rows_per_band)).alias("band"),
-    )
-    candidates = (
-        banded.alias("a")
-        .join(banded.alias("b"), "band")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    candidates = _band_candidates(sig, id_col, bands, num_hashes // bands)
     # fetch shingles back only for the (few) candidate pairs
     sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))

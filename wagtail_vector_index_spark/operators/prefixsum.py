@@ -160,6 +160,86 @@ def prefix_sum_with_totals(
     return ck.mapInPandas(gen, schema=out_schema), totals
 
 
+def prefix_max(
+    df: DataFrame,
+    *,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    descending: bool = False,
+    suffix: str = "_cummax",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running MAX of ``value_cols`` in ``order_cols`` order across the
+    whole frame — the scan that powers skyline/Pareto pruning, record
+    tracking ("best seen so far"), and high-watermark audits. Same
+    two-phase shape as :func:`prefix_sum` (max is associative: range
+    sort → O(P) per-partition maxes → driver running max → one Arrow
+    cummax pass), so no single-task window stage exists at any scale.
+
+    ``exclusive=True`` emits the max over STRICTLY PRECEDING rows (NULL
+    for the first row globally) — the form domination tests need: a row
+    is on the Pareto frontier iff its y exceeds the exclusive running
+    max of y in descending-x order. Rows tying on ``order_cols`` are
+    ordered arbitrarily within the tie by the range partitioner, so
+    pre-aggregate to order-key grain first (one row per key) when tie
+    rows must not see each other's values — the frontier query does."""
+    ck = _ranged_with_pid(
+        df, order_cols, descending=descending, num_partitions=num_partitions
+    )
+    totals = (
+        ck.groupBy("__pid")
+        .agg(*[F.max(c).alias(c) for c in value_cols])
+        .collect()
+    )
+    offsets: dict[int, list] = {}
+    run: list = [None] * len(value_cols)
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[int(row["__pid"])] = list(run)
+        for i, c in enumerate(value_cols):
+            v = row[c]
+            if v is not None and (run[i] is None or v > run[i]):
+                run[i] = v
+    base = [f for f in ck.schema.fields if f.name != "__pid"]
+    out_schema = StructType(
+        base
+        + [
+            StructField(c + suffix, ck.schema[c].dataType, True)
+            for c in value_cols
+        ]
+    )
+    names = list(value_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: list | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = list(
+                    offsets.get(int(pdf["__pid"].iloc[0]), [None] * len(names))
+                )
+            out = pdf.drop(columns=["__pid"])
+            for i, c in enumerate(names):
+                vals = pdf[c]
+                if exclusive:
+                    shifted = vals.shift(1)
+                    cm = shifted.cummax()
+                else:
+                    cm = vals.cummax()
+                if carry[i] is not None:
+                    cm = cm.fillna(carry[i]).clip(lower=carry[i])
+                out[c + suffix] = cm
+                local_max = vals.max()
+                if carry[i] is None or (
+                    local_max == local_max and local_max > carry[i]
+                ):
+                    carry[i] = local_max
+            yield out
+
+    return ck.mapInPandas(gen, schema=out_schema)
+
+
 def assign_dense_ids(
     df: DataFrame,
     *,

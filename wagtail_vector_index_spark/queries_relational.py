@@ -2876,3 +2876,182 @@ def q_column_entropy(spark, sf_dir):
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "q_attribution_linear",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+    p AS (
+      SELECT e.user_id, e.ts,
+             (SELECT count(*) FROM t
+              WHERE t.user_id = e.user_id AND t.ts < e.ts) AS n_prior
+      FROM events e WHERE e.event_type = 'purchase'),
+    credited AS (
+      SELECT t.event_type AS touch, 1.0 / p.n_prior AS credit
+      FROM t JOIN p ON t.user_id = p.user_id AND t.ts < p.ts)
+    SELECT touch, count(*)::BIGINT AS n_credited,
+           round(sum(credit), 6) AS credit
+    FROM credited GROUP BY touch
+    """,
+)
+def q_attribution_linear(spark, sf_dir):
+    """LINEAR multi-touch attribution: every purchase splits one unit
+    of credit equally across ALL the user's prior view/click touches
+    (the complement of q_attribution_last_touch's winner-take-all).
+    The credit assignment is a user-keyed inequality join between a
+    user's touches and purchases (bounded per user, never global), and
+    the per-purchase touch count is a window over the SAME joined rows
+    — so the strict before-purchase semantics cannot drift from the
+    oracle's correlated count.
+    Per-type totals aggregate map-side. The oracle states the same
+    semantics with a correlated count, the declarative twin."""
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.where(
+        F.col("event_type").isin("view", "click")
+    ).select("user_id", F.col("ts").alias("ts_t"), "event_type")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts_p"), F.col("event_id").alias("__pid")
+    )
+    j = touches.join(purchases, "user_id").where(
+        F.col("ts_t") < F.col("ts_p")
+    )
+    # per-purchase touch count derived from the SAME join rows the
+    # credit flows over, so the strict ts< semantics cannot drift from
+    # the oracle's correlated count
+    wp = Window.partitionBy("user_id", "__pid")
+    credited = j.withColumn("__np", F.count(F.lit(1)).over(wp))
+    return credited.groupBy(
+        F.col("event_type").alias("touch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_credited"),
+        F.round(F.sum(F.lit(1.0) / F.col("__np")), 6).alias("credit"),
+    )
+
+
+@register(
+    "q_pareto_frontier",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS price, max(o_orderdate) AS best_date
+      FROM orders GROUP BY 1),
+    f AS (
+      SELECT price, best_date,
+             max(best_date) OVER (ORDER BY price DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+      FROM g)
+    SELECT round(f.price, 2) AS price, f.best_date::DATE AS best_date,
+           count(*)::BIGINT AS n_orders
+    FROM f JOIN orders o
+      ON o.o_totalprice = f.price AND o.o_orderdate = f.best_date
+    WHERE cm IS NULL OR f.best_date > cm
+    GROUP BY 1, 2
+    """,
+)
+def q_pareto_frontier(spark, sf_dir):
+    """Skyline / Pareto-frontier query: the orders not dominated on
+    (o_totalprice, o_orderdate) — no other order is >= on both axes and
+    strictly better on one. The classic multi-criteria "best tradeoffs"
+    operator (Borzsony et al. 2001, "The Skyline Operator").
+
+    Spark-first shape: pre-aggregate to PRICE GRAIN (map-side
+    combinable; only max(date) per price can be on the frontier, and
+    equal-price rows must not shadow each other in the scan — the grain
+    guarantees it), then the domination test is an EXCLUSIVE running
+    max of best_date in descending-price order via the distributed
+    two-phase prefix scan (operators/prefixsum.py::prefix_max) — range
+    sort + O(P) carry + one Arrow cummax pass, NO single-task global
+    window at any scale. The oracle states the same test with the
+    single-partition window Spark must not use.  The fact join back
+    (broadcast: frontier rows only) recovers order counts."""
+    from wagtail_vector_index_spark.operators.prefixsum import prefix_max
+
+    orders = _t(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.max("o_orderdate").alias("best_date")
+    )
+    pm = prefix_max(
+        g,
+        order_cols=["price"],
+        value_cols=["best_date"],
+        descending=True,
+        exclusive=True,
+    )
+    frontier = pm.where(
+        F.col("best_date_cummax").isNull()
+        | (F.col("best_date") > F.col("best_date_cummax"))
+    ).drop("best_date_cummax")
+    return (
+        orders.join(
+            F.broadcast(frontier),
+            (F.col("o_totalprice") == F.col("price"))
+            & (F.col("o_orderdate") == F.col("best_date")),
+        )
+        .groupBy(
+            F.round("price", 2).alias("price"),
+            F.col("best_date").cast("date").alias("best_date"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q_ewma_daily",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             sum(value) AS x
+      FROM events GROUP BY 1, 2)
+    SELECT a.event_type, a.day,
+           round(sum(b.x * power(0.8, date_diff('day', b.day, a.day)))
+                 / sum(power(0.8, date_diff('day', b.day, a.day))), 6)
+             AS ewma
+    FROM d a JOIN d b
+      ON b.event_type = a.event_type
+     AND b.day <= a.day
+     AND b.day >= a.day - INTERVAL 29 DAY
+    GROUP BY 1, 2
+    """,
+)
+def q_ewma_daily(spark, sf_dir):
+    """Exponentially-weighted moving average of daily event value per
+    event type — the smoothing pass behind trend dashboards and
+    anomaly baselines. Calendar-decay form: weight 0.8^(age_days),
+    truncated at a 29-day trailing horizon and normalized (a weighted
+    mean), so the smoother is a pure function of the daily aggregates
+    — no running-state recurrence, hence exactly replayable.
+
+    Scale shape: the raw stream collapses to DAY GRAIN first (map-side
+    combinable sum — the only full-data pass), then the smoother is a
+    bounded range self-join of the tiny day-grain table (each anchor
+    day joins <= 30 trailing rows within its type). The recurrence
+    form s_t = a*x_t + (1-a)*s_{t-1} would serialize the whole
+    timeline through one task; the truncated-window form is
+    embarrassingly parallel and differs by at most 0.8^30 ~ 1e-3
+    relative weight."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.sum("value").alias("x"))
+    a = d.select("event_type", "day")
+    b = d.select(
+        F.col("event_type").alias("__bt"),
+        F.col("day").alias("__bday"),
+        F.col("x").alias("__bx"),
+    )
+    w = F.pow(F.lit(0.8), F.datediff(F.col("day"), F.col("__bday")))
+    return (
+        a.join(
+            b,
+            (F.col("__bt") == F.col("event_type"))
+            & (F.col("__bday") <= F.col("day"))
+            & (F.col("__bday") >= F.date_sub(F.col("day"), 29)),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(F.sum(F.col("__bx") * w) / F.sum(w), 6).alias("ewma")
+        )
+    )

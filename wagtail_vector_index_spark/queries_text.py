@@ -2296,3 +2296,200 @@ def dedup_source_overlap(spark, sf_dir):
         "intersect_exact",
         F.round("intersect_est", 2).alias("intersect_est"),
     )
+
+
+@register(
+    "pipeline_quality_calibrate",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents)
+    SELECT source, count(*)::BIGINT AS n_selected,
+           min(n_chars)::BIGINT AS min_chars
+    FROM r WHERE pr >= 0.8
+    GROUP BY source
+    """,
+)
+def pipeline_quality_calibrate(spark, sf_dir):
+    """Per-source score calibration for balanced corpus mixing: select
+    the top 20% of each SOURCE by quality proxy (percent_rank within
+    source) instead of a global threshold — the equal-rate selection
+    that stops verbose sources from crowding out terse ones in the
+    training mix. The window partitions by source, so at 100 TB every
+    task ranks only its sources' rows; no global sort exists. Output
+    pins both the per-source selected counts (equal by construction on
+    balanced data — the point) and each source's admission threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    r = docs.withColumn("pr", F.percent_rank().over(w))
+    return (
+        r.where(F.col("pr") >= 0.8)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.min("n_chars").alias("min_chars"),
+        )
+    )
+
+
+@register(
+    "er_blocked_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT c_name, substr(c_name, 1, 16) AS blk
+      FROM customer)
+    SELECT a.blk, count(*)::BIGINT AS n_pairs,
+           count(DISTINCT a.c_name)::BIGINT AS n_left
+    FROM c a JOIN c b
+      ON a.blk = b.blk AND a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY 1
+    """,
+)
+def er_blocked_pairs(spark, sf_dir):
+    """Entity resolution / record linkage: blocked fuzzy self-match on
+    customer names — candidate pairs share a BLOCKING KEY (here the
+    16-char name prefix) and verify with edit distance <= 1. This is
+    the standard two-stage linkage shape (Christen 2012): blocking
+    turns the O(n^2) all-pairs compare into per-block compares, the
+    same candidates-then-verify discipline as the MinHash-LSH dedup
+    family (operators/dedup.py) but keyed on deterministic attributes
+    instead of content sketches.
+
+    Scale shape: the self-join shuffles on the block key only, so each
+    task compares one block's rows; block size is bounded by the key
+    design (a 2-digit tail here => <= 100 names/block). An oversized
+    block is the classic ER skew failure — the fix is a tighter
+    blocking key or the repo's bucket-cap guard pattern
+    (operators/skew.py), not a bigger executor. ``F.levenshtein`` is
+    JVM-side (whole-stage codegen), never a Python UDF. Output: per
+    block, the surviving pair count and distinct left names — the
+    review-queue size a linkage pipeline feeds downstream."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.select(F.col("blk"), F.col("c_name").alias("__na"))
+    b = c.select(F.col("blk").alias("__bb"), F.col("c_name").alias("__nb"))
+    pairs = a.join(
+        b,
+        (F.col("blk") == F.col("__bb")) & (F.col("__na") < F.col("__nb")),
+    ).where(F.levenshtein(F.col("__na"), F.col("__nb")) <= 1)
+    return pairs.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("__na").alias("n_left"),
+    )
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    exact AS (
+      SELECT id_a, id_b FROM inter
+      WHERE ni::DOUBLE / (n_a + n_b - ni) >= 0.3),
+    hashed AS (SELECT doc_id, {HS_SQL} AS hs FROM sh),
+    sig AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashed),
+    bands AS (SELECT doc_id, unnest({_band_keys_sql('sig')}) AS band FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    hit AS (SELECT e.id_a FROM exact e JOIN cand c
+            ON e.id_a = c.id_a AND e.id_b = c.id_b)
+    SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+           (SELECT count(*) FROM hit)::BIGINT AS n_captured,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / (SELECT count(*) FROM exact), 6) AS recall
+    """,
+)
+def dedup_lsh_recall(spark, sf_dir):
+    """MinHash-LSH banding RECALL against exact Jaccard ground truth —
+    the eval gate a dedup pipeline runs before trusting its banding
+    config at 100 TB (where exact all-pairs is impossible and recall
+    must be extrapolated from a sample exactly like this). Exact pairs
+    at jaccard >= 0.3 come from the prefix-filtered AllPairs join;
+    captured = those pairs the 16-hash/8-band LSH candidate stage
+    also surfaces. At r=2 rows/band the capture probability at j=0.3
+    is 1-(1-j^2)^8 ~ 0.53, so this gate pins a genuinely lossy
+    operating point — the number tells you to add hashes/bands, not
+    that the code is wrong. Both pair sets are deterministic (shared
+    sha-derived minhash params), so recall is exactly replayable."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    cand = minhash_lsh_candidates(
+        docs, n=3, num_hashes=16, bands=8
+    ).select("id_a", "id_b")
+    hit = exact.join(cand, ["id_a", "id_b"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_captured"))))
+        .select(
+            "n_exact",
+            "n_captured",
+            F.round(
+                F.col("n_captured").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "search_phrase_positions",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    pos AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk
+            FROM toks)
+    SELECT doc_id, count(*)::BIGINT AS n_occ
+    FROM pos WHERE tk[i] = 'table' AND tk[i + 1] = 'hash'
+    GROUP BY 1
+    """,
+)
+def search_phrase_positions(spark, sf_dir):
+    """Exact-phrase search over POSITIONAL posting lists — the inverted
+    -index primitive boolean AND (search_posting_lists) can't express:
+    "table hash" matches only where the terms are ADJACENT. Each doc's
+    tokens posexplode into (token, position) postings; the phrase is a
+    self-join of the two terms' postings on (doc, pos + 1). At scale
+    the postings are filtered to the phrase terms BEFORE the join
+    (Catalyst pushes the literal filters below the explode's project),
+    so the join sides are two term posting lists — document-keyed,
+    bounded by term frequency — exactly how a distributed search engine
+    intersects positional postings. Output: per-doc phrase occurrence
+    counts (the tf a phrase scorer would consume)."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    t1 = post.where(F.col("tok") == "table").select(
+        "doc_id", F.col("pos").alias("__p1")
+    )
+    t2 = post.where(F.col("tok") == "hash").select(
+        F.col("doc_id").alias("__d2"), F.col("pos").alias("__p2")
+    )
+    return (
+        t1.join(
+            t2,
+            (F.col("doc_id") == F.col("__d2"))
+            & (F.col("__p2") == F.col("__p1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
