@@ -3055,3 +3055,273 @@ def q_ewma_daily(spark, sf_dir):
             F.round(F.sum(F.col("__bx") * w) / F.sum(w), 6).alias("ewma")
         )
     )
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+               AS h
+      FROM events),
+    b AS (
+      SELECT event_type, (h & 255) AS reg,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(h >> 8)) END AS rho
+      FROM h),
+    r AS (SELECT event_type, reg, max(rho) AS mrho FROM b GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             (sum(1::BIGINT << (53 - mrho))
+              + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s_int
+      FROM r GROUP BY 1),
+    x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+          FROM events GROUP BY 1)
+    SELECT s.event_type, x.n_exact,
+           round(0.7213 / (1 + 1.079 / 256) * 65536.0
+                 * 9007199254740992.0 / s_int, 4) AS hll_est,
+           round((0.7213 / (1 + 1.079 / 256) * 65536.0
+                  * 9007199254740992.0 / s_int) / x.n_exact - 1, 4) AS rel_err
+    FROM s JOIN x USING (event_type)
+    """,
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type (Flajolet et
+    al. 2007) — the sketch family's cardinality workhorse, complementing
+    KMV (sketch_distinct_kmv): HLL state is 256 FIXED one-byte
+    registers per group regardless of cardinality, mergeable by
+    register-wise max, which is why it is the industry default for
+    streaming/rollup distinct counts at 100 TB.
+
+    Spark-first shape: the register fold is groupBy(type, register)
+    -> max(rho) — map-side combinable (partial maxes merge in the
+    combiner, so the shuffle carries at most 256 rows per type per
+    task), then a 256-row-per-type final fold. No UDF anywhere.
+
+    Cross-engine determinism: the hash is the repo's sha256-prefix
+    convention (15 hex chars = 60 bits: 8 register bits + 52-bit
+    suffix); rho comes from bin()-string length (both engines strip
+    leading zeros), and the harmonic sum is computed in EXACT INTEGER
+    arithmetic — each register contributes 2^(53-rho) via a bigint
+    shift, so the sum is order-independent (a float 2^-rho sum would
+    round differently under Spark's partial-agg order). One IEEE
+    multiply/divide at the end is bit-identical in both engines.
+    Exact count_distinct rides along as the eval companion (same
+    pattern as sketch_distinct_kmv; production drops it)."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    hashed = ev.select("event_type", h.alias("h"))
+    w = F.shiftright(F.col("h"), 8)
+    b = hashed.select(
+        "event_type",
+        F.col("h").bitwiseAND(F.lit(255)).alias("reg"),
+        F.when(w == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+        .alias("rho"),
+    )
+    r = b.groupBy("event_type", "reg").agg(F.max("rho").alias("mrho"))
+    s = r.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mrho)"))
+            + (F.lit(256) - F.count(F.lit(1))) * F.lit(1 << 53)
+        ).alias("s_int")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    est = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+        * F.lit(65536.0)
+        * F.lit(9007199254740992.0)
+        / F.col("s_int")
+    )
+    return s.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round(est, 4).alias("hll_est"),
+        F.round(est / F.col("n_exact") - 1, 4).alias("rel_err"),
+    )
+
+
+@register(
+    "q_concurrent_peak",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderdate::DATE AS lo, max(l.l_shipdate)::DATE AS hi
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    d AS (
+      SELECT day, sum(delta)::BIGINT AS net FROM (
+        SELECT lo AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT hi + 1 AS day, -1 AS delta FROM iv)
+      GROUP BY 1),
+    r AS (SELECT day, sum(net) OVER (ORDER BY day)::BIGINT AS conc FROM d),
+    m AS (SELECT year(day)::INT AS yr, max(conc)::BIGINT AS peak
+          FROM r GROUP BY 1)
+    SELECT m.yr, m.peak, min(r.day)::DATE AS first_day
+    FROM r JOIN m ON year(r.day) = m.yr AND r.conc = m.peak
+    GROUP BY 1, 2
+    """,
+)
+def q_concurrent_peak(spark, sf_dir):
+    """Sweep-line peak concurrency: the maximum number of orders
+    simultaneously OPEN (interval [o_orderdate, last l_shipdate])
+    per year, and the first day it is reached — the classic
+    interval-stabbing aggregate behind capacity planning ("how many
+    open X at once").
+
+    Spark-first shape: the per-order interval is one shuffle on the
+    natural join key (groupBy orderkey folds lineitem map-side, then a
+    co-keyed join to orders); each interval becomes a +1/-1 delta at its
+    endpoints, deltas collapse to DAY GRAIN (map-side combinable sum —
+    the only full-data pass), and the running concurrency over the
+    tiny day-grain table is the distributed two-phase prefix scan
+    (operators/prefixsum.py::prefix_sum — range sort + O(P) carry +
+    one Arrow pass), NOT the single-partition window the oracle states
+    (which Spark must never run: it serializes the scan through one
+    task). Per-year peaks and their first day come from a broadcast
+    join of the 7-row peak table back onto the running frame."""
+    from wagtail_vector_index_spark.operators.prefixsum import prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    iv = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("hi"))
+        .join(
+            orders.select(
+                "o_orderkey", F.col("o_orderdate").cast("date").alias("lo")
+            ),
+            "o_orderkey",
+        )
+    )
+    deltas = iv.select(
+        F.col("lo").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(F.date_add("hi", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    d = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    r = prefix_sum(d, order_cols=["day"], value_cols=["net"]).select(
+        "day", F.col("net_cum").alias("conc")
+    )
+    m = r.groupBy(F.year("day").cast("int").alias("yr")).agg(
+        F.max("conc").alias("peak")
+    )
+    return (
+        r.join(
+            F.broadcast(m),
+            (F.year("day") == F.col("yr")) & (F.col("conc") == F.col("peak")),
+        )
+        .groupBy("yr", "peak")
+        .agg(F.min("day").alias("first_day"))
+    )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             round(sum(value), 6) AS x
+      FROM events GROUP BY 1, 2),
+    med AS (SELECT event_type, median(x) AS med FROM d GROUP BY 1),
+    dev AS (
+      SELECT d.event_type, d.day, d.x, abs(d.x - med.med) AS dev
+      FROM d JOIN med USING (event_type)),
+    mad AS (SELECT event_type, median(dev) AS mad FROM dev GROUP BY 1)
+    SELECT dev.event_type, dev.day, dev.x,
+           round(dev.dev / mad.mad, 4) AS robust_z
+    FROM dev JOIN mad USING (event_type)
+    WHERE dev.dev > 3 * mad.mad
+    """,
+)
+def q_anomaly_mad(spark, sf_dir):
+    """Robust daily-volume anomaly detection via MEDIAN ABSOLUTE
+    DEVIATION: flag days whose total event value deviates from the
+    per-type median by more than 3 MADs. The robust complement of
+    q_events_anomaly's z-score — mean/stddev are themselves dragged by
+    the outliers they're meant to find (50% breakdown vs 0%), so MAD
+    is what production monitoring uses on heavy-tailed volumes.
+
+    Scale shape: the raw stream collapses to day grain first (map-side
+    combinable; the only full-data pass — day sums rounded to 6 dp so
+    both engines feed the medians identical doubles). Both medians are
+    exact per-type aggregates over the tiny day-grain table
+    (partitioned by type — no global sort), and the per-type
+    median/MAD tables broadcast back (a handful of rows each)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    med = d.groupBy("event_type").agg(F.median("x").alias("med"))
+    dev = d.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            "day",
+            "x",
+            F.round(F.col("dev") / F.col("mad"), 4).alias("robust_z"),
+        )
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(month(ts)::INT, -1) AS mon,
+           GROUPING(event_type)::INT AS g_type,
+           GROUPING(month(ts))::INT AS g_mon,
+           round(sum(value), 2) AS total_value,
+           count(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, month(ts)), (event_type), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with explicit GROUPING() flags — the irregular
+    multi-level rollup CUBE/ROLLUP can't express (here: (type, month),
+    (type), () but NOT (month)), completing the OLAP grouping surface
+    next to q_cube_lineitem / q_rollup_acctbal. The grouping flags
+    disambiguate a real NULL key from a rolled-up one — the contract
+    BI layers rely on. Executes as one pass: Spark's Expand operator
+    replicates each input row once per set BEFORE the partial
+    aggregate, so the shuffle carries combined partials, never raw
+    rows x sets."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "mon", F.month("ts").cast("int")
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "mon"], ["event_type"], []],
+            "event_type",
+            "mon",
+        )
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("mon").cast("int").alias("g_mon"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("mon", F.lit(-1)).alias("mon"),
+            "g_type",
+            "g_mon",
+            "total_value",
+            "n_events",
+        )
+    )
