@@ -2493,3 +2493,88 @@ def search_phrase_positions(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
+
+
+_NOVELTY_SH_SQL = (
+    "list_filter(list_transform("
+    "range(1, greatest(length(text) - 15, 1) + 1, 8), "
+    "i -> substr(text, i, 16)), s -> length(s) = 16)"
+)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest({_NOVELTY_SH_SQL}) AS s FROM documents)),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    per_doc AS (
+      SELECT sh.doc_id,
+             count(*) AS n_sh,
+             sum(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM sh JOIN first USING (s)
+      GROUP BY sh.doc_id)
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           round(avg(p.n_novel::DOUBLE / p.n_sh), 6) AS avg_novelty
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """N-gram novelty profiling: for each document, the fraction of its
+    16-char shingles whose FIRST corpus occurrence (min doc_id — the
+    ingest-order stand-in) is that document, averaged per source. The
+    dataset-curation curve behind "is new data still adding new
+    content?": a source whose novelty decays toward 0 is re-crawling
+    what the corpus already holds (the saturation diagnostic in
+    RefinedWeb/FineWeb-style pipeline reports), and per-doc novelty is
+    the memorization-risk proxy used to pick eval holdouts.
+
+    Scale shape: shingles are STRIDED (every 8th position, window 16 —
+    a documented 8x sampling of the rolling set; boundaries are
+    position-deterministic so both engines enumerate identical
+    shingles). One explode feeds a map-side-combinable min(doc_id) per
+    shingle — the only wide stage is keyed on the shingle hash, the
+    same discipline as the dedup family — and first-occurrence credit
+    joins back shingle-keyed, then folds to doc grain and source
+    grain. No all-pairs anything: novelty is a group-by metric, which
+    is why it scales where pairwise overlap matrices can't."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.expr(
+                        "transform(sequence(1, greatest(length(text) - 15, 1), 8),"
+                        " i -> substring(text, i, 16))"
+                    ),
+                    lambda s: F.length(s) == 16,
+                )
+            )
+        ).alias("s"),
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(F.col("n_novel").cast("double") / F.col("n_sh")), 6
+            ).alias("avg_novelty"),
+        )
+    )

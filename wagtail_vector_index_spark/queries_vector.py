@@ -3091,3 +3091,148 @@ def streaming_drift_daily(spark, sf_dir):
         F.col("n_day").cast("long").alias("n_day"),
         "d_stat",
     )
+
+
+@register(
+    "knn_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             {_cos_sql('a.v', 'b.v')} AS sim
+      FROM e a JOIN e b ON a.label <> b.label),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY sim DESC, neg_id) AS rk
+      FROM s)
+    SELECT anchor_id, anchor_label, neg_id, neg_label,
+           round(sim, 6) AS cos_sim
+    FROM r WHERE rk = 1
+    """,
+)
+def knn_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for every anchor
+    vector, the single most-cosine-similar vector carrying a DIFFERENT
+    label — the "hardest" negative a triplet/InfoNCE loss wants in its
+    batch (Schroff et al. 2015 FaceNet semi-hard mining; the corpus-
+    side sibling of retrieval-negative mining in DPR). High-similarity
+    cross-label pairs are also exactly the label-noise review queue.
+
+    This gate runs the brute form (label-mismatch self-join + per-
+    anchor top-1 window — same declarative shape as embedding_neardup,
+    exactly SQL-replayable). The 100 TB path swaps the pair generator,
+    not the semantics: gemm_topk_join (operators/knn.py) with k
+    inflated by the expected same-label collision count, then the
+    label-mismatch filter and a top-1 cut — per-partition BLAS with
+    shuffle volume O(partitions x anchors x k), independent of index
+    size; or ann-served candidates (operators/ann_index.py) when the
+    anchor set itself is the full corpus."""
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("bv"),
+    )
+    pairs = a.join(b, F.col("anchor_label") != F.col("neg_label")).withColumn(
+        "sim", similarity_col(F.col("av"), F.col("bv"), "cosine")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round("sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "streaming_sliding_topk",
+    oracle="""
+    WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+    m AS (
+      SELECT h AS ws, event_type FROM e
+      UNION ALL
+      SELECT h - INTERVAL 1 HOUR AS ws, event_type FROM e),
+    c AS (SELECT ws, event_type, count(*) AS n FROM m GROUP BY 1, 2),
+    r AS (
+      SELECT ws, event_type, n,
+             row_number() OVER (PARTITION BY ws
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c)
+    SELECT strftime(ws, '%Y-%m-%d %H:00') AS window_str,
+           event_type AS top_type, n::BIGINT AS n_events
+    FROM r WHERE rk = 1
+    """,
+)
+def streaming_sliding_topk(spark, sf_dir):
+    """Sliding-window trending: the top event type per 2-hour window
+    sliding every hour, computed by Structured Streaming
+    (availableNow file stream) and required to equal the batch SQL
+    over the same data — the "what's hot right now" leaderboard shape.
+
+    Stream side: the stateful sliding aggregation
+    (streaming/maintenance.py::windowed_event_counts(slide=)) assigns
+    each event to its 2 overlapping windows BEFORE the partial agg, so
+    state is one row per (window, type) and late data folds in under
+    the watermark. The RANKING is deliberately outside the stream: a
+    per-window top-1 over the aggregated result table is a cheap batch
+    window (partitioned by window start — no global sort), which is
+    how production leaderboards layer rank-over-state rather than
+    forcing rank into streaming state."""
+    import tempfile
+    import uuid
+
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        windowed_event_counts,
+    )
+
+    staged = tempfile.mkdtemp(prefix="wvi_stream_")
+    events = _t(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    agg = windowed_event_counts(
+        stream, window_duration="2 hours", slide="1 hour"
+    )
+    sink = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wvi_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        spark.table(sink)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:00").alias(
+                "window_str"
+            ),
+            F.col("event_type").alias("top_type"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )

@@ -131,11 +131,20 @@ def windowed_event_counts(
     *,
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window per-type event aggregation with late-data handling."""
+    """Tumbling- (default) or sliding-window (``slide=``) per-type event
+    aggregation with late-data handling. A sliding window assigns each
+    event to duration/slide overlapping windows BEFORE the partial
+    aggregate, so state stays one row per (window, type) and the
+    shuffle carries combined partials — the replication factor is the
+    overlap count, never the raw stream."""
     return (
         events_stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration), F.col("event_type"))
+        .groupBy(
+            F.window("ts", window_duration, slide or window_duration),
+            F.col("event_type"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),
