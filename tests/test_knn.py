@@ -380,3 +380,67 @@ def test_mutual_knn_graph_k_covers_everything_makes_it_symmetric_topk(spark):
     out = mutual_knn_graph(df, k=5, engine="sql").collect()
     assert len(out) == 15  # C(6,2)
     assert all(r["a"] < r["b"] for r in out)
+
+
+def test_hard_negative_topk_matches_brute_window(spark):
+    """The label-masked GEMM operator must equal the brute definition:
+    per anchor, the most-similar different-label vector."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+    from wagtail_vector_index_spark.operators.knn import hard_negative_topk
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [(i, i % 3, unit(0.37 * i)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "v"])
+
+    got = {
+        (r["anchor_id"], r["vec_id"]): round(r["similarity"], 9)
+        for r in hard_negative_topk(
+            df, id_col="vec_id", vec_col="v", label_col="label", limit=1
+        ).collect()
+    }
+
+    a = df.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("la"),
+        F.col("v").alias("av"),
+    )
+    b = df.select("vec_id", F.col("label").alias("lb"), F.col("v").alias("bv"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    want = {
+        (r["anchor_id"], r["vec_id"]): round(r["sim"], 9)
+        for r in a.join(b, F.col("la") != F.col("lb"))
+        .withColumn("sim", similarity_col(F.col("av"), F.col("bv"), "cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    }
+    assert got == want
+
+
+def test_hard_negative_topk_excludes_same_label_even_if_identical(spark):
+    """An identical vector with the same label must never appear; the
+    best cross-label one wins even at lower similarity."""
+    from wagtail_vector_index_spark.operators.knn import hard_negative_topk
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),      # identical, same label -> masked
+        (2, 1, [0.0, 1.0]),      # orthogonal, other label -> the negative
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "v"])
+    out = {
+        r["anchor_id"]: r["vec_id"]
+        for r in hard_negative_topk(
+            df, id_col="vec_id", vec_col="v", label_col="label", limit=1
+        ).collect()
+    }
+    assert out[0] == 2 and out[1] == 2 and out[2] in (0, 1)

@@ -541,6 +541,100 @@ def gemm_topk_join(
     )
 
 
+def hard_negative_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "vector",
+    label_col: str = "label",
+    limit: int = 1,
+    sim_alias: str = "similarity",
+) -> DataFrame:
+    """Per-vector hardest CROSS-LABEL neighbors: for every anchor row,
+    the ``limit`` most-cosine-similar rows carrying a different label —
+    hard-negative mining for contrastive training (FaceNet/DPR). One
+    label-MASKED GEMM pass: the (ids, labels, unit-vectors) probe block
+    broadcasts once, each index partition does a single BLAS multiply,
+    same-label entries are masked below the cosine floor before the
+    per-partition argpartition, and one Window cuts the exact global
+    top-k. Same cost model as :func:`gemm_topk_join` (shuffle
+    O(partitions x anchors x k), independent of index size) without a
+    per-label plan/job fan-out — 10 labels would otherwise mean 10
+    collects + 10 kernels.
+
+    The anchor set collects to the driver like gemm_topk_join's probes;
+    for corpus-as-anchors at cluster scale run this blocked (the
+    ``block_neardup_pairs`` pattern in operators/dedup.py:545 — hash
+    both sides into blocks, GEMM per block pair, union) — semantics
+    identical, no driver matrix.
+    """
+    rows = df.select(id_col, label_col, vec_col).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("anchor_id", df.schema[id_col].dataType),
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField(sim_alias, T.DoubleType()),
+        ]
+    )
+    if not rows:
+        return df.sparkSession.createDataFrame([], out_schema)
+    a_ids = np.array([r[0] for r in rows])
+    a_labels = np.array([r[1] for r in rows])
+    A = np.array([r[2] for r in rows], dtype=np.float64)
+    A_unit = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+    bc = df.sparkSession.sparkContext.broadcast((a_ids, a_labels, A_unit))
+    dim = A.shape[1]
+    k = limit
+
+    def _masked_topk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        p_ids, p_labels, p_unit = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if M.shape[1] != dim:
+                continue
+            M_unit = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-300
+            )
+            sims = M_unit @ p_unit.T  # (n_index, n_anchors)
+            # mask same-label pairs below the cosine floor so they can
+            # never enter a top-k
+            sims[labels[:, None] == p_labels[None, :]] = -2.0
+            n = sims.shape[0]
+            take = min(k, n)
+            top_idx = np.argpartition(-sims, take - 1, axis=0)[:take]
+            rows_anchor = np.repeat(
+                p_ids[np.newaxis, :], take, axis=0
+            ).ravel()
+            rows_index = ids[top_idx].ravel()
+            rows_sim = np.take_along_axis(sims, top_idx, axis=0).ravel()
+            keep = rows_sim > -2.0
+            yield pd.DataFrame(
+                {
+                    "anchor_id": rows_anchor[keep],
+                    id_col: rows_index[keep],
+                    sim_alias: rows_sim[keep],
+                }
+            )
+
+    candidates = df.select(id_col, label_col, vec_col).mapInPandas(
+        _masked_topk, schema=out_schema
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col(sim_alias).desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= limit)
+        .drop("__rank")
+    )
+
+
 def mutual_knn_graph(
     df: DataFrame,
     *,

@@ -3119,46 +3119,51 @@ def knn_hard_negatives(spark, sf_dir):
     side sibling of retrieval-negative mining in DPR). High-similarity
     cross-label pairs are also exactly the label-noise review queue.
 
-    This gate runs the brute form (label-mismatch self-join + per-
-    anchor top-1 window — same declarative shape as embedding_neardup,
-    exactly SQL-replayable). The 100 TB path swaps the pair generator,
-    not the semantics: gemm_topk_join (operators/knn.py) with k
-    inflated by the expected same-label collision count, then the
-    label-mismatch filter and a top-1 cut — per-partition BLAS with
-    shuffle volume O(partitions x anchors x k), independent of index
-    size; or ann-served candidates (operators/ann_index.py) when the
-    anchor set itself is the full corpus."""
-    from wagtail_vector_index_spark.functions.vector import similarity_col
+    This gate runs the PRODUCTION shape, not the brute self-join the
+    oracle states (a label-mismatch cartesian materializing two
+    dim-arrays per pair — measured 6.5x slower than DuckDB at sf0.1):
+    operators/knn.py::hard_negative_topk — ONE label-masked GEMM pass,
+    per-partition BLAS with same-label entries masked below the cosine
+    floor, shuffle O(partitions x anchors x k). Winning pairs are
+    RE-SCORED with the sequential-fold cosine expression
+    (cosine_similarity_unrolled — bit-identical to the oracle's
+    list_inner_product arithmetic), so reported similarities are
+    exactly SQL-replayable; the BLAS ranking and the fold ranking
+    agree unless two distinct pairs tie within ~1e-15 relative."""
+    from wagtail_vector_index_spark.functions.vector import (
+        cosine_similarity_unrolled,
+    )
+    from wagtail_vector_index_spark.operators.knn import hard_negative_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = e.select(
+    cand = hard_negative_topk(
+        e, id_col="vec_id", vec_col="v", label_col="label", limit=1
+    ).select("anchor_id", F.col("vec_id").alias("neg_id"))
+    dim = len(e.select("v").first()[0])
+    anchors = e.select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("v").alias("av"),
     )
-    b = e.select(
+    negs = e.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
         F.col("v").alias("bv"),
     )
-    pairs = a.join(b, F.col("anchor_label") != F.col("neg_label")).withColumn(
-        "sim", similarity_col(F.col("av"), F.col("bv"), "cosine")
-    )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col("sim").desc(), F.col("neg_id").asc()
-    )
     return (
-        pairs.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
+        cand.join(anchors, "anchor_id")
+        .join(F.broadcast(negs), "neg_id")
         .select(
             "anchor_id",
             "anchor_label",
             "neg_id",
             "neg_label",
-            F.round("sim", 6).alias("cos_sim"),
+            F.round(cosine_similarity_unrolled("av", "bv", dim), 6).alias(
+                "cos_sim"
+            ),
         )
     )
 
