@@ -1,0 +1,125 @@
+"""r6 final-session 10x stagings: the attribution/frontier/EWMA/HLL/
+sweep-line/MAD/grouping-sets/novelty/phrase/calibration/hard-negative
+queries added after scale_r6b ran.
+
+Same staging as tools/scale_r6.py (10 disjoint key-shifted replicas of
+sf0.1), same warm best-of-3 protocol; appends its own section to
+SCALE.md. Run: python tools/scale_r6c.py
+
+Deliberately NOT staged, because the key-shifted replica is degenerate
+for them (not because they are slow):
+- er_blocked_pairs: blocking is on c_name, which the replicas do NOT
+  shift — 10 copies of every name put 10x rows in each block (100x
+  pair work), modeling a corrupt blocking key rather than 10x data.
+  Real 10x data has 10x DISTINCT names and scales linearly per block;
+  the block-size sensitivity itself is the documented ER skew lesson
+  (see the query docstring).
+- dedup_lsh_recall: 10 byte-identical copies of every document turn
+  the exact-Jaccard ground truth into ~100x cross-replica pairs at
+  j=1.0 — the boilerplate-adversarial regime already staged for the
+  prefix join (SCALE.md r5); the recall gate adds nothing there.
+- streaming_sliding_topk: stages its own file-stream corpus per run;
+  the stateful sliding agg is the already-staged windowed-counts path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from scale_r6 import SF, stage_10x  # noqa: E402
+
+from wagtail_vector_index_spark.session import build_session  # noqa: E402
+
+REUSE_STAGED = "/tmp/scale_r6b_1jy98qr4"  # set to None to restage
+
+QUERIES = (
+    "q_attribution_linear",
+    "q_pareto_frontier",
+    "q_ewma_daily",
+    "pipeline_quality_calibrate",
+    "search_phrase_positions",
+    "sketch_hll_distinct",
+    "q_concurrent_peak",
+    "q_anomaly_mad",
+    "q_grouping_sets",
+    "knn_hard_negatives",
+    "text_ngram_novelty",
+)
+
+HEADER = "### r6 final stagings (same 10x replicas; scan/sketch/text/vector additions)"
+
+
+def main() -> None:
+    spark = build_session(
+        "scale-r6c",
+        master="local[32]",
+        shuffle_partitions=32,
+        **{
+            "spark.driver.memory": "24g",
+            "spark.ui.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from wagtail_vector_index_spark.queries import QUERY_FNS
+
+    if REUSE_STAGED and os.path.exists(
+        f"{REUSE_STAGED}/sf10x/lineitem.parquet/_SUCCESS"
+    ):
+        big = f"{REUSE_STAGED}/sf10x"
+    else:
+        tmp = tempfile.mkdtemp(prefix="scale_r6c_")
+        big = stage_10x(spark, tmp)
+    sf_dirs = (("1x", SF), ("10x", big))
+
+    for name in QUERIES:
+        QUERY_FNS[name](spark, SF).collect()  # warm codegen/JIT
+
+    rows = []
+    for name in QUERIES:
+        best = {}
+        out = {}
+        for tag, d in sf_dirs:
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                out[tag] = len(QUERY_FNS[name](spark, d).collect())
+                times.append(time.time() - t0)
+            best[tag] = min(times)
+        rows.append(
+            f"| {name} | {best['1x']:.2f}s | {out['1x']} | "
+            f"{best['10x']:.2f}s | {out['10x']} | "
+            f"{best['10x'] / max(best['1x'], 1e-9):.1f}x |"
+        )
+        print(rows[-1])
+
+    lines = [
+        "",
+        HEADER,
+        "",
+        "Same 10x key-shifted staging as the r6 tables above. Warm",
+        "best-of-3 per scale. Replica caveats: the novelty gate's 10",
+        "byte-identical document copies drive avg novelty toward the",
+        "lowest-id replica (work still scales with corpus rows, which",
+        "is what's measured); pareto/ewma/anomaly collapse to the same",
+        "price/day grain at both scales, so their post-grain cost is",
+        "fixed by design and the scan dominates. NOT staged (degenerate",
+        "under key-shifted replicas, see tools/scale_r6c.py docstring):",
+        "er_blocked_pairs, dedup_lsh_recall, streaming_sliding_topk.",
+        "",
+        "| query | 1x | rows | 10x | rows | time ratio |",
+        "|---|---|---|---|---|---|",
+        *rows,
+    ]
+    with open("/root/repo/SCALE.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended to SCALE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -3325,3 +3325,86 @@ def q_grouping_sets(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "q_funnel_time_bounded",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS cts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.vts AND e.ts <= v.vts + INTERVAL 24 HOUR
+      GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pts
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.cts AND e.ts <= c.cts + INTERVAL 24 HOUR
+      GROUP BY 1)
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_click_24h,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase_24h,
+           round((SELECT count(*) FROM p)::DOUBLE
+                 / (SELECT count(*) FROM v), 6) AS conversion
+    """,
+)
+def q_funnel_time_bounded(spark, sf_dir):
+    """Time-bounded conversion funnel: view -> click within 24h of the
+    user's FIRST view -> purchase within 24h of that first qualifying
+    click. The strict-deadline variant of q_funnel_conversion (which
+    only requires order) — the form growth analytics actually reports,
+    because an unbounded funnel credits conversions weeks later.
+
+    Scale shape: each stage is one user-keyed aggregate plus one
+    user-keyed join carrying a single timestamp — three narrow hash
+    joins on the same key (co-partitioned after the first shuffle; AQE
+    reuses the exchange), never a per-user window over the full event
+    history. Deadline arithmetic is timestamp+interval in both
+    engines. The three stage frames fold to ONE row via a left-join
+    chain at user grain + a single count aggregate — counting each
+    stage separately and cross-joining the 1-row results would
+    recompute the shared upstream chain once per stage (measured 30s
+    vs 4s at sf0.1)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") >= F.col("vts"))
+            & (F.col("ts") <= F.col("vts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") >= F.col("cts"))
+            & (F.col("ts") <= F.col("cts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    chain = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return chain.agg(
+        F.count("vts").alias("n_view"),
+        F.count("cts").alias("n_click_24h"),
+        F.count("pts").alias("n_purchase_24h"),
+    ).select(
+        "n_view",
+        "n_click_24h",
+        "n_purchase_24h",
+        F.round(
+            F.col("n_purchase_24h").cast("double") / F.col("n_view"), 6
+        ).alias("conversion"),
+    )

@@ -2578,3 +2578,87 @@ def text_ngram_novelty(spark, sf_dir):
             ).alias("avg_novelty"),
         )
     )
+
+
+@register(
+    "er_entity_clusters",
+    oracle="""
+    WITH RECURSIVE
+    c AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+      FROM customer),
+    p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM c a JOIN c b
+        ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION
+      SELECT id_b, id_a FROM p),
+    walk(u, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+    comp AS (SELECT u AS c_custkey, min(r) AS entity FROM walk GROUP BY u),
+    labeled AS (
+      SELECT c.c_custkey, coalesce(comp.entity, c.c_custkey) AS entity
+      FROM c LEFT JOIN comp USING (c_custkey)),
+    sizes AS (
+      SELECT entity, count(*)::BIGINT AS sz FROM labeled GROUP BY entity)
+    SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+           (sz * count(*))::BIGINT AS n_records
+    FROM sizes GROUP BY sz
+    """,
+)
+def er_entity_clusters(spark, sf_dir):
+    """Entity resolution end-to-end: the blocked fuzzy matches of
+    er_blocked_pairs become ENTITIES via connected components — the
+    match graph's transitive closure is the canonical ER clustering
+    step (two records are the same entity if linked through any chain
+    of matches), reported as a cluster-size histogram, the dedup-rate
+    summary a linkage pipeline publishes.
+
+    Composition of two already-scaled operators: the pair stage
+    shuffles on the blocking key only (per-block JVM levenshtein), and
+    clustering is operators/dedup.py::connected_components — the
+    large-star/small-star pointer-doubling algorithm, O(log n) rounds
+    with a shrinking edge set, so a million-record match graph with
+    long chains clusters in ~20 rounds. Unmatched records label
+    themselves (left join + coalesce), and the histogram is a
+    two-level map-side-combinable count."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        connected_components,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.select(
+        F.col("blk"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("__na"),
+    )
+    b = c.select(
+        F.col("blk").alias("__bb"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("__nb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("blk") == F.col("__bb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(F.levenshtein(F.col("__na"), F.col("__nb")) <= 1)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, out_id="c_custkey", out_comp="entity")
+    labeled = c.join(comp, "c_custkey", "left").select(
+        F.coalesce("entity", "c_custkey").alias("entity")
+    )
+    sizes = labeled.groupBy("entity").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_records"),
+    )
