@@ -3126,13 +3126,11 @@ def knn_hard_negatives(spark, sf_dir):
     per-partition BLAS with same-label entries masked below the cosine
     floor, shuffle O(partitions x anchors x k). Winning pairs are
     RE-SCORED with the sequential-fold cosine expression
-    (cosine_similarity_unrolled — bit-identical to the oracle's
-    list_inner_product arithmetic), so reported similarities are
+    (similarity_col — bit-identical to the oracle's
+    list_inner_product arithmetic; interpreted is fine on winner rows), so reported similarities are
     exactly SQL-replayable; the BLAS ranking and the fold ranking
     agree unless two distinct pairs tie within ~1e-15 relative."""
-    from wagtail_vector_index_spark.functions.vector import (
-        cosine_similarity_unrolled,
-    )
+    from wagtail_vector_index_spark.functions.vector import similarity_col
     from wagtail_vector_index_spark.operators.knn import hard_negative_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3142,7 +3140,6 @@ def knn_hard_negatives(spark, sf_dir):
     cand = hard_negative_topk(
         e, id_col="vec_id", vec_col="v", label_col="label", limit=1
     ).select("anchor_id", F.col("vec_id").alias("neg_id"))
-    dim = len(e.select("v").first()[0])
     anchors = e.select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
@@ -3161,9 +3158,11 @@ def knn_hard_negatives(spark, sf_dir):
             "anchor_label",
             "neg_id",
             "neg_label",
-            F.round(cosine_similarity_unrolled("av", "bv", dim), 6).alias(
-                "cos_sim"
-            ),
+            # interpreted fold is fine here: it runs on the n_anchors
+            # winner rows only, never the n^2 candidate set
+            F.round(
+                similarity_col(F.col("av"), F.col("bv"), "cosine"), 6
+            ).alias("cos_sim"),
         )
     )
 
@@ -3239,5 +3238,84 @@ def streaming_sliding_topk(spark, sf_dir):
             ),
             F.col("event_type").alias("top_type"),
             F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS nn_id,
+             {_cos_sql('a.v', 'b.v')} AS sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    r AS (
+      SELECT anchor_id, nn_id, sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, nn_id) AS rk
+      FROM s),
+    kth AS (SELECT anchor_id, nn_id, sim FROM r WHERE rk = 5)
+    SELECT anchor_id, nn_id AS kth_id, round(sim, 6) AS kth_sim
+    FROM kth ORDER BY sim ASC, anchor_id LIMIT 10
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """kNN-distance outlier detection: the 10 most ISOLATED vectors,
+    scored by similarity to their 5th nearest neighbor — the classic
+    distance-based OOD/mislabel detector (Ramaswamy et al. 2000 "kth-NN
+    outlier"; the embedding-space data-cleaning pass that surfaces
+    corrupt encodes and domain strays before training).
+
+    Production shape, brute oracle: candidates come from ONE
+    gemm_topk_join pass (per-partition BLAS, k=6 so the self-match can
+    be dropped and a possible exact duplicate still leaves >= 5 true
+    neighbors), the 5th-neighbor row is a per-anchor window over <= 6
+    rows, the global 10 most isolated is a TakeOrderedAndProject —
+    never a full sort — and winners are re-scored with the fold cosine
+    (similarity_col) so values are exactly SQL-replayable,
+    the same GEMM-rank/fold-value discipline as knn_hard_negatives."""
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+    from wagtail_vector_index_spark.operators.knn import gemm_topk_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = e.select(
+        F.col("vec_id").alias("anchor_id"), F.col("v").alias("pv")
+    )
+    top = gemm_topk_join(
+        probes,
+        e.select(F.col("vec_id").alias("nn_id"), F.col("v").alias("iv")),
+        probe_id="anchor_id",
+        probe_vec="pv",
+        index_id="nn_id",
+        index_vec="iv",
+        limit=6,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("similarity").desc(), F.col("nn_id").asc()
+    )
+    kth = (
+        top.where(F.col("nn_id") != F.col("anchor_id"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 5)
+        .select("anchor_id", F.col("nn_id").alias("kth_id"), "similarity")
+    )
+    av = e.select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
+    bv = e.select(F.col("vec_id").alias("kth_id"), F.col("v").alias("bv"))
+    return (
+        kth.orderBy(F.col("similarity").asc(), F.col("anchor_id").asc())
+        .limit(10)
+        .join(F.broadcast(av), "anchor_id")
+        .join(F.broadcast(bv), "kth_id")
+        .select(
+            "anchor_id",
+            "kth_id",
+            # interpreted fold: runs on the 10 winner rows only
+            F.round(
+                similarity_col(F.col("av"), F.col("bv"), "cosine"), 6
+            ).alias("kth_sim"),
         )
     )
