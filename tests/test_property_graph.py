@@ -392,3 +392,50 @@ def test_hits_deterministic_across_partitionings(spark):
     r1 = sorted(map(tuple, hits(e1, rounds=4, round_decimals=10).collect()))
     r2 = sorted(map(tuple, hits(e2, rounds=4, round_decimals=10).collect()))
     assert r1 == r2
+
+
+def test_bfs_distances_min_depth_on_a_path_with_shortcut(spark):
+    """Diamond + tail: a node reachable two ways gets the SHORTER
+    distance; nodes beyond max_depth are absent."""
+    from wagtail_vector_index_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),  # long way a->d = 3
+            ("a", "d"),                          # shortcut  a->d = 1
+            ("d", "e"), ("e", "f"), ("f", "g"),  # tail past max_depth
+        ],
+        ["src", "dst"],
+    )
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, "a", max_depth=3).collect()
+    }
+    assert out == {"a": 0, "b": 1, "d": 1, "c": 2, "e": 2, "f": 3}
+
+
+def test_bfs_distances_directed_and_early_exit(spark):
+    from wagtail_vector_index_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "a")], ["src", "dst"]
+    )
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            edges, "a", max_depth=10, directed=True
+        ).collect()
+    }
+    # directed: x->a edge is not walkable from a; early exit after c
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_distances_partition_invariant(spark):
+    from wagtail_vector_index_spark.operators.graph import bfs_distances
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 40}") for i in range(120)]
+    e1 = spark.createDataFrame(rows, ["src", "dst"]).repartition(1)
+    e2 = spark.createDataFrame(rows, ["src", "dst"]).repartition(16)
+    r1 = sorted(map(tuple, bfs_distances(e1, "n0", max_depth=4).collect()))
+    r2 = sorted(map(tuple, bfs_distances(e2, "n0", max_depth=4).collect()))
+    assert r1 == r2

@@ -50,6 +50,7 @@ QUERIES = (
     "q_grouping_sets",
     "knn_hard_negatives",
     "text_ngram_novelty",
+    "embedding_outliers",
 )
 
 HEADER = "### r6 final stagings (same 10x replicas; scan/sketch/text/vector additions)"

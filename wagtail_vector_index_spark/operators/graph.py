@@ -430,3 +430,64 @@ def hits(
             F.coalesce(F.col("a"), F.lit(0.0)).alias("auth"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seed,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Breadth-first distances from ``seed``: one row per reachable
+    node within ``max_depth`` hops, ``(node, dist)`` with dist = the
+    MINIMUM hop count — single-source shortest paths on an unweighted
+    graph, the frontier-expansion primitive behind "who is within k
+    hops" reachability, influence radii, and seed-set neighborhood
+    features.
+
+    Frontier BFS as DataFrame rounds (the Pregel shape): the edge list
+    is symmetrized (unless ``directed``), repartitioned on the source
+    key ONCE and localCheckpointed — every round's frontier join then
+    co-shuffles only the frontier (<= nodes rows), never the edges.
+    Each round: frontier ⋈ edges -> candidate nodes, anti-join against
+    the visited set (so a node keeps its first = minimum depth),
+    distinct, tag with the round number. Rounds are a fixed
+    ``max_depth`` — no convergence probe, one driver action per round
+    at most (the anti-join/union is lazy; only the visited-set
+    localCheckpoint materializes) — and an early exit fires when a
+    frontier comes back empty. State per round is the visited set +
+    frontier, both node-grain; the edge set never moves after round 0.
+
+    On a real cluster swap localCheckpoint for checkpoint()."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    e = e.distinct().repartition("u").localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    node_type = e.schema["u"].dataType
+    visited = spark.createDataFrame(
+        [(seed, 0)], schema=f"node {node_type.simpleString()}, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for depth in range(1, int(max_depth) + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # derive the next frontier from the CHECKPOINTED union so the
+        # empty-probe (and next round's join) read cached blocks
+        # instead of recomputing nxt's join lineage
+        frontier = visited.where(F.col("dist") == depth).select("node")
+        if frontier.isEmpty():
+            break
+    return visited

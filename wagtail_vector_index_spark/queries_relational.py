@@ -3408,3 +3408,267 @@ def q_funnel_time_bounded(spark, sf_dir):
             F.col("n_purchase_24h").cast("double") / F.col("n_view"), 6
         ).alias("conversion"),
     )
+
+
+@register(
+    "graph_bfs_reach",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT src AS u, dst AS v FROM base
+          UNION SELECT dst, src FROM base),
+    walk(node, d) AS (
+      SELECT 's1', 0
+      UNION
+      SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node
+      WHERE w.d < 3),
+    m AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+    SELECT dist::INT AS dist, count(*)::BIGINT AS n_nodes
+    FROM m GROUP BY dist
+    """,
+)
+def graph_bfs_reach(spark, sf_dir):
+    """Breadth-first reachability from supplier s1 over the undirected
+    supplier<->customer fulfillment graph (same edge list as the
+    pagerank gates): how many nodes sit at each hop distance <= 3 —
+    single-source shortest paths on an unweighted graph, the frontier
+    primitive behind "within k hops" features and influence radii.
+
+    operators/graph.py::bfs_distances runs it Pregel-style: edges
+    symmetrized + repartitioned on the join key ONCE (localCheckpoint
+    pins the shuffle), then each round co-shuffles only the node-grain
+    frontier; an anti-join against the visited set keeps first = MIN
+    depth, exactly the oracle's min(d) over the recursive walk. The
+    walk CTE is the single-machine statement of the same search —
+    Spark must never execute it that way (path enumeration before
+    dedup is exponential in dense graphs; the frontier form is linear
+    in edges per round)."""
+    from wagtail_vector_index_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    dists = bfs_distances(edges, "s1", max_depth=3, directed=False)
+    return dists.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "q_market_basket",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, n_ab::BIGINT AS n_ab,
+           round(n_ab * n.n_orders / (ca.n_p * 1.0 * cb.n_p), 6) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.l_partkey = part_a
+    JOIN pc cb ON cb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, n_ab DESC, part_a, part_b LIMIT 10
+    """,
+)
+def q_market_basket(spark, sf_dir):
+    """Market-basket association mining: co-purchased part pairs ranked
+    by LIFT (P(ab)/P(a)P(b) — Agrawal et al. 1993 association rules,
+    the retail sibling of text_collocations_pmi's log-ratio). The pair
+    generator is a self-join keyed on the ORDER — candidate work is
+    sum(basket_size^2) per order, bounded by basket size (~7 items),
+    never corpus^2; pair counts and per-part order counts both
+    collapse map-side; the scalar order total broadcasts. Lift stays
+    in integer arithmetic until one final rounded division, so both
+    engines agree bit-for-bit. Top-10 is TakeOrderedAndProject."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("__ok"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.lit(1.0) * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("n_ab").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q_yoy_growth",
+    oracle="""
+    WITH y AS (
+      SELECT n.n_name, year(o.o_orderdate)::INT AS yr,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT n_name, yr, revenue,
+           round(100.0 * (revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 4) AS yoy_pct
+    FROM y WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+    """,
+)
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue growth per nation — the standard finance
+    reporting window (lag over the year series within each segment).
+    The raw stream collapses to (nation, year) grain first (map-side
+    combinable, revenue pinned at 2 dp so the lag ratio is identical
+    cross-engine); the customer->nation dims broadcast; the lag window
+    partitions by nation over a handful of year rows — no global sort
+    at any scale. First year per nation is NULL growth (no prior)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    y = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return y.select(
+        "n_name",
+        "yr",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
+    )
+
+
+@register(
+    "q_dau_mau",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('month', ts) AS mon, date_trunc('day', ts) AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT date_trunc('month', ts) AS mon,
+             count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1),
+    a AS (SELECT mon, avg(dau) AS avg_dau FROM d GROUP BY mon)
+    SELECT strftime(a.mon, '%Y-%m') AS month, round(a.avg_dau, 4) AS avg_dau,
+           m.mau::BIGINT AS mau,
+           round(a.avg_dau / m.mau, 6) AS stickiness
+    FROM a JOIN m USING (mon)
+    """,
+)
+def q_dau_mau(spark, sf_dir):
+    """DAU/MAU stickiness per month — the engagement ratio every
+    product dashboard leads with (what share of the monthly audience
+    shows up on an average day). Two distinct-count aggregates at
+    different grains over one scan shape: daily distincts collapse
+    map-side per (month, day), monthly distincts per month, and the
+    join is month-grain (tiny). At 100 TB the exact count_distinct is
+    the expensive-but-exact eval form; the production swap is the
+    HLL register fold (sketch_hll_distinct) per grain — mergeable
+    state, same pipeline shape."""
+    ev = _t(spark, sf_dir, "events")
+    mon = F.date_trunc("month", F.col("ts"))
+    d = ev.groupBy(
+        mon.alias("mon"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    m = ev.groupBy(mon.alias("mon")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    a = d.groupBy("mon").agg(F.avg("dau").alias("avg_dau"))
+    return a.join(F.broadcast(m), "mon").select(
+        F.date_format("mon", "yyyy-MM").alias("month"),
+        F.round("avg_dau", 4).alias("avg_dau"),
+        "mau",
+        F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS first_mon
+      FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS mon FROM events)
+    SELECT strftime(act.mon, '%Y-%m') AS month,
+           sum(CASE WHEN act.mon = f.first_mon THEN 1 ELSE 0 END)::BIGINT
+             AS new_users,
+           sum(CASE WHEN act.mon > f.first_mon THEN 1 ELSE 0 END)::BIGINT
+             AS returning_users
+    FROM act JOIN f USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q_new_vs_returning(spark, sf_dir):
+    """New-vs-returning growth accounting per month: a user is NEW in
+    the month of their first-ever event and RETURNING in any later
+    active month — the decomposition behind every growth chart
+    (acquisition vs retention). One user-grain min(ts) aggregate (the
+    only full-history pass, map-side combinable), one distinct
+    (user, month) activity set, and a user-keyed join between two
+    user-grain frames — co-partitioned on the same key, so AQE reuses
+    the exchange; the final fold is month-grain."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("first_mon")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("mon")
+    ).distinct()
+    return (
+        act.join(f, "user_id")
+        .groupBy(F.date_format("mon", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(
+                F.when(F.col("mon") == F.col("first_mon"), 1).otherwise(0)
+            ).alias("new_users"),
+            F.sum(
+                F.when(F.col("mon") > F.col("first_mon"), 1).otherwise(0)
+            ).alias("returning_users"),
+        )
+    )

@@ -2662,3 +2662,110 @@ def er_entity_clusters(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_records"),
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents),
+    g AS (
+      SELECT source,
+             0.39 * (words * 1.0 / sentences)
+             + 11.8 * (syllables * 1.0 / words) - 15.59 AS fk
+      FROM m WHERE words > 0)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           round(avg(fk), 4) AS avg_fk_grade
+    FROM g GROUP BY source
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch-Kincaid grade-level estimate per source — the classic
+    readability feature in quality-filter stacks (alongside the Gopher
+    rules): 0.39*(words/sentence) + 11.8*(syllables/word) - 15.59,
+    with vowel-group runs as the standard syllable proxy. Everything
+    is JVM regexp + arithmetic in one codegen pass over the scan
+    (words = [a-z]+ runs, sentences = terminal punctuation, floored
+    at 1 for fragments), then a map-side-combinable per-source mean.
+    Both engines evaluate the identical regex class sets, and the
+    grade arithmetic is the same expression tree, so the 4-dp pin
+    holds cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    words = F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    sentences = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]', 0)")), F.lit(1)
+    )
+    syllables = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    m = docs.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).where(F.col("words") > 0)
+    fk = (
+        0.39 * (F.col("words") * F.lit(1.0) / F.col("sentences"))
+        + 11.8 * (F.col("syllables") * F.lit(1.0) / F.col("words"))
+        - 15.59
+    )
+    return (
+        m.select("source", fk.alias("fk"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("fk"), 4).alias("avg_fk_grade"),
+        )
+    )
+
+
+@register(
+    "pipeline_mix_temperature",
+    oracle="""
+    WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
+               FROM documents GROUP BY 1),
+    w AS (SELECT source, n_docs, pow(n_docs, 0.7) AS wt FROM c),
+    t AS (SELECT sum(wt) AS total FROM w)
+    SELECT w.source, w.n_docs,
+           round(w.wt / t.total, 6) AS mix_weight,
+           round(w.wt / t.total * (SELECT sum(n_docs) FROM c)
+                 / w.n_docs, 4) AS epochs
+    FROM w CROSS JOIN t
+    """,
+)
+def pipeline_mix_temperature(spark, sf_dir):
+    """Temperature-scaled corpus mixing weights: source sampling
+    probability proportional to n^alpha (alpha=0.7 — the multilingual
+    upsampling rule from mBERT/XLM-R and the data-mix shape in
+    GPT-3-style corpora): big sources are downweighted, small ones
+    upsampled, and ``epochs`` reports how many passes over each source
+    the mix implies at a constant total token budget — the >1 values
+    are exactly the small-source repetition a data card must disclose.
+
+    One map-side-combinable count per source; the weight table is
+    source-grain (tiny), so normalization is a broadcast crossJoin of
+    a 1-row total — no second scan of the corpus. pow(n, 0.7) on
+    integer inputs is the same IEEE call in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = c.select(
+        "source", "n_docs", F.pow(F.col("n_docs"), 0.7).alias("wt")
+    )
+    t = w.agg(
+        F.sum("wt").alias("total"), F.sum("n_docs").alias("grand_docs")
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("wt") / F.col("total"), 6).alias("mix_weight"),
+        F.round(
+            F.col("wt") / F.col("total") * F.col("grand_docs") / F.col("n_docs"),
+            4,
+        ).alias("epochs"),
+    )
