@@ -63,6 +63,18 @@ def main() -> None:
     else:
         tmp = tempfile.mkdtemp(prefix="scale_r6d_")
         big = stage_10x(spark, tmp)
+    # static dim tables are not key-shifted; stage them as-is so
+    # queries that broadcast them (yoy growth) resolve at 10x
+    import shutil
+
+    for dim in ("nation", "region", "part", "supplier"):
+        dst = f"{big}/{dim}.parquet"
+        if not os.path.exists(dst):
+            src_path = f"{SF}/{dim}.parquet"
+            if os.path.isdir(src_path):
+                shutil.copytree(src_path, dst)
+            else:
+                shutil.copy(src_path, dst)
     sf_dirs = (("1x", SF), ("10x", big))
 
     for name in QUERIES:
