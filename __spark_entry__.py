@@ -51,10 +51,10 @@ _DRIVER_LAST_SAMPLED = {
     "multimodal_feature_embed": 3,
     "multimodal_feature_knn": 3,
     "multimodal_frame_sample": 3,
-    "pipeline_chunk_explode": 3,
+    "pipeline_chunk_explode": 1,  # r3 no_oracle row now oracle-paired - resample
     "pipeline_corpus_prep": 3,
     "pipeline_export_shards": 3,
-    "pipeline_incremental_staleness": 3,
+    "pipeline_incremental_staleness": 1,  # r3 no_oracle row now oracle-paired - resample
     "pipeline_pack_sequences": 3,
     "pipeline_shuffle_rank": 3,
     "pipeline_train_val_split": 3,
@@ -175,6 +175,57 @@ _DRIVER_LAST_SAMPLED = {
     "text_wordcount": 5,
     "vector_pca_power": 5,
     "vector_pca_top2": 5,
+    # last sampled in round 6 (50 queries)
+    "dedup_containment": 6,
+    "dedup_lsh_recall": 6,
+    "dedup_source_overlap": 6,
+    "dedup_substring_coverage": 6,
+    "er_blocked_pairs": 6,
+    "er_entity_clusters": 6,
+    "graph_bfs_reach": 6,
+    "graph_communities": 6,
+    "graph_hits": 6,
+    "graph_kcore": 6,
+    "graph_pagerank_seeded": 6,
+    "graph_triangles": 6,
+    "pipeline_bpe_encode": 6,
+    "pipeline_dense_ids": 6,
+    "pipeline_perplexity_buckets": 6,
+    "pipeline_quality_calibrate": 6,
+    "q18_large_volume_customer": 6,
+    "q_anomaly_mad": 6,
+    "q_attribution_last_touch": 6,
+    "q_attribution_linear": 6,
+    "q_bloom_semi_join": 6,
+    "q_column_entropy": 6,
+    "q_concurrent_peak": 6,
+    "q_daily_trend": 6,
+    "q_dau_mau": 6,
+    "q_drift_ks": 1,  # r6 hash-FAIL fixed in r7 - resample first
+    "q_event_paths": 6,
+    "q_ewma_daily": 6,
+    "q_funnel_time_bounded": 6,
+    "q_grouping_sets": 6,
+    "q_market_basket": 6,
+    "q_new_vs_returning": 6,
+    "q_pareto_frontier": 6,
+    "q_quality_expectations": 1,  # r6 hash-FAIL fixed in r7 - resample first
+    "q_snapshot_diff": 6,
+    "q_user_value_deciles": 6,
+    "q_yoy_growth": 6,
+    "search_phrase_positions": 6,
+    "search_posting_lists": 6,
+    "sketch_f2_selfjoin": 6,
+    "sketch_heavy_hitters": 6,
+    "sketch_heavy_hitters_grouped": 6,
+    "sketch_hll_distinct": 6,
+    "sketch_join_size": 6,
+    "sketch_kmv_sliding": 6,
+    "sketch_overlap_matrix": 6,
+    "sketch_quantiles_by_type": 6,
+    "text_collocations_pmi": 6,
+    "text_keywords_tfidf": 6,
+    "text_ngram_novelty": 6,
 }
 
 

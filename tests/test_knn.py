@@ -382,6 +382,27 @@ def test_mutual_knn_graph_k_covers_everything_makes_it_symmetric_topk(spark):
     assert all(r["a"] < r["b"] for r in out)
 
 
+def test_mutual_knn_graph_gemm_sql_parity_real_embeddings(spark):
+    """The oracle-gated gemm path and the SQL-replayable declarative
+    path must produce the identical edge set (ids AND rounded sims) on
+    the real embeddings table — the parity that lets the driver gate
+    verify the production plan."""
+    from wagtail_vector_index_spark.operators.knn import mutual_knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(id_col="vec_id", vec_col="embedding", k=5)
+    gem = {
+        (r["a"], r["b"]): r["similarity"]
+        for r in mutual_knn_graph(emb, engine="gemm", **kw).collect()
+    }
+    sql = {
+        (r["a"], r["b"]): r["similarity"]
+        for r in mutual_knn_graph(emb, engine="sql", **kw).collect()
+    }
+    assert gem == sql
+    assert len(gem) > 0
+
+
 def test_hard_negative_topk_matches_brute_window(spark):
     """The label-masked GEMM operator must equal the brute definition:
     per anchor, the most-similar different-label vector."""
@@ -444,3 +465,74 @@ def test_hard_negative_topk_excludes_same_label_even_if_identical(spark):
         ).collect()
     }
     assert out[0] == 2 and out[1] == 2 and out[2] in (0, 1)
+
+
+def test_hard_negative_topk_block_matches_broadcast(spark):
+    """engine="block" (no driver collect) must equal engine="broadcast"
+    exactly — ids and similarities — on the real embeddings table,
+    including limit>1 and a small block count that forces multi-block
+    group pairs."""
+    from wagtail_vector_index_spark.operators.knn import hard_negative_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    kw = dict(id_col="vec_id", vec_col="v", label_col="label", limit=3)
+    bro = {
+        (r["anchor_id"], r["vec_id"]): round(r["similarity"], 9)
+        for r in hard_negative_topk(emb, engine="broadcast", **kw).collect()
+    }
+    blk = {
+        (r["anchor_id"], r["vec_id"]): round(r["similarity"], 9)
+        for r in hard_negative_topk(
+            emb, engine="block", blocks=3, **kw
+        ).collect()
+    }
+    assert blk == bro
+    assert len(blk) > 0
+
+
+def test_hard_negative_topk_separate_anchor_frame(spark):
+    """anchors= mines negatives for a query subset against the whole
+    corpus: result keys are exactly the anchor ids, and each anchor's
+    winner matches the corpus-as-anchors run restricted to those ids."""
+    from wagtail_vector_index_spark.operators.knn import hard_negative_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = emb.where(F.col("vec_id") % 7 == 0)
+    kw = dict(id_col="vec_id", vec_col="v", label_col="label", limit=1)
+    sub = {
+        (r["anchor_id"], r["vec_id"]): round(r["similarity"], 9)
+        for r in hard_negative_topk(
+            emb, anchors=anchors, engine="block", blocks=3, **kw
+        ).collect()
+    }
+    anchor_ids = {r["vec_id"] for r in anchors.select("vec_id").collect()}
+    assert {a for a, _ in sub} == anchor_ids
+    full = {
+        (r["anchor_id"], r["vec_id"]): round(r["similarity"], 9)
+        for r in hard_negative_topk(emb, engine="broadcast", **kw).collect()
+        if r["anchor_id"] in anchor_ids
+    }
+    assert sub == full
+
+
+def test_hard_negative_topk_rejects_unknown_engine(spark):
+    import pytest
+
+    from wagtail_vector_index_spark.operators.knn import hard_negative_topk
+
+    df = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])], ["vec_id", "label", "v"]
+    )
+    with pytest.raises(ValueError):
+        hard_negative_topk(
+            df, id_col="vec_id", vec_col="v", label_col="label",
+            engine="nope",
+        )

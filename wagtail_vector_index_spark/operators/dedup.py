@@ -35,6 +35,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wagtail_vector_index_spark.operators.arrowgroup import (
+    streamed_group_apply,
+)
 from wagtail_vector_index_spark.functions.text_analysis import (
     fingerprint_col,
     lsh_band_keys_col,
@@ -974,40 +977,51 @@ def lsh_neardup_pairs(
             [(b, v, nb) for (b, v), nb in block_counts.items()],
             "band_no int, band_val bigint, nb int",
         )
-        banded = banded.join(
-            F.broadcast(bdf), ["band_no", "band_val"], "left"
-        ).na.fill({"nb": 1})
-    else:
-        banded = banded.withColumn("nb", F.lit(1))
-    banded = banded.withColumn(
-        "blk",
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("nb")).cast(
-            "int"
-        ),
-    )
-    a_targets = F.transform(
-        F.sequence(F.col("blk"), F.col("nb") - 1),
-        lambda j: F.struct(
-            F.col("blk").alias("bi"), j.cast("int").alias("bj"),
-            F.lit("a").alias("side"),
-        ),
-    )
-    b_targets = F.when(
-        F.col("blk") > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.col("blk") - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("bi"), F.col("blk").alias("bj"),
-                F.lit("b").alias("side"),
+        banded = (
+            banded.join(F.broadcast(bdf), ["band_no", "band_val"], "left")
+            .na.fill({"nb": 1})
+            .withColumn(
+                "blk",
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")), F.col("nb")
+                ).cast("int"),
+            )
+        )
+        a_targets = F.transform(
+            F.sequence(F.col("blk"), F.col("nb") - 1),
+            lambda j: F.struct(
+                F.col("blk").alias("bi"), j.cast("int").alias("bj"),
+                F.lit("a").alias("side"),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<bi:int,bj:int,side:string>>"))
-    union = banded.withColumn(
-        "t", F.explode(F.concat(a_targets, b_targets))
-    ).select(
-        "band_no", "band_val", "t.bi", "t.bj", F.col(id_col), F.col(vec_col),
-        "t.side",
-    )
+        )
+        b_targets = F.when(
+            F.col("blk") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk") - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("bi"), F.col("blk").alias("bj"),
+                    F.lit("b").alias("side"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<bi:int,bj:int,side:string>>"))
+        union = banded.withColumn(
+            "t", F.explode(F.concat(a_targets, b_targets))
+        ).select(
+            "band_no", "band_val", "t.bi", "t.bj", F.col(id_col),
+            F.col(vec_col), "t.side",
+        )
+    else:
+        # no oversized bucket (the precheck said so, or the guard is
+        # off): the block fan-out is an identity — every row is side
+        # 'a' of the (0, 0) diagonal. Emitting literals instead of the
+        # nb-join + target explode removes a generator + hash from the
+        # shuffle input projection: measured ~1s at sf0.1.
+        union = banded.select(
+            "band_no", "band_val",
+            F.lit(0).alias("bi"), F.lit(0).alias("bj"),
+            F.col(id_col), F.col(vec_col),
+            F.lit("a").alias("side"),
+        )
 
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
@@ -1058,8 +1072,12 @@ def lsh_neardup_pairs(
             }
         )
 
-    per_band = union.groupBy("band_no", "band_val", "bi", "bj").applyInPandas(
-        _bucket_pairs, schema=out_schema
+    # streamed_group_apply = same one-shuffle grouped verify, but the
+    # hundreds of small bucket groups cross the Arrow boundary as whole
+    # batches instead of one frame per group — measured 2.7s -> 0.9s on
+    # this stage at sf0.1 (operators/arrowgroup.py docstring).
+    per_band = streamed_group_apply(
+        union, ["band_no", "band_val", "bi", "bj"], _bucket_pairs, out_schema
     )
     # A pair agreeing on k bands is emitted k times with the identical
     # similarity (same two vectors, same BLAS reduction) — first() over

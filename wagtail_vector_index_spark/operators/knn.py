@@ -549,26 +549,43 @@ def hard_negative_topk(
     label_col: str = "label",
     limit: int = 1,
     sim_alias: str = "similarity",
+    anchors: DataFrame | None = None,
+    engine: str = "auto",
+    blocks: int = 8,
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Per-vector hardest CROSS-LABEL neighbors: for every anchor row,
     the ``limit`` most-cosine-similar rows carrying a different label —
-    hard-negative mining for contrastive training (FaceNet/DPR). One
-    label-MASKED GEMM pass: the (ids, labels, unit-vectors) probe block
-    broadcasts once, each index partition does a single BLAS multiply,
-    same-label entries are masked below the cosine floor before the
-    per-partition argpartition, and one Window cuts the exact global
-    top-k. Same cost model as :func:`gemm_topk_join` (shuffle
-    O(partitions x anchors x k), independent of index size) without a
-    per-label plan/job fan-out — 10 labels would otherwise mean 10
-    collects + 10 kernels.
+    hard-negative mining for contrastive training (FaceNet/DPR).
+    ``anchors`` defaults to ``df`` itself (corpus-as-anchors); pass a
+    separate DataFrame (same three columns) to mine negatives for a
+    query/train set against a larger corpus.
 
-    The anchor set collects to the driver like gemm_topk_join's probes;
-    for corpus-as-anchors at cluster scale run this blocked (the
-    ``block_neardup_pairs`` pattern in operators/dedup.py:545 — hash
-    both sides into blocks, GEMM per block pair, union) — semantics
-    identical, no driver matrix.
+    Two physical engines, identical semantics and tie order
+    (similarity desc, id asc via the shared final Window):
+
+    - ``engine="broadcast"``: the (ids, labels, unit-vectors) anchor
+      block collects once and broadcasts; each index partition does a
+      single label-MASKED BLAS multiply (same-label entries forced
+      below the cosine floor before the per-partition argpartition).
+      Shuffle O(partitions x anchors x k), independent of index size —
+      the right plan while the anchor set fits the driver.
+    - ``engine="block"``: NOTHING collects. Both sides hash into
+      ``blocks`` blocks; every (anchor-block, index-block) pair is one
+      ``applyInPandas`` group running the same masked GEMM and emitting
+      its local per-anchor top-k. Per-group memory is O(rows/blocks),
+      shuffle ~``blocks`` copies of each side — choose ``blocks`` ~
+      cluster width. This is the corpus-as-anchors 100 TB path (the
+      ``block_neardup_pairs`` pattern, operators/dedup.py).
+
+    ``engine="auto"`` (default) counts the anchor side and picks
+    broadcast iff it is at most ``max_broadcast_rows``.
     """
-    rows = df.select(id_col, label_col, vec_col).collect()
+    if engine not in ("auto", "broadcast", "block"):
+        raise ValueError(f"unknown engine {engine!r}")
+    anchor_df = (df if anchors is None else anchors).select(
+        id_col, label_col, vec_col
+    )
     out_schema = T.StructType(
         [
             T.StructField("anchor_id", df.schema[id_col].dataType),
@@ -576,6 +593,33 @@ def hard_negative_topk(
             T.StructField(sim_alias, T.DoubleType()),
         ]
     )
+    if engine == "auto":
+        engine = (
+            "broadcast"
+            if anchor_df.count() <= int(max_broadcast_rows)
+            else "block"
+        )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col(sim_alias).desc(), F.col(id_col).asc()
+    )
+    if engine == "block":
+        candidates = _hard_negative_block_candidates(
+            df,
+            anchor_df,
+            id_col=id_col,
+            label_col=label_col,
+            vec_col=vec_col,
+            limit=int(limit),
+            sim_alias=sim_alias,
+            blocks=int(blocks),
+            out_schema=out_schema,
+        )
+        return (
+            candidates.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= limit)
+            .drop("__rank")
+        )
+    rows = anchor_df.collect()
     if not rows:
         return df.sparkSession.createDataFrame([], out_schema)
     a_ids = np.array([r[0] for r in rows])
@@ -625,13 +669,108 @@ def hard_negative_topk(
     candidates = df.select(id_col, label_col, vec_col).mapInPandas(
         _masked_topk, schema=out_schema
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col(sim_alias).desc(), F.col(id_col).asc()
-    )
     return (
         candidates.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= limit)
         .drop("__rank")
+    )
+
+
+def _hard_negative_block_candidates(
+    df: DataFrame,
+    anchor_df: DataFrame,
+    *,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    limit: int,
+    sim_alias: str,
+    blocks: int,
+    out_schema: T.StructType,
+) -> DataFrame:
+    """Blocked label-masked GEMM candidates: anchors hashed into
+    ``blocks`` blocks and replicated once per index block, index rows
+    hashed and replicated once per anchor block; each (ga, gi) group
+    runs one masked BLAS multiply and emits its LOCAL per-anchor
+    top-``limit`` — a superset of the global winners, cut exactly by
+    the caller's Window. No driver collect, no broadcast; per-group
+    memory O(rows/blocks) on each side."""
+    import pandas as pd
+
+    b = int(blocks)
+    k = int(limit)
+
+    def _tagged(src: DataFrame, side: str) -> DataFrame:
+        blk = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string")), F.lit(b)
+        ).cast("int")
+        if side == "a":
+            # anchor block ga is the row's own hash; meet every gi
+            tgt = F.transform(
+                F.sequence(F.lit(0), F.lit(b - 1)),
+                lambda j: F.struct(
+                    F.col("__blk").alias("ga"), j.cast("int").alias("gi")
+                ),
+            )
+        else:
+            # index block gi is the row's own hash; meet every ga
+            tgt = F.transform(
+                F.sequence(F.lit(0), F.lit(b - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("ga"), F.col("__blk").alias("gi")
+                ),
+            )
+        return (
+            src.select(id_col, label_col, vec_col)
+            .withColumn("__blk", blk)
+            .withColumn("__t", F.explode(tgt))
+            .select(
+                F.col("__t.ga").alias("ga"),
+                F.col("__t.gi").alias("gi"),
+                F.col(id_col),
+                F.col(label_col),
+                F.col(vec_col),
+                F.lit(side).alias("side"),
+            )
+        )
+
+    union = _tagged(anchor_df, "a").unionByName(_tagged(df, "b"))
+    empty = pd.DataFrame(
+        {"anchor_id": [], id_col: [], sim_alias: []}
+    )
+
+    def _block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        idx = pdf[pdf["side"] == "b"]
+        if not len(a) or not len(idx):
+            return empty
+        p_ids = a[id_col].to_numpy()
+        p_labels = a[label_col].to_numpy()
+        A = np.array(a[vec_col].tolist(), dtype=np.float64)
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        ids = idx[id_col].to_numpy()
+        labels = idx[label_col].to_numpy()
+        M = np.array(idx[vec_col].tolist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = M @ A.T  # (n_index, n_anchors)
+        sims[labels[:, None] == p_labels[None, :]] = -2.0
+        n = sims.shape[0]
+        take = min(k, n)
+        top_idx = np.argpartition(-sims, take - 1, axis=0)[:take]
+        rows_anchor = np.repeat(p_ids[np.newaxis, :], take, axis=0).ravel()
+        rows_index = ids[top_idx].ravel()
+        rows_sim = np.take_along_axis(sims, top_idx, axis=0).ravel()
+        keep = rows_sim > -2.0
+        return pd.DataFrame(
+            {
+                "anchor_id": rows_anchor[keep],
+                id_col: rows_index[keep],
+                sim_alias: rows_sim[keep],
+            }
+        )
+
+    return union.groupBy("ga", "gi").applyInPandas(
+        _block_pair, schema=out_schema
     )
 
 

@@ -2302,7 +2302,7 @@ def sketch_kmv_sliding(spark, sf_dir):
       SELECT sum(n_a) OVER (ORDER BY value) AS ca,
              sum(n_b) OVER (ORDER BY value) AS cb
       FROM c),
-    tot AS (SELECT max(ca) AS ta, max(cb) AS tb FROM cum)
+    tot AS (SELECT max(ca)::BIGINT AS ta, max(cb)::BIGINT AS tb FROM cum)
     SELECT ta AS n_view, tb AS n_click,
            round(max(abs(ca::DOUBLE / ta - cb::DOUBLE / tb)), 6) AS d_stat
     FROM cum, tot GROUP BY ta, tb
@@ -2516,24 +2516,27 @@ def q_attribution_last_touch(spark, sf_dir):
     "q_quality_expectations",
     oracle="""
     WITH rowchecks AS (
-      SELECT count(*) AS checked,
-             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_null,
+      SELECT count(*)::BIGINT AS checked,
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS v_null,
              sum(CASE WHEN NOT coalesce(o_totalprice <= 400000.0, FALSE)
-                      THEN 1 ELSE 0 END) AS v_price,
+                      THEN 1 ELSE 0 END)::BIGINT AS v_price,
              sum(CASE WHEN NOT coalesce(
                         o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM'),
-                        FALSE) THEN 1 ELSE 0 END) AS v_prio
+                        FALSE) THEN 1 ELSE 0 END)::BIGINT AS v_prio
       FROM orders),
     dup AS (
-      SELECT coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS violations,
-             coalesce(sum(n), 0) AS checked
+      SELECT coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0)::BIGINT
+               AS violations,
+             coalesce(sum(n), 0)::BIGINT AS checked
       FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)),
     fk AS (
-      SELECT count(*) AS violations FROM orders
+      SELECT count(*)::BIGINT AS violations FROM orders
       WHERE o_custkey IS NOT NULL
         AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
     fkc AS (
-      SELECT count(*) AS checked FROM orders WHERE o_custkey IS NOT NULL)
+      SELECT count(*)::BIGINT AS checked FROM orders
+      WHERE o_custkey IS NOT NULL)
     SELECT 'not_null(o_orderdate)' AS rule, v_null AS violations,
            checked, v_null = 0 AS passed FROM rowchecks
     UNION ALL

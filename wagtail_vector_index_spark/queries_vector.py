@@ -2843,14 +2843,16 @@ def knn_mutual_graph(spark, sf_dir):
     One top-(k+1) self-join ranking pass feeds both directions; the
     mutuality check is an edge-keyed semi-join of the edge list
     against its own swap, no second vector scan. The gate runs the
-    declarative engine="sql" form (exactly SQL-replayable, including
-    the rank-with-self-then-drop construction); engine="gemm" is the
-    per-partition-BLAS 100 TB path sharing the same tie order."""
+    engine="gemm" per-partition-BLAS production path (the plan that
+    survives 100 TB: per-partition heaps, shuffle O(parts*probes*k));
+    the declarative engine="sql" broadcast form shares the same
+    rank-with-self-then-drop construction and tie order, and
+    tests/test_knn.py pins gemm==sql parity at small scale."""
     from wagtail_vector_index_spark.operators.knn import mutual_knn_graph
 
     emb = _t(spark, sf_dir, "embeddings")
     edges = mutual_knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", k=5, engine="sql"
+        emb, id_col="vec_id", vec_col="embedding", k=5, engine="gemm"
     )
     w = Window.orderBy(
         F.col("similarity").desc(), F.col("a").asc(), F.col("b").asc()
