@@ -359,6 +359,7 @@ def hits(
     dst: str = "dst",
     rounds: int = 4,
     round_decimals: int | None = None,
+    broadcast_scores: bool = False,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
     list; returns (node, hub, auth) after a FIXED number of mutual-
@@ -383,17 +384,31 @@ def hits(
     partitioned by ``u`` for the auth step, one by ``v`` for the hub
     step, both localCheckpointed) so only the small score tables move
     per round. Each round's node-grain score table is eagerly
-    localCheckpointed and its max read back as a DRIVER SCALAR (one
-    tiny action over the already-materialized frame), so the
-    normalization is a pure projection: the executed work is exactly
-    one contribution join + one agg per half-round, a plan LINEAR in
-    rounds. (The earlier lazy form normalized via a 1-row crossJoin,
-    which referenced each raw frame twice and quadrupled the lazy tree
-    per round — measured 64.7s vs this form at a 10x staging.) On a
-    real cluster swap localCheckpoint for checkpoint()."""
+    localCheckpointed (cutting the lazy tree — the r5 fully-lazy form
+    quadrupled the tree per round, measured 64.7s at a 10x staging);
+    the max-normalization then rides the NEXT half-round's plan as a
+    broadcast 1-row agg crossJoin over that materialized leaf, so the
+    only driver action per half-round is the checkpoint itself.
+
+    ``broadcast_scores=True`` declares the node set small enough to
+    broadcast (checkpointed score frames are RDD-backed leaves, so AQE
+    cannot see their size and plans sort-merge joins for them): each
+    contribution join becomes map-side — the edge set never shuffles
+    after the initial distinct, and the only exchange per half-round
+    is the node-grain partial-agg sum. The right call whenever nodes
+    are far fewer than edges (the supplier->part gate: 21k nodes vs
+    ~600k edges); leave False for node sets beyond executor memory.
+    On a real cluster swap localCheckpoint for checkpoint()."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    e_u = e.repartition("u").localCheckpoint(eager=True)
-    e_v = e_u.repartition("v").localCheckpoint(eager=True)
+    if broadcast_scores:
+        e_u = e.localCheckpoint(eager=True)
+        e_v = e_u
+    else:
+        e_u = e.repartition("u").localCheckpoint(eager=True)
+        e_v = e_u.repartition("v").localCheckpoint(eager=True)
+
+    def maybe_bc(scores):
+        return F.broadcast(scores) if broadcast_scores else scores
 
     def rnd(c):
         return F.round(c, round_decimals) if round_decimals is not None else c
@@ -402,24 +417,27 @@ def hits(
     auth = None
     for _ in range(int(rounds)):
         raw_a = (
-            e_u.join(hubs, "u")
+            e_u.join(maybe_bc(hubs), "u")
             .groupBy("v")
             .agg(rnd(F.sum("h")).alias("a"))
-            .localCheckpoint(eager=True)
         )
-        amax = raw_a.agg(F.max("a")).collect()[0][0]
-        auth = raw_a.select(
-            "v", rnd(F.col("a") / F.lit(amax)).alias("a")
+        amax = raw_a.agg(F.max("a").alias("__m"))
+        auth = raw_a.crossJoin(F.broadcast(amax)).select(
+            "v", rnd(F.col("a") / F.col("__m")).alias("a")
         )
+        # ONE materialization per round: the auth half-round stays lazy
+        # inside this round's job — raw_a is referenced twice (max agg
+        # + projection) but its shuffle is one exchange, reused — and
+        # the round tree is cut at raw_h, keeping the plan linear.
         raw_h = (
-            e_v.join(auth, "v")
+            e_v.join(maybe_bc(auth), "v")
             .groupBy("u")
             .agg(rnd(F.sum("a")).alias("h"))
             .localCheckpoint(eager=True)
         )
-        hmax = raw_h.agg(F.max("h")).collect()[0][0]
-        hubs = raw_h.select(
-            "u", rnd(F.col("h") / F.lit(hmax)).alias("h")
+        hmax = raw_h.agg(F.max("h").alias("__m"))
+        hubs = raw_h.crossJoin(F.broadcast(hmax)).select(
+            "u", rnd(F.col("h") / F.col("__m")).alias("h")
         )
     return (
         hubs.select(F.col("u").alias("node"), "h")

@@ -1722,68 +1722,99 @@ def knn_jl_recall(spark, sf_dir):
     )
     probe = vecs.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
 
-    # ONE heavy pass for everything (r6): jl_signs row k is the same at
-    # every out_dim, so the K-dim projection is round(scale_K *
-    # folds[:K]) — compute the raw 32-row folds AND the full-dimension
-    # brute cosine in a single scan per candidate, lazily
-    # localCheckpoint the scored frame (60k x 33 doubles; blocks
-    # reclaimed by the ContextCleaner when the frame drops), and each
-    # ranking is then a TakeOrderedAndProject over the checkpointed
-    # frame — a 10-row heap per partition merged on the driver, vs the
-    # single-task global sort a partitionBy(lit(1)) row_number window
-    # forces (the repo's documented rule), and no re-paying the
-    # interpreted K x dim fold per level. The probe's folds ride a
-    # broadcast 1-row frame — projecting pv inline re-paid the fold
-    # per candidate row.
+    # ONE linear plan (r7): the r6 shape (localCheckpoint + 3
+    # TakeOrdered jobs + a recall join) paid ~4 job floors = 1.9s at
+    # sf0.1. Now every candidate row computes all three similarities
+    # in the single fold scan (jl_signs row k is the same at every
+    # out_dim, so the K-dim projection is round(scale_K * folds[:K])),
+    # explodes into (metric, sim) rows, and ONE rank-limited window
+    # cuts all three top-10s — Spark plans WindowGroupLimit, so each
+    # map task pre-filters to <=10 rows per metric before the tiny
+    # final window (30 x partitions rows, never the data). Recall is
+    # then set membership, not a self-join: group the <=30 winner rows
+    # by vec_id, a level's candidate is a hit iff its set also holds
+    # the brute marker 0 — `top` is consumed ONCE, nothing recomputes
+    # the scan. The probe's folds ride broadcast 1-row frames — sign
+    # matrices as plan literals charged ~1s of Catalyst analysis per
+    # run (functions/vector.jl_raw_folds).
     mat = spark.createDataFrame(
         [([[float(s) for s in row] for row in jl_signs(32, 64)],)],
         "m array<array<double>>",
     )
-    scored = (
-        vecs.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(probe))
-        .crossJoin(F.broadcast(mat))
-        .select(
-            "vec_id",
-            similarity_col(F.col("v"), F.col("pv"), "cosine").alias("__bsim"),
-            jl_raw_folds(F.col("v"), F.col("m")).alias("__f"),
-        )
-        .localCheckpoint(eager=False)
-    )
     pfold = probe.crossJoin(F.broadcast(mat)).select(
         jl_raw_folds(F.col("pv"), F.col("m")).alias("__pf")
     )
-    brute = (
-        scored.orderBy(F.col("__bsim").desc(), F.col("vec_id").asc())
-        .limit(10)
-        .select("vec_id", F.lit(1).alias("__hit"))
-    )
-    levels = None
-    for K in (16, 32):
+
+    def proj(col, K):
         scale = 1.0 / math.sqrt(float(K))
-        proj = lambda col: F.transform(  # noqa: E731
+        return F.transform(
             F.slice(col, 1, K), lambda x: F.round(x * F.lit(scale), 6)
         )
-        lv = (
-            scored.crossJoin(F.broadcast(pfold))
-            .withColumn(
-                "__sim",
-                similarity_col(proj(F.col("__f")), proj(F.col("__pf")), "cosine"),
-            )
-            .orderBy(F.col("__sim").desc(), F.col("vec_id").asc())
-            .limit(10)
-            .select(F.lit(K).alias("proj_dim"), "vec_id")
+
+    def lvl(K):
+        return F.struct(
+            F.lit(K).alias("proj_dim"),
+            similarity_col(
+                proj(F.col("__f"), K), proj(F.col("__pf"), K), "cosine"
+            ).alias("__sim"),
         )
-        levels = lv if levels is None else levels.unionByName(lv)
-    return (
-        levels.join(F.broadcast(brute), "vec_id", "left")
-        .groupBy("proj_dim")
-        .agg(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
-            (
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(10)
-            ).alias("recall_at_10"),
+
+    cand = (
+        vecs.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .crossJoin(F.broadcast(mat))
+        .crossJoin(F.broadcast(pfold))
+        .select(
+            "vec_id",
+            similarity_col(F.col("v"), F.col("pv"), "cosine").alias(
+                "__bsim"
+            ),
+            jl_raw_folds(F.col("v"), F.col("m")).alias("__f"),
+            "__pf",
         )
+        # Exchange barrier: CollapseProject would otherwise inline the
+        # 32x64 interpreted fold into every downstream use (each level
+        # struct) — re-paying the dominant per-row cost 3x. The tiny
+        # (vec_id, bsim, 32 folds) rows shuffle once instead (default
+        # parallelism; AQE coalesces); measured 1.9s -> 1.5s at sf0.1.
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("proj_dim"),
+                        F.col("__bsim").alias("__sim"),
+                    ),
+                    lvl(16),
+                    lvl(32),
+                )
+            ).alias("t"),
+        )
+        .select("vec_id", "t.proj_dim", "t.__sim")
+    )
+    w = Window.partitionBy("proj_dim").orderBy(
+        F.col("__sim").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .select("proj_dim", "vec_id")
+    )
+    sets = top.groupBy("vec_id").agg(
+        F.collect_set("proj_dim").alias("__ds")
+    )
+    per_level = sets.select(
+        F.explode(
+            F.filter(F.col("__ds"), lambda d: d != F.lit(0))
+        ).alias("proj_dim"),
+        F.when(F.array_contains(F.col("__ds"), 0), 1)
+        .otherwise(0)
+        .alias("__hit"),
+    )
+    return per_level.groupBy("proj_dim").agg(
+        F.sum("__hit").alias("n_hits"),
+        (F.sum("__hit") / F.lit(10.0)).alias("recall_at_10"),
     )
 
 
