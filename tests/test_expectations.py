@@ -78,3 +78,15 @@ def test_row_rules_share_one_scan(spark, documents_df):
         .toString()
     )
     assert plan.lower().count("scan parquet") <= 1
+
+
+def test_check_expectations_empty_rules(spark):
+    """No rules -> an empty typed report, not an IndexError."""
+    from wagtail_vector_index_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    out = check_expectations(df, [])
+    assert out.columns == ["rule", "violations", "checked", "passed"]
+    assert out.count() == 0

@@ -643,3 +643,46 @@ def test_countmin_join_size_production_form(spark):
     )
     assert out.columns == ["join_size_est"]
     assert out.collect()[0][0] >= 1
+
+
+def test_overlap_matrix_pipe_in_tag_values(spark):
+    """Tag values containing '|' must not be misrouted into the
+    pair-intersection branch (the separator is a non-printable
+    sentinel, not a printable char a tag could contain)."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        kmv_overlap_matrix,
+    )
+
+    rows = (
+        [("x|y", i) for i in range(20)]
+        + [("z", i) for i in range(10, 30)]
+    )
+    df = spark.createDataFrame(rows, ["seg", "uid"])
+    out = {
+        (r["tag_a"], r["tag_b"]): r
+        for r in kmv_overlap_matrix(
+            df, value_col="uid", tag_col="seg", k=64
+        ).collect()
+    }
+    assert set(out) == {("x|y", "z")}
+    r = out[("x|y", "z")]
+    assert (r["union_exact"], r["intersect_exact"]) == (30, 10)
+    assert r["union_est"] == 30.0 and r["intersect_est"] == 10.0
+
+
+def test_countmin_join_size_overlapping_conditions(spark):
+    """A row satisfying BOTH conditions counts on both sides —
+    self-join estimation with cond_a == cond_b must square the key
+    frequencies, not zero out side b."""
+    from wagtail_vector_index_spark.operators.sketches import (
+        countmin_join_size,
+    )
+
+    rows = [(7,)] * 5 + [(8,)] * 3 + [(9,)]
+    df = spark.createDataFrame(rows, ["k"])
+    both = F.lit(True)
+    out = countmin_join_size(
+        df, value_col="k", cond_a=both, cond_b=both, depth=4, width=64
+    ).collect()[0]
+    assert out["join_size_exact"] == 25 + 9 + 1
+    assert out["join_size_est"] >= out["join_size_exact"]

@@ -138,6 +138,11 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
                     F.lit(r.name).alias("rule"), "violations", "checked"
                 )
             )
+    if not reports:
+        # no rules: an empty report with the full schema, not a crash
+        return df.sparkSession.createDataFrame(
+            [], "rule string, violations long, checked long, passed boolean"
+        )
     out = reports[0]
     for rep in reports[1:]:
         out = out.unionByName(rep)

@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 
 from wagtail_vector_index_spark.functions.text_analysis import sha_hash64
 
+# pair-tag separator for kmv_overlap_matrix: a non-printable sentinel
+# (same convention as the BPE merge encoding) so tag values containing
+# '|' or other printable punctuation can't be misrouted into the
+# intersection branch
+_PAIR_SEP = "\x01"
+
 
 def _bottom_k_partials(
     df: DataFrame, group_cols: list[str], k: int, *, with_count: bool = False
@@ -822,7 +828,7 @@ def kmv_overlap_matrix(
                     i + F.lit(2),
                     F.size(F.col("__ts")),
                 ),
-                lambda y: F.concat(x, F.lit("|"), y),
+                lambda y: F.concat(x, F.lit(_PAIR_SEP), y),
             ),
         )
     )
@@ -843,7 +849,7 @@ def kmv_overlap_matrix(
         # per_tag — pin the (≤ T + C(T,2))-row result so the scan + fold
         # run once, not once per branch
         per_tag = per_tag.localCheckpoint()
-    sk = per_tag.where(~F.col("__tag").contains("|"))
+    sk = per_tag.where(~F.col("__tag").contains(_PAIR_SEP))
     a = sk.select(
         F.col("__tag").alias("tag_a"),
         F.col("kvals").alias("ka"),
@@ -858,9 +864,9 @@ def kmv_overlap_matrix(
     ests = _kmv_pair_estimates(k)
     if not eval_exact:
         return pairs.select("tag_a", "tag_b", *ests)
-    inter = per_tag.where(F.col("__tag").contains("|")).select(
-        F.split("__tag", "\\|").getItem(0).alias("tag_a"),
-        F.split("__tag", "\\|").getItem(1).alias("tag_b"),
+    inter = per_tag.where(F.col("__tag").contains(_PAIR_SEP)).select(
+        F.split("__tag", _PAIR_SEP).getItem(0).alias("tag_a"),
+        F.split("__tag", _PAIR_SEP).getItem(1).alias("tag_b"),
         F.col("cnt").alias("__ci"),
     )
     out = pairs.join(inter, ["tag_a", "tag_b"], "left").withColumn(
@@ -901,10 +907,21 @@ def countmin_join_size(
     the two ≤ depth×width-row tables. ``eval_exact=True`` (gate
     default) adds the exact Σ f_A·f_B via a key-grain groupBy join."""
     d, w = int(depth), int(width)
+    # a row matching BOTH conditions belongs to both sides (self-join
+    # estimation, overlapping predicates): emit one row per matching
+    # side, not a first-match when-chain that silently drops side b
     sides = df.select(
         F.col(value_col).cast("string").alias("__v"),
-        F.when(cond_a, F.lit("a")).when(cond_b, F.lit("b")).alias("__side"),
-    ).where(F.col("__side").isNotNull())
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(cond_a, F.lit("a")),
+                    F.when(cond_b, F.lit("b")),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("__side"),
+    )
     pairs = F.array(
         *[
             F.struct(
