@@ -126,6 +126,14 @@ ADDED = [
     "streaming_drift_daily",
     "dedup_source_overlap",
     "q_column_entropy",
+    # r7 additions
+    "pipeline_line_dedup",
+    "q_drift_psi",
+    "q_trend_regression",
+    "er_match_scores",
+    "text_tokenizer_fertility",
+    "vector_standardize",
+    "ann_mrr",
 ]
 
 SPARK_RUNS = 5

@@ -1,0 +1,111 @@
+"""Operator tests for remove_boilerplate_lines (dedup.py) and the
+Fellegi-Sunter linkage pieces (linkage.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wagtail_vector_index_spark.operators.dedup import (
+    remove_boilerplate_lines,
+)
+from wagtail_vector_index_spark.operators.linkage import (
+    blocked_pairs,
+    fs_field_constants,
+    fs_weight,
+)
+
+
+def test_boilerplate_lines_dropped_and_order_kept(spark):
+    rows = [
+        (1, "s1", ["intro one", "FOOTER", "body a", "FOOTER"]),
+        (2, "s1", ["FOOTER", "body b"]),
+        (3, "s1", ["body c"]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "lines"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            df, id_col="doc_id", lines_col="lines", group_col="src",
+            min_docs=2,
+        ).collect()
+    }
+    # FOOTER appears in docs 1 and 2 -> dropped everywhere (both copies
+    # in doc 1); unique lines keep their original order
+    assert out[1]["clean_text"] == "intro one\nbody a"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 2)
+    assert out[2]["clean_text"] == "body b"
+    assert out[3]["clean_text"] == "body c"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_boilerplate_scoped_per_group(spark):
+    # the same line in two DIFFERENT sources is not boilerplate in
+    # either (frequency is per group)
+    rows = [
+        (1, "s1", ["shared line", "a"]),
+        (2, "s2", ["shared line", "b"]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "lines"])
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(
+            df, id_col="doc_id", lines_col="lines", group_col="src",
+            min_docs=2,
+        ).collect()
+    }
+    assert out[1] == "shared line\na"
+    assert out[2] == "shared line\nb"
+
+
+def test_boilerplate_all_dropped_doc_survives_empty(spark):
+    rows = [
+        (1, "s1", ["x"]),
+        (2, "s1", ["x"]),
+        (3, "s1", []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, lines array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            df, id_col="doc_id", lines_col="lines", group_col="src",
+            min_docs=2,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "" and out[1]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+
+def test_blocked_pairs_within_block_only(spark):
+    rows = [
+        (1, "b1", "alice"),
+        (2, "b1", "alyce"),
+        (3, "b2", "alice"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "name"])
+    out = blocked_pairs(
+        df, id_col="id", block_col="blk", carry=("name",)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert (r["name_a"], r["name_b"]) == ("alice", "alyce")
+
+
+def test_fs_weight_matches_closed_form(spark):
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (False, False)], ["a1", "a2"]
+    )
+    fields = [(F.col("a1"), 0.9, 0.1), (F.col("a2"), 0.8, 0.2)]
+    got = [
+        r["w"]
+        for r in df.select(fs_weight(fields).alias("w")).collect()
+    ]
+    w1a, w1d = fs_field_constants(0.9, 0.1)
+    w2a, w2d = fs_field_constants(0.8, 0.2)
+    assert got[0] == pytest.approx(w1a + w2a)
+    assert got[1] == pytest.approx(w1a + w2d)
+    assert got[2] == pytest.approx(w1d + w2d)
+    assert w1a == pytest.approx(math.log2(9.0))
+    assert w1d == pytest.approx(math.log2(0.1 / 0.9))

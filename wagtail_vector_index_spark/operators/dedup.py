@@ -1944,3 +1944,76 @@ def incremental_neardup_filter(
         F.col("new_id").alias(id_col)
     )
     return new_df.join(dupes, id_col, "left_anti")
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    group_col: str | None = None,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-frequency boilerplate removal — the CCNet / RefinedWeb
+    cleanup step that strips navigation chrome, cookie banners, and
+    per-site footers BEFORE document-level dedup: a line occurring in
+    at least ``min_docs`` distinct documents (scoped per ``group_col``,
+    typically the source/domain — boilerplate is site-local) is dropped
+    from every document; everything else keeps its original order.
+
+    Input carries the pre-split ``lines_col`` (array<string>) so the
+    caller owns the line definition (newlines, sentences, fixed word
+    windows). Returns one row per input document:
+    ``(id, clean_text, n_kept, n_dropped)`` with ``clean_text`` the
+    kept lines rejoined by ``sep``; documents whose every line was
+    boilerplate (or that had no lines) survive with an empty string.
+
+    Shape at 100 TB: posexplode -> ONE (group, line)-keyed count-
+    distinct agg (map-side combinable) -> hash join back on the same
+    key -> one doc-keyed regroup. Two shuffles of line-grain rows plus
+    the doc regroup, no broadcast of anything data-sized, no driver
+    state. Line frequency is a classic heavy-hitter distribution —
+    the join key includes the line text itself, so a single viral
+    line lands in one task only during the count (bounded state),
+    never during reassembly (doc-keyed)."""
+    keys = [group_col] if group_col else []
+    ex = df.select(
+        id_col, *keys, F.posexplode(lines_col).alias("__pos", "__line")
+    )
+    freq = ex.groupBy(*keys, "__line").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    tagged = ex.join(freq, [*keys, "__line"])
+    per_doc = tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__nd") < min_docs,
+                            F.struct("__pos", "__line"),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(
+            F.when(F.col("__nd") < min_docs, 1).otherwise(0)
+        ).alias("n_kept"),
+        F.sum(
+            F.when(F.col("__nd") >= min_docs, 1).otherwise(0)
+        ).alias("n_dropped"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )

@@ -3690,3 +3690,153 @@ def q_new_vs_returning(spark, sf_dir):
             ).alias("returning_users"),
         )
     )
+
+
+@register(
+    "q_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT least(floor(value / 50.0), 9)::INT AS bucket,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+               AS n_ref,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS n_cur
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+    g AS (SELECT unnest(range(0, 10))::INT AS bucket),
+    f AS (SELECT g.bucket, coalesce(n_ref, 0)::BIGINT AS n_ref,
+                 coalesce(n_cur, 0)::BIGINT AS n_cur
+          FROM g LEFT JOIN b USING (bucket)),
+    t AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM f)
+    SELECT bucket, n_ref, n_cur,
+           round(((n_cur + 0.5) / (tc + 5.0) - (n_ref + 0.5) / (tr + 5.0))
+                 * ln(((n_cur + 0.5) / (tc + 5.0))
+                      / ((n_ref + 0.5) / (tr + 5.0))), 8) AS psi_term
+    FROM f, t
+    """,
+)
+def q_drift_psi(spark, sf_dir):
+    """Population Stability Index between the view (reference) and
+    purchase (current) value distributions over 10 fixed-width buckets
+    — the drift metric risk/scoring teams actually alarm on (PSI > 0.2
+    = retrain), complementing q_drift_ks's nonparametric sup-distance.
+    Fixed literal bucket edges (width 50, capped at bucket 9) make the
+    binning engine-identical; Laplace smoothing (+0.5 per bucket) keeps
+    empty buckets finite without data-dependent epsilons. ONE scan:
+    conditional-sum agg to bucket grain (map-side combinable), a
+    broadcast 10-row bucket skeleton fills gaps, totals ride a
+    broadcast 1-row agg — nothing heavier than the bucket table ever
+    shuffles. The PSI total is the (verified) sum of the per-bucket
+    terms."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    b = ev.groupBy(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "__r"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("__c"),
+    )
+    g = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    f = g.join(b, "bucket", "left").select(
+        "bucket",
+        F.coalesce("__r", F.lit(0)).alias("n_ref"),
+        F.coalesce("__c", F.lit(0)).alias("n_cur"),
+    )
+    t = f.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("__tr") + 5.0)
+    q = (F.col("n_cur") + 0.5) / (F.col("__tc") + 5.0)
+    return f.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((q - p) * F.log(q / p), 8).alias("psi_term"),
+    )
+
+
+@register(
+    "q_trend_regression",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             (year(o_orderdate) * 12 + month(o_orderdate) - 23950)::DOUBLE
+               AS x,
+             round(sum(o_totalprice), 2) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    s AS (
+      SELECT n_name, count(*)::BIGINT AS n_months,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx
+      FROM m GROUP BY 1)
+    SELECT n_name, n_months,
+           round((n_months * sxy - sx * sy)
+                 / (n_months * sxx - sx * sx), 4) AS slope,
+           round((sy - (n_months * sxy - sx * sy)
+                       / (n_months * sxx - sx * sx) * sx)
+                 / n_months, 2) AS intercept
+    FROM s ORDER BY n_name
+    """,
+)
+def q_trend_regression(spark, sf_dir):
+    """Per-nation revenue trend via distributed ordinary least squares:
+    monthly order revenue per nation, then the closed-form OLS slope
+    and intercept from five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) — regression as pure map-side-combinable aggregates, the only
+    shape that works at 100 TB (no matrix libraries, no driver data).
+    Month index is centered by a fixed literal (23950 ≈ 1996) so the
+    x-products stay small; monthly revenue is rounded to 2dp BEFORE
+    the sufficient statistics, pinning the order-dependent float sums
+    cross-engine. Two aggregations: fact-grain -> (nation, month),
+    then (nation); the customer/nation joins broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    m = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (
+                F.year("o_orderdate") * 12
+                + F.month("o_orderdate")
+                - F.lit(23950)
+            )
+            .cast("double")
+            .alias("x"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    )
+    s = m.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        "n_name",
+        "n_months",
+        F.round(slope, 4).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n_months"), 2
+        ).alias("intercept"),
+    ).orderBy("n_name")

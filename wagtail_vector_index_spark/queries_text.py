@@ -2769,3 +2769,260 @@ def pipeline_mix_temperature(spark, sf_dir):
             4,
         ).alias("epochs"),
     )
+
+
+@register(
+    "pipeline_line_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, source,
+                      list_filter(string_split(text, ' '), t -> t <> '') AS ws
+               FROM documents),
+    lines AS (
+      SELECT doc_id, source, i AS pos,
+             array_to_string(ws[(i-1)*2+1:i*2], ' ') AS line
+      FROM w, LATERAL (SELECT unnest(range(1,
+             cast(ceil(len(ws)/2.0) AS INT) + 1)) AS i) t),
+    freq AS (SELECT source, line, count(DISTINCT doc_id) AS nd
+             FROM lines GROUP BY 1, 2),
+    tagged AS (SELECT l.doc_id, l.pos, l.line, f.nd
+               FROM lines l JOIN freq f
+                 ON l.source = f.source AND l.line = f.line),
+    cleaned AS (
+      SELECT doc_id,
+             coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (nd < 2), '') AS clean_text,
+             count(*) FILTER (nd < 2) AS n_kept,
+             count(*) FILTER (nd >= 2) AS n_dropped
+      FROM tagged GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+           coalesce(c.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(c.n_dropped, 0)::BIGINT AS n_dropped
+    FROM documents d LEFT JOIN cleaned c ON d.doc_id = c.doc_id
+    """,
+)
+def pipeline_line_dedup(spark, sf_dir):
+    """Boilerplate line removal (the CCNet / RefinedWeb pre-dedup
+    cleanup): segment every document into fixed 2-word lines, drop any
+    line occurring in >= 2 distinct documents of the SAME source
+    (boilerplate is site-local — nav chrome, footers, cookie banners),
+    and reassemble each document from its surviving lines in original
+    order (operators/dedup.py::remove_boilerplate_lines). Plan: one
+    posexplode -> (source, line) count-distinct agg -> join back on the
+    same key -> doc-keyed regroup; two line-grain shuffles, no
+    broadcast of data, no driver state. The oracle replays the exact
+    word-window segmentation, the frequency rule, and the ORDER BY pos
+    reassembly."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    n_lines = F.ceil(F.size(F.col("__ws")) / F.lit(2.0)).cast("int")
+    lines = F.when(
+        F.col("__n") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n")),
+            lambda i: F.array_join(
+                F.slice(F.col("__ws"), (i - F.lit(1)) * 2 + 1, F.lit(2)),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    src = (
+        docs.select("doc_id", "source", ws.alias("__ws"))
+        .withColumn("__n", n_lines)
+        .withColumn("lines", lines)
+    )
+    return remove_boilerplate_lines(
+        src,
+        id_col="doc_id",
+        lines_col="lines",
+        group_col="source",
+        min_docs=2,
+    )
+
+
+def _fs_consts():
+    from wagtail_vector_index_spark.operators.linkage import (
+        fs_field_constants,
+    )
+
+    # (field, m, u): m = P(agree|match), u = P(agree|non-match)
+    spec = [
+        ("name", 0.95, 0.01),
+        ("bal", 0.70, 0.10),
+        ("seg", 0.90, 0.20),
+        ("nation", 0.90, 0.04),
+    ]
+    return {
+        f: fs_field_constants(m, u) + (m, u) for f, m, u in spec
+    }
+
+
+def _fs_weight_sql() -> str:
+    c = _fs_consts()
+    terms = {
+        "name": "levenshtein(name_a, name_b) <= 1",
+        "bal": "floor(bal_a / 1000.0) = floor(bal_b / 1000.0)",
+        "seg": "seg_a = seg_b",
+        "nation": "nat_a = nat_b",
+    }
+    parts = []
+    for f in ("name", "bal", "seg", "nation"):
+        wa, wd = c[f][0], c[f][1]
+        parts.append(
+            f"(CASE WHEN {terms[f]} THEN {wa!r}::DOUBLE"
+            f" ELSE {wd!r}::DOUBLE END)"
+        )
+    return " + ".join(parts)
+
+
+@register(
+    "er_match_scores",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+             c_mktsegment AS seg, c_nationkey AS nat,
+             substr(c_name, 1, 16) AS blk
+      FROM customer),
+    p AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             a.bal AS bal_a, b.bal AS bal_b,
+             a.seg AS seg_a, b.seg AS seg_b,
+             a.nat AS nat_a, b.nat AS nat_b
+      FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id),
+    scored AS (
+      SELECT name_a, name_b,
+             levenshtein(name_a, name_b) <= 1 AS name_agree,
+             floor(bal_a / 1000.0) = floor(bal_b / 1000.0) AS bal_agree,
+             seg_a = seg_b AS seg_agree,
+             nat_a = nat_b AS nation_agree,
+             round({_fs_weight_sql()}, 6) AS weight
+      FROM p),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY weight DESC, name_a, name_b)
+               AS rn
+      FROM scored)
+    SELECT name_a, name_b, name_agree, bal_agree, seg_agree,
+           nation_agree, weight
+    FROM ranked WHERE rn <= 25
+    """,
+)
+def er_match_scores(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage over the blocked
+    customer candidate pairs (operators/linkage.py): each within-block
+    pair scores a log2 likelihood-ratio weight across four field
+    agreements (name edit-distance, acctbal thousand-band, market
+    segment, nation) with fixed (m, u) probabilities; the top-25 weights are
+    the auto-link head of the review queue. Candidate generation
+    shuffles on the blocking key only (blocked_pairs); scoring is pure
+    codegen'd column arithmetic — the log2 constants are precomputed
+    python floats embedded IDENTICALLY in the oracle SQL, so no libm
+    log2 disagreement can leak in, and field order fixes the float
+    summation order."""
+    from wagtail_vector_index_spark.operators.linkage import (
+        blocked_pairs,
+        fs_weight,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    pairs = blocked_pairs(
+        c, id_col="id", block_col="blk",
+        carry=("name", "bal", "seg", "nat"),
+    )
+    consts = _fs_consts()
+    agree = {
+        "name": F.levenshtein("name_a", "name_b") <= 1,
+        "bal": F.floor(F.col("bal_a") / 1000.0)
+        == F.floor(F.col("bal_b") / 1000.0),
+        "seg": F.col("seg_a") == F.col("seg_b"),
+        "nation": F.col("nat_a") == F.col("nat_b"),
+    }
+    weight = fs_weight(
+        [
+            (agree[f], consts[f][2], consts[f][3])
+            for f in ("name", "bal", "seg", "nation")
+        ]
+    )
+    scored = pairs.select(
+        "name_a",
+        "name_b",
+        agree["name"].alias("name_agree"),
+        agree["bal"].alias("bal_agree"),
+        agree["seg"].alias("seg_agree"),
+        agree["nation"].alias("nation_agree"),
+        F.round(weight, 6).alias("weight"),
+    )
+    w = Window.orderBy(
+        F.col("weight").desc(), F.col("name_a").asc(), F.col("name_b").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 25)
+        .drop("__rn")
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=r"""
+    WITH d AS (
+      SELECT lang,
+             greatest(ceil(length(text) / 4),
+                      ceil(len(regexp_extract_all(text, '[^\w\s]|\w+'))
+                           * 0.75))::BIGINT AS est_tokens,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT
+               AS n_words,
+             strlen(text)::BIGINT AS n_bytes
+      FROM documents)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(est_tokens)::BIGINT AS total_tokens,
+           round(sum(est_tokens)::DOUBLE / sum(n_words), 4) AS fertility,
+           round(sum(n_bytes)::DOUBLE / sum(est_tokens), 4)
+             AS bytes_per_token
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — tokens per word and bytes per
+    token, the compression stats every multilingual tokenizer eval
+    reports (a high-fertility language pays more sequence length per
+    sentence, skewing both training cost and context budget). Uses the
+    repo's BPE-ish token estimator (functions/text_splitting
+    ::estimated_tokens_col, the JVM expression twin), whitespace words,
+    and byte lengths; one map-side-combinable aggregate from document
+    grain to the ~5-row language table — corpus-scale ratios, not
+    per-doc averages, so the totals are exact at any scale."""
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        estimated_tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        estimated_tokens_col(F.col("text")).alias("__t"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("__w"),
+        F.octet_length("text").alias("__b"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("total_tokens"),
+            F.round(F.sum("__t") / F.sum("__w"), 4).alias("fertility"),
+            F.round(F.sum("__b") / F.sum("__t"), 4).alias(
+                "bytes_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )

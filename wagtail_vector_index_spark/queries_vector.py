@@ -3352,3 +3352,210 @@ def embedding_outliers(spark, sf_dir):
             ).alias("kth_sim"),
         )
     )
+
+
+@register(
+    "vector_standardize",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT vec_id, u.x, u.i
+      FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+            FROM e) u(vec_id, x, i)),
+    stats AS (
+      SELECT i, round(avg(x), 8) AS m,
+             greatest(round(stddev_pop(x), 8), 1e-12) AS s
+      FROM dims GROUP BY i),
+    z AS (
+      SELECT d.vec_id, d.i, round((d.x - st.m) / st.s, 6) AS zx
+      FROM dims d JOIN stats st USING (i)),
+    zv AS (SELECT vec_id, list(zx ORDER BY i) AS zv FROM z GROUP BY vec_id),
+    q AS (SELECT zv AS qv FROM zv WHERE vec_id = 0)
+    SELECT vec_id, round(sim, 6) AS z_cos FROM (
+      SELECT zv.vec_id, {{_COS}} AS sim FROM zv, q WHERE zv.vec_id <> 0)
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """.replace("{_COS}", _cos_sql("zv.zv", "q.qv")),
+)
+def vector_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization (feature whitening without
+    rotation) then cosine top-10 against the standardized probe — the
+    preprocessing that stops high-variance embedding dimensions from
+    dominating distance, standard before clustering or mixing encoder
+    versions. Stats come from ONE posexplode + per-dimension aggregate
+    (map-side combinable, 64 output rows regardless of corpus size),
+    fold back into two broadcast 64-element arrays, and the
+    standardization is a pure JVM transform-with-index over the vector
+    column — the corpus is scanned twice (stats + rank), shuffles only
+    the 64-row stats table. Means/stds round to 8dp before use (the
+    cross-engine pin for order-dependent float sums); standardized
+    components round to 6dp exactly as the oracle replays."""
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = e.select("vec_id", F.posexplode("v").alias("__i", "__x"))
+    stats = dims.groupBy("__i").agg(
+        F.round(F.avg("__x"), 8).alias("__m"),
+        F.greatest(F.round(F.stddev_pop("__x"), 8), F.lit(1e-12)).alias(
+            "__s"
+        ),
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__i"), F.col("__m")))
+            ),
+            lambda s: s["__m"],
+        ).alias("__mu"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__i"), F.col("__s")))
+            ),
+            lambda s: s["__s"],
+        ).alias("__sd"),
+    )
+    zed = e.crossJoin(F.broadcast(arrs)).select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x, i: F.round(
+                (x - F.element_at(F.col("__mu"), i + 1))
+                / F.element_at(F.col("__sd"), i + 1),
+                6,
+            ),
+        ).alias("zv"),
+    )
+    probe = zed.where(F.col("vec_id") == 0).select(
+        F.col("zv").alias("qv")
+    )
+    return (
+        zed.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            similarity_col(F.col("zv"), F.col("qv"), "cosine").alias(
+                "__sim"
+            ),
+        )
+        .orderBy(F.col("__sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__sim", 6).alias("z_cos"))
+    )
+
+
+@register(
+    "ann_mrr",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    idx AS (SELECT vec_id, v FROM e WHERE vec_id >= 16),
+    p AS (SELECT vec_id AS probe_id, v AS qv FROM e WHERE vec_id < 5),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT idx.vec_id, c.cid,
+               row_number() OVER (PARTITION BY idx.vec_id
+                                  ORDER BY {{COS_IC}} DESC, c.cid) AS rn
+        FROM idx, c) WHERE rn = 1),
+    probed AS (
+      SELECT probe_id, cid FROM (
+        SELECT p.probe_id, c.cid,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {{COS_CP}} DESC, c.cid) AS rn
+        FROM c, p) WHERE rn <= 2),
+    truth AS (
+      SELECT probe_id, vec_id AS true_nn FROM (
+        SELECT p.probe_id, idx.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {{COS_IP}} DESC,
+                                           idx.vec_id) AS rn
+        FROM idx, p) WHERE rn = 1),
+    ivf AS (
+      SELECT probe_id, vec_id, rn FROM (
+        SELECT pr.probe_id, a.vec_id,
+               row_number() OVER (PARTITION BY pr.probe_id
+                                  ORDER BY {{COS_IP}} DESC,
+                                           a.vec_id) AS rn
+        FROM assign a
+        JOIN probed pr USING (cid)
+        JOIN idx ON idx.vec_id = a.vec_id
+        JOIN p ON p.probe_id = pr.probe_id) WHERE rn <= 10)
+    SELECT t.probe_id, t.true_nn,
+           coalesce(i.rn, 0)::BIGINT AS ivf_rank,
+           round(CASE WHEN i.rn IS NULL THEN 0.0
+                      ELSE 1.0 / i.rn END, 6) AS rr
+    FROM truth t
+    LEFT JOIN ivf i ON t.probe_id = i.probe_id AND t.true_nn = i.vec_id
+    ORDER BY t.probe_id
+    """.replace("{COS_IC}", _cos_sql("idx.v", "c.cv"))
+    .replace("{COS_CP}", _cos_sql("c.cv", "p.qv"))
+    .replace("{COS_IP}", _cos_sql("idx.v", "p.qv")),
+)
+def ann_mrr(spark, sf_dir):
+    """Mean-reciprocal-rank evaluation of the IVF ANN path: for each
+    probe, WHERE in the IVF top-10 does the TRUE nearest neighbor
+    (exact brute top-1) land? Rank-aware quality — recall@10 says the
+    neighbor is somewhere in the list, MRR says whether it's first or
+    barely hanging on at rank 9, which is what a retrieval stack
+    serving only the top hit actually cares about. Same batched,
+    driver-loop-free machinery as ann_recall_ivf (similarity_join for
+    truth, ivf_topk_batch with cluster pruning for the candidate
+    list); per-probe rows so the gate pins every rank, with rr = 1/rank
+    (0 when the IVF list misses the true neighbor entirely)."""
+    from wagtail_vector_index_spark.operators.knn import (
+        ivf_topk_batch,
+        similarity_join,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    index = vecs.where(F.col("vec_id") >= 16)
+    centroids = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("vector").alias("cv")
+    )
+    probes = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("vector").alias("probe_vec"),
+    )
+    truth = similarity_join(
+        probes,
+        index,
+        probe_id="probe_id",
+        probe_vec="probe_vec",
+        index_id="vec_id",
+        index_vec="vector",
+        limit=1,
+    ).select("probe_id", F.col("vec_id").alias("true_nn"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    ivf = (
+        ivf_topk_batch(probes, index, centroids, nprobe=2, limit=10)
+        .withColumn("__rn", F.row_number().over(w))
+        .select("probe_id", "vec_id", "__rn")
+    )
+    return (
+        truth.join(
+            F.broadcast(ivf),
+            (truth["probe_id"] == ivf["probe_id"])
+            & (F.col("true_nn") == ivf["vec_id"]),
+            "left",
+        )
+        .select(
+            truth["probe_id"],
+            "true_nn",
+            F.coalesce(F.col("__rn"), F.lit(0))
+            .cast("long")
+            .alias("ivf_rank"),
+            F.round(
+                F.when(F.col("__rn").isNull(), 0.0).otherwise(
+                    1.0 / F.col("__rn")
+                ),
+                6,
+            ).alias("rr"),
+        )
+        .orderBy("probe_id")
+    )
