@@ -134,6 +134,9 @@ ADDED = [
     "text_tokenizer_fertility",
     "vector_standardize",
     "ann_mrr",
+    "pipeline_token_budget",
+    "q_profile_columns",
+    "vector_dbscan",
 ]
 
 SPARK_RUNS = 5

@@ -109,3 +109,59 @@ def test_fs_weight_matches_closed_form(spark):
     assert got[2] == pytest.approx(w1d + w2d)
     assert w1a == pytest.approx(math.log2(9.0))
     assert w1d == pytest.approx(math.log2(0.1 / 0.9))
+
+
+def test_dbscan_cosine_roles_and_clusters(spark):
+    """Two dense angular blobs + a between-blobs point + a far
+    outlier: blob members are cores in two clusters labeled by their
+    minimum member id; the outlier is noise."""
+    import math
+
+    from wagtail_vector_index_spark.operators.density import dbscan_cosine
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = (
+        [(i, unit(0.00 + 0.01 * i)) for i in range(4)]        # blob A
+        + [(10 + i, unit(1.40 + 0.01 * i)) for i in range(4)]  # blob B
+        + [(99, unit(-2.8))]                                   # outlier
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # eps: cos >= cos(0.1 rad) keeps blob-internal pairs only
+    out = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_cosine(
+            df, eps_sim=math.cos(0.1), min_pts=4, blocks=3
+        ).collect()
+    }
+    for i in range(4):
+        assert out[i] == ("core", 0)
+        assert out[10 + i] == ("core", 10)
+    assert out[99] == ("noise", None)
+
+
+def test_dbscan_border_attaches_to_min_core_neighbor(spark):
+    """A point within eps of cores from one blob but with too few
+    neighbors itself is a border labeled by that blob's cluster."""
+    import math
+
+    from wagtail_vector_index_spark.operators.density import dbscan_cosine
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [(i, unit(0.01 * i)) for i in range(5)] + [(50, unit(0.12))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_cosine(
+            df, eps_sim=math.cos(0.1), min_pts=5, blocks=2
+        ).collect()
+    }
+    # 0..4 pairwise within 0.04 rad -> all cores, cluster 0; 50 is
+    # within eps of cores 3 and 4 only (2 neighbors < minPts-1) ->
+    # border of cluster 0
+    for i in range(5):
+        assert out[i] == ("core", 0)
+    assert out[50] == ("border", 0)

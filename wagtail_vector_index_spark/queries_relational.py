@@ -3840,3 +3840,103 @@ def q_trend_regression(spark, sf_dir):
             (F.col("sy") - slope * F.col("sx")) / F.col("n_months"), 2
         ).alias("intercept"),
     ).orderBy("n_name")
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_nulls,
+           count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           min(o_orderkey)::DOUBLE AS min_num,
+           max(o_orderkey)::DOUBLE AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*)::BIGINT,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_custkey)::BIGINT,
+           min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*)::BIGINT,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_totalprice)::BIGINT,
+           round(min(o_totalprice), 2)::DOUBLE,
+           round(max(o_totalprice), 2)::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*)::BIGINT,
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderpriority)::BIGINT,
+           NULL::DOUBLE, NULL::DOUBLE
+    FROM orders
+    """,
+)
+def q_profile_columns(spark, sf_dir):
+    """One-scan data profiler (the Deequ/Great-Expectations profile
+    shape): per column — row count, null count, exact distinct count,
+    numeric min/max — emitted as one row per column from a SINGLE
+    aggregate over a single scan (the multi-count-distinct compiles to
+    one Expand + agg; adding a column adds zero scans). The oracle
+    replays it as a per-column UNION ALL, so every cell is pinned.
+    Profiling is the first job every new 100 TB feed gets; the plan
+    shape (scan-once, map-side partials, 4 output rows) is exactly
+    what makes it affordable there."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "__nk"
+        ),
+        F.count_distinct("o_orderkey").alias("__dk"),
+        F.min("o_orderkey").cast("double").alias("__mink"),
+        F.max("o_orderkey").cast("double").alias("__maxk"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "__nc"
+        ),
+        F.count_distinct("o_custkey").alias("__dc"),
+        F.min("o_custkey").cast("double").alias("__minc"),
+        F.max("o_custkey").cast("double").alias("__maxc"),
+        F.sum(
+            F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+        ).alias("__np"),
+        F.count_distinct("o_totalprice").alias("__dp"),
+        F.round(F.min("o_totalprice"), 2).cast("double").alias("__minp"),
+        F.round(F.max("o_totalprice"), 2).cast("double").alias("__maxp"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+        ).alias("__no"),
+        F.count_distinct("o_orderpriority").alias("__do"),
+    )
+    null_d = F.lit(None).cast("double")
+    row = lambda name, nn, d, mn, mx: F.struct(  # noqa: E731
+        F.lit(name).alias("column_name"),
+        F.col("__n").alias("n_rows"),
+        nn.alias("n_nulls"),
+        d.alias("n_distinct"),
+        mn.alias("min_num"),
+        mx.alias("max_num"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                row(
+                    "o_orderkey", F.col("__nk"), F.col("__dk"),
+                    F.col("__mink"), F.col("__maxk"),
+                ),
+                row(
+                    "o_custkey", F.col("__nc"), F.col("__dc"),
+                    F.col("__minc"), F.col("__maxc"),
+                ),
+                row(
+                    "o_totalprice", F.col("__np"), F.col("__dp"),
+                    F.col("__minp"), F.col("__maxp"),
+                ),
+                row(
+                    "o_orderpriority", F.col("__no"), F.col("__do"),
+                    null_d, null_d,
+                ),
+            )
+        ).alias("t")
+    ).select("t.*")

@@ -3026,3 +3026,100 @@ def text_tokenizer_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=r"""
+    WITH caps AS (
+      SELECT source,
+             sum(greatest(ceil(length(text) / 4),
+                          ceil(len(regexp_extract_all(text, '[^\w\s]|\w+'))
+                               * 0.75)))::BIGINT AS cap
+      FROM documents GROUP BY source),
+    t AS (SELECT count(*)::BIGINT AS nn, sum(cap)::BIGINT AS tot,
+                 floor(0.5 * sum(cap))::DOUBLE AS target
+          FROM caps),
+    ranked AS (
+      SELECT source, cap,
+             row_number() OVER (ORDER BY cap, source) AS i,
+             sum(cap) OVER (ORDER BY cap, source) AS p
+      FROM caps),
+    lam AS (
+      SELECT (t.target - (r.p - r.cap)) / (t.nn - r.i + 1) AS lev
+      FROM ranked r, t
+      WHERE (r.p - r.cap) + (t.nn - r.i + 1) * r.cap >= t.target
+      ORDER BY r.i LIMIT 1)
+    SELECT c.source, c.cap AS cap_tokens,
+           round(CASE WHEN lam.lev IS NULL THEN c.cap::DOUBLE
+                      ELSE least(c.cap::DOUBLE, lam.lev) END, 4)
+             AS alloc_tokens
+    FROM caps c LEFT JOIN lam ON TRUE
+    ORDER BY c.source
+    """,
+)
+def pipeline_token_budget(spark, sf_dir):
+    """Water-filling token-budget allocation across sources: given each
+    source's token capacity and a total training budget (here 50% of
+    the corpus), allocate min(cap, lambda) tokens per source where the
+    water level lambda exactly exhausts the budget — the fair-share
+    rule that stops one mega-source from eating the mixture while
+    small sources contribute everything they have (the allocation step
+    behind every data-mixing recipe's 'cap large sources' clause).
+
+    Lambda has a CLOSED FORM over capacity order statistics: sort
+    sources by capacity ascending, prefix-sum; the first rank i where
+    remaining-budget/(remaining-sources) falls at-or-below cap_i fixes
+    lambda = (T - P_{i-1}) / (n - i + 1). Everything is source-grain —
+    the per-doc token estimate aggregates map-side to one row per
+    source, and the ranked window runs over that tiny dimension table
+    (thousands of rows at 100 TB, never the corpus)."""
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        estimated_tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(
+        F.sum(estimated_tokens_col(F.col("text"))).alias("cap")
+    )
+    t = caps.agg(
+        F.count(F.lit(1)).alias("__nn"),
+        F.floor(0.5 * F.sum("cap")).cast("double").alias("__target"),
+    )
+    w = Window.orderBy(F.col("cap").asc(), F.col("source").asc())
+    ranked = (
+        caps.withColumn("__i", F.row_number().over(w))
+        .withColumn("__p", F.sum("cap").over(w))
+        .crossJoin(F.broadcast(t))
+    )
+    lam = (
+        ranked.where(
+            (F.col("__p") - F.col("cap"))
+            + (F.col("__nn") - F.col("__i") + 1) * F.col("cap")
+            >= F.col("__target")
+        )
+        .orderBy("__i")
+        .limit(1)
+        .select(
+            (
+                (F.col("__target") - (F.col("__p") - F.col("cap")))
+                / (F.col("__nn") - F.col("__i") + 1)
+            ).alias("__lev")
+        )
+    )
+    return (
+        caps.crossJoin(F.broadcast(lam))
+        .select(
+            "source",
+            F.col("cap").alias("cap_tokens"),
+            F.round(
+                F.when(
+                    F.col("__lev").isNull(), F.col("cap").cast("double")
+                ).otherwise(
+                    F.least(F.col("cap").cast("double"), F.col("__lev"))
+                ),
+                4,
+            ).alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

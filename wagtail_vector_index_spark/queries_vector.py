@@ -3559,3 +3559,55 @@ def ann_mrr(spark, sf_dir):
         )
         .orderBy("probe_id")
     )
+
+
+@register(
+    "vector_dbscan",
+    oracle=f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE {{COS}} >= 0.3),
+    sym AS (SELECT ia AS u, ib AS v FROM p UNION ALL SELECT ib, ia FROM p),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    core AS (SELECT u FROM deg WHERE d >= 3),
+    ce AS (SELECT s.u, s.v FROM sym s
+           JOIN core c1 ON s.u = c1.u JOIN core c2 ON s.v = c2.u),
+    walk(u, r) AS (
+      SELECT u, u FROM core
+      UNION
+      SELECT ce.u, w.r FROM ce JOIN walk w ON ce.v = w.u),
+    comp AS (SELECT u, min(r) AS comp FROM walk GROUP BY u),
+    bnb AS (SELECT s.u, min(s.v) AS bc
+            FROM sym s JOIN core c ON s.v = c.u
+            WHERE s.u NOT IN (SELECT u FROM core) GROUP BY s.u),
+    bcomp AS (SELECT b.u, c.comp FROM bnb b JOIN comp c ON c.u = b.bc)
+    SELECT e.vec_id AS id,
+           CASE WHEN comp.u IS NOT NULL THEN 'core'
+                WHEN bcomp.u IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(comp.comp, bcomp.comp) AS cluster
+    FROM e
+    LEFT JOIN comp ON comp.u = e.vec_id
+    LEFT JOIN bcomp ON bcomp.u = e.vec_id
+    """.replace("{COS}", _cos_sql("a.v", "b.v")),
+)
+def vector_dbscan(spark, sf_dir):
+    """DBSCAN density clustering over the embedding table (cosine >=
+    0.3 eps-ball, minPts 4): per point, core/border/noise role and the
+    cluster label (= the component's minimum core id) —
+    operators/density.py::dbscan_cosine. Every stage is an
+    already-scaled primitive: blocked-GEMM eps-neighbor pairs (no
+    collect, no broadcast), node-keyed degree agg, pointer-doubling
+    components over the core-core subgraph, and a deterministic
+    min-core-neighbor border attachment (textbook DBSCAN leaves border
+    ties order-dependent; a distributed engine must pin them). The
+    oracle replays pairs, degrees, the transitive closure, and the
+    border rule."""
+    from wagtail_vector_index_spark.operators.density import dbscan_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dbscan_cosine(
+        emb, id_col="vec_id", vec_col="embedding", eps_sim=0.3, min_pts=4
+    )
