@@ -3940,3 +3940,60 @@ def q_profile_columns(spark, sf_dir):
             )
         ).alias("t")
     ).select("t.*")
+
+
+@register(
+    "q_key_skew_gini",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, count(*)::BIGINT AS n
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n, o_custkey) AS i FROM c),
+    s AS (
+      SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS tot,
+             sum(i * n)::BIGINT AS iwx
+      FROM r)
+    SELECT k AS n_keys, tot AS total_rows,
+           round(2.0 * iwx / (k * tot) - (k + 1.0) / k, 6) AS gini
+    FROM s
+    """,
+)
+def q_key_skew_gini(spark, sf_dir):
+    """Join-key skew diagnostic: the Gini coefficient of the per-key
+    row-count distribution (orders per customer) — 0 = perfectly even
+    keys, ->1 = one whale key owns the table, THE number that tells
+    you whether a planned shuffle needs salting/AQE-skew-join before
+    you burn cluster-hours finding out. Gini needs every key's RANK in
+    count order; the naive row_number() OVER (ORDER BY n) is a
+    single-task stage at key grain, so ranks come from
+    operators/prefixsum.py::assign_dense_ids (distributed range sort +
+    O(P) driver offsets + one narrow Arrow pass), and the closed form
+    G = 2*sum(i*x_i)/(k*sum(x)) - (k+1)/k is then one map-side
+    combinable aggregate. Integer arithmetic end to end until the
+    final division — exactly replayable."""
+    from wagtail_vector_index_spark.operators.prefixsum import (
+        assign_dense_ids,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranked = assign_dense_ids(
+        counts, order_cols=["n", "o_custkey"], out_col="i"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("i") * F.col("n")).alias("iwx"),
+    )
+    return s.select(
+        F.col("k").alias("n_keys"),
+        F.col("tot").alias("total_rows"),
+        F.round(
+            2.0 * F.col("iwx") / (F.col("k") * F.col("tot"))
+            - (F.col("k") + 1.0) / F.col("k"),
+            6,
+        ).alias("gini"),
+    )
