@@ -34,7 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from wagtail_vector_index_spark.session import build_session  # noqa: E402
 
-REUSE_STAGED = None  # path of a previous staging, or None to restage
+REUSE_STAGED = "/tmp/scale_r7_dj6x0i82/sf10x"  # or None to restage
 
 QUERIES = (
     "knn_mutual_graph",
@@ -105,6 +105,19 @@ def main() -> None:
     big = REUSE_STAGED or stage_10x(
         spark, tempfile.mkdtemp(prefix="scale_r7_")
     )
+    # dimension tables stage_10x doesn't shift: 1x copies (they are
+    # genuinely dimension-sized — nation/region never grow 10x)
+    import os
+    import shutil
+
+    for t in ("nation", "region", "supplier", "part"):
+        dst = f"{big}/{t}.parquet"
+        if not os.path.exists(dst):
+            src_path = f"{SF}/{t}.parquet"
+            if os.path.isdir(src_path):
+                shutil.copytree(src_path, dst)
+            else:
+                shutil.copy(src_path, dst)
     sf_dirs = (("1x", SF), ("10x", big))
     print(f"staged 10x at {big}")
 
