@@ -2817,23 +2817,19 @@ def pipeline_line_dedup(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # lines via zip_with over index-filtered word arrays: every lambda
+    # references only its OWN argument, so nothing re-inlines. (The
+    # first form indexed a __ws column from inside the transform
+    # lambda; CollapseProject substituted the filter(split(text))
+    # expression into each of its three references, re-tokenizing the
+    # document PER LINE — O(words^2), measured 5.8s of an 11s gate at
+    # sf0.1. This form explodes in 0.7s.)
     ws = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
-    n_lines = F.ceil(F.size(F.col("__ws")) / F.lit(2.0)).cast("int")
-    lines = F.when(
-        F.col("__n") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.col("__n")),
-            lambda i: F.array_join(
-                F.slice(F.col("__ws"), (i - F.lit(1)) * 2 + 1, F.lit(2)),
-                " ",
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    src = (
-        docs.select("doc_id", "source", ws.alias("__ws"))
-        .withColumn("__n", n_lines)
-        .withColumn("lines", lines)
-    )
+    odds = F.filter(ws, lambda x, i: i % 2 == 0)
+    evens = F.filter(ws, lambda x, i: i % 2 == 1)
+    # zip_with pads the odd tail with NULL; concat_ws skips nulls
+    lines = F.zip_with(odds, evens, lambda a, b: F.concat_ws(" ", a, b))
+    src = docs.select("doc_id", "source", lines.alias("lines"))
     return remove_boilerplate_lines(
         src,
         id_col="doc_id",
