@@ -137,6 +137,8 @@ ADDED = [
     "pipeline_token_budget",
     "q_profile_columns",
     "vector_dbscan",
+    "dedup_lsh_precision",
+    "q_watermark_lateness",
 ]
 
 SPARK_RUNS = 5

@@ -3997,3 +3997,67 @@ def q_key_skew_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_watermark_lateness",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, floor(epoch(ts))::BIGINT AS t FROM events),
+    m AS (
+      SELECT t, max(t) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS cm
+      FROM e)
+    SELECT count(*)::BIGINT AS n_events,
+           sum(CASE WHEN cm IS NOT NULL AND cm > t THEN 1 ELSE 0 END)
+             ::BIGINT AS n_late,
+           sum(CASE WHEN cm IS NOT NULL AND cm - t > 3600 THEN 1 ELSE 0
+               END)::BIGINT AS n_dropped_1h,
+           round(max(CASE WHEN cm IS NULL THEN 0
+                          ELSE greatest(cm - t, 0) END) / 60.0, 2)
+             AS max_lateness_min
+    FROM m
+    """,
+)
+def q_watermark_lateness(spark, sf_dir):
+    """Watermark lateness audit: before committing a streaming job's
+    watermark delay you measure how late the feed ACTUALLY runs —
+    per event (in arrival order = event_id), how far its event time
+    lags the maximum event time already seen, and how many rows a
+    1-hour watermark would have dropped. The running high-watermark is
+    the exclusive prefix MAX in arrival order — computed by
+    operators/prefixsum.py::prefix_max (range sort + O(P) driver
+    offsets + one Arrow pass), because the naive
+    max() OVER (ORDER BY ...) is a single-task stage over the full
+    feed at 100 TB. The counts are then one map-side-combinable
+    aggregate."""
+    from wagtail_vector_index_spark.operators.prefixsum import prefix_max
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("long").alias("t")
+    )
+    m = prefix_max(
+        ev, order_cols=["event_id"], value_cols=["t"], exclusive=True
+    )
+    cm = F.col("t_cummax")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(cm.isNotNull() & (cm > F.col("t")), 1).otherwise(0)
+        ).alias("n_late"),
+        F.sum(
+            F.when(cm.isNotNull() & (cm - F.col("t") > 3600), 1).otherwise(
+                0
+            )
+        ).alias("n_dropped_1h"),
+        F.round(
+            F.max(
+                F.when(cm.isNull(), 0).otherwise(
+                    F.greatest(cm - F.col("t"), F.lit(0))
+                )
+            )
+            / 60.0,
+            2,
+        ).alias("max_lateness_min"),
+    )

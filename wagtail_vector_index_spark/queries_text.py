@@ -3119,3 +3119,68 @@ def pipeline_token_budget(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_lsh_precision",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    exact AS (
+      SELECT id_a, id_b FROM inter
+      WHERE ni::DOUBLE / (n_a + n_b - ni) >= 0.3),
+    hashed AS (SELECT doc_id, {HS_SQL} AS hs FROM sh),
+    sig AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashed),
+    bands AS (SELECT doc_id, unnest({_band_keys_sql('sig')}) AS band FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    hit AS (SELECT c.id_a FROM cand c JOIN exact e
+            ON e.id_a = c.id_a AND e.id_b = c.id_b)
+    SELECT (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM hit)::BIGINT AS n_verified,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / (SELECT count(*) FROM cand), 6) AS precision
+    """,
+)
+def dedup_lsh_precision(spark, sf_dir):
+    """MinHash-LSH banding PRECISION — the other half of the
+    dedup_lsh_recall eval: of the candidate pairs the 16-hash/8-band
+    stage surfaces, what fraction survive the exact-Jaccard verify at
+    0.3? Low precision means the verify stage burns compute on false
+    candidates (add rows-per-band); low recall means lost duplicates
+    (add bands) — a banding config is tuned on BOTH numbers from the
+    same two deterministic pair sets. Same operators, same shuffles as
+    the recall gate; only the denominator changes."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    cand = minhash_lsh_candidates(
+        docs, n=3, num_hashes=16, bands=8
+    ).select("id_a", "id_b")
+    hit = cand.join(exact, ["id_a", "id_b"])
+    return (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(
+            F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_verified")))
+        )
+        .select(
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.col("n_verified").cast("double") / F.col("n_candidates"),
+                6,
+            ).alias("precision"),
+        )
+    )
