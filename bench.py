@@ -139,6 +139,7 @@ ADDED = [
     "vector_dbscan",
     "dedup_lsh_precision",
     "q_watermark_lateness",
+    "vector_centroid_drift",
 ]
 
 SPARK_RUNS = 5

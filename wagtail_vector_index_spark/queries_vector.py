@@ -3611,3 +3611,76 @@ def vector_dbscan(spark, sf_dir):
     return dbscan_cosine(
         emb, id_col="vec_id", vec_col="embedding", eps_sim=0.3, min_pts=4
     )
+
+
+@register(
+    "vector_centroid_drift",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    dims AS (
+      SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+             u.x, u.i
+      FROM (SELECT label, vec_id, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS i FROM e) u(label, vec_id, x, i)),
+    cent AS (
+      SELECT label, snap, i, round(avg(x), 8) AS m
+      FROM dims GROUP BY 1, 2, 3),
+    vecs AS (
+      SELECT label, snap, list(m ORDER BY i) AS cv
+      FROM cent GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.label, a.cv AS ca, b.cv AS cb
+      FROM vecs a JOIN vecs b
+        ON a.label = b.label AND a.snap = 'a' AND b.snap = 'b')
+    SELECT label, round({{COS}}, 6) AS centroid_cos
+    FROM (SELECT label, ca AS x, cb AS y FROM pairs)
+    ORDER BY label
+    """.replace("{COS}", _cos_sql("x", "y")),
+)
+def vector_centroid_drift(spark, sf_dir):
+    """Embedding drift between two snapshots (the encoder-version /
+    re-embedding monitor): split the corpus into snapshot halves
+    (vec_id parity — the deterministic stand-in for 'before/after'),
+    mean-pool a per-label centroid for each half, and report the
+    cosine between the paired centroids — a label whose centroid moved
+    is where retrieval quality silently degrades after an encoder
+    swap. Everything is (label, snap, dim)-grain aggregation —
+    map-side combinable, the exchange carries labels x dims scalars,
+    never vectors; centroid components round to 8dp (the order-
+    dependent-sum pin) before the cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("snap"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "__i", "__x"
+        ),
+    )
+    cent = dims.groupBy("label", "snap", "__i").agg(
+        F.round(F.avg("__x"), 8).alias("__m")
+    )
+    vecs = cent.groupBy("label", "snap").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "__m"))),
+            lambda s: s["__m"],
+        ).alias("cv")
+    )
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+
+    a = vecs.where(F.col("snap") == "a").select(
+        "label", F.col("cv").alias("ca")
+    )
+    b = vecs.where(F.col("snap") == "b").select(
+        F.col("label").alias("__lb"), F.col("cv").alias("cb")
+    )
+    return (
+        a.join(b, a["label"] == b["__lb"])
+        .select(
+            "label",
+            F.round(
+                similarity_col(F.col("ca"), F.col("cb"), "cosine"), 6
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )
