@@ -32,6 +32,7 @@ def pagerank(
     dangling: str = "drop",
     mass_round_decimals: int = 6,
     teleport: DataFrame | None = None,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, pr).
 
@@ -137,8 +138,15 @@ def pagerank(
         restart = F.lit((1.0 - d) / n)
         ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for i in range(int(iterations)):
+        # broadcast_ranks=True: declare the node set small enough to
+        # broadcast — the contribution join goes map-side, so the only
+        # exchange per round is the per-destination sum (the same
+        # lever as hits(broadcast_scores=True); use when nodes are far
+        # fewer than edges, never when the node set rivals executor
+        # memory).
+        rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = edges.join(
-            ranks, edges["__e_src"] == ranks["node"]
+            rside, edges["__e_src"] == rside["node"]
         ).select(
             F.col("__e_dst").alias("node"),
             (F.col("pr") / F.col("__deg")).alias("__c"),

@@ -1803,7 +1803,7 @@ def graph_pagerank_seeded(spark, sf_dir):
     )
     ranks = pagerank(
         edges, iterations=5, damping=0.85, round_decimals=10,
-        teleport=seeds,
+        teleport=seeds, broadcast_ranks=True,
     )
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
     return (
@@ -1842,6 +1842,7 @@ def graph_pagerank_dangling(spark, sf_dir):
     ranks = pagerank(
         edges, iterations=5, damping=0.85, round_decimals=10,
         dangling="redistribute", mass_round_decimals=6,
+        broadcast_ranks=True,
     )
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
     return (
@@ -2096,7 +2097,8 @@ def graph_pagerank(spark, sf_dir):
         .distinct()
     )
     ranks = pagerank(
-        edges, iterations=5, damping=0.85, round_decimals=10
+        edges, iterations=5, damping=0.85, round_decimals=10,
+        broadcast_ranks=True,
     )
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
     return (
