@@ -140,6 +140,8 @@ ADDED = [
     "dedup_lsh_precision",
     "q_watermark_lateness",
     "vector_centroid_drift",
+    "ann_posting_stats",
+    "pipeline_contamination_report",
 ]
 
 SPARK_RUNS = 5

@@ -3184,3 +3184,77 @@ def dedup_lsh_precision(spark, sf_dir):
             ).alias("precision"),
         )
     )
+
+
+@register(
+    "pipeline_contamination_report",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, source, {_shingles_sql()} AS shingles
+                FROM documents),
+    ex AS (SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS s
+           FROM sh),
+    inter AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+             t.n AS n_t, e.n AS n_e, count(*) AS ni
+      FROM ex t JOIN ex e ON t.s = e.s
+      WHERE t.source NOT IN ('src0', 'src1') AND e.source IN ('src0', 'src1')
+      GROUP BY 1, 2, 3, 4),
+    hits AS (
+      SELECT eval_id, train_id,
+             ni::DOUBLE / (n_t + n_e - ni) AS j
+      FROM inter WHERE ni::DOUBLE / (n_t + n_e - ni) >= 0.3)
+    SELECT eval_id, count(*)::BIGINT AS n_contaminating,
+           round(max(j), 6) AS max_jaccard
+    FROM hits GROUP BY eval_id ORDER BY eval_id
+    """,
+)
+def pipeline_contamination_report(spark, sf_dir):
+    """Contamination forensics — the EVAL-side view pipeline_
+    decontaminate's train-side filter doesn't give you: per held-out
+    eval document, how many training docs overlap it at 3-gram
+    Jaccard >= 0.3 and how bad the worst overlap is. This is the
+    report that decides whether an eval BENCHMARK is compromised (an
+    eval item matched by hundreds of training docs measures
+    memorization, not generalization) — filtering train is not enough
+    if the eval set itself must be defended. Same shingle co-count
+    join as decontaminate (candidates only meet on shared shingles,
+    never quadratic in corpus size), aggregated to eval grain."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        word_shingles_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = {"src0", "src1"}
+    shingled = docs.select(
+        "doc_id", "source",
+        word_shingles_col(F.col("text"), 3).alias("shingles"),
+    )
+    ex = shingled.select(
+        "doc_id",
+        "source",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+    ).cache()
+    ex.count()
+    train = ex.where(~F.col("source").isin(eval_set)).select(
+        F.col("doc_id").alias("train_id"), F.col("n_sh").alias("n_t"), "sh"
+    )
+    ev = ex.where(F.col("source").isin(eval_set)).select(
+        F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("n_e"), "sh"
+    )
+    j = F.col("__ni") / (F.col("n_t") + F.col("n_e") - F.col("__ni"))
+    inter = (
+        train.join(ev, "sh")
+        .groupBy("train_id", "eval_id", "n_t", "n_e")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+        .withColumn("__j", j)
+        .where(F.col("__j") >= 0.3)
+    )
+    # NOTE: ex stays cached for the session (the returned frame executes
+    # later — unpersisting here would drop the blocks before the action
+    # and silently recompute the explode per branch)
+    out = inter.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_contaminating"),
+        F.round(F.max("__j"), 6).alias("max_jaccard"),
+    )
+    return out.orderBy("eval_id")

@@ -3684,3 +3684,75 @@ def vector_centroid_drift(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "ann_posting_stats",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {{COS}} DESC, c.cid) AS rn
+        FROM e, c) WHERE rn = 1),
+    cnt AS (SELECT cid, count(*)::BIGINT AS n_vectors
+            FROM assign GROUP BY cid),
+    f AS (SELECT c.cid, coalesce(cnt.n_vectors, 0)::BIGINT AS n_vectors
+          FROM c LEFT JOIN cnt USING (cid)),
+    t AS (SELECT sum(n_vectors)::DOUBLE AS tot, count(*)::DOUBLE AS k
+          FROM f)
+    SELECT cid, n_vectors,
+           round(n_vectors / tot, 6) AS frac,
+           round(n_vectors * k / tot, 4) AS balance
+    FROM f, t ORDER BY cid
+    """.replace("{COS}", _cos_sql("e.v", "c.cv")),
+)
+def ann_posting_stats(spark, sf_dir):
+    """IVF index-health report: per-cell posting-list size, corpus
+    fraction, and balance factor (size x cells / total — 1.0 = perfectly
+    even, >>1 = a hot cell). THE number an ANN deployment monitors: a
+    hot posting list means every probe that touches it scans far more
+    than corpus/cells vectors (latency), and a near-empty one wastes a
+    probe (recall) — the signal that triggers codebook retraining or
+    cell splitting. One broadcast-codebook assignment pass
+    (operators/knn.py::ivf_assign, the same argmax the index build
+    runs) + a cell-grain count; the skeleton join reports empty cells
+    as zeros instead of dropping them."""
+    from wagtail_vector_index_spark.operators.knn import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    centroids = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("vector").alias("cv")
+    )
+    assign = ivf_assign(vecs, centroids)
+    cnt = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    f = (
+        centroids.select("cid")
+        .join(cnt, "cid", "left")
+        .select(
+            "cid", F.coalesce("n_vectors", F.lit(0)).alias("n_vectors")
+        )
+    )
+    t = f.agg(
+        F.sum("n_vectors").cast("double").alias("__tot"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+    )
+    return (
+        f.crossJoin(F.broadcast(t))
+        .select(
+            "cid",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("__tot"), 6).alias("frac"),
+            F.round(
+                F.col("n_vectors") * F.col("__k") / F.col("__tot"), 4
+            ).alias("balance"),
+        )
+        .orderBy("cid")
+    )
