@@ -165,3 +165,47 @@ def test_dbscan_border_attaches_to_min_core_neighbor(spark):
     for i in range(5):
         assert out[i] == ("core", 0)
     assert out[50] == ("border", 0)
+
+
+def test_dbscan_precomputed_pairs_path(spark):
+    """Passing a candidate pairs frame (e.g. from an LSH stage) must
+    give the same labeling as the default blocked-GEMM pair stage,
+    and the eps filter must apply to the supplied pairs."""
+    import math
+
+    from wagtail_vector_index_spark.operators.density import dbscan_cosine
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [(i, unit(0.01 * i)) for i in range(5)] + [(50, unit(2.5))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    eps = math.cos(0.1)
+    want = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_cosine(
+            df, eps_sim=eps, min_pts=4, blocks=2
+        ).collect()
+    }
+    # exact all-pairs frame with cos_sim, superset of the eps ball
+    import itertools
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    rows_d = dict(rows)
+    pairs = spark.createDataFrame(
+        [
+            (a, b, cos(rows_d[a], rows_d[b]))
+            for a, b in itertools.combinations(sorted(rows_d), 2)
+        ],
+        ["id_a", "id_b", "cos_sim"],
+    )
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_cosine(
+            df, eps_sim=eps, min_pts=4, pairs=pairs
+        ).collect()
+    }
+    assert got == want
+    assert got[50] == ("noise", None)
