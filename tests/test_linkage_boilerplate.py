@@ -209,3 +209,26 @@ def test_dbscan_precomputed_pairs_path(spark):
     }
     assert got == want
     assert got[50] == ("noise", None)
+
+
+def test_dbscan_all_noise_when_no_neighbors(spark):
+    """Mutually distant vectors: no pairs, no cores — everything is
+    noise and the empty core-edge component step must not blow up."""
+    import math
+
+    from wagtail_vector_index_spark.operators.density import dbscan_cosine
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    df = spark.createDataFrame(
+        [(i, unit(1.0 * i)) for i in range(5)], ["vec_id", "embedding"]
+    )
+    out = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_cosine(
+            df, eps_sim=math.cos(0.05), min_pts=2, blocks=2
+        ).collect()
+    }
+    assert len(out) == 5
+    assert all(v == ("noise", None) for v in out.values())
