@@ -403,6 +403,104 @@ def test_mutual_knn_graph_gemm_sql_parity_real_embeddings(spark):
     assert len(gem) > 0
 
 
+def test_gemm_block_engine_parity_real_embeddings(spark, embeddings_df):
+    """engine='block' (no driver collect) must equal engine='broadcast'
+    exactly — ids AND similarities — including under a threshold."""
+    probes = embeddings_df.limit(16).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    index = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    for threshold in (0.0, 0.2):
+        kw = dict(
+            index_id="vec_id",
+            index_vec="vector",
+            limit=5,
+            similarity_threshold=threshold,
+        )
+        bc = {
+            (r["probe_id"], r["vec_id"], round(r["similarity"], 9))
+            for r in gemm_topk_join(probes, index, engine="broadcast", **kw).collect()
+        }
+        blk = {
+            (r["probe_id"], r["vec_id"], round(r["similarity"], 9))
+            for r in gemm_topk_join(
+                probes, index, engine="block", blocks=3, **kw
+            ).collect()
+        }
+        assert blk == bc and len(bc) > 0
+
+
+def test_gemm_auto_guard_routes_oversized_probes_to_block(spark, embeddings_df):
+    """engine='auto' with a probe set over max_broadcast_rows must take
+    the blocked path (never the driver collect) and still return the
+    exact broadcast-engine result."""
+    probes = embeddings_df.limit(8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    index = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    kw = dict(index_id="vec_id", index_vec="vector", limit=3)
+    expected = {
+        (r["probe_id"], r["vec_id"], round(r["similarity"], 9))
+        for r in gemm_topk_join(probes, index, engine="broadcast", **kw).collect()
+    }
+    # cutoff of 2 forces auto -> block for the 8-probe set
+    got = {
+        (r["probe_id"], r["vec_id"], round(r["similarity"], 9))
+        for r in gemm_topk_join(
+            probes, index, engine="auto", max_broadcast_rows=2, blocks=2, **kw
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_gemm_block_mixed_id_types(spark):
+    """Block engine carries a string probe id against a long index id —
+    each side keeps its own type through the blocked union."""
+    df = spark.createDataFrame(MARKERS, "doc_id long, vector array<double>")
+    probes = spark.createDataFrame(
+        [("q:a", [1.0, 0.0, 0.0]), ("q:b", [0.0, 0.0, 1.0])],
+        "probe_id string, probe_vec array<double>",
+    )
+    out = gemm_topk_join(
+        probes, df, index_id="doc_id", index_vec="vector", limit=1, engine="block"
+    ).collect()
+    got = {r["probe_id"]: r["doc_id"] for r in out}
+    assert got == {"q:a": 3, "q:b": 4}
+    assert all(isinstance(r["probe_id"], str) for r in out)
+    # empty probe side keeps schema and returns nothing
+    empty = gemm_topk_join(
+        probes.limit(0), df, index_id="doc_id", index_vec="vector",
+        limit=1, engine="block",
+    )
+    assert dict(empty.dtypes)["probe_id"] == "string"
+    assert empty.count() == 0
+
+
+def test_mutual_knn_graph_block_parity_real_embeddings(spark):
+    """engine='block' (corpus-as-probes with NO driver collect) must
+    equal the gemm and sql engines edge-for-edge on real embeddings."""
+    from wagtail_vector_index_spark.operators.knn import mutual_knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(id_col="vec_id", vec_col="embedding", k=5)
+    blk = {
+        (r["a"], r["b"]): r["similarity"]
+        for r in mutual_knn_graph(emb, engine="block", blocks=3, **kw).collect()
+    }
+    gem = {
+        (r["a"], r["b"]): r["similarity"]
+        for r in mutual_knn_graph(emb, engine="gemm", **kw).collect()
+    }
+    assert blk == gem
+    assert len(blk) > 0
+
+
 def test_hard_negative_topk_matches_brute_window(spark):
     """The label-masked GEMM operator must equal the brute definition:
     per anchor, the most-similar different-label vector."""

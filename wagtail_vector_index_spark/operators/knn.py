@@ -462,18 +462,37 @@ def gemm_topk_join(
     limit: int = 5,
     similarity_threshold: float = 0.0,
     sim_alias: str = "similarity",
+    engine: str = "auto",
+    blocks: int = 8,
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
-    """Cosine top-k similarity join via per-partition numpy GEMM.
+    """Cosine top-k similarity join via numpy GEMM. Two physical engines,
+    identical results and tie order (similarity desc, id asc via the
+    shared final Window):
 
-    The probe matrix is collected to the driver, L2-normalized once, and
-    shipped to every partition (an explicit broadcast of a dense ndarray —
-    far smaller than the row-form probe table). Each index partition is
-    normalized and multiplied (``index @ probes.T``) in one BLAS call;
-    per-partition top-k candidates (argpartition, k per probe per
-    partition) stream out, and a final Window cuts the exact global top-k.
-    Shuffle volume is O(num_partitions · N_probes · k), independent of
-    index size — this is the 100 TB scale path.
+    - ``engine="broadcast"``: the probe matrix is collected to the
+      driver, L2-normalized once, and shipped to every partition (an
+      explicit broadcast of a dense ndarray — far smaller than the
+      row-form probe table). Each index partition is normalized and
+      multiplied (``index @ probes.T``) in one BLAS call; per-partition
+      top-k candidates (argpartition, k per probe per partition) stream
+      out, and a final Window cuts the exact global top-k. Shuffle
+      volume is O(num_partitions · N_probes · k), independent of index
+      size — the right plan while the probe set fits the driver.
+    - ``engine="block"``: NOTHING collects. Both sides hash into
+      ``blocks`` blocks; every (probe-block, index-block) pair is one
+      grouped-Arrow task running the same GEMM and emitting its local
+      per-probe top-k. Per-group memory is O(rows/blocks) on each side,
+      shuffle ~``blocks`` copies of each side — the corpus-as-probes
+      100 TB path (same shape as ``hard_negative_topk``'s block engine).
+
+    ``engine="auto"`` (default) bounds-counts the probe side
+    (``limit(max_broadcast_rows+1).count()`` — never a full scan) and
+    picks broadcast iff it is at most ``max_broadcast_rows``, so no
+    caller can drive a corpus-sized probe set into the driver collect.
     """
+    if engine not in ("auto", "broadcast", "block"):
+        raise ValueError(f"unknown engine {engine!r}")
     # id columns keep their source types (doc keys are strings, vec ids are
     # longs) — the output schema mirrors the inputs instead of assuming long
     out_schema = T.StructType(
@@ -483,6 +502,35 @@ def gemm_topk_join(
             T.StructField(sim_alias, T.DoubleType()),
         ]
     )
+    if engine == "auto":
+        cutoff = int(max_broadcast_rows)
+        engine = (
+            "broadcast"
+            if probes_df.limit(cutoff + 1).count() <= cutoff
+            else "block"
+        )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col(sim_alias).desc(), F.col(index_id).asc()
+    )
+    if engine == "block":
+        candidates = _block_topk_candidates(
+            probes_df,
+            index_df,
+            probe_id=probe_id,
+            probe_vec=probe_vec,
+            index_id=index_id,
+            index_vec=index_vec,
+            limit=int(limit),
+            similarity_threshold=float(similarity_threshold),
+            sim_alias=sim_alias,
+            blocks=int(blocks),
+            out_schema=out_schema,
+        )
+        return (
+            candidates.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= limit)
+            .drop("__rank")
+        )
 
     probe_rows = probes_df.select(probe_id, probe_vec).collect()
     if not probe_rows:
@@ -531,14 +579,142 @@ def gemm_topk_join(
     candidates = index_df.select(index_id, index_vec).mapInPandas(
         _partition_topk, schema=out_schema
     )
-    w = Window.partitionBy(probe_id).orderBy(
-        F.col(sim_alias).desc(), F.col(index_id).asc()
-    )
     return (
         candidates.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= limit)
         .drop("__rank")
     )
+
+
+def _block_topk_candidates(
+    probes_df: DataFrame,
+    index_df: DataFrame,
+    *,
+    probe_id: str,
+    probe_vec: str,
+    index_id: str,
+    index_vec: str,
+    limit: int,
+    similarity_threshold: float,
+    sim_alias: str,
+    blocks: int,
+    out_schema: T.StructType,
+) -> DataFrame:
+    """Blocked GEMM top-k candidates (unlabeled twin of
+    :func:`_hard_negative_block_candidates`): probes hashed into
+    ``blocks`` blocks and replicated once per index block, index rows
+    hashed and replicated once per probe block; each (gp, gi) group runs
+    one BLAS multiply and emits its LOCAL per-probe top-``limit`` — a
+    superset of the global winners, cut exactly by the caller's Window.
+    No driver collect, no broadcast; per-group memory O(rows/blocks) on
+    each side. Probe and index id columns keep their own (possibly
+    different) types — each rides its own nullable column through the
+    union."""
+    import pandas as pd
+
+    b = int(blocks)
+    k = int(limit)
+    threshold = float(similarity_threshold)
+    p_id_type = probes_df.schema[probe_id].dataType
+    i_id_type = index_df.schema[index_id].dataType
+
+    probe_tagged = (
+        probes_df.select(
+            F.col(probe_id).alias("__pid"),
+            F.col(probe_vec).cast("array<double>").alias("__vec"),
+        )
+        .withColumn(
+            "__blk",
+            F.pmod(F.xxhash64(F.col("__pid").cast("string")), F.lit(b)).cast("int"),
+        )
+        .withColumn(
+            "__t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(b - 1)),
+                    lambda j: F.struct(
+                        F.col("__blk").alias("gp"), j.cast("int").alias("gi")
+                    ),
+                )
+            ),
+        )
+        .select(
+            F.col("__t.gp").alias("gp"),
+            F.col("__t.gi").alias("gi"),
+            F.col("__pid"),
+            F.lit(None).cast(i_id_type).alias("__iid"),
+            F.col("__vec"),
+            F.lit("p").alias("side"),
+        )
+    )
+    index_tagged = (
+        index_df.select(
+            F.col(index_id).alias("__iid"),
+            F.col(index_vec).cast("array<double>").alias("__vec"),
+        )
+        .withColumn(
+            "__blk",
+            F.pmod(F.xxhash64(F.col("__iid").cast("string")), F.lit(b)).cast("int"),
+        )
+        .withColumn(
+            "__t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(b - 1)),
+                    lambda i: F.struct(
+                        i.cast("int").alias("gp"), F.col("__blk").alias("gi")
+                    ),
+                )
+            ),
+        )
+        .select(
+            F.col("__t.gp").alias("gp"),
+            F.col("__t.gi").alias("gi"),
+            F.lit(None).cast(p_id_type).alias("__pid"),
+            F.col("__iid"),
+            F.col("__vec"),
+            F.lit("i").alias("side"),
+        )
+    )
+    union = probe_tagged.unionByName(index_tagged)
+    empty = pd.DataFrame({probe_id: [], index_id: [], sim_alias: []})
+
+    def _block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf["side"] == "p"]
+        idx = pdf[pdf["side"] == "i"]
+        if not len(p) or not len(idx):
+            return empty
+        p_ids = p["__pid"].to_numpy()
+        A = np.array(p["__vec"].tolist(), dtype=np.float64)
+        dim = A.shape[1]
+        # mirror the broadcast engine's dim guard: index rows whose
+        # dimensionality differs from the probes are excluded, per row
+        idx = idx[idx["__vec"].map(len) == dim]
+        if not len(idx):
+            return empty
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        ids = idx["__iid"].to_numpy()
+        M = np.array(idx["__vec"].tolist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = M @ A.T  # (n_index, n_probes)
+        n = sims.shape[0]
+        take = min(k, n)
+        top_idx = np.argpartition(-sims, take - 1, axis=0)[:take]
+        rows_probe = np.repeat(p_ids[np.newaxis, :], take, axis=0).ravel()
+        rows_index = ids[top_idx].ravel()
+        rows_sim = np.take_along_axis(sims, top_idx, axis=0).ravel()
+        if threshold:
+            keep = rows_sim >= threshold
+            rows_probe, rows_index, rows_sim = (
+                rows_probe[keep],
+                rows_index[keep],
+                rows_sim[keep],
+            )
+        return pd.DataFrame(
+            {probe_id: rows_probe, index_id: rows_index, sim_alias: rows_sim}
+        )
+
+    return union.groupBy("gp", "gi").applyInPandas(_block_pair, schema=out_schema)
 
 
 def hard_negative_topk(
@@ -578,25 +754,29 @@ def hard_negative_topk(
       cluster width. This is the corpus-as-anchors 100 TB path (the
       ``block_neardup_pairs`` pattern, operators/dedup.py).
 
-    ``engine="auto"`` (default) counts the anchor side and picks
-    broadcast iff it is at most ``max_broadcast_rows``.
+    ``engine="auto"`` (default) bounds-counts the anchor side
+    (``limit(max_broadcast_rows+1).count()`` — never a full scan of a
+    corpus-sized anchor set) and picks broadcast iff it is at most
+    ``max_broadcast_rows``.
     """
     if engine not in ("auto", "broadcast", "block"):
         raise ValueError(f"unknown engine {engine!r}")
-    anchor_df = (df if anchors is None else anchors).select(
-        id_col, label_col, vec_col
-    )
+    anchor_src = df if anchors is None else anchors
+    anchor_df = anchor_src.select(id_col, label_col, vec_col)
+    # anchor_id takes the ANCHOR frame's id type — it may differ from the
+    # index frame's (e.g. string query ids against long corpus ids)
     out_schema = T.StructType(
         [
-            T.StructField("anchor_id", df.schema[id_col].dataType),
+            T.StructField("anchor_id", anchor_src.schema[id_col].dataType),
             T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField(sim_alias, T.DoubleType()),
         ]
     )
     if engine == "auto":
+        cutoff = int(max_broadcast_rows)
         engine = (
             "broadcast"
-            if anchor_df.count() <= int(max_broadcast_rows)
+            if anchor_df.limit(cutoff + 1).count() <= cutoff
             else "block"
         )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -782,6 +962,8 @@ def mutual_knn_graph(
     k: int = 5,
     engine: str = "gemm",
     round_decimals: int | None = 6,
+    blocks: int = 8,
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Mutual k-NN graph over one embedding table: canonical edges
     (a, b, similarity) with ``a < b`` where b is in a's cosine top-k
@@ -793,11 +975,17 @@ def mutual_knn_graph(
     Both directions come from ONE top-(k+1) self-join pass (self
     matches dropped after ranking); the mutuality check is a
     self-semi-join of that edge list against its own swap — edge-keyed,
-    no second scan of the vectors. ``engine="gemm"`` ranks via
-    per-partition BLAS (:func:`gemm_topk_join`, the 100 TB path);
+    no second scan of the vectors. ``engine="gemm"`` ranks via GEMM
+    (:func:`gemm_topk_join` with its own auto broadcast/block guard:
+    the whole corpus is the probe side here, so past
+    ``max_broadcast_rows`` the blocked no-collect engine takes over —
+    the 100 TB path); ``engine="block"`` forces the blocked engine;
     ``engine="sql"`` uses the declarative broadcast form
-    (:func:`similarity_join`), exactly replayable in ANSI SQL — both
-    share the (similarity desc, id asc) tie order."""
+    (:func:`similarity_join`), exactly replayable in ANSI SQL — all
+    share the (similarity desc, id asc) tie order and identical
+    results."""
+    if engine not in ("gemm", "block", "sql"):
+        raise ValueError(f"unknown engine {engine!r}")
     probes = df.select(
         F.col(id_col).alias("__pid"),
         F.col(vec_col).cast("array<double>").alias("__pv"),
@@ -806,18 +994,29 @@ def mutual_knn_graph(
         F.col(id_col).alias("__iid"),
         F.col(vec_col).cast("array<double>").alias("__iv"),
     )
-    join_fn = gemm_topk_join if engine == "gemm" else similarity_join
-    if engine not in ("gemm", "sql"):
-        raise ValueError(f"unknown engine {engine!r}")
-    nn = join_fn(
-        probes,
-        index,
-        probe_id="__pid",
-        probe_vec="__pv",
-        index_id="__iid",
-        index_vec="__iv",
-        limit=int(k) + 1,
-    )
+    if engine == "sql":
+        nn = similarity_join(
+            probes,
+            index,
+            probe_id="__pid",
+            probe_vec="__pv",
+            index_id="__iid",
+            index_vec="__iv",
+            limit=int(k) + 1,
+        )
+    else:
+        nn = gemm_topk_join(
+            probes,
+            index,
+            probe_id="__pid",
+            probe_vec="__pv",
+            index_id="__iid",
+            index_vec="__iv",
+            limit=int(k) + 1,
+            engine="auto" if engine == "gemm" else "block",
+            blocks=int(blocks),
+            max_broadcast_rows=int(max_broadcast_rows),
+        )
     sim = F.col("similarity")
     if round_decimals is not None:
         sim = F.round(sim, round_decimals)
