@@ -30,11 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Pure ordering - no renames, no semantic change.
 _DRIVER_LAST_SAMPLED = {
     # last sampled in round 2 (5 queries)
-    "pipeline_dataset_mix": 2,
-    "pipeline_decontaminate": 2,
-    "pipeline_mix_epochs": 2,
-    "pipeline_quality_filter": 2,
-    "text_lang_id": 2,
+    "pipeline_dataset_mix": 7,
+    "pipeline_decontaminate": 7,
+    "pipeline_mix_epochs": 7,
+    "pipeline_quality_filter": 7,
+    "text_lang_id": 7,
     # last sampled in round 3 (37 queries)
     "ann_ivf_cosine": 3,
     "ann_ivfpq_adc": 3,
@@ -42,36 +42,36 @@ _DRIVER_LAST_SAMPLED = {
     "ann_recall_ivf": 3,
     "ann_recall_lsh": 3,
     "ann_recall_pq": 3,
-    "corpus_report": 3,
-    "dedup_components": 3,
-    "dedup_shared_passages": 3,
+    "corpus_report": 7,
+    "dedup_components": 7,
+    "dedup_shared_passages": 7,
     "embedding_neardup_lsh": 3,
     "hybrid_search_rrf": 3,
     "multimodal_audio_fingerprint": 3,
     "multimodal_feature_embed": 3,
     "multimodal_feature_knn": 3,
     "multimodal_frame_sample": 3,
-    "pipeline_chunk_explode": 1,  # r3 no_oracle row now oracle-paired - resample
-    "pipeline_corpus_prep": 3,
-    "pipeline_export_shards": 3,
-    "pipeline_incremental_staleness": 1,  # r3 no_oracle row now oracle-paired - resample
-    "pipeline_pack_sequences": 3,
-    "pipeline_shuffle_rank": 3,
-    "pipeline_train_val_split": 3,
+    "pipeline_chunk_explode": 7,
+    "pipeline_corpus_prep": 7,
+    "pipeline_export_shards": 7,
+    "pipeline_incremental_staleness": 7,
+    "pipeline_pack_sequences": 7,
+    "pipeline_shuffle_rank": 7,
+    "pipeline_train_val_split": 7,
     "q_array_functions": 3,
     "q_session_window": 3,
-    "q_skew_salted_count": 3,
+    "q_skew_salted_count": 7,
     "rag_batch_echo": 3,
     "search_tfidf_knn": 3,
-    "sketch_distinct_kmv": 3,
+    "sketch_distinct_kmv": 7,
     "streaming_click_view_join": 3,
     "streaming_events_hourly": 3,
-    "text_bm25": 3,
-    "text_gopher_rules": 3,
-    "text_lang_id_ngram": 3,
-    "text_repetition": 3,
-    "text_top_ngram_frac": 3,
-    "text_unigram_logprob": 3,
+    "text_bm25": 7,
+    "text_gopher_rules": 7,
+    "text_lang_id_ngram": 7,
+    "text_repetition": 7,
+    "text_top_ngram_frac": 7,
+    "text_unigram_logprob": 7,
     "vector_centroids": 3,
     # last sampled in round 4 (50 queries)
     "ann_ivf_filtered": 4,
@@ -201,7 +201,7 @@ _DRIVER_LAST_SAMPLED = {
     "q_concurrent_peak": 6,
     "q_daily_trend": 6,
     "q_dau_mau": 6,
-    "q_drift_ks": 1,  # r6 hash-FAIL fixed in r7 - resample first
+    "q_drift_ks": 7,
     "q_event_paths": 6,
     "q_ewma_daily": 6,
     "q_funnel_time_bounded": 6,
@@ -209,7 +209,7 @@ _DRIVER_LAST_SAMPLED = {
     "q_market_basket": 6,
     "q_new_vs_returning": 6,
     "q_pareto_frontier": 6,
-    "q_quality_expectations": 1,  # r6 hash-FAIL fixed in r7 - resample first
+    "q_quality_expectations": 7,
     "q_snapshot_diff": 6,
     "q_user_value_deciles": 6,
     "q_yoy_growth": 6,
@@ -226,6 +226,32 @@ _DRIVER_LAST_SAMPLED = {
     "text_collocations_pmi": 6,
     "text_keywords_tfidf": 6,
     "text_ngram_novelty": 6,
+    # last sampled in round 7 (25 new keys; existing keys above bumped to 7)
+    "ann_mrr": 7,
+    "ann_posting_stats": 7,
+    "dedup_lsh_precision": 7,
+    "embedding_outliers": 7,
+    "er_match_scores": 7,
+    "knn_hard_negatives": 7,
+    "knn_mutual_graph": 7,
+    "pipeline_contamination_report": 7,
+    "pipeline_line_dedup": 7,
+    "pipeline_mix_temperature": 7,
+    "pipeline_token_budget": 7,
+    "q_drift_psi": 7,
+    "q_key_skew_gini": 7,
+    "q_profile_columns": 7,
+    "q_trend_regression": 7,
+    "q_watermark_lateness": 7,
+    "streaming_drift_daily": 7,
+    "streaming_sliding_topk": 7,
+    "text_readability": 7,
+    "text_tokenizer_fertility": 7,
+    "vector_centroid_drift": 7,
+    "vector_dbscan": 7,
+    "vector_meanpool_docs": 7,
+    "vector_silhouette": 7,
+    "vector_standardize": 7,
 }
 
 
