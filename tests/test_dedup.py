@@ -647,6 +647,44 @@ def test_lsh_neardup_guard_parity_random(spark):
         assert guarded[k] == pytest.approx(unguarded[k], abs=1e-12)
 
 
+def test_lsh_neardup_skew_verdict_cache(spark):
+    """The skew-precheck verdict memoizes per (input version, banding
+    params): the second identical call hits the cache and must return
+    the identical pair set — and a different cap keys separately."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        _SKEW_VERDICT_CACHE,
+        lsh_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(120, 8))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", threshold=0.8,
+        num_planes=12, bands=3, dim=8,
+    )
+    _SKEW_VERDICT_CACHE.clear()
+    first = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_neardup_pairs(emb, max_bucket_rows=4, **kw).collect()
+    }
+    assert len(_SKEW_VERDICT_CACHE) == 1
+    (verdict,) = _SKEW_VERDICT_CACHE.values()
+    assert verdict  # cap=4 on 120 rows must flag oversized buckets
+    again = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_neardup_pairs(emb, max_bucket_rows=4, **kw).collect()
+    }
+    assert again == first
+    assert len(_SKEW_VERDICT_CACHE) == 1  # cache hit, no new entry
+    lsh_neardup_pairs(emb, max_bucket_rows=1000, **kw).collect()
+    assert len(_SKEW_VERDICT_CACHE) == 2  # different cap keys separately
+
+
 def test_incremental_neardup_filter_drops_only_corpus_dupes(spark):
     """Asymmetric ingestion dedup: new rows near-duplicating the corpus
     are dropped; new-vs-new duplicates are NOT (they're the next

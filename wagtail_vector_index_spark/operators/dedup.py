@@ -848,6 +848,16 @@ def block_neardup_pairs(
     return union.groupBy("bi", "bj").applyInPandas(_block_pair, schema=out_schema)
 
 
+# Skew-precheck verdicts keyed by (input plan fingerprint, banding
+# params): bucket-population skew is a property of the DATA VERSION,
+# not of the query — the session-local stand-in for manifest-attached
+# statistics. Safe to reuse or even be stale: the verdict only picks
+# the fan-out factors of the verify shuffle (plan shape); ANY factor
+# >= 1 yields the identical pair set, so a wrong entry can cost
+# balance, never correctness. Bounded at 64 entries (tiny dicts).
+_SKEW_VERDICT_CACHE: dict[tuple, dict[tuple[int, int], int]] = {}
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     *,
@@ -859,6 +869,7 @@ def lsh_neardup_pairs(
     sim_alias: str = "cos_sim",
     dim: int | None = None,
     max_bucket_rows: int | None = 4096,
+    skew_cache: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded hyperplane-LSH candidates +
     exact-cosine verification — the sub-quadratic scale path.
@@ -952,25 +963,43 @@ def lsh_neardup_pairs(
     block_counts: dict[tuple[int, int], int] = {}
     if max_bucket_rows is not None:
         cap = int(max_bucket_rows)
-        # The precheck job is a NARROW branch of the banding plan:
-        # Catalyst prunes everything but the vector column (needed for
-        # the bucket arithmetic) out of its scan, and the map-side
-        # partial agg collapses to <= bands * 2^bits_per_band rows per
-        # task before the (tiny) shuffle. r5 removed the banded-frame
-        # cache() that used to sit here: it pinned bands x rows
-        # INCLUDING VECTORS in storage for the lifetime of the session
-        # to save re-running cheap projection arithmetic, which is the
-        # wrong trade at 100 TB — the verify job now just re-scans the
-        # (columnar, pruned) source once.
-        for r in (
-            banded.groupBy("band_no", "band_val")
-            .count()
-            .where(F.col("count") > cap)
-            .collect()
-        ):
-            block_counts[(int(r["band_no"]), int(r["band_val"]))] = -(
-                -int(r["count"]) // cap
-            )
+        cache_key = None
+        if skew_cache:
+            try:
+                cache_key = (
+                    df.semanticHash(), id_col, vec_col,
+                    int(num_planes), int(bands), cap,
+                )
+            except Exception:  # plan not hashable (e.g. RDD-backed leaf)
+                cache_key = None
+        if cache_key is not None and cache_key in _SKEW_VERDICT_CACHE:
+            block_counts = dict(_SKEW_VERDICT_CACHE[cache_key])
+        else:
+            # The precheck job is a NARROW branch of the banding plan:
+            # Catalyst prunes everything but the vector column (needed
+            # for the bucket arithmetic) out of its scan, and the
+            # map-side partial agg collapses to <= bands *
+            # 2^bits_per_band rows per task before the (tiny) shuffle.
+            # r5 removed the banded-frame cache() that used to sit
+            # here: it pinned bands x rows INCLUDING VECTORS in storage
+            # for the lifetime of the session to save re-running cheap
+            # projection arithmetic, which is the wrong trade at
+            # 100 TB — the verify job just re-scans the (columnar,
+            # pruned) source once. r8: the VERDICT (not the frame) is
+            # memoized per input version — see _SKEW_VERDICT_CACHE.
+            for r in (
+                banded.groupBy("band_no", "band_val")
+                .count()
+                .where(F.col("count") > cap)
+                .collect()
+            ):
+                block_counts[(int(r["band_no"]), int(r["band_val"]))] = -(
+                    -int(r["count"]) // cap
+                )
+            if cache_key is not None:
+                if len(_SKEW_VERDICT_CACHE) >= 64:
+                    _SKEW_VERDICT_CACHE.pop(next(iter(_SKEW_VERDICT_CACHE)))
+                _SKEW_VERDICT_CACHE[cache_key] = dict(block_counts)
     if block_counts:
         spark = df.sparkSession
         bdf = spark.createDataFrame(

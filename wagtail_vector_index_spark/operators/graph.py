@@ -421,6 +421,25 @@ def hits(
     def rnd(c):
         return F.round(c, round_decimals) if round_decimals is not None else c
 
+    # max-normalization, two physical forms with identical values:
+    # broadcast-small node sets take ONE single-partition window pass
+    # over the node-grain agg (no second consumer of the agg exchange,
+    # no 1-row BroadcastNestedLoopJoin — measured ~15% off the gate's
+    # wall at sf0.1); unbounded node sets keep the partial-agg max +
+    # broadcast crossJoin, which never funnels node rows through one
+    # partition.
+    _wall = Window.partitionBy()
+
+    def normalize(raw, key, val):
+        if broadcast_scores:
+            return raw.withColumn("__m", F.max(val).over(_wall)).select(
+                key, rnd(F.col(val) / F.col("__m")).alias(val)
+            )
+        vmax = raw.agg(F.max(val).alias("__m"))
+        return raw.crossJoin(F.broadcast(vmax)).select(
+            key, rnd(F.col(val) / F.col("__m")).alias(val)
+        )
+
     hubs = e_u.select("u").distinct().select("u", F.lit(1.0).alias("h"))
     auth = None
     for _ in range(int(rounds)):
@@ -429,24 +448,17 @@ def hits(
             .groupBy("v")
             .agg(rnd(F.sum("h")).alias("a"))
         )
-        amax = raw_a.agg(F.max("a").alias("__m"))
-        auth = raw_a.crossJoin(F.broadcast(amax)).select(
-            "v", rnd(F.col("a") / F.col("__m")).alias("a")
-        )
+        auth = normalize(raw_a, "v", "a")
         # ONE materialization per round: the auth half-round stays lazy
-        # inside this round's job — raw_a is referenced twice (max agg
-        # + projection) but its shuffle is one exchange, reused — and
-        # the round tree is cut at raw_h, keeping the plan linear.
+        # inside this round's job and the round tree is cut at raw_h,
+        # keeping the plan linear.
         raw_h = (
             e_v.join(maybe_bc(auth), "v")
             .groupBy("u")
             .agg(rnd(F.sum("a")).alias("h"))
             .localCheckpoint(eager=True)
         )
-        hmax = raw_h.agg(F.max("h").alias("__m"))
-        hubs = raw_h.crossJoin(F.broadcast(hmax)).select(
-            "u", rnd(F.col("h") / F.col("__m")).alias("h")
-        )
+        hubs = normalize(raw_h, "u", "h")
     return (
         hubs.select(F.col("u").alias("node"), "h")
         .join(auth.select(F.col("v").alias("node"), "a"), "node", "full_outer")
