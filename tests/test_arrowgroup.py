@@ -94,6 +94,45 @@ def test_single_giant_group_and_empty_frames(spark):
     assert empty.count() == 0
 
 
+def test_null_keys_group_whole_across_batches(spark):
+    """A null-keyed group must assemble as ONE group even when it spans
+    Arrow batch boundaries — null==null in the trailing-run carry
+    (matches applyInPandas / groupby(dropna=False) semantics)."""
+
+    def summarize_nullable(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf["g"].iloc[0]
+        return pd.DataFrame(
+            {
+                "g": [None if pd.isna(g) else int(g)],
+                "n": [len(pdf)],
+                "s": [float(pdf["v"].sum())],
+            }
+        )
+
+    rows = [(None if i % 3 == 0 else i % 5, float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    want = {
+        (r["g"],): (r["n"], round(r["s"], 9))
+        for r in df.groupBy("g")
+        .applyInPandas(summarize_nullable, schema="g int, n long, s double")
+        .collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        got = {
+            (r["g"],): (r["n"], round(r["s"], 9))
+            for r in streamed_group_apply(
+                df, ["g"], summarize_nullable, "g int, n long, s double",
+                num_partitions=2,
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want
+    assert (None,) in got and got[(None,)][0] == 20
+
+
 def test_fn_may_return_none_or_empty(spark, grouped_df):
     def only_even(pdf):
         g = int(pdf["g"].iloc[0])

@@ -209,6 +209,25 @@ def test_dbscan_precomputed_pairs_path(spark):
     }
     assert got == want
     assert got[50] == ("noise", None)
+    # symmetric + duplicated + self-paired candidates (an LSH stage
+    # upstream of its own dedup) must canonicalize to the same labeling
+    messy = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cos_sim",
+        )
+    ).unionByName(pairs).unionByName(
+        pairs.select(F.col("id_a"), F.col("id_a").alias("id_b"),
+                     F.lit(1.0).alias("cos_sim")).distinct()
+    )
+    got_messy = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_cosine(
+            df, eps_sim=eps, min_pts=4, pairs=messy
+        ).collect()
+    }
+    assert got_messy == want
 
 
 def test_dbscan_all_noise_when_no_neighbors(spark):

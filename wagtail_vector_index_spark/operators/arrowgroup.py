@@ -45,8 +45,10 @@ def streamed_group_apply(
 
     ``fn`` receives each complete group as one pandas DataFrame (all
     columns, like applyInPandas) and returns a pandas DataFrame
-    matching ``schema`` (empty/None allowed). Group keys must be
-    exact-equality-comparable (ints/strings/bools — no NaN keys).
+    matching ``schema`` (empty/None allowed). Null keys group together
+    (matching ``applyInPandas``/``groupby(dropna=False)``): the
+    trailing-run detection treats null==null as equal, so a null-keyed
+    group spanning a batch boundary is still assembled whole.
     """
     keys = list(keys)
 
@@ -65,7 +67,15 @@ def streamed_group_apply(
             last = pdf.iloc[-1]
             same = np.ones(n, dtype=bool)
             for k in keys:
-                same &= pdf[k].to_numpy() == last[k]
+                lv = last[k]
+                if pd.isna(lv):
+                    # null-safe: NaN/None/NaT compare False to
+                    # themselves under ==, which would split a
+                    # null-keyed trailing run at the batch boundary
+                    eq = pd.isna(pdf[k]).to_numpy()
+                else:
+                    eq = np.asarray(pdf[k].to_numpy() == lv, dtype=bool)
+                same &= eq
             # partition rows are sorted by keys, so rows sharing the
             # final row's key form one contiguous trailing run — hold
             # it back, it may continue in the next batch

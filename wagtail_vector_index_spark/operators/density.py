@@ -50,7 +50,11 @@ def dbscan_cosine(
     minimum core id (NULL for noise). Pass a precomputed ``pairs``
     frame (id_a, id_b, cos_sim — e.g. from an LSH candidate stage) to
     reuse neighbor work; by default exact pairs come from the blocked
-    GEMM."""
+    GEMM. Caller-supplied pairs are canonicalized defensively
+    (least/greatest + distinct, self-pairs dropped): an LSH candidate
+    stage upstream of its own dedup may emit symmetric or duplicate
+    rows, which would otherwise double-count degrees and misclassify
+    core/border points."""
     from wagtail_vector_index_spark.operators.dedup import (
         block_neardup_pairs,
         connected_components,
@@ -65,7 +69,19 @@ def dbscan_cosine(
             blocks=int(blocks),
         )
     else:
-        pairs = pairs.where(F.col("cos_sim") >= float(eps_sim))
+        # canonicalize: the blocked-GEMM default already emits distinct
+        # id_a < id_b pairs, but caller-supplied candidates may be
+        # symmetric/duplicated/self-paired — normalize so degrees count
+        # each unordered neighbor pair exactly once
+        pairs = (
+            pairs.where(F.col("cos_sim") >= float(eps_sim))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
     edges = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
