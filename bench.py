@@ -144,6 +144,18 @@ ADDED = [
     "pipeline_contamination_report",
 ]
 
+# r8 (verdict ask): expensive families promoted to round-over-round
+# tracking. They are measured in the ADDED loop (same-session DuckDB
+# pairs) and ALSO surface in the printed headline ``queries`` map so
+# BENCH_r{N}.json carries their signal — but they are NOT folded into
+# the frozen r2 total, which stays round-over-round comparable.
+HEAVY_TRACKED = [
+    "knn_mutual_graph",
+    "graph_hits",
+    "vector_dbscan",
+    "dedup_lsh_precision",
+]
+
 SPARK_RUNS = 5
 DUCKDB_RUNS = 3
 
@@ -245,6 +257,12 @@ def main() -> None:
     timings["gemm_allpairs_topk"] = round(statistics.median(g), 3)
     detail["gemm_allpairs_topk"] = {"median_s": timings["gemm_allpairs_topk"]}
 
+    # heavy families ride the printed queries map for round-over-round
+    # visibility; the frozen total excludes them (see HEAVY_TRACKED)
+    printed = dict(timings)
+    for name in HEAVY_TRACKED:
+        printed[name] = added[name]["median_s"]
+
     ratios = [d["ratio"] for d in detail.values() if "ratio" in d]
     total = round(sum(timings.values()), 3)
     geo = (
@@ -261,9 +279,10 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": printed,
                 "detail": detail,
                 "added": added,
+                "heavy_tracked": HEAVY_TRACKED,
                 "ratio_geomean": geo,
                 "sf": sf,
             },
@@ -276,7 +295,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "queries": {k: round(v, 3) for k, v in printed.items()},
                 "ratio_geomean": geo,
                 "sf": sf,
             },
