@@ -250,8 +250,12 @@ def main() -> None:
     g = []
     for _ in range(3):
         t0 = time.time()
+        # engine pinned: this row tracks the broadcast GEMM kernel
+        # round-over-round; the auto guard (r8) would add its bounded
+        # count job to the timing and flip engines at other scales
         gemm_topk_join(
-            probes, index, index_id="vec_id", index_vec="vector", limit=10
+            probes, index, index_id="vec_id", index_vec="vector", limit=10,
+            engine="broadcast",
         ).collect()
         g.append(time.time() - t0)
     timings["gemm_allpairs_topk"] = round(statistics.median(g), 3)

@@ -82,6 +82,13 @@ def dbscan_cosine(
             .where(F.col("id_a") != F.col("id_b"))
             .distinct()
         )
+    # lazy localCheckpoint: the pair list feeds FIVE downstream branches
+    # (sym x2 via union, degree agg, core-edge semi-joins, border
+    # attach) — without a lineage cut Catalyst re-inlines the blocked
+    # GEMM subtree into every branch (26 python stages in the executed
+    # plan; the kernel re-ran per branch). Blocks materialize once in
+    # the first action and are released by the ContextCleaner.
+    pairs = pairs.localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )

@@ -783,6 +783,20 @@ def hard_negative_topk(
         F.col(sim_alias).desc(), F.col(id_col).asc()
     )
     if engine == "block":
+        # the blocked union shares one id column across both sides; a
+        # mixed-type anchor frame would coerce silently — fail loud
+        # (the broadcast engine handles mixed types; see out_schema)
+        if (
+            anchor_src.schema[id_col].dataType
+            != df.schema[id_col].dataType
+        ):
+            raise ValueError(
+                "engine='block' requires the anchor frame's id column "
+                f"type ({anchor_src.schema[id_col].dataType.simpleString()}) "
+                f"to match the index frame's "
+                f"({df.schema[id_col].dataType.simpleString()}); use "
+                "engine='broadcast' for mixed-type anchor sets"
+            )
         candidates = _hard_negative_block_candidates(
             df,
             anchor_df,

@@ -124,9 +124,12 @@ def incremental_build_documents(
     """
     cfg.check_columns(sources, text_col=text_col, important_col=important_col)
     chunk_size = cfg.chunk_size or backend.token_limit
-    # cache: the chunk UDF output feeds three consumers (mismatch compare,
-    # stale selection, fresh-key anti-join) — without a materialization
-    # barrier the splitter would run three times over the corpus
+    # lazy localCheckpoint: the chunk UDF output feeds three consumers
+    # (mismatch compare, stale selection, fresh-key anti-join) — without
+    # a materialization barrier the splitter would run three times over
+    # the corpus. Checkpoint, not cache(): blocks release with the frame
+    # via the ContextCleaner instead of pinning a fresh copy per call
+    # for the session lifetime.
     chunked = (
         chunk_sources(
             sources,
@@ -136,7 +139,7 @@ def incremental_build_documents(
             chunk_size=chunk_size,
         )
         .withColumn("content_hash", F.sha2(F.col("content"), 256))
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     stored_hashes = stored.select(

@@ -338,10 +338,14 @@ def pipeline_decontaminate(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = {"src0", "src1"}
-    # shingle ONCE into a cached exploded frame — referencing the shingle
-    # expression from both size() and explode() lets CollapseProject
-    # inline (= recompute) it per consumer, and the train/eval branches
-    # below would double that again
+    # shingle ONCE into a lazily-checkpointed exploded frame —
+    # referencing the shingle expression from both size() and explode()
+    # lets CollapseProject inline (= recompute) it per consumer, and the
+    # train/eval branches below would double that again. localCheckpoint
+    # (not cache): blocks materialize inside the gate's single action
+    # and are RELEASED by the ContextCleaner when the frame drops — a
+    # session-lifetime cache of the exploded shingle table was the r7
+    # contamination-report leak, and this gate had the same pattern.
     shingled = docs.select(
         "doc_id", "source", word_shingles_col(F.col("text"), 3).alias("shingles")
     )
@@ -350,8 +354,7 @@ def pipeline_decontaminate(spark, sf_dir):
         "source",
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("sh"),
-    ).cache()
-    ex.count()  # eager: both branches read the materialized explode
+    ).localCheckpoint(eager=False)
     train = ex.where(~F.col("source").isin(eval_set)).select(
         F.col("doc_id").alias("train_id"), F.col("n_sh").alias("n_t"), "sh"
     )

@@ -1164,11 +1164,17 @@ def ann_recall_lsh(spark, sf_dir):
     ).select("probe_id", "vec_id")
 
     # one shared candidate stage (same code path the serving tier uses);
-    # cache it so the count and the top-k consumers evaluate the
-    # broadcast-nested-loop join once
-    cand = lsh_candidates_batch(
-        probes, index, num_planes=12, max_probe_hamming=2, sim_alias="sim"
-    ).select("probe_id", "vec_id", "sim").cache()
+    # lazy localCheckpoint so the count and the top-k consumers evaluate
+    # the broadcast-nested-loop join once — and the blocks release with
+    # the frame (a cache() here pinned a fresh copy per call, session
+    # lifetime, never unpersisted)
+    cand = (
+        lsh_candidates_batch(
+            probes, index, num_planes=12, max_probe_hamming=2, sim_alias="sim"
+        )
+        .select("probe_id", "vec_id", "sim")
+        .localCheckpoint(eager=False)
+    )
     counts = cand.groupBy("probe_id").agg(
         F.count(F.lit(1)).alias("n_candidates")
     )
