@@ -142,6 +142,9 @@ ADDED = [
     "vector_centroid_drift",
     "ann_posting_stats",
     "pipeline_contamination_report",
+    # r8 additions
+    "pipeline_ngram_collision",
+    "pipeline_split_leakage",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

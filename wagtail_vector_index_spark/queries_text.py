@@ -381,6 +381,56 @@ def pipeline_decontaminate(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_ngram_collision",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, source, {_shingles_sql(n=13)} AS shingles
+                FROM documents),
+    ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+    ev AS (SELECT DISTINCT s FROM ex WHERE source IN ('src0', 'src1')),
+    tr AS (SELECT doc_id, s FROM ex WHERE source NOT IN ('src0', 'src1'))
+    SELECT tr.doc_id, count(*)::BIGINT AS n_colliding
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """,
+)
+def pipeline_ngram_collision(spark, sf_dir):
+    """Exact 13-gram collision decontamination — the published GPT-3 /
+    PaLM protocol (Brown et al. 2020, appendix C): a training document
+    is contaminated if it shares ANY 13-gram with the held-out eval set
+    (src0+src1), no similarity threshold involved. The complement of
+    pipeline_decontaminate's 3-gram-Jaccard rule: collisions catch
+    verbatim spans that a whole-document Jaccard dilutes to nothing in
+    a long train doc. Returns each flagged train doc with its count of
+    distinct colliding 13-grams (the audit evidence).
+
+    Scale shape: eval 13-grams dedup in ONE distinct agg (the small
+    side — eval sets are thousands of docs, not billions); the
+    collision test is an equi-join that only meets on shared shingles —
+    never quadratic in corpus size, the same co-count discipline as
+    decontaminate. All shingling is JVM expressions; zero Python
+    stages."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        word_shingles_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = {"src0", "src1"}
+    ex = docs.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles_col(F.col("text"), 13)).alias("sh"),
+    )
+    ev = ex.where(F.col("source").isin(eval_set)).select("sh").distinct()
+    tr = ex.where(~F.col("source").isin(eval_set)).select("doc_id", "sh")
+    return (
+        tr.join(ev, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_colliding"))
+        .orderBy("doc_id")
+    )
+
+
 _MIX_WEIGHTS = {f"src{i}": (0.9 if i < 10 else 0.3) for i in range(20)}
 
 
@@ -435,6 +485,91 @@ def pipeline_train_val_split(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return Corpus(docs).with_split(_SPLIT_FRACTIONS).df.select(
         "doc_id", "source", "split"
+    )
+
+
+def _split_case_sql() -> str:
+    total = 0.0
+    cases = []
+    for name, frac in sorted(_SPLIT_FRACTIONS.items()):
+        total += frac
+        cases.append(f"WHEN b < {int(round(total * 100000))} THEN '{name}'")
+    return f"(CASE {' '.join(cases)} END)"
+
+
+def _split_leakage_oracle() -> str:
+    return f"""
+    WITH sp AS (
+      SELECT doc_id, {_split_case_sql()} AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT
+                     % 100000 AS b
+            FROM documents)),
+    sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b, round(ni::DOUBLE / (n_a + n_b - ni), 6) AS jaccard
+      FROM inter WHERE ni::DOUBLE / (n_a + n_b - ni) >= 0.5)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN sp sa ON p.id_a = sa.doc_id
+    JOIN sp sb ON p.id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    ORDER BY p.id_a, p.id_b
+    """
+
+
+@register("pipeline_split_leakage", oracle=_split_leakage_oracle())
+def pipeline_split_leakage(spark, sf_dir):
+    """Split-leakage audit: near-duplicate pairs (3-gram Jaccard >= 0.5)
+    whose members landed in DIFFERENT train/val/test splits — the
+    evaluation-integrity check a random split silently fails (a val doc
+    whose near-twin sits in train measures memorization). Deterministic
+    end to end: the split is the same sha-bucket pure function as
+    pipeline_train_val_split, the pair set the same exact co-count join
+    as dedup_jaccard_exact. The production fix is group-aware splitting
+    (split by dedup cluster, not by doc); this gate is the detector
+    that says you need it.
+
+    Scale shape: pairs meet only on shared shingles (never quadratic);
+    the split labels attach via two joins against a narrow
+    (doc_id, split) projection computed without a shuffle."""
+    from wagtail_vector_index_spark.operators.dedup import ngram_jaccard_pairs
+    from wagtail_vector_index_spark.operators.skew import split_col
+
+    docs = _t(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id", split_col(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split")
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            "split_a",
+            "split_b",
+        )
+        .orderBy("id_a", "id_b")
     )
 
 
