@@ -482,6 +482,57 @@ def test_gemm_block_mixed_id_types(spark):
     assert empty.count() == 0
 
 
+def test_gemm_block_random_differential(spark):
+    """Seeded randomized differential: engine='block' vs a pure-numpy
+    brute-force reference across edge shapes — k > n, blocks > rows on
+    a side, duplicate vectors, threshold on/off. Generic-position
+    random vectors keep similarities well-separated so BLAS summation
+    order can't flip a rank."""
+    rng = np.random.default_rng(42)
+    n_idx, n_probe, d = 120, 40, 6
+    X = rng.normal(size=(n_idx, d))
+    X[7] = X[3]  # planted duplicate vector (distinct ids)
+    P = rng.normal(size=(n_probe, d))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    sims = Xn @ Pn.T  # (n_idx, n_probe)
+
+    index = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n_idx)],
+        "vec_id long, vector array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(1000 + j, [float(v) for v in P[j]]) for j in range(n_probe)],
+        "probe_id long, probe_vec array<double>",
+    )
+
+    def brute(k, thr):
+        want = set()
+        for j in range(n_probe):
+            order = sorted(range(n_idx), key=lambda i: (-sims[i, j], i))
+            kept = [i for i in order if sims[i, j] >= thr] if thr else order
+            for i in kept[:k]:
+                want.add((1000 + j, i))
+        return want
+
+    for k, blocks, thr in [
+        (1, 3, 0.0),
+        (3, 7, 0.0),
+        (3, 3, 0.3),
+        (200, 3, 0.0),   # k > n: every (probe, index) pair survives
+        (2, 64, 0.0),    # blocks >> rows: most block pairs empty
+    ]:
+        got = {
+            (r["probe_id"], r["vec_id"])
+            for r in gemm_topk_join(
+                probes, index, index_id="vec_id", index_vec="vector",
+                limit=k, similarity_threshold=thr,
+                engine="block", blocks=blocks,
+            ).collect()
+        }
+        assert got == brute(k, thr), (k, blocks, thr)
+
+
 def test_mutual_knn_graph_block_parity_real_embeddings(spark):
     """engine='block' (corpus-as-probes with NO driver collect) must
     equal the gemm and sql engines edge-for-edge on real embeddings."""
