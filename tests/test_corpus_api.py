@@ -86,6 +86,35 @@ def test_decontaminate_with_external_eval_df(spark):
         Corpus(train).decontaminate()
 
 
+def test_decontaminate_collisions_exact_ngram(spark):
+    """The GPT-3 13-gram collision rule: a long train doc embedding a
+    verbatim eval span is dropped even though its whole-doc Jaccard is
+    tiny; an unrelated doc and a doc sharing only a short overlap
+    survive."""
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    filler = " ".join(f"w{i}" for i in range(200))
+    train = spark.createDataFrame(
+        [
+            (1, "tr", f"{filler} {span} {filler}"),   # verbatim 13-gram span
+            (2, "tr", "completely unrelated content about spark joins"),
+            (3, "tr", f"{filler} alpha bravo charlie {filler}"),  # only 3 shared words
+        ],
+        "doc_id long, source string, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "ev", f"question: {span} answer: yes")],
+        "doc_id long, source string, text string",
+    )
+    out = Corpus(train).decontaminate_collisions(eval_df=eval_df, n=13)
+    assert {r["doc_id"] for r in out.df.collect()} == {2, 3}
+    with pytest.raises(ValueError, match="exactly one"):
+        Corpus(train).decontaminate_collisions()
+    # eval_sources form removes the eval rows too
+    both = train.unionByName(eval_df)
+    out2 = Corpus(both).decontaminate_collisions(eval_sources={"ev"}, n=13)
+    assert {r["doc_id"] for r in out2.df.collect()} == {2, 3}
+
+
 def test_mix_upsamples_when_rate_above_one(docs):
     c = Corpus(docs.limit(200))
     sources = [r["source"] for r in c.df.select("source").distinct().collect()]

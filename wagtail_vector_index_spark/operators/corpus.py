@@ -221,6 +221,59 @@ class Corpus:
             train_docs.join(contaminated, self.id_col, "left_anti")
         )
 
+    def decontaminate_collisions(
+        self,
+        *,
+        eval_sources: set[str] | None = None,
+        eval_df: DataFrame | None = None,
+        n: int = 13,
+    ) -> "Corpus":
+        """Remove training docs sharing ANY word-``n``-gram with the
+        held-out set — the GPT-3 / PaLM exact-collision protocol (Brown
+        et al. 2020, appendix C; ``pipeline_ngram_collision`` is the
+        oracle-gated audit twin). Complements :meth:`decontaminate`'s
+        whole-document Jaccard rule: a verbatim eval span inside a long
+        training doc dilutes Jaccard to nothing but still collides.
+        Eval n-grams dedup in one distinct agg (eval sets are bounded);
+        the collision test meets only on shared shingles — never
+        quadratic in corpus size."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            word_shingles_col,
+        )
+
+        if (eval_sources is None) == (eval_df is None):
+            raise ValueError("pass exactly one of eval_sources / eval_df")
+        if eval_sources is not None:
+            train_docs = self.df.where(
+                ~F.col(self.source_col).isin(list(eval_sources))
+            )
+            eval_docs = self.df.where(
+                F.col(self.source_col).isin(list(eval_sources))
+            )
+        else:
+            train_docs = self.df
+            eval_docs = eval_df
+        ev = (
+            eval_docs.select(
+                F.explode(
+                    word_shingles_col(F.col(self.text_col), n)
+                ).alias("sh")
+            )
+            .distinct()
+        )
+        flagged = (
+            train_docs.select(
+                self.id_col,
+                F.explode(
+                    word_shingles_col(F.col(self.text_col), n)
+                ).alias("sh"),
+            )
+            .join(ev, "sh")
+            .select(self.id_col)
+            .distinct()
+        )
+        return self._wrap(train_docs.join(flagged, self.id_col, "left_anti"))
+
     # -- reporting -----------------------------------------------------------
 
     def report(self, *, lang_col: str = "lang") -> DataFrame:
