@@ -115,6 +115,36 @@ def test_decontaminate_collisions_exact_ngram(spark):
     assert {r["doc_id"] for r in out2.df.collect()} == {2, 3}
 
 
+def test_audit_split_leakage_finds_cross_split_twins(spark):
+    """Plant near-dup twins; whichever pairs straddle the split must be
+    reported with both labels, and the report agrees with recomputing
+    membership from with_split."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, "tr", f"{base} variant") for i in range(40)]
+    rows += [(100 + i, "tr", f"unique document {i} " + " ".join(f"t{i}w{j}" for j in range(30))) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    fr = {"train": 0.5, "val": 0.5}
+    c = Corpus(df)
+    leaks = c.audit_split_leakage(fr, threshold=0.9).collect()
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in c.with_split(fr).df.select("doc_id", "split").collect()
+    }
+    twins = sorted(i for i in splits if i < 100)
+    want = {
+        (a, b)
+        for i, a in enumerate(twins)
+        for b in twins[i + 1:]
+        if splits[a] != splits[b]
+    }
+    got = {(r["id_a"], r["id_b"]) for r in leaks}
+    assert got == want and len(got) > 0
+    for r in leaks:
+        assert r["split_a"] == splits[r["id_a"]]
+        assert r["split_b"] == splits[r["id_b"]]
+        assert r["jaccard"] >= 0.9
+
+
 def test_mix_upsamples_when_rate_above_one(docs):
     c = Corpus(docs.limit(200))
     sources = [r["source"] for r in c.df.select("source").distinct().collect()]

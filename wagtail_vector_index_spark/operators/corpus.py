@@ -366,6 +366,56 @@ class Corpus:
             out = out.where(F.col(col).isNotNull())
         return self._wrap(out)
 
+    def audit_split_leakage(
+        self,
+        fractions: dict[str, float],
+        *,
+        n: int = 3,
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Terminal: near-duplicate pairs (word-``n``-gram Jaccard >=
+        ``threshold``) whose members land in DIFFERENT splits under
+        ``fractions`` — the detector that says a random split leaks and
+        you need :meth:`split_without_leakage` (the oracle-gated
+        ``pipeline_split_leakage`` shape). Returns (id_a, id_b, jaccard,
+        split_a, split_b); empty means the split is leak-free at this
+        threshold. Pairs meet only on shared shingles — never quadratic
+        in corpus size."""
+        from wagtail_vector_index_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from wagtail_vector_index_spark.operators.skew import split_col
+
+        sp = self.df.select(
+            F.col(self.id_col),
+            split_col(F.col(self.id_col), fractions).alias("split"),
+        )
+        pairs = ngram_jaccard_pairs(
+            self.df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            n=n,
+            threshold=threshold,
+        )
+        return (
+            pairs.join(
+                sp.select(
+                    F.col(self.id_col).alias("id_a"),
+                    F.col("split").alias("split_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                sp.select(
+                    F.col(self.id_col).alias("id_b"),
+                    F.col("split").alias("split_b"),
+                ),
+                "id_b",
+            )
+            .where(F.col("split_a") != F.col("split_b"))
+            .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+        )
+
     def with_token_counts(self, *, col: str = "est_tokens") -> "Corpus":
         """Append the estimated token count (the reference's naive
         estimator as a JVM column twin)."""
