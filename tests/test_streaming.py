@@ -226,6 +226,53 @@ def test_incremental_ann_stream_lsh(spark, embeddings_df, tmp_path):
     assert len(idx.vectors_log.current().live) == 1  # compacted
 
 
+def test_decontaminated_corpus_stream_drops_collisions(spark, tmp_path):
+    """Streaming ingest decontamination: rows sharing a 13-gram with
+    the static eval set never enter the corpus; clean rows across
+    batches all land; a replay over the same checkpoint appends
+    nothing (exactly-once)."""
+    from wagtail_vector_index_spark.sources.manifest import read_live_table
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        decontaminated_corpus_stream,
+    )
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    filler = " ".join(f"w{i}" for i in range(60))
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, f"{filler} {span} {filler}"),          # verbatim eval span
+         (2, "clean document about spark adaptive execution planning")],
+        [(3, f"{filler} alpha bravo charlie {filler}"),  # only 3 shared words
+         (4, f"question {span} answer")],            # collides too
+    ]
+    src = str(tmp_path / "decon_stream")
+    table = str(tmp_path / "decon_corpus")
+    ckpt = str(tmp_path / "ckpt_decon")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    eval_df = spark.createDataFrame(
+        [(100, f"held out {span} item")], schema
+    )
+
+    def run(ckpt_dir):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = decontaminated_corpus_stream(
+            stream, eval_df=eval_df, path=table, checkpoint_dir=ckpt_dir,
+        )
+        q.awaitTermination(300)
+
+    run(ckpt)
+    got = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+    assert got == {2, 3}
+    # same checkpoint again: no new generations, same table
+    run(ckpt)
+    assert {r["doc_id"] for r in read_live_table(spark, table).collect()} == {2, 3}
+
+
 def test_neardup_corpus_stream_matches_sequential_batches(spark, tmp_path):
     """Streaming fuzzy-dedup corpus maintenance: after three file-stream
     batches (with exact dups, near dups within and across batches), the

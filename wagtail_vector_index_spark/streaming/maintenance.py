@@ -262,6 +262,91 @@ def neardup_corpus_stream(
     return writer.start()
 
 
+def decontaminated_corpus_stream(
+    doc_stream: DataFrame,
+    *,
+    eval_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Maintain a DECONTAMINATED corpus table from a document stream:
+    each micro-batch drops rows sharing ANY word-``n``-gram with the
+    static held-out eval set (the GPT-3 / PaLM exact-collision
+    protocol — ``pipeline_ngram_collision`` is the batch audit twin,
+    ``Corpus.decontaminate_collisions`` the batch curation twin) and
+    appends the survivors as a new manifest generation. Decontaminating
+    AT INGEST means contaminated rows never enter the corpus, instead
+    of a full-corpus sweep before each training run.
+
+    The eval gram set is computed ONCE at stream construction and
+    eagerly localCheckpointed — eval sets are bounded (benchmarks, not
+    corpora), and a per-batch recompute would re-shingle the eval set
+    on every trigger of a long-running stream. Per batch the collision
+    test is a broadcast join against that fixed gram table: the
+    micro-batch's exploded grams never shuffle.
+
+    Exactly-once: the same dedup-token manifest protocol as
+    :func:`neardup_corpus_stream` — a crash-replayed foreachBatch
+    resolves to the already-live generation and becomes a no-op.
+    """
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        word_shingles_col,
+    )
+    from wagtail_vector_index_spark.operators.ann_index import (
+        _append_gen,
+        _commit_append,
+        _gen_write_path,
+        _publish_gen_dir,
+    )
+    from wagtail_vector_index_spark.sources.manifest import ManifestLog
+
+    log = ManifestLog(path)
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_shingles_col(F.col(text_col), n)).alias("__sh")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        token = f"{checkpoint_dir}#{batch_id}"
+        gen = _append_gen(log, token)
+        if gen is None:
+            return  # replayed batch: already live
+        flagged = (
+            batch_df.select(
+                id_col,
+                F.explode(
+                    word_shingles_col(F.col(text_col), n)
+                ).alias("__sh"),
+            )
+            .join(F.broadcast(eval_grams), "__sh")
+            .select(id_col)
+            .distinct()
+        )
+        survivors = batch_df.join(flagged, id_col, "left_anti")
+        written = _gen_write_path(log, gen, token)
+        survivors.write.mode("overwrite").parquet(written)
+        _publish_gen_dir(log, written, gen)
+        _commit_append(log, gen, dedup_token=token)
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_value_histogram(
     events_stream: DataFrame,
     *,
