@@ -145,6 +145,7 @@ ADDED = [
     # r8 additions
     "pipeline_ngram_collision",
     "pipeline_split_leakage",
+    "pipeline_truncation_stats",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

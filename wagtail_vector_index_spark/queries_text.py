@@ -234,6 +234,69 @@ def text_token_count(spark, sf_dir):
     )
 
 
+_TRUNC_BUDGETS = (256, 512, 1024, 2048)
+_EST_TOKENS_SQL = (
+    r"greatest(ceil(length(text) / 4), "
+    r"ceil(len(regexp_extract_all(text, '[^\w\s]|\w+')) * 0.75))::BIGINT"
+)
+
+
+@register(
+    "pipeline_truncation_stats",
+    oracle=f"""
+    WITH t AS (SELECT {_EST_TOKENS_SQL} AS tok FROM documents),
+    b AS (SELECT unnest([{", ".join(str(b) for b in _TRUNC_BUDGETS)}])
+                 AS budget)
+    SELECT b.budget,
+           count(*) FILTER (WHERE t.tok > b.budget)::BIGINT
+             AS docs_truncated,
+           coalesce(sum(greatest(t.tok - b.budget, 0)), 0)::BIGINT
+             AS tokens_lost,
+           round(coalesce(sum(greatest(t.tok - b.budget, 0)), 0)::DOUBLE
+                 / sum(t.tok), 6) AS lost_frac
+    FROM t CROSS JOIN b
+    GROUP BY b.budget ORDER BY b.budget
+    """,
+)
+def pipeline_truncation_stats(spark, sf_dir):
+    """Context-window budgeting: for each candidate training budget,
+    how many documents exceed it and what fraction of corpus tokens a
+    hard truncation would discard — the planning numbers that pick the
+    sequence length (and decide between truncation and chunked packing,
+    pipeline_pack_sequences) BEFORE a run is configured.
+
+    One scan: per-doc estimated tokens (the same JVM estimator as
+    text_token_count) explode against the 4-budget literal array, then
+    a map-side-combinable agg to 4 rows — budgets ride a generated
+    column, so the doc table is read once, not once per budget."""
+    from wagtail_vector_index_spark.functions.text_splitting import (
+        estimated_tokens_col,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        estimated_tokens_col(F.col("text")).alias("tok")
+    )
+    budgets = F.array(*[F.lit(b) for b in _TRUNC_BUDGETS])
+    return (
+        toks.select("tok", F.explode(budgets).alias("budget"))
+        .groupBy("budget")
+        .agg(
+            F.count(F.when(F.col("tok") > F.col("budget"), 1)).alias(
+                "docs_truncated"
+            ),
+            F.sum(
+                F.greatest(F.col("tok") - F.col("budget"), F.lit(0))
+            ).alias("tokens_lost"),
+            F.round(
+                F.sum(F.greatest(F.col("tok") - F.col("budget"), F.lit(0)))
+                / F.sum("tok"),
+                6,
+            ).alias("lost_frac"),
+        )
+        .orderBy("budget")
+    )
+
+
 @register(
     "text_quality",
     oracle=f"""
