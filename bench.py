@@ -146,6 +146,7 @@ ADDED = [
     "pipeline_ngram_collision",
     "pipeline_split_leakage",
     "pipeline_truncation_stats",
+    "pipeline_dup_aware_weights",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

@@ -832,6 +832,75 @@ def dedup_components(spark, sf_dir):
 
 
 @register(
+    "pipeline_dup_aware_weights",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE ni::DOUBLE / (n_a + n_b - ni) >= 0.5),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    walk(u, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component FROM walk GROUP BY u),
+    lbl AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    sz AS (SELECT component, count(*)::BIGINT AS cluster_size
+           FROM lbl GROUP BY component)
+    SELECT l.doc_id, l.component, s.cluster_size,
+           round(1.0 / s.cluster_size, 6) AS weight
+    FROM lbl l JOIN sz s USING (component)
+    """,
+)
+def pipeline_dup_aware_weights(spark, sf_dir):
+    """Duplication-aware sampling weights: every document gets weight
+    1/cluster_size over its near-dup cluster (3-gram Jaccard >= 0.5,
+    transitively closed), so each piece of UNIQUE content contributes
+    equal expected mass to a training epoch no matter how many times
+    the crawl found it — the soft alternative to hard dedup when
+    duplicates carry signal (repetition count correlates with quality;
+    cf. data-constrained scaling, Muennighoff et al. 2023). Feed the
+    weight column straight into sample_weighted / weighted_mix.
+
+    Same distributed shape as dedup_components (banded pair join ->
+    pointer-doubling components) plus one component-keyed count and a
+    broadcast-able size join back; the oracle replays the closure as a
+    recursive CTE."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    lbl = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    sz = lbl.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return lbl.join(sz, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+
+
+@register(
     "dedup_keep_best",
     oracle=f"""
     WITH RECURSIVE
