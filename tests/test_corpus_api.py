@@ -115,6 +115,26 @@ def test_decontaminate_collisions_exact_ngram(spark):
     assert {r["doc_id"] for r in out2.df.collect()} == {2, 3}
 
 
+def test_with_dup_aware_weights_inverse_cluster_size(spark):
+    """A near-dup triple clusters together and every member gets weight
+    1/3; the standalone doc keeps weight 1.0; row count preserved."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "tr", base),
+        (2, "tr", base + " today"),         # ~1
+        (3, "tr", base + " today again"),   # ~2 (chain to 1)
+        (4, "tr", "a completely different standalone document about joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: round(r["weight"], 6)
+        for r in Corpus(df).with_dup_aware_weights(threshold=0.5).df.collect()
+    }
+    assert len(out) == 4
+    assert out[4] == 1.0
+    assert out[1] == out[2] == out[3] == round(1 / 3, 6)
+
+
 def test_audit_split_leakage_finds_cross_split_twins(spark):
     """Plant near-dup twins; whichever pairs straddle the split must be
     reported with both labels, and the report agrees with recomputing

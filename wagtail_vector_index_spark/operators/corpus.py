@@ -416,6 +416,48 @@ class Corpus:
             .select("id_a", "id_b", "jaccard", "split_a", "split_b")
         )
 
+    def with_dup_aware_weights(
+        self,
+        *,
+        n: int = 3,
+        threshold: float = 0.5,
+        col: str = "weight",
+    ) -> "Corpus":
+        """Append duplication-aware sampling weights: every doc gets
+        ``1/cluster_size`` over its transitively-closed near-dup cluster
+        (word-``n``-gram Jaccard >= ``threshold``), so each piece of
+        unique content contributes equal expected mass to an epoch no
+        matter how many times the crawl found it — the soft alternative
+        to :meth:`dedup_fuzzy` when duplicates carry signal (the
+        oracle-gated ``pipeline_dup_aware_weights`` shape). Chain into
+        :meth:`sample_weighted` to realize the downsampling."""
+        from wagtail_vector_index_spark.operators.dedup import (
+            connected_components,
+            ngram_jaccard_pairs,
+        )
+
+        pairs = ngram_jaccard_pairs(
+            self.df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            n=n,
+            threshold=threshold,
+        )
+        comp = connected_components(pairs).withColumnRenamed(
+            "id", self.id_col
+        )
+        lbl = self.df.join(comp, self.id_col, "left").withColumn(
+            "__comp", F.coalesce("component", F.col(self.id_col))
+        ).drop("component")
+        sz = lbl.groupBy("__comp").agg(
+            F.count(F.lit(1)).alias("__csize")
+        )
+        return self._wrap(
+            lbl.join(sz, "__comp")
+            .withColumn(col, F.lit(1.0) / F.col("__csize"))
+            .drop("__comp", "__csize")
+        )
+
     def with_token_counts(self, *, col: str = "est_tokens") -> "Corpus":
         """Append the estimated token count (the reference's naive
         estimator as a JVM column twin)."""
