@@ -147,6 +147,7 @@ ADDED = [
     "pipeline_split_leakage",
     "pipeline_truncation_stats",
     "pipeline_dup_aware_weights",
+    "ann_nprobe_sweep",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

@@ -930,6 +930,168 @@ def ann_recall_ivf(spark, sf_dir):
 
 
 @register(
+    "ann_nprobe_sweep",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    idx AS (SELECT vec_id, v FROM e WHERE vec_id >= 16),
+    p AS (SELECT vec_id AS probe_id, v AS qv FROM e WHERE vec_id < 5),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT idx.vec_id, c.cid,
+               row_number() OVER (PARTITION BY idx.vec_id
+                                  ORDER BY {_cos_sql('idx.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM idx, c) WHERE rn = 1),
+    probed AS (
+      SELECT probe_id, cid, rn AS crank FROM (
+        SELECT p.probe_id, c.cid,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_cos_sql('c.cv', 'p.qv')} DESC, c.cid)
+                 AS rn
+        FROM c, p) WHERE rn <= 4),
+    cands AS (
+      SELECT pr.probe_id, a.vec_id, pr.crank,
+             {_cos_sql('idx.v', 'p.qv')} AS sim
+      FROM assign a
+      JOIN probed pr USING (cid)
+      JOIN idx ON idx.vec_id = a.vec_id
+      JOIN p ON p.probe_id = pr.probe_id),
+    sweep AS (
+      SELECT s.nprobe, cands.*
+      FROM cands JOIN (SELECT unnest([1, 2, 4]) AS nprobe) s
+        ON cands.crank <= s.nprobe),
+    ivf AS (
+      SELECT nprobe, probe_id, vec_id FROM (
+        SELECT nprobe, probe_id, vec_id,
+               row_number() OVER (PARTITION BY nprobe, probe_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM sweep) WHERE rn <= 10),
+    brute AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, idx.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_cos_sql('idx.v', 'p.qv')} DESC,
+                                           idx.vec_id) AS rn
+        FROM idx, p) WHERE rn <= 10),
+    nc AS (SELECT nprobe, count(*)::BIGINT AS n_candidates
+           FROM sweep GROUP BY nprobe),
+    hits AS (
+      SELECT g.nprobe,
+             sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_hits
+      FROM (SELECT b.*, s.nprobe
+            FROM brute b, (SELECT unnest([1, 2, 4]) AS nprobe) s) g
+      LEFT JOIN ivf i ON g.nprobe = i.nprobe
+                     AND g.probe_id = i.probe_id AND g.vec_id = i.vec_id
+      GROUP BY g.nprobe)
+    SELECT h.nprobe, nc.n_candidates, h.n_hits,
+           round(h.n_hits / 50.0, 6) AS recall_at_10
+    FROM hits h JOIN nc USING (nprobe) ORDER BY h.nprobe
+    """,
+)
+def ann_nprobe_sweep(spark, sf_dir):
+    """The IVF tuning curve in ONE job: recall@10 (vs exact brute force,
+    5 probes) AND candidate-scan cost for nprobe in {1, 2, 4} — the
+    recall-vs-cost frontier that picks nprobe before committing a 100 TB
+    index layout (ann_recall_ivf measures one point; tuning needs the
+    curve). Assignment runs once; each candidate carries its centroid's
+    per-probe rank, and a generated nprobe column (explode of the
+    budgets >= that rank) fans every candidate into exactly the sweep
+    points that would scan it — the corpus is never re-assigned or
+    re-scanned per nprobe. Per-(probe, nprobe) top-10 is one
+    WindowGroupLimit pass."""
+    from wagtail_vector_index_spark.functions.vector import similarity_col
+    from wagtail_vector_index_spark.operators.knn import (
+        ivf_assign,
+        similarity_join,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    index = vecs.where(F.col("vec_id") >= 16)
+    centroids = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("vector").alias("cv")
+    )
+    probes = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("vector").alias("probe_vec")
+    )
+    cw = Window.partitionBy("probe_id").orderBy(
+        F.col("__csim").desc(), F.col("cid").asc()
+    )
+    probed = (
+        probes.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__csim", similarity_col(F.col("cv"), F.col("probe_vec"), "cosine")
+        )
+        .withColumn("crank", F.row_number().over(cw))
+        .where(F.col("crank") <= 4)
+        .select("probe_id", "cid", "crank")
+    )
+    assign = ivf_assign(
+        index,
+        centroids,
+        index_id="vec_id",
+        index_vec="vector",
+        centroid_id="cid",
+        centroid_vec="cv",
+    )
+    budgets = F.array(F.lit(1), F.lit(2), F.lit(4))
+    sweep = (
+        assign.join(F.broadcast(probed), "cid")
+        .join(F.broadcast(probes), "probe_id")
+        .withColumn(
+            "sim", similarity_col(F.col("vector"), F.col("probe_vec"), "cosine")
+        )
+        .withColumn(
+            "nprobe",
+            F.explode(F.filter(budgets, lambda n: n >= F.col("crank"))),
+        )
+        .select("nprobe", "probe_id", "vec_id", "sim")
+    )
+    w = Window.partitionBy("nprobe", "probe_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    ivf = (
+        sweep.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .select("nprobe", "probe_id", "vec_id", F.lit(1).alias("__hit"))
+    )
+    nc = sweep.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    brute = similarity_join(
+        probes,
+        index,
+        probe_id="probe_id",
+        probe_vec="probe_vec",
+        index_id="vec_id",
+        index_vec="vector",
+        limit=10,
+    ).select("probe_id", "vec_id")
+    grid = brute.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+        )
+    )
+    hits = (
+        grid.join(F.broadcast(ivf), ["nprobe", "probe_id", "vec_id"], "left")
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"))
+    )
+    return (
+        hits.join(F.broadcast(nc), "nprobe")
+        .select(
+            "nprobe",
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(50.0), 6).alias("recall_at_10"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+@register(
     "ann_recall_pq",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
