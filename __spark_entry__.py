@@ -36,21 +36,21 @@ _DRIVER_LAST_SAMPLED = {
     "pipeline_quality_filter": 7,
     "text_lang_id": 7,
     # last sampled in round 3 (37 queries)
-    "ann_ivf_cosine": 3,
-    "ann_ivfpq_adc": 3,
-    "ann_lsh_cosine": 3,
-    "ann_recall_ivf": 3,
-    "ann_recall_lsh": 3,
-    "ann_recall_pq": 3,
+    "ann_ivf_cosine": 8,
+    "ann_ivfpq_adc": 8,
+    "ann_lsh_cosine": 8,
+    "ann_recall_ivf": 8,
+    "ann_recall_lsh": 8,
+    "ann_recall_pq": 8,
     "corpus_report": 7,
     "dedup_components": 7,
     "dedup_shared_passages": 7,
-    "embedding_neardup_lsh": 3,
-    "hybrid_search_rrf": 3,
-    "multimodal_audio_fingerprint": 3,
-    "multimodal_feature_embed": 3,
-    "multimodal_feature_knn": 3,
-    "multimodal_frame_sample": 3,
+    "embedding_neardup_lsh": 8,
+    "hybrid_search_rrf": 8,
+    "multimodal_audio_fingerprint": 8,
+    "multimodal_feature_embed": 8,
+    "multimodal_feature_knn": 8,
+    "multimodal_frame_sample": 8,
     "pipeline_chunk_explode": 7,
     "pipeline_corpus_prep": 7,
     "pipeline_export_shards": 7,
@@ -58,21 +58,21 @@ _DRIVER_LAST_SAMPLED = {
     "pipeline_pack_sequences": 7,
     "pipeline_shuffle_rank": 7,
     "pipeline_train_val_split": 7,
-    "q_array_functions": 3,
-    "q_session_window": 3,
+    "q_array_functions": 8,
+    "q_session_window": 8,
     "q_skew_salted_count": 7,
-    "rag_batch_echo": 3,
-    "search_tfidf_knn": 3,
+    "rag_batch_echo": 8,
+    "search_tfidf_knn": 8,
     "sketch_distinct_kmv": 7,
-    "streaming_click_view_join": 3,
-    "streaming_events_hourly": 3,
+    "streaming_click_view_join": 8,
+    "streaming_events_hourly": 8,
     "text_bm25": 7,
     "text_gopher_rules": 7,
     "text_lang_id_ngram": 7,
     "text_repetition": 7,
     "text_top_ngram_frac": 7,
     "text_unigram_logprob": 7,
-    "vector_centroids": 3,
+    "vector_centroids": 8,
     # last sampled in round 4 (50 queries)
     "ann_ivf_filtered": 4,
     "ann_recall_ivf_learned": 4,
@@ -85,40 +85,40 @@ _DRIVER_LAST_SAMPLED = {
     "pipeline_dsir_select": 4,
     "pipeline_incremental_neardup": 4,
     "pipeline_source_cap": 4,
-    "q11_value_concentration": 4,
+    "q11_value_concentration": 8,
     "q12_priority_shipping": 4,
-    "q13_custdist": 4,
-    "q15_top_supplier": 4,
-    "q16_part_supplier_diversity": 4,
-    "q17_small_qty_revenue": 4,
-    "q19_disjunctive_revenue": 4,
-    "q1_pricing_summary": 4,
-    "q20_dominant_suppliers": 4,
-    "q21_waiting_suppliers": 4,
-    "q22_idle_customers": 4,
-    "q2_min_supplier": 4,
-    "q3_shipping_priority": 4,
-    "q4_order_priority": 4,
-    "q5_region_revenue": 4,
-    "q7_volume_shipping": 4,
-    "q8_market_share": 4,
-    "q9_nation_profit": 4,
-    "q_anti_join": 4,
-    "q_asof_join": 4,
+    "q13_custdist": 8,
+    "q15_top_supplier": 8,
+    "q16_part_supplier_diversity": 8,
+    "q17_small_qty_revenue": 8,
+    "q19_disjunctive_revenue": 8,
+    "q1_pricing_summary": 8,
+    "q20_dominant_suppliers": 8,
+    "q21_waiting_suppliers": 8,
+    "q22_idle_customers": 8,
+    "q2_min_supplier": 8,
+    "q3_shipping_priority": 8,
+    "q4_order_priority": 8,
+    "q5_region_revenue": 8,
+    "q7_volume_shipping": 8,
+    "q8_market_share": 8,
+    "q9_nation_profit": 8,
+    "q_anti_join": 8,
+    "q_asof_join": 8,
     "q_asof_join_forward": 4,
     "q_cube_lineitem": 4,
-    "q_events_user_gaps": 4,
+    "q_events_user_gaps": 8,
     "q_funnel_conversion": 4,
     "q_range_join_bands": 4,
     "q_retention_cohorts": 4,
-    "q_rolling_revenue": 4,
+    "q_rolling_revenue": 8,
     "q_rollup_acctbal": 4,
-    "q_semi_join": 4,
-    "q_set_except": 4,
-    "q_set_intersect": 4,
-    "q_top_customers": 4,
+    "q_semi_join": 8,
+    "q_set_except": 8,
+    "q_set_intersect": 8,
+    "q_top_customers": 8,
     "q_value_histogram": 4,
-    "q_window_top_orders": 4,
+    "q_window_top_orders": 8,
     "search_mmr_rerank": 4,
     "sketch_countmin_tokens": 4,
     "sketch_kmv_set_ops": 4,
@@ -252,6 +252,12 @@ _DRIVER_LAST_SAMPLED = {
     "vector_meanpool_docs": 7,
     "vector_silhouette": 7,
     "vector_standardize": 7,
+    # last sampled in round 8 (5 new r8 keys; existing keys above bumped to 8)
+    "ann_nprobe_sweep": 8,
+    "pipeline_dup_aware_weights": 8,
+    "pipeline_ngram_collision": 8,
+    "pipeline_split_leakage": 8,
+    "pipeline_truncation_stats": 8,
 }
 
 

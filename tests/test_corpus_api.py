@@ -372,3 +372,23 @@ def test_split_without_leakage_drops_fuzzy_val_copies(spark):
     for i in range(40):
         if assigned[i] is not None:
             assert by_id[i] == assigned[i]
+
+
+def test_with_dup_aware_weights_tolerates_component_column(spark):
+    """A corpus frame that already carries a `component` column must not
+    collide with the internal components join (reserved __-prefixed
+    names keep user columns out of the operator's namespace)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "x"),
+            (2, "the quick brown fox jumps over the lazy dog", "x"),
+            (3, "completely different text about spark shuffles", "y"),
+        ],
+        "doc_id long, text string, component string",
+    )
+    out = {
+        r["doc_id"]: (round(r["weight"], 6), r["component"])
+        for r in Corpus(df).with_dup_aware_weights(threshold=0.5).df.collect()
+    }
+    assert out[1] == (0.5, "x") and out[2] == (0.5, "x")
+    assert out[3] == (1.0, "y")

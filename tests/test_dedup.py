@@ -1044,3 +1044,44 @@ def test_containment_emits_both_directions_for_twins(spark):
         for r in ngram_containment_pairs(docs, n=3, threshold=0.5).collect()
     )
     assert pairs == [(1, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_lsh_neardup_skew_verdict_keyed_on_data_version(spark, tmp_path):
+    """Re-reading the SAME parquet path after the data grew must NOT
+    reuse the old skew verdict (the plan hash alone can't see the
+    change; the file-listing fingerprint does) — otherwise the
+    max_bucket_rows memory guard is silently defeated."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        _SKEW_VERDICT_CACHE,
+        lsh_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 8))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    path = str(tmp_path / "emb")
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", threshold=0.8,
+        num_planes=12, bands=3, dim=8, max_bucket_rows=4,
+    )
+
+    def write(n):
+        rows = [(i, [float(v) for v in X[i % 60]]) for i in range(n)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    _SKEW_VERDICT_CACHE.clear()
+    write(20)
+    lsh_neardup_pairs(spark.read.parquet(path), **kw).collect()
+    assert len(_SKEW_VERDICT_CACHE) == 1
+    # same path, new data version: a fresh verdict entry must appear
+    write(60)
+    lsh_neardup_pairs(spark.read.parquet(path), **kw).collect()
+    assert len(_SKEW_VERDICT_CACHE) == 2
+    # and the two verdicts must differ (60 rows under cap=4 has more
+    # oversized buckets than 20 rows)
+    v1, v2 = _SKEW_VERDICT_CACHE.values()
+    assert v1 != v2

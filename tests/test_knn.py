@@ -685,3 +685,86 @@ def test_hard_negative_topk_rejects_unknown_engine(spark):
             df, id_col="vec_id", vec_col="v", label_col="label",
             engine="nope",
         )
+
+
+def test_gemm_topk_chunked_kernel_matches_unchunked(monkeypatch):
+    """_gemm_topk must be invariant to the sims-slab budget: a 1-cell
+    slab (maximal chunking) and an unbounded slab give identical top-k,
+    threshold, and label-mask results — the bounded slab is a memory
+    shape, never a semantic one."""
+    import numpy as np
+
+    from wagtail_vector_index_spark.operators import knn
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(23, 6))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    P = rng.normal(size=(11, 6))
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    ids = np.arange(23)
+    p_ids = np.arange(100, 111)
+    m_labels = rng.integers(0, 3, size=23)
+    p_labels = rng.integers(0, 3, size=11)
+    cases = [
+        dict(threshold=None),
+        dict(threshold=0.3),
+        dict(m_labels=m_labels, p_labels=p_labels),
+    ]
+    def triples(out):
+        return {
+            (int(p), int(i), round(float(s), 12))
+            for p, i, s in zip(*out)
+        }
+
+    for kw in cases:
+        wide = triples(knn._gemm_topk(ids, M, p_ids, P, 4, **kw))
+        monkeypatch.setattr(knn, "_SIMS_SLAB_DOUBLES", 1)
+        tiny = triples(knn._gemm_topk(ids, M, p_ids, P, 4, **kw))
+        monkeypatch.undo()
+        # row order may differ across chunkings; the pair set (what the
+        # downstream Window consumes) must not
+        assert tiny == wide and len(wide) > 0, kw
+
+
+def test_auto_block_grid_scales_with_rows():
+    """blocks='auto' grid: per-side ceil(rows/target) at scale (memory
+    bound grows with data), grown to the parallelism floor when tiny."""
+    from wagtail_vector_index_spark.operators.knn import (
+        _BLOCK_TARGET_ROWS,
+        _auto_block_grid,
+    )
+
+    # huge asymmetric input: each side sized independently
+    pb, ib = _auto_block_grid(1_000_000, 50_000_000, 64)
+    assert pb == -(-1_000_000 // _BLOCK_TARGET_ROWS)
+    assert ib == -(-50_000_000 // _BLOCK_TARGET_ROWS)
+    # tiny input: grid grows to cover the parallelism floor
+    pb, ib = _auto_block_grid(1_000, 1_000, 64)
+    assert pb * ib >= 64
+    # 10x the data -> at least ~10x the blocks on the big side
+    _, ib10 = _auto_block_grid(1_000, 10 * _BLOCK_TARGET_ROWS * 64, 64)
+    assert ib10 >= 640
+
+
+def test_gemm_block_auto_blocks_parity(spark, embeddings_df):
+    """blocks='auto' (counts-derived grid) must equal the broadcast
+    engine exactly, like any pinned grid."""
+    probes = embeddings_df.limit(12).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    index = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vector")
+    )
+    kw = dict(index_id="vec_id", index_vec="vector", limit=4)
+    bc = {
+        (r["probe_id"], r["vec_id"], round(r["similarity"], 9))
+        for r in gemm_topk_join(probes, index, engine="broadcast", **kw).collect()
+    }
+    auto = {
+        (r["probe_id"], r["vec_id"], round(r["similarity"], 9))
+        for r in gemm_topk_join(
+            probes, index, engine="block", blocks="auto", **kw
+        ).collect()
+    }
+    assert auto == bc and len(auto) > 0

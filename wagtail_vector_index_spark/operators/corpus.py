@@ -443,12 +443,16 @@ class Corpus:
             n=n,
             threshold=threshold,
         )
-        comp = connected_components(pairs).withColumnRenamed(
-            "id", self.id_col
+        # Rename the components output to reserved names BEFORE the join:
+        # a corpus frame that already carries a `component` column would
+        # otherwise make the coalesce ambiguous (AnalysisException).
+        comp = connected_components(pairs).select(
+            F.col("id").alias(self.id_col),
+            F.col("component").alias("__component"),
         )
         lbl = self.df.join(comp, self.id_col, "left").withColumn(
-            "__comp", F.coalesce("component", F.col(self.id_col))
-        ).drop("component")
+            "__comp", F.coalesce("__component", F.col(self.id_col))
+        ).drop("__component")
         sz = lbl.groupBy("__comp").agg(
             F.count(F.lit(1)).alias("__csize")
         )

@@ -816,6 +816,13 @@ def block_neardup_pairs(
     empty = pd.DataFrame({"id_a": [], "id_b": [], sim_alias: []})
 
     def _block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sims-slab budget shared with the knn GEMM engines: the multiply
+        # is chunked over the right operand's columns so per-task slab
+        # memory stays O(1) no matter how big the block pair is
+        from wagtail_vector_index_spark.operators.knn import (
+            _SIMS_SLAB_DOUBLES,
+        )
+
         a = pdf[pdf["side"] == "a"]
         b = pdf[pdf["side"] == "b"]
         is_diagonal = int(pdf["bi"].iloc[0]) == int(pdf["bj"].iloc[0])
@@ -825,37 +832,91 @@ def block_neardup_pairs(
         Ma = np.array(a[vec_col].tolist(), dtype=np.float64)
         Ma /= np.maximum(np.linalg.norm(Ma, axis=1, keepdims=True), 1e-300)
         if is_diagonal:
-            # within-block: upper triangle of the self-product
-            sims = Ma @ Ma.T
-            ra, cb = np.where(sims >= thr)
-            keep = ids_a[ra] < ids_a[cb]
-            lo, hi = ids_a[ra[keep]], ids_a[cb[keep]]
-            vals = sims[ra[keep], cb[keep]]
+            ids_r, Mr = ids_a, Ma
         else:
-            # cross between disjoint blocks: keep all, normalize id order
-            ids_b = b[id_col].to_numpy()
-            Mb = np.array(b[vec_col].tolist(), dtype=np.float64)
-            Mb /= np.maximum(np.linalg.norm(Mb, axis=1, keepdims=True), 1e-300)
-            sims = Ma @ Mb.T
+            ids_r = b[id_col].to_numpy()
+            Mr = np.array(b[vec_col].tolist(), dtype=np.float64)
+            Mr /= np.maximum(np.linalg.norm(Mr, axis=1, keepdims=True), 1e-300)
+        n = Ma.shape[0]
+        chunk = max(1, _SIMS_SLAB_DOUBLES // max(n, 1))
+        los, his, valss = [], [], []
+        for s in range(0, Mr.shape[0], chunk):
+            e = min(s + chunk, Mr.shape[0])
+            sims = Ma @ Mr[s:e].T
             ra, cb = np.where(sims >= thr)
-            xa, xb = ids_a[ra], ids_b[cb]
-            swap = xa > xb
-            lo = np.where(swap, xb, xa)
-            hi = np.where(swap, xa, xb)
-            vals = sims[ra, cb]
-        return pd.DataFrame({"id_a": lo, "id_b": hi, sim_alias: vals})
+            xa, xb = ids_a[ra], ids_r[s + cb]
+            if is_diagonal:
+                # within-block: upper triangle of the self-product
+                keep = xa < xb
+                lo, hi = xa[keep], xb[keep]
+                vals = sims[ra[keep], cb[keep]]
+            else:
+                # cross between disjoint blocks: keep all, normalize order
+                swap = xa > xb
+                lo = np.where(swap, xb, xa)
+                hi = np.where(swap, xa, xb)
+                vals = sims[ra, cb]
+            los.append(lo)
+            his.append(hi)
+            valss.append(vals)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(los),
+                "id_b": np.concatenate(his),
+                sim_alias: np.concatenate(valss),
+            }
+        )
 
     return union.groupBy("bi", "bj").applyInPandas(_block_pair, schema=out_schema)
 
 
-# Skew-precheck verdicts keyed by (input plan fingerprint, banding
-# params): bucket-population skew is a property of the DATA VERSION,
-# not of the query — the session-local stand-in for manifest-attached
-# statistics. Safe to reuse or even be stale: the verdict only picks
-# the fan-out factors of the verify shuffle (plan shape); ANY factor
-# >= 1 yields the identical pair set, so a wrong entry can cost
-# balance, never correctness. Bounded at 64 entries (tiny dicts).
+# Skew-precheck verdicts keyed by (input plan fingerprint, DATA-VERSION
+# fingerprint, banding params): bucket-population skew is a property of
+# the data version, not of the query — the session-local stand-in for
+# manifest-attached statistics. The plan hash (semanticHash) alone is
+# NOT a version signal — re-reading the same parquet path after the
+# data grew yields the same plan hash — so the key also folds in the
+# input FILE LISTING (immutable parquet part files: appends add files,
+# overwrites rename them), restoring the max_bucket_rows memory guard
+# across data versions. A hit is therefore same-plan AND same-files;
+# a stale verdict can only happen if a file is mutated in place, which
+# parquet writers never do. The verdict only picks the fan-out factors
+# of the verify shuffle (plan shape); ANY factor >= 1 yields the
+# identical pair set, so even then the pair set is unaffected — only
+# the per-bucket GEMM bound would be. Bounded at 64 entries.
 _SKEW_VERDICT_CACHE: dict[tuple, dict[tuple[int, int], int]] = {}
+
+
+def _data_version_fingerprint(df: DataFrame) -> str | None:
+    """Data-version signal to pair with the plan hash in verdict cache
+    keys. File-backed plans: sha of the input file listing (parquet part
+    files are immutable — appends add files, overwrites rename them, so
+    same-plan/same-files implies same data). Purely in-memory plans
+    (LocalRelation / Range / LogicalRDD leaves): ``"local"`` — a
+    LocalRelation's data is embedded in the plan and a LogicalRDD's plan
+    hash carries the (immutable) RDD identity, so ``semanticHash`` alone
+    already versions them. Anything else (JDBC, streaming leaves): None
+    — nothing signals a data change, callers must skip verdict
+    caching."""
+    import hashlib
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if files:
+        return hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            name = leaves.apply(i).getClass().getSimpleName()
+            if name not in (
+                "LocalRelation", "OneRowRelation", "Range", "LogicalRDD"
+            ):
+                return None
+        return "local"
+    except Exception:
+        return None
 
 
 def lsh_neardup_pairs(
@@ -965,13 +1026,18 @@ def lsh_neardup_pairs(
         cap = int(max_bucket_rows)
         cache_key = None
         if skew_cache:
-            try:
-                cache_key = (
-                    df.semanticHash(), id_col, vec_col,
-                    int(num_planes), int(bands), cap,
-                )
-            except Exception:  # plan not hashable (e.g. RDD-backed leaf)
-                cache_key = None
+            # Data-version signal: the plan hash is the same before and
+            # after a same-path data refresh, so caching requires a
+            # file-listing fingerprint too (non-file inputs: no cache).
+            version = _data_version_fingerprint(df)
+            if version is not None:
+                try:
+                    cache_key = (
+                        df.semanticHash(), version, id_col, vec_col,
+                        int(num_planes), int(bands), cap,
+                    )
+                except Exception:  # plan not hashable
+                    cache_key = None
         if cache_key is not None and cache_key in _SKEW_VERDICT_CACHE:
             block_counts = dict(_SKEW_VERDICT_CACHE[cache_key])
         else:

@@ -451,6 +451,114 @@ def lsh_topk(
     )
 
 
+# Per-GEMM sims-slab budget, in float64 cells (~32 MB). Every GEMM kernel
+# below chunks its multiply over probe COLUMNS so the (n_index x n_probes)
+# similarity slab never materializes whole: peak kernel memory is the two
+# unit-vector blocks plus one bounded slab, O(rows + slab), regardless of
+# group or probe-set size. Without this the slab is quadratic in group
+# size (rows_p*rows_i/blocks^2 for the block engine; batch_rows*n_probes
+# for the broadcast engine) — the executor-OOM shape at 100 TB.
+_SIMS_SLAB_DOUBLES = 4_000_000
+
+# Target per-side rows per (probe-block, index-block) group for the
+# auto-sized block grid: 65k rows x 768 dims x 8 B ~ 400 MB worst-case
+# vectors per side per task at embedding widths, well under executor
+# memory; the sims slab is bounded separately (above).
+_BLOCK_TARGET_ROWS = 65_536
+
+
+def _gemm_topk(
+    ids: np.ndarray,
+    M_unit: np.ndarray,
+    p_ids: np.ndarray,
+    p_unit: np.ndarray,
+    k: int,
+    *,
+    threshold: float | None = None,
+    m_labels: np.ndarray | None = None,
+    p_labels: np.ndarray | None = None,
+):
+    """Shared chunked GEMM top-k kernel: for every probe (column) the
+    local top-``k`` index rows by cosine, multiplying at most
+    ``_SIMS_SLAB_DOUBLES`` cells at a time. With ``m_labels``/``p_labels``
+    same-label pairs are masked below the cosine floor (hard-negative
+    mining); with ``threshold`` pairs below it are dropped. Returns
+    (probe_ids, index_ids, sims) 1-D arrays."""
+    n = M_unit.shape[0]
+    total_p = p_unit.shape[0]
+    take = min(int(k), n)
+    chunk = max(1, _SIMS_SLAB_DOUBLES // max(n, 1))
+    outs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for s in range(0, total_p, chunk):
+        e = min(s + chunk, total_p)
+        sims = M_unit @ p_unit[s:e].T  # (n_index, <=chunk probes)
+        if m_labels is not None:
+            sims[m_labels[:, None] == p_labels[None, s:e]] = -2.0
+        top_idx = np.argpartition(-sims, take - 1, axis=0)[:take]
+        rows_probe = np.repeat(p_ids[s:e][np.newaxis, :], take, axis=0).ravel()
+        rows_index = ids[top_idx].ravel()
+        rows_sim = np.take_along_axis(sims, top_idx, axis=0).ravel()
+        if m_labels is not None:
+            keep = rows_sim > -2.0
+            rows_probe, rows_index, rows_sim = (
+                rows_probe[keep], rows_index[keep], rows_sim[keep],
+            )
+        if threshold:
+            keep = rows_sim >= threshold
+            rows_probe, rows_index, rows_sim = (
+                rows_probe[keep], rows_index[keep], rows_sim[keep],
+            )
+        outs.append((rows_probe, rows_index, rows_sim))
+    if not outs:
+        z = np.array([])
+        return z, z, z
+    return (
+        np.concatenate([o[0] for o in outs]),
+        np.concatenate([o[1] for o in outs]),
+        np.concatenate([o[2] for o in outs]),
+    )
+
+
+def _auto_block_grid(
+    n_probes: int, n_index: int, min_groups: int
+) -> tuple[int, int]:
+    """Two-sided block grid for the no-collect GEMM engines: each side
+    gets ceil(rows/_BLOCK_TARGET_ROWS) blocks (bounding per-group row
+    memory — the sims slab is bounded separately by the chunked kernel),
+    then the grid is grown toward ``min_groups`` tasks by doubling the
+    side with more rows per block, so small inputs still fan out across
+    the cluster. Shuffle volume is pb copies of the index side + ib
+    copies of the probe side — O(n_p*n_i/target), the irreducible
+    replication of exact all-pairs work split into bounded tiles."""
+    pb = max(1, -(-int(n_probes) // _BLOCK_TARGET_ROWS))
+    ib = max(1, -(-int(n_index) // _BLOCK_TARGET_ROWS))
+    while pb * ib < int(min_groups):
+        if n_probes / pb >= n_index / ib:
+            pb *= 2
+        else:
+            ib *= 2
+    return pb, ib
+
+
+def _resolve_block_grid(
+    blocks: int | str,
+    probes_df: DataFrame,
+    index_df: DataFrame,
+    n_probes: int | None = None,
+) -> tuple[int, int]:
+    """Resolve the ``blocks`` argument: an int pins a square grid (exact
+    legacy behavior for tests/tuning); ``"auto"`` counts both sides (two
+    cheap jobs, negligible next to the quadratic GEMM they size) and
+    derives the grid from data volume + cluster parallelism."""
+    if blocks != "auto":
+        b = int(blocks)
+        return b, b
+    n_p = int(n_probes) if n_probes is not None else probes_df.count()
+    n_i = index_df.count()
+    min_groups = 2 * probes_df.sparkSession.sparkContext.defaultParallelism
+    return _auto_block_grid(n_p, n_i, min_groups)
+
+
 def gemm_topk_join(
     probes_df: DataFrame,
     index_df: DataFrame,
@@ -463,7 +571,7 @@ def gemm_topk_join(
     similarity_threshold: float = 0.0,
     sim_alias: str = "similarity",
     engine: str = "auto",
-    blocks: int = 8,
+    blocks: int | str = "auto",
     max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Cosine top-k similarity join via numpy GEMM. Two physical engines,
@@ -479,17 +587,23 @@ def gemm_topk_join(
       out, and a final Window cuts the exact global top-k. Shuffle
       volume is O(num_partitions · N_probes · k), independent of index
       size — the right plan while the probe set fits the driver.
-    - ``engine="block"``: NOTHING collects. Both sides hash into
-      ``blocks`` blocks; every (probe-block, index-block) pair is one
-      grouped-Arrow task running the same GEMM and emitting its local
-      per-probe top-k. Per-group memory is O(rows/blocks) on each side,
-      shuffle ~``blocks`` copies of each side — the corpus-as-probes
-      100 TB path (same shape as ``hard_negative_topk``'s block engine).
+    - ``engine="block"``: NOTHING collects. Probes hash into ``pb``
+      blocks and index rows into ``ib`` blocks; every (probe-block,
+      index-block) pair is one grouped-Arrow task running the same GEMM
+      and emitting its local per-probe top-k. Per-group row memory is
+      O(rows/blocks) on each side and the sims slab is bounded by the
+      chunked kernel (``_gemm_topk``) — the corpus-as-probes 100 TB path
+      (same shape as ``hard_negative_topk``'s block engine).
 
     ``engine="auto"`` (default) bounds-counts the probe side
     (``limit(max_broadcast_rows+1).count()`` — never a full scan) and
     picks broadcast iff it is at most ``max_broadcast_rows``, so no
     caller can drive a corpus-sized probe set into the driver collect.
+
+    ``blocks="auto"`` (default) sizes the block grid from both sides'
+    row counts (per-side blocks = ceil(rows/65536), grown to >= 2x
+    cluster parallelism tasks), so the grid scales with the data instead
+    of a fixed constant; an int pins a square grid exactly.
     """
     if engine not in ("auto", "broadcast", "block"):
         raise ValueError(f"unknown engine {engine!r}")
@@ -513,6 +627,7 @@ def gemm_topk_join(
         F.col(sim_alias).desc(), F.col(index_id).asc()
     )
     if engine == "block":
+        pb, ib = _resolve_block_grid(blocks, probes_df, index_df)
         candidates = _block_topk_candidates(
             probes_df,
             index_df,
@@ -523,7 +638,8 @@ def gemm_topk_join(
             limit=int(limit),
             similarity_threshold=float(similarity_threshold),
             sim_alias=sim_alias,
-            blocks=int(blocks),
+            probe_blocks=pb,
+            index_blocks=ib,
             out_schema=out_schema,
         )
         return (
@@ -557,21 +673,9 @@ def gemm_topk_join(
             if M.shape[1] != dim:
                 continue
             M_unit = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-            sims = M_unit @ p_unit.T  # (n_index, n_probes)
-            n = sims.shape[0]
-            take = min(k, n)
-            # per-probe candidate top-k within this batch
-            top_idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, n_probes)
-            rows_probe = np.repeat(p_ids[np.newaxis, :], take, axis=0).ravel()
-            rows_index = ids[top_idx].ravel()
-            rows_sim = np.take_along_axis(sims, top_idx, axis=0).ravel()
-            if threshold:
-                keep = rows_sim >= threshold
-                rows_probe, rows_index, rows_sim = (
-                    rows_probe[keep],
-                    rows_index[keep],
-                    rows_sim[keep],
-                )
+            rows_probe, rows_index, rows_sim = _gemm_topk(
+                ids, M_unit, p_ids, p_unit, k, threshold=threshold
+            )
             yield pd.DataFrame(
                 {probe_id: rows_probe, index_id: rows_index, sim_alias: rows_sim}
             )
@@ -597,22 +701,25 @@ def _block_topk_candidates(
     limit: int,
     similarity_threshold: float,
     sim_alias: str,
-    blocks: int,
+    probe_blocks: int,
+    index_blocks: int,
     out_schema: T.StructType,
 ) -> DataFrame:
     """Blocked GEMM top-k candidates (unlabeled twin of
     :func:`_hard_negative_block_candidates`): probes hashed into
-    ``blocks`` blocks and replicated once per index block, index rows
-    hashed and replicated once per probe block; each (gp, gi) group runs
-    one BLAS multiply and emits its LOCAL per-probe top-``limit`` — a
-    superset of the global winners, cut exactly by the caller's Window.
-    No driver collect, no broadcast; per-group memory O(rows/blocks) on
-    each side. Probe and index id columns keep their own (possibly
-    different) types — each rides its own nullable column through the
-    union."""
+    ``probe_blocks`` blocks and replicated once per index block, index
+    rows hashed into ``index_blocks`` and replicated once per probe
+    block; each (gp, gi) group runs a chunked BLAS multiply
+    (``_gemm_topk`` — sims slab bounded) and emits its LOCAL per-probe
+    top-``limit`` — a superset of the global winners, cut exactly by the
+    caller's Window. No driver collect, no broadcast; per-group row
+    memory O(rows/blocks) on each side, slab memory O(1). Probe and
+    index id columns keep their own (possibly different) types — each
+    rides its own nullable column through the union."""
     import pandas as pd
 
-    b = int(blocks)
+    pb = int(probe_blocks)
+    ib = int(index_blocks)
     k = int(limit)
     threshold = float(similarity_threshold)
     p_id_type = probes_df.schema[probe_id].dataType
@@ -625,13 +732,13 @@ def _block_topk_candidates(
         )
         .withColumn(
             "__blk",
-            F.pmod(F.xxhash64(F.col("__pid").cast("string")), F.lit(b)).cast("int"),
+            F.pmod(F.xxhash64(F.col("__pid").cast("string")), F.lit(pb)).cast("int"),
         )
         .withColumn(
             "__t",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.lit(b - 1)),
+                    F.sequence(F.lit(0), F.lit(ib - 1)),
                     lambda j: F.struct(
                         F.col("__blk").alias("gp"), j.cast("int").alias("gi")
                     ),
@@ -654,13 +761,13 @@ def _block_topk_candidates(
         )
         .withColumn(
             "__blk",
-            F.pmod(F.xxhash64(F.col("__iid").cast("string")), F.lit(b)).cast("int"),
+            F.pmod(F.xxhash64(F.col("__iid").cast("string")), F.lit(ib)).cast("int"),
         )
         .withColumn(
             "__t",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.lit(b - 1)),
+                    F.sequence(F.lit(0), F.lit(pb - 1)),
                     lambda i: F.struct(
                         i.cast("int").alias("gp"), F.col("__blk").alias("gi")
                     ),
@@ -696,20 +803,9 @@ def _block_topk_candidates(
         ids = idx["__iid"].to_numpy()
         M = np.array(idx["__vec"].tolist(), dtype=np.float64)
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        sims = M @ A.T  # (n_index, n_probes)
-        n = sims.shape[0]
-        take = min(k, n)
-        top_idx = np.argpartition(-sims, take - 1, axis=0)[:take]
-        rows_probe = np.repeat(p_ids[np.newaxis, :], take, axis=0).ravel()
-        rows_index = ids[top_idx].ravel()
-        rows_sim = np.take_along_axis(sims, top_idx, axis=0).ravel()
-        if threshold:
-            keep = rows_sim >= threshold
-            rows_probe, rows_index, rows_sim = (
-                rows_probe[keep],
-                rows_index[keep],
-                rows_sim[keep],
-            )
+        rows_probe, rows_index, rows_sim = _gemm_topk(
+            ids, M, p_ids, A, k, threshold=threshold
+        )
         return pd.DataFrame(
             {probe_id: rows_probe, index_id: rows_index, sim_alias: rows_sim}
         )
@@ -727,7 +823,7 @@ def hard_negative_topk(
     sim_alias: str = "similarity",
     anchors: DataFrame | None = None,
     engine: str = "auto",
-    blocks: int = 8,
+    blocks: int | str = "auto",
     max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Per-vector hardest CROSS-LABEL neighbors: for every anchor row,
@@ -746,13 +842,14 @@ def hard_negative_topk(
       below the cosine floor before the per-partition argpartition).
       Shuffle O(partitions x anchors x k), independent of index size —
       the right plan while the anchor set fits the driver.
-    - ``engine="block"``: NOTHING collects. Both sides hash into
-      ``blocks`` blocks; every (anchor-block, index-block) pair is one
-      ``applyInPandas`` group running the same masked GEMM and emitting
-      its local per-anchor top-k. Per-group memory is O(rows/blocks),
-      shuffle ~``blocks`` copies of each side — choose ``blocks`` ~
-      cluster width. This is the corpus-as-anchors 100 TB path (the
-      ``block_neardup_pairs`` pattern, operators/dedup.py).
+    - ``engine="block"``: NOTHING collects. Each side hashes into its
+      own block count (``blocks="auto"`` derives both from row counts,
+      an int pins a square grid); every (anchor-block, index-block) pair
+      is one ``applyInPandas`` group running the same masked GEMM —
+      chunked, so the sims slab is bounded — and emitting its local
+      per-anchor top-k. Per-group row memory is O(rows/blocks), shuffle
+      ~blocks copies of each side. This is the corpus-as-anchors 100 TB
+      path (the ``block_neardup_pairs`` pattern, operators/dedup.py).
 
     ``engine="auto"`` (default) bounds-counts the anchor side
     (``limit(max_broadcast_rows+1).count()`` — never a full scan of a
@@ -797,6 +894,7 @@ def hard_negative_topk(
                 f"({df.schema[id_col].dataType.simpleString()}); use "
                 "engine='broadcast' for mixed-type anchor sets"
             )
+        pb, ib = _resolve_block_grid(blocks, anchor_df, df)
         candidates = _hard_negative_block_candidates(
             df,
             anchor_df,
@@ -805,7 +903,8 @@ def hard_negative_topk(
             vec_col=vec_col,
             limit=int(limit),
             sim_alias=sim_alias,
-            blocks=int(blocks),
+            anchor_blocks=pb,
+            index_blocks=ib,
             out_schema=out_schema,
         )
         return (
@@ -839,24 +938,17 @@ def hard_negative_topk(
             M_unit = M / np.maximum(
                 np.linalg.norm(M, axis=1, keepdims=True), 1e-300
             )
-            sims = M_unit @ p_unit.T  # (n_index, n_anchors)
-            # mask same-label pairs below the cosine floor so they can
-            # never enter a top-k
-            sims[labels[:, None] == p_labels[None, :]] = -2.0
-            n = sims.shape[0]
-            take = min(k, n)
-            top_idx = np.argpartition(-sims, take - 1, axis=0)[:take]
-            rows_anchor = np.repeat(
-                p_ids[np.newaxis, :], take, axis=0
-            ).ravel()
-            rows_index = ids[top_idx].ravel()
-            rows_sim = np.take_along_axis(sims, top_idx, axis=0).ravel()
-            keep = rows_sim > -2.0
+            # same-label pairs masked below the cosine floor inside the
+            # chunked kernel so they can never enter a top-k
+            rows_anchor, rows_index, rows_sim = _gemm_topk(
+                ids, M_unit, p_ids, p_unit, k,
+                m_labels=labels, p_labels=p_labels,
+            )
             yield pd.DataFrame(
                 {
-                    "anchor_id": rows_anchor[keep],
-                    id_col: rows_index[keep],
-                    sim_alias: rows_sim[keep],
+                    "anchor_id": rows_anchor,
+                    id_col: rows_index,
+                    sim_alias: rows_sim,
                 }
             )
 
@@ -879,37 +971,43 @@ def _hard_negative_block_candidates(
     vec_col: str,
     limit: int,
     sim_alias: str,
-    blocks: int,
+    anchor_blocks: int,
+    index_blocks: int,
     out_schema: T.StructType,
 ) -> DataFrame:
     """Blocked label-masked GEMM candidates: anchors hashed into
-    ``blocks`` blocks and replicated once per index block, index rows
-    hashed and replicated once per anchor block; each (ga, gi) group
-    runs one masked BLAS multiply and emits its LOCAL per-anchor
+    ``anchor_blocks`` blocks and replicated once per index block, index
+    rows hashed into ``index_blocks`` and replicated once per anchor
+    block; each (ga, gi) group runs a chunked masked BLAS multiply
+    (``_gemm_topk`` — sims slab bounded) and emits its LOCAL per-anchor
     top-``limit`` — a superset of the global winners, cut exactly by
-    the caller's Window. No driver collect, no broadcast; per-group
-    memory O(rows/blocks) on each side."""
+    the caller's Window. No driver collect, no broadcast; per-group row
+    memory O(rows/blocks) on each side, slab memory O(1)."""
     import pandas as pd
 
-    b = int(blocks)
+    ab = int(anchor_blocks)
+    ib = int(index_blocks)
     k = int(limit)
 
     def _tagged(src: DataFrame, side: str) -> DataFrame:
-        blk = F.pmod(
-            F.xxhash64(F.col(id_col).cast("string")), F.lit(b)
-        ).cast("int")
         if side == "a":
             # anchor block ga is the row's own hash; meet every gi
+            blk = F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(ab)
+            ).cast("int")
             tgt = F.transform(
-                F.sequence(F.lit(0), F.lit(b - 1)),
+                F.sequence(F.lit(0), F.lit(ib - 1)),
                 lambda j: F.struct(
                     F.col("__blk").alias("ga"), j.cast("int").alias("gi")
                 ),
             )
         else:
             # index block gi is the row's own hash; meet every ga
+            blk = F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(ib)
+            ).cast("int")
             tgt = F.transform(
-                F.sequence(F.lit(0), F.lit(b - 1)),
+                F.sequence(F.lit(0), F.lit(ab - 1)),
                 lambda i: F.struct(
                     i.cast("int").alias("ga"), F.col("__blk").alias("gi")
                 ),
@@ -946,20 +1044,14 @@ def _hard_negative_block_candidates(
         labels = idx[label_col].to_numpy()
         M = np.array(idx[vec_col].tolist(), dtype=np.float64)
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        sims = M @ A.T  # (n_index, n_anchors)
-        sims[labels[:, None] == p_labels[None, :]] = -2.0
-        n = sims.shape[0]
-        take = min(k, n)
-        top_idx = np.argpartition(-sims, take - 1, axis=0)[:take]
-        rows_anchor = np.repeat(p_ids[np.newaxis, :], take, axis=0).ravel()
-        rows_index = ids[top_idx].ravel()
-        rows_sim = np.take_along_axis(sims, top_idx, axis=0).ravel()
-        keep = rows_sim > -2.0
+        rows_anchor, rows_index, rows_sim = _gemm_topk(
+            ids, M, p_ids, A, k, m_labels=labels, p_labels=p_labels
+        )
         return pd.DataFrame(
             {
-                "anchor_id": rows_anchor[keep],
-                id_col: rows_index[keep],
-                sim_alias: rows_sim[keep],
+                "anchor_id": rows_anchor,
+                id_col: rows_index,
+                sim_alias: rows_sim,
             }
         )
 
@@ -976,7 +1068,7 @@ def mutual_knn_graph(
     k: int = 5,
     engine: str = "gemm",
     round_decimals: int | None = 6,
-    blocks: int = 8,
+    blocks: int | str = "auto",
     max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Mutual k-NN graph over one embedding table: canonical edges
@@ -1028,7 +1120,7 @@ def mutual_knn_graph(
             index_vec="__iv",
             limit=int(k) + 1,
             engine="auto" if engine == "gemm" else "block",
-            blocks=int(blocks),
+            blocks=blocks,
             max_broadcast_rows=int(max_broadcast_rows),
         )
     sim = F.col("similarity")
