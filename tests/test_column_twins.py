@@ -179,3 +179,52 @@ def test_chat_null_prompt_parity(spark):
     arrow = chat_dataframe(prompts, backend=CapturingEcho()).collect()[0]
     assert twin["response"] == "This is an echo backend: "
     assert arrow["response"] == "This is an echo backend: "
+
+
+def test_ngram_fingerprints_match_duckdb_replay(spark):
+    """ngram_fingerprints_col must produce byte-identical fingerprints to
+    the documented DuckDB replay (_ngram_fp_sql), including docs shorter
+    than n tokens (single fingerprint over available tokens) and empty
+    text (fingerprint 0)."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        ngram_fingerprints_col,
+        token_sha_hashes_col,
+    )
+    from wagtail_vector_index_spark.queries_text import (
+        TOKEN_HASHES_SQL,
+        _ngram_fp_sql,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river bank today"),
+        (2, "short doc"),                        # < n tokens
+        (3, ""),                                  # empty
+        (4, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"),
+        (5, "repeat repeat repeat repeat repeat repeat repeat repeat repeat repeat repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (3, 13):
+        got = sorted(
+            (r["doc_id"], r["fp"])
+            for r in df.select(
+                "doc_id", token_sha_hashes_col(F.col("text")).alias("__th")
+            )
+            .select(
+                "doc_id",
+                F.explode(ngram_fingerprints_col(F.col("__th"), n)).alias("fp"),
+            )
+            .collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        want = sorted(
+            con.execute(
+                f"WITH t AS (SELECT doc_id, {TOKEN_HASHES_SQL} AS th FROM docs) "
+                f"SELECT doc_id, unnest({_ngram_fp_sql(n)}) AS fp FROM t "
+            ).fetchall()
+        )
+        assert got == [(a, b) for a, b in want] and len(got) > 0, n

@@ -1085,3 +1085,76 @@ def test_lsh_neardup_skew_verdict_keyed_on_data_version(spark, tmp_path):
     # oversized buckets than 20 rows)
     v1, v2 = _SKEW_VERDICT_CACHE.values()
     assert v1 != v2
+
+
+def test_collapsed_jaccard_pairs_match_plain(spark):
+    """ngram_jaccard_pairs_collapsed must equal ngram_jaccard_pairs
+    pair-for-pair (ids AND jaccard) on a corpus with a planted
+    identical-text mega-cluster, near-dups, and unique docs."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_collapsed,
+    )
+
+    boiler = "all work and no play makes jack a dull boy " * 3
+    rows = [(i, boiler) for i in range(10)]  # identical cluster
+    rows += [
+        (20, "the quick brown fox jumps over the lazy dog today"),
+        (21, "the quick brown fox jumps over the lazy dog tonight"),
+        (22, "completely unrelated text about catalyst plan pushdown"),
+        # same shingle SET as 20 via duplicated trailing words
+        (23, "the quick brown fox jumps over the lazy dog today today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.3, 0.5, 0.99):
+        plain = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(df, n=3, threshold=thr).collect()
+        }
+        coll = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs_collapsed(
+                df, n=3, threshold=thr
+            ).collect()
+        }
+        assert coll == plain and len(plain) >= 45, thr
+
+
+def test_dup_cluster_edges_same_components_and_losers(spark):
+    """ngram_dup_cluster_edges must give the same connected components
+    AND the same keep_representatives survivor set as the full pair
+    graph — with linear (not quadratic) edge count on the clique."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        connected_components,
+        keep_representatives,
+        ngram_dup_cluster_edges,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "all work and no play makes jack a dull boy " * 3
+    rows = [(i, boiler) for i in range(8)]
+    rows += [
+        (20, "the quick brown fox jumps over the lazy dog today"),
+        (21, "the quick brown fox jumps over the lazy dog tonight"),
+        (22, "completely unrelated text about catalyst plan pushdown"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    star = ngram_dup_cluster_edges(df, n=3, threshold=0.5)
+    # components identical
+    cf = {
+        (r["id"], r["component"])
+        for r in connected_components(full).collect()
+    }
+    cs = {
+        (r["id"], r["component"])
+        for r in connected_components(star).collect()
+    }
+    assert cs == cf and len(cf) > 0
+    # survivor set identical
+    sf_ = {r["doc_id"] for r in keep_representatives(df, full).collect()}
+    ss = {r["doc_id"] for r in keep_representatives(df, star).collect()}
+    assert ss == sf_
+    # edge count linear on the 8-clique: 7 star edges + cross pairs,
+    # vs the full graph's 28 within-clique pairs
+    assert star.count() < full.count()

@@ -344,3 +344,57 @@ def test_neardup_corpus_stream_matches_sequential_batches(spark, tmp_path):
     before = read_live_table(spark, table).count()
     run_stream()
     assert read_live_table(spark, table).count() == before
+
+
+def test_decontaminated_corpus_stream_eval_set_refresh(spark, tmp_path):
+    """Mid-stream eval-set replacement: refresh_eval_set() swaps the
+    gram table, so a doc colliding only with the NEW eval suite passes
+    batches before the refresh and is dropped after it."""
+    from wagtail_vector_index_spark.sources.manifest import read_live_table
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        decontaminated_corpus_stream,
+    )
+
+    old_span = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    new_span = "nov osc papa queb rome sierra tango unif vic whisk xray yank zulu"
+    filler = " ".join(f"w{i}" for i in range(40))
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "refresh_stream")
+    table = str(tmp_path / "refresh_corpus")
+    ckpt = str(tmp_path / "ckpt_refresh")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # phase 1: doc 1 collides with the OLD eval set, doc 2 carries the
+    # FUTURE eval span (clean under the old set)
+    write_batch([(1, f"{filler} {old_span}"), (2, f"{filler} {new_span}")])
+    old_eval = spark.createDataFrame([(100, f"x {old_span} y")], schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = decontaminated_corpus_stream(
+        stream, eval_df=old_eval, path=table, checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(300)
+    assert {r["doc_id"] for r in read_live_table(spark, table).collect()} == {2}
+
+    # phase 2: a LONG-RUNNING stream (continuous trigger), refreshed to
+    # the NEW eval suite BEFORE the next docs arrive — 3 collides with
+    # the new span (dropped), 4 with the old one (passes: the old suite
+    # was REPLACED, not extended)
+    new_eval = spark.createDataFrame([(200, f"x {new_span} y")], schema)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = decontaminated_corpus_stream(
+        stream2, eval_df=old_eval, path=table, checkpoint_dir=ckpt,
+        trigger_once=False,
+    )
+    try:
+        q2.processAllAvailable()  # drain any checkpoint replay first
+        q2.refresh_eval_set(new_eval)
+        write_batch([(3, f"{filler} {new_span}"), (4, f"{filler} {old_span}")])
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+    assert got == {2, 4}

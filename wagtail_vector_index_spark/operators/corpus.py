@@ -94,7 +94,7 @@ class Corpus:
             keep_representatives,
             keep_representatives_exact,
             minhash_lsh_pairs,
-            ngram_jaccard_pairs,
+            ngram_dup_cluster_edges,
             simhash_pairs_dense,
         )
 
@@ -107,7 +107,12 @@ class Corpus:
                 **kwargs,
             )
         elif method == "jaccard":
-            pairs = ngram_jaccard_pairs(
+            # star+rep edges, not the full pair enumeration: both drop
+            # policies depend only on has-a-smaller-qualifying-neighbor
+            # (keep_representatives) or connectivity
+            # (keep_representatives_exact), and star edges preserve both
+            # exactly while staying linear in mega-cluster size
+            pairs = ngram_dup_cluster_edges(
                 self.df,
                 id_col=self.id_col,
                 text_col=self.text_col,
@@ -173,8 +178,12 @@ class Corpus:
         of ``source_col`` values (those rows are ALSO removed from the
         corpus) or an external ``eval_df`` with the same id/text columns.
         Candidates only meet on shared shingles, so the check never goes
-        quadratic in corpus size."""
+        quadratic in corpus size. Join key = 32-bit sha_hash64 of the
+        shingle (oracle-replayable), not the raw string — the key
+        dominated shuffle bytes; collision caveat as documented on the
+        prefix-filter dedup path."""
         from wagtail_vector_index_spark.functions.text_analysis import (
+            shingle_hashes_col,
             word_shingles_col,
         )
 
@@ -194,7 +203,11 @@ class Corpus:
         def shingled(df, id_alias, n_alias):
             return df.select(
                 F.col(self.id_col).alias(id_alias),
-                word_shingles_col(F.col(self.text_col), n).alias("__sh"),
+                F.array_distinct(
+                    shingle_hashes_col(
+                        word_shingles_col(F.col(self.text_col), n)
+                    )
+                ).alias("__sh"),
             ).select(
                 id_alias,
                 F.size("__sh").alias(n_alias),
@@ -236,9 +249,15 @@ class Corpus:
         training doc dilutes Jaccard to nothing but still collides.
         Eval n-grams dedup in one distinct agg (eval sets are bounded);
         the collision test meets only on shared shingles — never
-        quadratic in corpus size."""
+        quadratic in corpus size. Join key = token-hash XOR-shift
+        FINGERPRINT (ngram_fingerprints_col: sha256 once per token,
+        n shift-XORs per gram — never builds the ~60-100 B gram string,
+        the measured floor of the audit gate), oracle-replayable;
+        collision caveat as documented on the prefix-filter dedup
+        path."""
         from wagtail_vector_index_spark.functions.text_analysis import (
-            word_shingles_col,
+            ngram_fingerprints_col,
+            token_sha_hashes_col,
         )
 
         if (eval_sources is None) == (eval_df is None):
@@ -253,21 +272,22 @@ class Corpus:
         else:
             train_docs = self.df
             eval_docs = eval_df
-        ev = (
-            eval_docs.select(
-                F.explode(
-                    word_shingles_col(F.col(self.text_col), n)
-                ).alias("sh")
+        def grams(df, *cols):
+            # token hashes bound to a column before fingerprinting (see
+            # token_sha_hashes_col: unbound inlining recomputes the sha
+            # pass per gram reference)
+            return df.select(
+                *cols, token_sha_hashes_col(F.col(self.text_col)).alias("__th")
+            ).select(
+                *cols,
+                F.explode(ngram_fingerprints_col(F.col("__th"), n)).alias("sh"),
             )
-            .distinct()
-        )
+
+        # broadcast: the distinct eval gram set is eval-suite sized
+        # (bounded), so the corpus side never shuffles for this join
+        ev = F.broadcast(grams(eval_docs).distinct())
         flagged = (
-            train_docs.select(
-                self.id_col,
-                F.explode(
-                    word_shingles_col(F.col(self.text_col), n)
-                ).alias("sh"),
-            )
+            grams(train_docs, self.id_col)
             .join(ev, "sh")
             .select(self.id_col)
             .distinct()
@@ -380,9 +400,12 @@ class Corpus:
         ``pipeline_split_leakage`` shape). Returns (id_a, id_b, jaccard,
         split_a, split_b); empty means the split is leak-free at this
         threshold. Pairs meet only on shared shingles — never quadratic
-        in corpus size."""
+        in corpus size — and identical-shingle-set documents collapse to
+        one representative before the co-count join (exact; see
+        ngram_jaccard_pairs_collapsed), so a crawl's
+        identical-boilerplate mega-cluster can't detonate the join."""
         from wagtail_vector_index_spark.operators.dedup import (
-            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_collapsed,
         )
         from wagtail_vector_index_spark.operators.skew import split_col
 
@@ -390,7 +413,7 @@ class Corpus:
             F.col(self.id_col),
             split_col(F.col(self.id_col), fractions).alias("split"),
         )
-        pairs = ngram_jaccard_pairs(
+        pairs = ngram_jaccard_pairs_collapsed(
             self.df,
             id_col=self.id_col,
             text_col=self.text_col,
@@ -433,10 +456,13 @@ class Corpus:
         :meth:`sample_weighted` to realize the downsampling."""
         from wagtail_vector_index_spark.operators.dedup import (
             connected_components,
-            ngram_jaccard_pairs,
+            ngram_dup_cluster_edges,
         )
 
-        pairs = ngram_jaccard_pairs(
+        # star edges: same connected components as the full pair graph,
+        # linear in cluster size (mega-dup-cluster safe; weights only
+        # need connectivity, never the clique's pair enumeration)
+        pairs = ngram_dup_cluster_edges(
             self.df,
             id_col=self.id_col,
             text_col=self.text_col,

@@ -274,6 +274,153 @@ def ngram_jaccard_pairs(
     return _exact_jaccard_pairs(shingled, id_col=id_col, threshold=threshold)
 
 
+def _shingle_set_groups(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse documents with IDENTICAL word-``n``-gram shingle SETS
+    into groups — the mega-duplicate-cluster guard for the exact-Jaccard
+    pair generators.
+
+    Jaccard is a pure function of the two shingle sets, so every member
+    of a group behaves identically against every other document: the
+    quadratic co-count join only needs to run over one REPRESENTATIVE
+    (min id) per group, and results expand back exactly afterwards. A
+    crawl's identical-boilerplate cluster (the co-count join's worst
+    case: R copies sharing S shingles cost R^2*S join rows) collapses
+    to ONE row before the join — no recall loss, because only
+    provably-identical sets collapse. The group key is
+    sha256 over the \\x1f-joined SORTED shingle array (shingles are
+    already distinct), i.e. a fingerprint of the set itself, not of the
+    raw text — docs differing only in whitespace/token order that yield
+    the same set still group.
+
+    Returns ``(members, groups)``: members = (id, __g); groups =
+    (__g, __rep, shingles, __gsize) with one row per distinct shingle
+    set, carrying the representative's shingle array for the rep-grain
+    pair join (picked up via min_by in the same agg — no join-back
+    pass)."""
+    shingled = _ensure_parallelism(df, id_col).select(
+        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    )
+    hashed = shingled.select(
+        id_col,
+        "shingles",
+        F.sha2(
+            F.array_join(F.array_sort("shingles"), "\x1f"), 256
+        ).alias("__g"),
+    )
+    members = hashed.select(id_col, "__g")
+    groups = hashed.groupBy("__g").agg(
+        F.min(id_col).alias("__rep"),
+        F.min_by("shingles", F.col(id_col)).alias("shingles"),
+        F.count(F.lit(1)).alias("__gsize"),
+    )
+    return members, groups
+
+
+def ngram_jaccard_pairs_collapsed(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Identical output to :func:`ngram_jaccard_pairs` (every qualifying
+    (id_a < id_b, jaccard) pair), but identical-shingle-set documents
+    collapse to one representative BEFORE the quadratic co-count join
+    (:func:`_shingle_set_groups`): the join and intersection agg run at
+    unique-set grain, then pairs expand back — cross-group pairs inherit
+    the representative pair's jaccard (sets identical => same value),
+    within-group pairs are jaccard 1.0 by construction. Exact, not
+    approximate: only provably-identical sets collapse.
+
+    The OUTPUT is still inherently quadratic in mega-cluster size (R
+    identical docs = R(R-1)/2 pairs — that's the answer, not a plan
+    artifact); what this removes is the quadratic JOIN/AGG work. When
+    only connectivity is needed downstream (components, cluster sizes,
+    weights), use :func:`ngram_dup_cluster_edges` — linear output too."""
+    members, groups = _shingle_set_groups(
+        df, id_col=id_col, text_col=text_col, n=n
+    )
+    rep_pairs = _exact_jaccard_pairs(
+        groups.select(F.col("__rep").alias(id_col), "shingles"),
+        id_col=id_col,
+        threshold=threshold,
+    )
+    # member -> representative map (narrow; one hash join on __g)
+    mg = members.join(groups.select("__g", "__rep"), "__g").select(
+        F.col(id_col), F.col("__rep")
+    )
+    cross = (
+        rep_pairs.join(
+            mg.select(
+                F.col("__rep").alias("id_a"), F.col(id_col).alias("__xa")
+            ),
+            "id_a",
+        )
+        .join(
+            mg.select(
+                F.col("__rep").alias("id_b"), F.col(id_col).alias("__xb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if float(threshold) > 1.0:  # identical sets (J=1.0) don't qualify
+        return cross
+    l, r = mg.alias("l"), mg.alias("r")
+    within = (
+        l.join(r, F.col("l.__rep") == F.col("r.__rep"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def ngram_dup_cluster_edges(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Edge list (id_a, id_b) whose connected components are EXACTLY the
+    components of the full :func:`ngram_jaccard_pairs` graph, with
+    output LINEAR in corpus size: identical-shingle-set groups
+    contribute a representative->member star (connectivity-equivalent to
+    their clique — every member reaches every other through the rep),
+    and qualifying representative pairs carry the cross-group edges
+    (identical sets => every member pair qualifies iff the rep pair
+    does). The mega-cluster-safe pair source for components / cluster
+    sizes / dup-aware weights, where enumerating a clique's R(R-1)/2
+    edges buys nothing."""
+    members, groups = _shingle_set_groups(
+        df, id_col=id_col, text_col=text_col, n=n
+    )
+    rep_pairs = _exact_jaccard_pairs(
+        groups.select(F.col("__rep").alias(id_col), "shingles"),
+        id_col=id_col,
+        threshold=threshold,
+    ).select("id_a", "id_b")
+    if float(threshold) > 1.0:  # identical sets (J=1.0) don't qualify
+        return rep_pairs
+    mg = members.join(groups.select("__g", "__rep"), "__g")
+    star = mg.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return rep_pairs.unionByName(star)
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     *,

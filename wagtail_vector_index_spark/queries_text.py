@@ -38,6 +38,29 @@ HS_SQL = (
     "('0x' || substr(sha256(s), 1, 8))::UBIGINT::BIGINT)"
 )
 
+TOKEN_HASHES_SQL = (
+    f"list_transform({TOKS_SQL}, t -> "
+    "('0x' || substr(sha256(t), 1, 8))::UBIGINT::BIGINT)"
+)
+
+
+def _ngram_fp_sql(n: int, th: str = "th") -> str:
+    """DuckDB replay of functions.text_analysis.ngram_fingerprints_col:
+    over a pre-computed token-hash list column ``th``, fp(i) =
+    XOR_{j<n} (th[i+j] << j), CASE-guarded for docs shorter than n
+    tokens (single fingerprint over the available tokens)."""
+    chain = f"(CASE WHEN i + 1 <= len({th}) THEN {th}[i + 1] ELSE 0 END)"
+    for j in range(1, n):
+        term = (
+            f"(CASE WHEN i + {j} + 1 <= len({th}) "
+            f"THEN ({th}[i + {j} + 1] << {j}) ELSE 0 END)"
+        )
+        chain = f"xor({chain}, {term})"
+    return (
+        f"list_transform(range(0, greatest(len({th}) - {n - 1}, 1)), "
+        f"i -> {chain})"
+    )
+
 
 def _minhash_sig_sql(num_hashes: int = 16) -> str:
     """Affine minhash over pre-hashed shingles (column ``hs``) — constants
@@ -371,8 +394,9 @@ def pipeline_quality_filter(spark, sf_dir):
     oracle=f"""
     WITH sh AS (SELECT doc_id, source, {_shingles_sql()} AS shingles
                 FROM documents),
-    ex AS (SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS s
-           FROM sh),
+    hsh AS (SELECT doc_id, source, list_distinct({HS_SQL}) AS hs FROM sh),
+    ex AS (SELECT doc_id, source, len(hs) AS n, unnest(hs) AS s
+           FROM hsh),
     inter AS (
       SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
              t.n AS n_t, e.n AS n_e, count(*) AS ni
@@ -394,35 +418,49 @@ def pipeline_decontaminate(spark, sf_dir):
     detection is the shingle co-count join restricted to cross-set pairs
     — candidates only meet on shared shingles, so the join never goes
     quadratic in corpus size; the drop is a broadcast-able anti-join on
-    the (small) contaminated-id set."""
+    the (small) contaminated-id set.
+
+    The join/agg key is the 32-bit sha256-derived shingle hash
+    (sha_hash64; DuckDB replays the identical expression), not the raw
+    3-gram string — the wide shuffle carries one long instead of a
+    ~20-60 B text key, the same trade the prefix-filter dedup path
+    documents. Collision caveat (same as there): two distinct shingles
+    sharing a hash count as one intersection; both engines hash
+    identically so the gate stays exact, and at 32 bits the expectation
+    is negligible below ~10^4 distinct shingles per doc pair."""
     from wagtail_vector_index_spark.functions.text_analysis import (
+        shingle_hashes_col,
         word_shingles_col,
     )
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = {"src0", "src1"}
-    # shingle ONCE into a lazily-checkpointed exploded frame —
-    # referencing the shingle expression from both size() and explode()
-    # lets CollapseProject inline (= recompute) it per consumer, and the
-    # train/eval branches below would double that again. localCheckpoint
-    # (not cache): blocks materialize inside the gate's single action
-    # and are RELEASED by the ContextCleaner when the frame drops — a
-    # session-lifetime cache of the exploded shingle table was the r7
-    # contamination-report leak, and this gate had the same pattern.
+    # shingle+hash ONCE into a lazily-checkpointed ARRAY-grain frame
+    # (one row per doc) — referencing the shingle expression from both
+    # size() and explode() lets CollapseProject inline (= recompute) it
+    # per consumer, and the train/eval branches below would double that
+    # again. localCheckpoint (not cache): blocks materialize inside the
+    # gate's single action and are RELEASED by the ContextCleaner when
+    # the frame drops — a session-lifetime cache of the shingle table
+    # was the r7 contamination-report leak, and this gate had the same
+    # pattern. Array grain beats exploded grain: ~n_sh x fewer
+    # materialized rows, branches explode after their source filter.
     shingled = docs.select(
-        "doc_id", "source", word_shingles_col(F.col("text"), 3).alias("shingles")
-    )
-    ex = shingled.select(
         "doc_id",
         "source",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("sh"),
+        F.array_distinct(
+            shingle_hashes_col(word_shingles_col(F.col("text"), 3))
+        ).alias("shingles"),
     ).localCheckpoint(eager=False)
-    train = ex.where(~F.col("source").isin(eval_set)).select(
-        F.col("doc_id").alias("train_id"), F.col("n_sh").alias("n_t"), "sh"
+    train = shingled.where(~F.col("source").isin(eval_set)).select(
+        F.col("doc_id").alias("train_id"),
+        F.size("shingles").alias("n_t"),
+        F.explode("shingles").alias("sh"),
     )
-    ev = ex.where(F.col("source").isin(eval_set)).select(
-        F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("n_e"), "sh"
+    ev = shingled.where(F.col("source").isin(eval_set)).select(
+        F.col("doc_id").alias("eval_id"),
+        F.size("shingles").alias("n_e"),
+        F.explode("shingles").alias("sh"),
     )
     inter = (
         train.join(ev, "sh")
@@ -447,9 +485,11 @@ def pipeline_decontaminate(spark, sf_dir):
 @register(
     "pipeline_ngram_collision",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, source, {_shingles_sql(n=13)} AS shingles
-                FROM documents),
-    ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+    WITH t AS (SELECT doc_id, source, {TOKEN_HASHES_SQL} AS th
+               FROM documents),
+    hsh AS (SELECT doc_id, source,
+                   list_distinct({_ngram_fp_sql(13)}) AS hs FROM t),
+    ex AS (SELECT doc_id, source, unnest(hs) AS s FROM hsh),
     ev AS (SELECT DISTINCT s FROM ex WHERE source IN ('src0', 'src1')),
     tr AS (SELECT doc_id, s FROM ex WHERE source NOT IN ('src0', 'src1'))
     SELECT tr.doc_id, count(*)::BIGINT AS n_colliding
@@ -472,19 +512,44 @@ def pipeline_ngram_collision(spark, sf_dir):
     collision test is an equi-join that only meets on shared shingles —
     never quadratic in corpus size, the same co-count discipline as
     decontaminate. All shingling is JVM expressions; zero Python
-    stages."""
+    stages.
+
+    13-grams are ~60-100 B strings — building them just to hash them
+    was the measured floor of this gate (~3.2s of a ~4s wall at sf0.1),
+    so the key is the token-hash XOR-shift FINGERPRINT
+    (ngram_fingerprints_col: sha256 once per TOKEN, 13 shift-XORs per
+    gram, never a gram string; identical expression replayed in the
+    oracle via _ngram_fp_sql). Collision caveat as documented on the
+    prefix-filter dedup path — and at 44 bits the fingerprint collides
+    LESS than the 32-bit string hash it replaces; both engines
+    fingerprint identically so the gate stays exact."""
     from wagtail_vector_index_spark.functions.text_analysis import (
-        word_shingles_col,
+        ngram_fingerprints_col,
+        token_sha_hashes_col,
     )
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = {"src0", "src1"}
-    ex = docs.select(
-        "doc_id",
-        "source",
-        F.explode(word_shingles_col(F.col("text"), 13)).alias("sh"),
+    # token hashes BOUND to a column before fingerprinting — see
+    # token_sha_hashes_col's docstring (unbound inlining recomputes the
+    # sha pass once per gram reference; measured 8x)
+    ex = (
+        docs.select("doc_id", "source", token_sha_hashes_col(F.col("text")).alias("__th"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(ngram_fingerprints_col(F.col("__th"), 13))
+            ).alias("sh"),
+        )
     )
-    ev = ex.where(F.col("source").isin(eval_set)).select("sh").distinct()
+    # explicit broadcast: the distinct'd eval gram set is EVAL-SUITE
+    # sized (bounded — benchmarks, not corpora), so shipping it to every
+    # task means the corpus-sized train side never shuffles for the
+    # join; also saves AQE's deferred re-plan (measured: cold 5.8->1.5s)
+    ev = F.broadcast(
+        ex.where(F.col("source").isin(eval_set)).select("sh").distinct()
+    )
     tr = ex.where(~F.col("source").isin(eval_set)).select("doc_id", "sh")
     return (
         tr.join(ev, "sh")
@@ -603,14 +668,20 @@ def pipeline_split_leakage(spark, sf_dir):
     Scale shape: pairs meet only on shared shingles (never quadratic);
     the split labels attach via two joins against a narrow
     (doc_id, split) projection computed without a shuffle."""
-    from wagtail_vector_index_spark.operators.dedup import ngram_jaccard_pairs
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_jaccard_pairs_collapsed,
+    )
     from wagtail_vector_index_spark.operators.skew import split_col
 
     docs = _t(spark, sf_dir, "documents")
     sp = docs.select(
         "doc_id", split_col(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split")
     )
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    # identical-shingle-set docs collapse before the co-count join and
+    # expand back after (exact — pair-grain output is preserved); the
+    # output stays quadratic in clique size because the ANSWER is, but
+    # the join/agg work no longer is
+    pairs = ngram_jaccard_pairs_collapsed(docs, n=3, threshold=0.5)
     return (
         pairs.join(
             sp.select(
@@ -774,11 +845,17 @@ def dedup_apply(spark, sf_dir):
     corpus — the keep_representatives anti-join."""
     from wagtail_vector_index_spark.operators.dedup import (
         keep_representatives,
-        ngram_jaccard_pairs,
+        ngram_dup_cluster_edges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    # star+rep edges, not the full pair set: a doc is a loser iff it has
+    # a smaller qualifying neighbor, and that is preserved exactly —
+    # members lose to their (min-id) rep via star edges, and a rep loses
+    # iff some smaller rep's group qualifies (identical sets make every
+    # member pair equivalent to the rep pair). Mega-dup clusters cost
+    # O(R) edges instead of O(R^2).
+    pairs = ngram_dup_cluster_edges(docs, n=3, threshold=0.5)
     return keep_representatives(docs, pairs).select("doc_id", "source")
 
 
@@ -820,11 +897,14 @@ def dedup_components(spark, sf_dir):
     wrong."""
     from wagtail_vector_index_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        ngram_dup_cluster_edges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    # connectivity-equivalent star edges: identical-shingle-set groups
+    # collapse before the co-count join (ngram_dup_cluster_edges), so a
+    # mega-duplicate cluster contributes O(R) edges, not O(R^2) join rows
+    pairs = ngram_dup_cluster_edges(docs, n=3, threshold=0.1)
     comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
     return docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
@@ -880,11 +960,15 @@ def pipeline_dup_aware_weights(spark, sf_dir):
     recursive CTE."""
     from wagtail_vector_index_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        ngram_dup_cluster_edges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    # star edges (linear in cluster size) carry the same components as
+    # the full pair graph — the mega-cluster guard for this gate's
+    # closure (SCALE.md: 10x identical-text replicas detonated the full
+    # co-count join; collapsing identical shingle sets first removes it)
+    pairs = ngram_dup_cluster_edges(docs, n=3, threshold=0.5)
     comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
     lbl = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
@@ -3461,8 +3545,9 @@ def dedup_lsh_precision(spark, sf_dir):
     oracle=f"""
     WITH sh AS (SELECT doc_id, source, {_shingles_sql()} AS shingles
                 FROM documents),
-    ex AS (SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS s
-           FROM sh),
+    hsh AS (SELECT doc_id, source, list_distinct({HS_SQL}) AS hs FROM sh),
+    ex AS (SELECT doc_id, source, len(hs) AS n, unnest(hs) AS s
+           FROM hsh),
     inter AS (
       SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
              t.n AS n_t, e.n AS n_e, count(*) AS ni
@@ -3488,34 +3573,42 @@ def pipeline_contamination_report(spark, sf_dir):
     memorization, not generalization) — filtering train is not enough
     if the eval set itself must be defended. Same shingle co-count
     join as decontaminate (candidates only meet on shared shingles,
-    never quadratic in corpus size), aggregated to eval grain."""
+    never quadratic in corpus size), aggregated to eval grain — and,
+    like decontaminate, keyed on the 32-bit sha_hash64 of the shingle
+    rather than the raw string (the join key dominated this gate's
+    shuffle bytes; oracle replays the identical hash; collision caveat
+    as on the prefix-filter dedup path)."""
     from wagtail_vector_index_spark.functions.text_analysis import (
+        shingle_hashes_col,
         word_shingles_col,
     )
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = {"src0", "src1"}
-    shingled = docs.select(
-        "doc_id", "source",
-        word_shingles_col(F.col("text"), 3).alias("shingles"),
-    )
-    # lazy localCheckpoint, NOT cache(): the exploded shingle frame feeds
+    # lazy localCheckpoint, NOT cache(): the hashed shingle frame feeds
     # both sides of the self-join, so it must materialize once — but a
     # session-lifetime cache of the job's largest intermediate is a
     # memory leak (r7 verdict). The checkpointed blocks are computed on
     # the gate's single action and released by the ContextCleaner when
     # the result frame is dropped; no eager count, no extra pass.
-    ex = shingled.select(
-        "doc_id",
-        "source",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("sh"),
+    # Checkpoint at the ARRAY grain (one row per doc), not the exploded
+    # gram grain: same sha work saved, ~n_sh x fewer materialized rows,
+    # and each branch explodes only after its source filter.
+    shingled = docs.select(
+        "doc_id", "source",
+        F.array_distinct(
+            shingle_hashes_col(word_shingles_col(F.col("text"), 3))
+        ).alias("shingles"),
     ).localCheckpoint(eager=False)
-    train = ex.where(~F.col("source").isin(eval_set)).select(
-        F.col("doc_id").alias("train_id"), F.col("n_sh").alias("n_t"), "sh"
+    train = shingled.where(~F.col("source").isin(eval_set)).select(
+        F.col("doc_id").alias("train_id"),
+        F.size("shingles").alias("n_t"),
+        F.explode("shingles").alias("sh"),
     )
-    ev = ex.where(F.col("source").isin(eval_set)).select(
-        F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("n_e"), "sh"
+    ev = shingled.where(F.col("source").isin(eval_set)).select(
+        F.col("doc_id").alias("eval_id"),
+        F.size("shingles").alias("n_e"),
+        F.explode("shingles").alias("sh"),
     )
     j = F.col("__ni") / (F.col("n_t") + F.col("n_e") - F.col("__ni"))
     inter = (

@@ -287,14 +287,28 @@ def decontaminated_corpus_stream(
     corpora), and a per-batch recompute would re-shingle the eval set
     on every trigger of a long-running stream. Per batch the collision
     test is a broadcast join against that fixed gram table: the
-    micro-batch's exploded grams never shuffle.
+    micro-batch's exploded grams never shuffle. Gram keys are token-hash
+    XOR-shift fingerprints (ngram_fingerprints_col — sha256 once per
+    token, never a gram string), not raw n-gram strings — smaller
+    broadcast, cheaper probe; same collision caveat the batch twins
+    document.
+
+    REFRESHING THE EVAL SET: a long-running ingest stream outlives eval
+    suites. The returned query carries a ``refresh_eval_set(new_eval_df)``
+    hook that re-shingles and re-checkpoints the gram table and swaps it
+    in atomically — micro-batches that START after the call use the new
+    set (in-flight batches finish against the old one; the stale
+    checkpoint blocks release via the ContextCleaner once dropped).
+    Without calling it, a replaced eval suite would silently keep the
+    construction-time grams.
 
     Exactly-once: the same dedup-token manifest protocol as
     :func:`neardup_corpus_stream` — a crash-replayed foreachBatch
     resolves to the already-live generation and becomes a no-op.
     """
     from wagtail_vector_index_spark.functions.text_analysis import (
-        word_shingles_col,
+        ngram_fingerprints_col,
+        token_sha_hashes_col,
     )
     from wagtail_vector_index_spark.operators.ann_index import (
         _append_gen,
@@ -305,13 +319,23 @@ def decontaminated_corpus_stream(
     from wagtail_vector_index_spark.sources.manifest import ManifestLog
 
     log = ManifestLog(path)
-    eval_grams = (
-        eval_df.select(
-            F.explode(word_shingles_col(F.col(text_col), n)).alias("__sh")
+
+    def _gram_rows(src: DataFrame, *cols: str) -> DataFrame:
+        # token hashes bound before fingerprinting (see
+        # token_sha_hashes_col: unbound inlining recomputes the sha pass)
+        return src.select(
+            *cols, token_sha_hashes_col(F.col(text_col)).alias("__th")
+        ).select(
+            *cols,
+            F.explode(ngram_fingerprints_col(F.col("__th"), n)).alias("__sh"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+
+    def _grams(src: DataFrame) -> DataFrame:
+        return _gram_rows(src).distinct().localCheckpoint(eager=True)
+
+    # one-slot holder so refresh_eval_set can swap the gram table under
+    # the foreachBatch closure (single reference assignment — atomic)
+    eval_state = {"grams": _grams(eval_df)}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -321,13 +345,8 @@ def decontaminated_corpus_stream(
         if gen is None:
             return  # replayed batch: already live
         flagged = (
-            batch_df.select(
-                id_col,
-                F.explode(
-                    word_shingles_col(F.col(text_col), n)
-                ).alias("__sh"),
-            )
-            .join(F.broadcast(eval_grams), "__sh")
+            _gram_rows(batch_df, id_col)
+            .join(F.broadcast(eval_state["grams"]), "__sh")
             .select(id_col)
             .distinct()
         )
@@ -344,7 +363,15 @@ def decontaminated_corpus_stream(
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+
+    def refresh_eval_set(new_eval_df: DataFrame) -> None:
+        """Swap the held-out set: batches starting after this call test
+        collisions against ``new_eval_df``'s grams (see docstring)."""
+        eval_state["grams"] = _grams(new_eval_df)
+
+    query.refresh_eval_set = refresh_eval_set
+    return query
 
 
 def windowed_value_histogram(
