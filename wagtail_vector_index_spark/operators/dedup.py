@@ -289,10 +289,11 @@ def _shingle_set_groups(
     case: R copies sharing S shingles cost R^2*S join rows) collapses
     to ONE row before the join — no recall loss, because only
     provably-identical sets collapse. The group key is
-    sha256 over the \\x1f-joined SORTED shingle array (shingles are
-    already distinct), i.e. a fingerprint of the set itself, not of the
-    raw text — docs differing only in whitespace/token order that yield
-    the same set still group.
+    sha256 over the JSON encoding of the SORTED shingle array (shingles
+    are already distinct; JSON escaping makes the encoding injective —
+    no join-separator ambiguity), i.e. a fingerprint of the set itself,
+    not of the raw text — docs differing only in whitespace/token order
+    that yield the same set still group.
 
     Returns ``(members, groups)``: members = (id, __g); groups =
     (__g, __rep, shingles, __gsize) with one row per distinct shingle
@@ -305,9 +306,7 @@ def _shingle_set_groups(
     hashed = shingled.select(
         id_col,
         "shingles",
-        F.sha2(
-            F.array_join(F.array_sort("shingles"), "\x1f"), 256
-        ).alias("__g"),
+        F.sha2(F.to_json(F.array_sort("shingles")), 256).alias("__g"),
     )
     members = hashed.select(id_col, "__g")
     groups = hashed.groupBy("__g").agg(
