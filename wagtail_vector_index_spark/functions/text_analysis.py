@@ -468,6 +468,62 @@ def gopher_rules_cols(
     }
 
 
+# Fixed evaluation order for first-failing-rule attribution — the order
+# Rae et al. list them (cheap structural rules first). Attribution is
+# order-DEPENDENT by design: a doc failing several rules is charged to
+# the first, so the funnel counts sum to n_docs exactly.
+GOPHER_RULE_ORDER = (
+    "word_count",
+    "mean_word_len",
+    "symbol_ratio",
+    "alpha_words",
+    "stopwords",
+)
+
+
+def gopher_reject_reason_col(text: Column, **rule_kwargs) -> Column:
+    """First-failing Gopher rule per document, or 'pass' — the funnel
+    attribution every production filter pipeline reports (Dolma,
+    RefinedWeb publish exactly this per-rule removal accounting). A
+    single CASE chain over :func:`gopher_rules_cols`, so the whole
+    funnel stays one whole-stage-codegen scan."""
+    rules = gopher_rules_cols(text, **rule_kwargs)
+    out = None
+    for name in GOPHER_RULE_ORDER:
+        cond = ~rules[f"r_{name}"]
+        out = F.when(cond, F.lit(name)) if out is None else out.when(
+            cond, F.lit(name)
+        )
+    return out.otherwise(F.lit("pass"))
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repeats, \b word boundaries —
+# no lookarounds, no backrefs. Redaction order matters (emails contain
+# dots an IP pattern could bite): email -> phone -> ip.
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub_cols(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts + the fully redacted text, as pure
+    JVM regexp expressions (regexp_count / regexp_replace — no Python in
+    the scan). Patterns are deliberately simple/portable; a production
+    deployment swaps in jurisdiction-specific ones. Counts are taken on
+    the ORIGINAL text; redaction applies the same patterns in
+    declaration order."""
+    out: dict[str, Column] = {}
+    redacted = text
+    for name, pat, repl in PII_PATTERNS:
+        out[f"n_{name}s"] = F.regexp_count(text, F.lit(pat)).cast("long")
+        redacted = F.regexp_replace(redacted, pat, repl)
+    out["redacted"] = redacted
+    return out
+
+
 def ngram_repetition_cols(text: Column, n: int = 3) -> dict[str, Column]:
     """Within-document n-gram repetition (the Gopher 'duplicate n-gram
     fraction' family): total vs distinct word n-grams. The duplicate

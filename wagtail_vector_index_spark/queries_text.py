@@ -3623,3 +3623,253 @@ def pipeline_contamination_report(spark, sf_dir):
         F.round(F.max("__j"), 6).alias("max_jaccard"),
     )
     return out.orderBy("eval_id")
+
+
+# --- r9 EXT: pipeline observability + hygiene additions ---------------------
+
+
+@register(
+    "pipeline_rejection_funnel",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, text, {TOKS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             len(toks)::BIGINT AS n_words,
+             greatest(len(toks), 1)::BIGINT AS denom,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')::BIGINT
+               AS char_sum,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT
+               AS n_alpha,
+             (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+             {_GOPHER_STOP_SQL}::BIGINT AS stop_hits
+      FROM t),
+    r AS (
+      SELECT source,
+             CASE
+               WHEN NOT (n_words >= 20 AND n_words <= 100000)
+                 THEN 'word_count'
+               WHEN NOT (char_sum / denom >= 3.0 AND char_sum / denom <= 10.0)
+                 THEN 'mean_word_len'
+               WHEN NOT ((n_hash + n_ell) / denom <= 0.1)
+                 THEN 'symbol_ratio'
+               WHEN NOT (n_alpha / denom >= 0.8)
+                 THEN 'alpha_words'
+               WHEN NOT (stop_hits >= 2)
+                 THEN 'stopwords'
+               ELSE 'pass'
+             END AS reject_reason
+      FROM m)
+    SELECT source, reject_reason, count(*)::BIGINT AS n_docs
+    FROM r GROUP BY source, reject_reason
+    ORDER BY source, reject_reason
+    """,
+)
+def pipeline_rejection_funnel(spark, sf_dir):
+    """Per-source quality-filter funnel with FIRST-failing-rule
+    attribution over the Gopher battery (Rae et al. 2021, Table A1) —
+    the per-rule removal accounting that production curation pipelines
+    publish (Dolma section 4, RefinedWeb table 2 report exactly this),
+    and the number you read before touching any rule threshold. Rules
+    evaluate in the fixed GOPHER_RULE_ORDER so every document is charged
+    to exactly one reason and the funnel sums to n_docs.
+
+    Scale shape: ONE whole-stage-codegen scan computes all five rules +
+    the CASE (text never leaves the task), then a map-side-combinable
+    count on the tiny (source, reason) key — at 100 TB this is scan-bound
+    with a few-KB shuffle. Same discipline as `text_gopher_rules`, which
+    returns the per-document booleans; this gate is the aggregated
+    funnel."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        gopher_reject_reason_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            gopher_reject_reason_col(F.col("text")).alias("reject_reason"),
+        )
+        .groupBy("source", "reject_reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "reject_reason")
+    )
+
+
+@register(
+    "pipeline_source_overlap",
+    oracle=f"""
+    WITH t AS (SELECT source, {TOKEN_HASHES_SQL} AS th FROM documents),
+    hsh AS (SELECT source, {_ngram_fp_sql(3)} AS hs FROM t),
+    ex AS (SELECT source, unnest(hs) AS fp FROM hsh),
+    exd AS (SELECT DISTINCT source, fp FROM ex),
+    c AS (SELECT source, count(*)::BIGINT AS n FROM exd GROUP BY source),
+    co AS (SELECT a.source AS src_a, b.source AS src_b,
+                  count(*)::BIGINT AS n_common
+           FROM exd a JOIN exd b ON a.fp = b.fp AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT src_a, src_b, n_common,
+           n_common / (ca.n + cb.n - n_common) AS jaccard
+    FROM co
+    JOIN c ca ON ca.source = co.src_a
+    JOIN c cb ON cb.source = co.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def pipeline_source_overlap(spark, sf_dir):
+    """Cross-source n-gram overlap matrix: Jaccard between each source
+    pair's DISTINCT word-3-gram fingerprint sets — the between-source
+    contamination audit run before choosing mixing weights (Dolma's
+    cross-dataset dedupe analysis; also how eval-suite vendors check
+    benchmark bleed between subsets). Zero-overlap pairs are omitted
+    (sparse output).
+
+    Scale shape: the corpus is scanned ONCE into token-hash XOR-shift
+    fingerprints (never gram strings — see ngram_fingerprints_col), then
+    ONE shuffle groups by fingerprint with a map-side partial
+    collect_set; per-gram state is bounded by the SOURCE cardinality
+    (tens), not document count, so a 100 TB corpus with a mega-common
+    gram still holds a <=n_sources set per key. Pair generation is a
+    map-side double-explode over those tiny sets (<= n_sources^2 rows
+    per gram), and both downstream aggs combine map-side. The shared
+    grouped frame is lazily localCheckpointed: two consumers (per-source
+    counts, pair co-counts), one materialization, blocks released by the
+    ContextCleaner with the frame."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        ngram_fingerprints_col,
+        token_sha_hashes_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "source", token_sha_hashes_col(F.col("text")).alias("__th")
+    ).select(
+        "source",
+        F.explode(
+            F.array_distinct(ngram_fingerprints_col(F.col("__th"), 3))
+        ).alias("fp"),
+    )
+    # one shuffle on fp; collect_set dedups (source, fp) pairs in the
+    # same agg that builds the per-gram source set
+    g = (
+        ex.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=False)
+    )
+    # source-cardinality rows (tens); checkpointed so the TWO broadcast
+    # consumers (ca, cb) don't each re-aggregate the gram-cardinality
+    # frame — without this the plan runs the explode+agg twice
+    counts = (
+        g.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        g.select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = F.broadcast(counts.select(F.col("source").alias("src_a"), F.col("n").alias("__na")))
+    cb = F.broadcast(counts.select(F.col("source").alias("src_b"), F.col("n").alias("__nb")))
+    return (
+        pairs.join(ca, "src_a")
+        .join(cb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source,
+             text || ' contact u' || doc_id::VARCHAR || '@example.com'
+                  || (CASE WHEN doc_id % 3 = 0
+                      THEN ' tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      ELSE '' END)
+                  || (CASE WHEN doc_id % 7 = 0
+                      THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                      ELSE '' END) AS aug
+      FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(aug,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT AS n_emails,
+             len(regexp_extract_all(aug, '\\b555-[0-9]{4}\\b'))::BIGINT AS n_phones,
+             len(regexp_extract_all(aug,
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT
+               AS n_ips,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(aug,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+               '<IP>', 'g') AS redacted
+      FROM p)
+    SELECT doc_id, source, n_emails, n_phones, n_ips,
+           sha256(redacted) AS redacted_sha
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (the RefinedWeb / ROOTS / Dolma
+    pre-release scrub stage): per-category match counts on the original
+    text and a sha256 of the fully redacted text (full-content equality
+    witness without shipping megabytes through the gate). The synthetic
+    corpus contains no organic PII, so deterministic spans (one email
+    per doc, a phone for doc_id%3==0, an IPv4 for doc_id%7==0) are
+    PLANTED from doc_id first — the gate verifies the scrubbing
+    mechanism end-to-end, counts included, against the oracle running
+    the identical regexes.
+
+    Scale shape: one codegen'd scan, zero shuffle (per-row regexp_count
+    / regexp_replace in the JVM — no Python). Patterns live in
+    text_analysis.PII_PATTERNS and are Java-regex/RE2 portable by
+    construction (character classes + \\b only)."""
+    from wagtail_vector_index_spark.functions.text_analysis import pii_scrub_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" tel 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", "source", aug.alias("__aug"))
+    scrub = pii_scrub_cols(F.col("__aug"))
+    return planted.select(
+        "doc_id",
+        "source",
+        scrub["n_emails"].alias("n_emails"),
+        scrub["n_phones"].alias("n_phones"),
+        scrub["n_ips"].alias("n_ips"),
+        F.sha2(scrub["redacted"], 256).alias("redacted_sha"),
+    )
