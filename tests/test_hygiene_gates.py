@@ -172,3 +172,33 @@ def test_source_overlap_matches_hand_fingerprints(spark, tmp_path):
     for k, (n, j) in expect.items():
         assert got[k][0] == n
         assert abs(got[k][1] - j) < 1e-12
+
+
+def test_corpus_quality_gate_and_scrub(spark):
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    rows = [
+        (1, "zz qq", "s1"),  # fails word_count
+        (
+            2,
+            "the quick brown fox jumps over a lazy dog and runs to the "
+            "wide open field for it is happy that the day is warm today "
+            "write to me at alice@example.org please",
+            "s1",
+        ),
+    ]
+    c = Corpus(spark.createDataFrame(rows, "doc_id long, text string, source string"))
+    kept = c.quality_gate().df.collect()
+    assert [r["doc_id"] for r in kept] == [2]
+
+    scrubbed = c.scrub_pii(counts=True).df.orderBy("doc_id").collect()
+    assert scrubbed[0]["n_emails"] == 0
+    assert scrubbed[1]["n_emails"] == 1
+    assert "<EMAIL>" in scrubbed[1]["text"]
+    assert "alice@example.org" not in scrubbed[1]["text"]
+
+    funnel = {
+        (r["source"], r["reject_reason"]): r["n_docs"]
+        for r in c.rejection_funnel().collect()
+    }
+    assert funnel == {("s1", "word_count"): 1, ("s1", "pass"): 1}

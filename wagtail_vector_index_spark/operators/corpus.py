@@ -596,6 +596,122 @@ class Corpus:
             )
         )
 
+    def rejection_funnel(self, **rule_kwargs) -> DataFrame:
+        """Per-source first-failing-Gopher-rule counts (the
+        `pipeline_rejection_funnel` shape): the removal accounting read
+        before touching a rule threshold. One codegen scan, counts sum
+        to n_docs per source."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            gopher_reject_reason_col,
+        )
+
+        return (
+            self.df.select(
+                self.source_col,
+                gopher_reject_reason_col(
+                    F.col(self.text_col), **rule_kwargs
+                ).alias("reject_reason"),
+            )
+            .groupBy(self.source_col, "reject_reason")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    def quality_gate(self, **rule_kwargs) -> "Corpus":
+        """Keep only documents passing the full Gopher battery — the
+        filter twin of :meth:`rejection_funnel` (same rules, same
+        single-scan shape), chainable like quality_filter."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            gopher_reject_reason_col,
+        )
+
+        return self._wrap(
+            self.df.where(
+                gopher_reject_reason_col(F.col(self.text_col), **rule_kwargs)
+                == "pass"
+            )
+        )
+
+    def scrub_pii(self, *, counts: bool = False) -> "Corpus":
+        """Redact email/phone/IPv4 spans in place (the
+        RefinedWeb/ROOTS/Dolma pre-release scrub; patterns in
+        functions/text_analysis.PII_PATTERNS). Pure JVM regexp map —
+        zero shuffle. With ``counts=True`` the per-category match
+        counts (taken on the ORIGINAL text) are kept as audit
+        columns."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            pii_scrub_cols,
+        )
+
+        cols = pii_scrub_cols(F.col(self.text_col))
+        out = self.df
+        if counts:
+            for k in ("n_emails", "n_phones", "n_ips"):
+                out = out.withColumn(k, cols[k])
+        return self._wrap(out.withColumn(self.text_col, cols["redacted"]))
+
+    def source_overlap(self, *, n: int = 3) -> DataFrame:
+        """Pairwise Jaccard between each source pair's distinct word
+        n-gram fingerprint sets (the `pipeline_source_overlap` shape) —
+        the between-source contamination audit run before choosing mix
+        weights. Zero-overlap pairs omitted. One corpus scan, one
+        shuffle on the fingerprint key with per-key state bounded by
+        source cardinality."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            ngram_fingerprints_col,
+            token_sha_hashes_col,
+        )
+
+        ex = self.df.select(
+            self.source_col,
+            token_sha_hashes_col(F.col(self.text_col)).alias("__th"),
+        ).select(
+            self.source_col,
+            F.explode(
+                F.array_distinct(ngram_fingerprints_col(F.col("__th"), n))
+            ).alias("__fp"),
+        )
+        g = (
+            ex.groupBy("__fp")
+            .agg(F.sort_array(F.collect_set(self.source_col)).alias("__srcs"))
+            .localCheckpoint(eager=False)
+        )
+        counts_df = (
+            g.select(F.explode("__srcs").alias("source"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=False)
+        )
+        pairs = (
+            g.select(F.explode("__srcs").alias("src_a"), "__srcs")
+            .select("src_a", F.explode("__srcs").alias("src_b"))
+            .where(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        ca = F.broadcast(
+            counts_df.select(
+                F.col("source").alias("src_a"), F.col("n").alias("__na")
+            )
+        )
+        cb = F.broadcast(
+            counts_df.select(
+                F.col("source").alias("src_b"), F.col("n").alias("__nb")
+            )
+        )
+        return (
+            pairs.join(ca, "src_a")
+            .join(cb, "src_b")
+            .select(
+                "src_a",
+                "src_b",
+                "n_common",
+                (
+                    F.col("n_common")
+                    / (F.col("__na") + F.col("__nb") - F.col("n_common"))
+                ).alias("jaccard"),
+            )
+        )
+
     def dedup_against(self, corpus_df=None, **kwargs) -> "Corpus":
         """Continuous-ingestion fuzzy dedup: drop rows of THIS corpus
         (the incoming batch) that near-duplicate ``corpus_df`` (the

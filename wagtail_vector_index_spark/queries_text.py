@@ -3679,21 +3679,11 @@ def pipeline_rejection_funnel(spark, sf_dir):
     count on the tiny (source, reason) key — at 100 TB this is scan-bound
     with a few-KB shuffle. Same discipline as `text_gopher_rules`, which
     returns the per-document booleans; this gate is the aggregated
-    funnel."""
-    from wagtail_vector_index_spark.functions.text_analysis import (
-        gopher_reject_reason_col,
-    )
+    funnel (served via Corpus.rejection_funnel)."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
 
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "source",
-            gopher_reject_reason_col(F.col("text")).alias("reject_reason"),
-        )
-        .groupBy("source", "reject_reason")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("source", "reject_reason")
-    )
+    return Corpus(docs).rejection_funnel().orderBy("source", "reject_reason")
 
 
 @register(
@@ -3734,60 +3724,11 @@ def pipeline_source_overlap(spark, sf_dir):
     per gram), and both downstream aggs combine map-side. The shared
     grouped frame is lazily localCheckpointed: two consumers (per-source
     counts, pair co-counts), one materialization, blocks released by the
-    ContextCleaner with the frame."""
-    from wagtail_vector_index_spark.functions.text_analysis import (
-        ngram_fingerprints_col,
-        token_sha_hashes_col,
-    )
+    ContextCleaner with the frame. Served via Corpus.source_overlap."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
 
     docs = _t(spark, sf_dir, "documents")
-    ex = docs.select(
-        "source", token_sha_hashes_col(F.col("text")).alias("__th")
-    ).select(
-        "source",
-        F.explode(
-            F.array_distinct(ngram_fingerprints_col(F.col("__th"), 3))
-        ).alias("fp"),
-    )
-    # one shuffle on fp; collect_set dedups (source, fp) pairs in the
-    # same agg that builds the per-gram source set
-    g = (
-        ex.groupBy("fp")
-        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .localCheckpoint(eager=False)
-    )
-    # source-cardinality rows (tens); checkpointed so the TWO broadcast
-    # consumers (ca, cb) don't each re-aggregate the gram-cardinality
-    # frame — without this the plan runs the explode+agg twice
-    counts = (
-        g.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )
-    pairs = (
-        g.select(F.explode("srcs").alias("src_a"), "srcs")
-        .select("src_a", F.explode("srcs").alias("src_b"))
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = F.broadcast(counts.select(F.col("source").alias("src_a"), F.col("n").alias("__na")))
-    cb = F.broadcast(counts.select(F.col("source").alias("src_b"), F.col("n").alias("__nb")))
-    return (
-        pairs.join(ca, "src_a")
-        .join(cb, "src_b")
-        .select(
-            "src_a",
-            "src_b",
-            "n_common",
-            (
-                F.col("n_common")
-                / (F.col("__na") + F.col("__nb") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .orderBy("src_a", "src_b")
-    )
+    return Corpus(docs).source_overlap(n=3).orderBy("src_a", "src_b")
 
 
 @register(
