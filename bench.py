@@ -148,6 +148,11 @@ ADDED = [
     "pipeline_truncation_stats",
     "pipeline_dup_aware_weights",
     "ann_nprobe_sweep",
+    # r9 additions
+    "pipeline_rejection_funnel",
+    "pipeline_source_overlap",
+    "text_pii_scrub",
+    "dedup_jaccard_exact",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

@@ -132,9 +132,14 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_jaccard_exact(spark, sf_dir):
-    from wagtail_vector_index_spark.operators.dedup import ngram_jaccard_pairs
+    # identical output to ngram_jaccard_pairs, but identical-shingle-set
+    # docs collapse to one representative before the quadratic co-count
+    # join — a crawl's boilerplate mega-cluster can't detonate the agg
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_jaccard_pairs_collapsed,
+    )
 
-    pairs = ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs_collapsed(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.1
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1029,11 +1034,14 @@ def dedup_keep_best(spark, sf_dir):
     within components identically."""
     from wagtail_vector_index_spark.operators.dedup import (
         keep_representatives_exact,
-        ngram_jaccard_pairs,
+        ngram_dup_cluster_edges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    # representatives only need CONNECTIVITY, not the pair list — the
+    # star-edge source is components-identical with linear output even
+    # on a mega-duplicate cluster (R members: R-1 star edges, not R^2/2)
+    pairs = ngram_dup_cluster_edges(docs, n=3, threshold=0.1)
     return keep_representatives_exact(
         docs, pairs, prefer_col="n_chars"
     ).select("doc_id", "n_chars")
