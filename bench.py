@@ -153,6 +153,10 @@ ADDED = [
     "pipeline_source_overlap",
     "text_pii_scrub",
     "dedup_jaccard_exact",
+    "text_heaps_law",
+    "pipeline_padding_waste",
+    "text_quality_auc",
+    "vector_isotropy",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

@@ -1,0 +1,219 @@
+"""Unit tests for the r9 corpus-statistics gates: Heaps'-law fit,
+padding-waste audit, quality AUC, banding sweep, and the isotropy
+identity — from-first-principles differentials (the oracle gates only
+prove Spark==DuckDB; these prove both match a hand rebuild)."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# vector_isotropy: the sum-of-vectors identity vs brute-force pairs
+# --------------------------------------------------------------------------
+
+
+def test_isotropy_identity_matches_bruteforce(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8) + 0.4  # offset -> anisotropic, nonzero mean
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    n = len(unit)
+    # brute force: average cosine over all ordered pairs i != j
+    gram = unit @ unit.T
+    brute = (gram.sum() - n) / (n * (n - 1))
+    # identity: (||sum u||^2 - n) / (n (n-1))
+    ident = (np.linalg.norm(unit.sum(axis=0)) ** 2 - n) / (n * (n - 1))
+    assert abs(brute - ident) < 1e-9
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, v array<double>",
+    )
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    u = df.select(
+        nrm.alias("nrm"),
+        F.transform(F.col("v"), lambda x: x / nrm).alias("uv"),
+    )
+    # per-dim mean -> quadratic form, exactly as the catalog gate
+    dims = 8
+    sums = u.agg(
+        *[
+            F.sum(F.element_at("uv", d + 1)).alias(f"s{d}")
+            for d in range(dims)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    s2 = sum((sums[f"s{d}"] / sums["n"]) ** 2 for d in range(dims))
+    got = (sums["n"] ** 2 * s2 - sums["n"]) / (sums["n"] * (sums["n"] - 1))
+    assert abs(got - brute) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# text_quality_auc: grouped tie-corrected rank AUC vs direct Mann-Whitney
+# --------------------------------------------------------------------------
+
+
+def _mann_whitney_auc(scores, labels):
+    """Direct tie-corrected AUC: P(s_pos > s_neg) + 0.5 P(s_pos == s_neg)."""
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_grouped_rank_auc_matches_pairwise(spark):
+    rng = np.random.RandomState(3)
+    labels = [int(x) for x in rng.rand(60) < 0.4]
+    # ties on purpose: quantize scores to one decimal
+    scores = [round(float(y * 0.5 + rng.rand() * 0.8), 1) for y in labels]
+    expected = _mann_whitney_auc(scores, labels)
+
+    df = spark.createDataFrame(
+        list(zip(scores, labels)), "s double, y int"
+    )
+    g = df.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "p",
+        "c",
+        (
+            F.coalesce(F.sum("c").over(w), F.lit(0))
+            + (F.col("c") + 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    n_pos = F.sum("p")
+    n_neg = F.sum("c") - F.sum("p")
+    got = r.agg(
+        (
+            (F.sum(F.col("p") * F.col("avg_rank")) - n_pos * (n_pos + 1) / 2.0)
+            / (n_pos * n_neg)
+        ).alias("auc")
+    ).collect()[0]["auc"]
+    assert abs(got - expected) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# text_heaps_law: cumulative vocab counting via first-occurrence docs
+# --------------------------------------------------------------------------
+
+
+def test_heaps_cumulative_counts(spark):
+    docs = [
+        (1, "a b c"),
+        (2, "a b d d"),
+        (3, "e"),
+        (4, "a e f g"),
+    ]
+    # hand truth: N_i cumulative tokens, V_i cumulative distinct
+    seen, truth = set(), []
+    total = 0
+    for _, text in docs:
+        toks = text.split()
+        total += len(toks)
+        seen |= set(toks)
+        truth.append((total, len(seen)))
+    assert truth == [(3, 3), (7, 4), (8, 5), (12, 7)]
+
+    from wagtail_vector_index_spark.operators.prefixsum import prefix_sum
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = df.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    per_doc = t.select("doc_id", F.size("toks").cast("long").alias("n_toks"))
+    nf = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    joined = per_doc.join(
+        nf, per_doc.doc_id == nf.first_doc, "left"
+    ).select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+    )
+    cum = prefix_sum(
+        joined, order_cols=["doc_id"], value_cols=["n_toks", "n_first"]
+    )
+    got = [
+        (r["n_toks_cum"], r["n_first_cum"])
+        for r in cum.orderBy("doc_id").collect()
+    ]
+    assert got == truth
+
+
+# --------------------------------------------------------------------------
+# pipeline_padding_waste: hand-checked batching
+# --------------------------------------------------------------------------
+
+
+def test_padding_waste_hand_example(spark):
+    # batch size 2; lengths in arrival order: 10, 2, 8, 8, 1
+    # arrival batches: [10,2] pad 8, [8,8] pad 0, [1] pad 0 -> 8 total
+    # sorted desc:     [10,8] pad 2, [8,2] pad 6, [1] pad 0 -> 8 total
+    # sorted desc with tiebreak asc keeps equal-length docs adjacent
+    lengths = [(1, 10), (2, 2), (3, 8), (4, 8), (5, 1)]
+    from wagtail_vector_index_spark.operators.prefixsum import assign_dense_ids
+
+    df = spark.createDataFrame(lengths, "doc_id long, n long")
+
+    def waste(order_frame, order_cols):
+        ids = assign_dense_ids(
+            order_frame, order_cols=order_cols, out_col="rn"
+        )
+        per = (
+            ids.withColumn("batch", ((F.col("rn") - 1) / F.lit(2)).cast("long"))
+            .groupBy("batch")
+            .agg((F.count(F.lit(1)) * F.max("n") - F.sum("n")).alias("pad"))
+        )
+        return {r["batch"]: r["pad"] for r in per.collect()}
+
+    assert waste(df, ["doc_id"]) == {0: 8, 1: 0, 2: 0}
+    assert waste(
+        df.withColumn("neg_n", -F.col("n")), ["neg_n", "doc_id"]
+    ) == {0: 2, 1: 6, 2: 0}
+
+
+# --------------------------------------------------------------------------
+# dedup_band_sweep: banding monotonicity + differential vs the single-
+# config production operator
+# --------------------------------------------------------------------------
+
+
+def test_band_sweep_monotone_and_matches_single_config(spark, sf_dir):
+    from wagtail_vector_index_spark.operators.dedup import minhash_lsh_pairs
+    from wagtail_vector_index_spark.queries import QUERY_FNS
+
+    rows = QUERY_FNS["dedup_band_sweep"](spark, sf_dir).collect()
+    by_bands = {r["bands"]: r for r in rows}
+    assert sorted(by_bands) == [2, 4, 8, 16]
+    # finer banding (more bands, shorter rows) can only ADD candidates:
+    # matching a 2-row band implies matching both constituent 1-row bands
+    cands = [by_bands[b]["n_candidates"] for b in (2, 4, 8, 16)]
+    assert cands == sorted(cands)
+    for r in rows:
+        assert 0 <= r["n_verified"] <= r["n_candidates"]
+        assert abs(
+            r["precision"] - round(r["n_verified"] / r["n_candidates"], 6)
+        ) < 1e-9
+    # the bands=8 row must agree with the production single-config path
+    from wagtail_vector_index_spark.catalog import _t
+
+    single = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=16,
+        bands=8,
+        threshold=0.1,
+    ).count()
+    assert by_bands[8]["n_verified"] == single

@@ -3822,3 +3822,375 @@ def text_pii_scrub(spark, sf_dir):
         scrub["n_ips"].alias("n_ips"),
         F.sha2(scrub["redacted"], 256).alias("redacted_sha"),
     )
+
+
+# --- r9 EXT: corpus statistics + training-shape gates ------------------------
+
+
+@register(
+    "text_heaps_law",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    per_doc AS (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM t),
+    firsts AS (
+      SELECT tok, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY tok),
+    nf AS (SELECT first_doc, count(*)::BIGINT AS n_first
+           FROM firsts GROUP BY first_doc),
+    cum AS (
+      SELECT d.doc_id,
+             sum(d.n_toks) OVER (ORDER BY d.doc_id
+               ROWS UNBOUNDED PRECEDING) AS big_n,
+             sum(coalesce(f.n_first, 0)) OVER (ORDER BY d.doc_id
+               ROWS UNBOUNDED PRECEDING) AS v
+      FROM per_doc d LEFT JOIN nf f ON d.doc_id = f.first_doc),
+    pts AS (SELECT big_n, v FROM cum WHERE big_n > 0 AND v > 0)
+    SELECT count(*)::BIGINT AS n_docs,
+           max(big_n)::BIGINT AS total_tokens,
+           max(v)::BIGINT AS vocab,
+           round(regr_slope(ln(v::DOUBLE), ln(big_n::DOUBLE)), 4)
+             AS heaps_beta,
+           round(exp(regr_intercept(ln(v::DOUBLE), ln(big_n::DOUBLE))), 4)
+             AS heaps_k
+    FROM pts
+    """,
+)
+def text_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit: V(N) ~ K * N^beta over the
+    corpus in doc_id order — the corpus-health diagnostic that tells a
+    training-data pipeline whether more data still buys new vocabulary
+    (natural text sits near beta ~ 0.5; templated/duplicated corpora
+    flatten early). Each token's FIRST-occurrence doc comes from one
+    min-aggregate (never a quadratic scan); the cumulative token and
+    vocabulary counts ride the distributed prefix scan
+    (operators/prefixsum.py — no single-task window), and the log-log
+    fit is the built-in least-squares aggregate, map-side combinable.
+    At 100 TB every stage is a hash agg or a range-partitioned scan."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+    from wagtail_vector_index_spark.operators.prefixsum import prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    per_doc = t.select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks")
+    )
+    firsts = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    nf = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("n_first")
+    )
+    joined = (
+        per_doc.join(nf, per_doc.doc_id == nf.first_doc, "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+        )
+    )
+    cum = prefix_sum(
+        joined, order_cols=["doc_id"], value_cols=["n_toks", "n_first"]
+    )
+    pts = cum.where(
+        (F.col("n_toks_cum") > 0) & (F.col("n_first_cum") > 0)
+    ).select(
+        F.col("n_toks_cum").alias("big_n"), F.col("n_first_cum").alias("v")
+    )
+    lx = F.log(F.col("big_n").cast("double"))
+    ly = F.log(F.col("v").cast("double"))
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("big_n").alias("total_tokens"),
+        F.max("v").alias("vocab"),
+        F.round(F.regr_slope(ly, lx), 4).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(ly, lx)), 4).alias("heaps_k"),
+    )
+
+
+_PAD_BATCH = 32
+
+
+@register(
+    "pipeline_padding_waste",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({TOKS_SQL})::BIGINT AS n FROM documents),
+    a AS (SELECT n, (row_number() OVER (ORDER BY doc_id) - 1)
+                    // {_PAD_BATCH} AS batch FROM t),
+    s AS (SELECT n, (row_number() OVER (ORDER BY n DESC, doc_id) - 1)
+                    // {_PAD_BATCH} AS batch FROM t),
+    ab AS (SELECT 'arrival' AS strategy, count(*) * max(n) - sum(n) AS pad,
+                  sum(n) AS toks FROM a GROUP BY batch),
+    sb AS (SELECT 'length_sorted' AS strategy,
+                  count(*) * max(n) - sum(n) AS pad, sum(n) AS toks
+           FROM s GROUP BY batch),
+    u AS (SELECT * FROM ab UNION ALL SELECT * FROM sb)
+    SELECT strategy, count(*)::BIGINT AS n_batches,
+           sum(toks)::BIGINT AS total_tokens,
+           sum(pad)::BIGINT AS padded_tokens,
+           round(sum(pad)::DOUBLE / (sum(pad) + sum(toks)), 6) AS waste_pct
+    FROM u GROUP BY strategy ORDER BY strategy
+    """,
+)
+def pipeline_padding_waste(spark, sf_dir):
+    """Batch-shaping efficiency audit: tokens wasted on padding when the
+    corpus is batched 32 sequences at a time, arrival order vs
+    length-sorted order — the measurement behind length-bucketed batch
+    samplers (padding to the batch max burns FLOPs on pad tokens;
+    sorting by length collapses the per-batch spread). Row numbers come
+    from the distributed dense-id assigner (operators/prefixsum.py) so
+    neither ordering pays a single-task window; each strategy is then
+    one map-side-combinable (batch -> count/max/sum) aggregate."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+    from wagtail_vector_index_spark.operators.prefixsum import assign_dense_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n")
+    )
+
+    def _waste(frame, order_cols, descending, label):
+        ids = assign_dense_ids(
+            frame, order_cols=order_cols, out_col="rn", descending=descending
+        )
+        batches = (
+            ids.withColumn(
+                "batch", ((F.col("rn") - 1) / F.lit(_PAD_BATCH)).cast("long")
+            )
+            .groupBy("batch")
+            .agg(
+                (
+                    F.count(F.lit(1)) * F.max("n") - F.sum("n")
+                ).alias("pad"),
+                F.sum("n").alias("toks"),
+            )
+        )
+        return batches.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("toks").alias("total_tokens"),
+            F.sum("pad").alias("padded_tokens"),
+            F.round(
+                F.sum("pad") / (F.sum("pad") + F.sum("toks")), 6
+            ).alias("waste_pct"),
+        )
+
+    # descending length sort must tie-break ASCENDING on doc_id to match
+    # the oracle's ORDER BY n DESC, doc_id — assign_dense_ids applies
+    # `descending` to every order column, so flip the sign of n instead
+    arrival = _waste(t, ["doc_id"], False, "arrival")
+    by_len = _waste(
+        t.withColumn("neg_n", -F.col("n")),
+        ["neg_n", "doc_id"],
+        False,
+        "length_sorted",
+    )
+    return arrival.unionByName(by_len).orderBy("strategy")
+
+
+@register(
+    "text_quality_auc",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             len(toks)::BIGINT AS n_words,
+             greatest(len(toks), 1)::BIGINT AS denom,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')::BIGINT
+               AS char_sum,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT
+               AS n_alpha,
+             (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+             {_GOPHER_STOP_SQL}::BIGINT AS stop_hits,
+             list_transform(toks, tok -> {_W_SQL}) AS ws
+      FROM t WHERE len(toks) > 0),
+    scored AS (
+      SELECT CASE WHEN n_words >= 20 AND n_words <= 100000
+                   AND char_sum / denom >= 3.0 AND char_sum / denom <= 10.0
+                   AND (n_hash + n_ell) / denom <= 0.1
+                   AND n_alpha / denom >= 0.8
+                   AND stop_hits >= 2
+             THEN 1 ELSE 0 END AS y,
+             round(1.0 / (1.0 + exp(-8.0 * (list_sum(ws) / n_words))), 6) AS s
+      FROM m),
+    g AS (SELECT s, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+          FROM scored GROUP BY s),
+    r AS (SELECT p, c,
+                 coalesce(sum(c) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (c + 1) / 2.0 AS avg_rank
+          FROM g)
+    SELECT sum(p)::BIGINT AS n_pos, (sum(c) - sum(p))::BIGINT AS n_neg,
+           round((sum(p * avg_rank) - sum(p) * (sum(p) + 1) / 2.0)
+                 / (sum(p) * (sum(c) - sum(p))), 6) AS auc
+    FROM r
+    """,
+)
+def text_quality_auc(spark, sf_dir):
+    """Quality-classifier calibration: tie-corrected Mann-Whitney AUC of
+    the hashed linear quality score against the Gopher rule battery as
+    the gold label — "does the cheap model score actually rank rule-pass
+    docs above rule-fail docs?", the acceptance gate before a learned
+    filter replaces a rule battery in production. Scale shape: scores
+    aggregate to SCORE-grain first (count + positives per distinct
+    rounded score — a map-side-combinable hash agg over the corpus), so
+    the rank window runs over at most ~1e6 distinct 6-dp scores, never
+    the corpus; AUC then falls out of three sums. No pair join, no
+    corpus-sized sort."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        gopher_reject_reason_col,
+        hashed_linear_quality_col,
+        tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.where(F.size(tokens_col(F.col("text"))) > 0).select(
+        F.when(gopher_reject_reason_col(F.col("text")) == "pass", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.round(
+            hashed_linear_quality_col(F.col("text"), dims=256, scale=8.0), 6
+        ).alias("s"),
+    )
+    g = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "p",
+        "c",
+        (
+            F.coalesce(F.sum("c").over(w), F.lit(0))
+            + (F.col("c") + 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    n_pos = F.sum("p")
+    n_neg = F.sum("c") - F.sum("p")
+    return r.agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round(
+            (F.sum(F.col("p") * F.col("avg_rank")) - n_pos * (n_pos + 1) / 2.0)
+            / (n_pos * n_neg),
+            6,
+        ).alias("auc"),
+    )
+
+
+_SWEEP_BANDS = (2, 4, 8, 16)
+
+
+def _band_sweep_block_sql(bands: int) -> str:
+    """One config's candidate/verified counts for the banding sweep —
+    reuses the shared signature CTEs (sh/hashed/sig)."""
+    rpb = 16 // bands
+    return f"""
+    b{bands} AS (SELECT doc_id, shingles,
+                        unnest({_band_keys_sql('sig', bands, rpb)}) AS band
+                 FROM sig),
+    c{bands} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM b{bands} a JOIN b{bands} b
+        ON a.band = b.band AND a.doc_id < b.doc_id),
+    v{bands} AS (
+      SELECT {bands}::BIGINT AS bands, {rpb}::BIGINT AS rows_per_band,
+             count(*)::BIGINT AS n_candidates,
+             sum(CASE WHEN len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                        / (len(sa.shingles) + len(sb.shingles)
+                           - len(list_intersect(sa.shingles, sb.shingles)))
+                      >= 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_verified
+      FROM c{bands}
+      JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id)"""
+
+
+@register(
+    "dedup_band_sweep",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    hashed AS (SELECT doc_id, shingles, {HS_SQL} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_minhash_sig_sql()} AS sig FROM hashed),
+    {",".join(_band_sweep_block_sql(b) for b in _SWEEP_BANDS)}
+    SELECT bands, rows_per_band, n_candidates, n_verified,
+           round(n_verified::DOUBLE / n_candidates, 6) AS precision
+    FROM ({" UNION ALL ".join(f"SELECT * FROM v{b}" for b in _SWEEP_BANDS)})
+    ORDER BY bands
+    """,
+)
+def dedup_band_sweep(spark, sf_dir):
+    """MinHash-LSH banding tuning curve: candidate volume + exact-verify
+    precision for every (bands, rows_per_band) split of ONE 16-hash
+    signature — the knob sweep a dedup deployment runs before fixing
+    its banding (more bands = higher recall = more candidate pairs to
+    verify; this gate measures the price). The sibling of
+    ann_nprobe_sweep: the signature pass runs ONCE, a generated explode
+    fans each doc's band keys across all four configs (config id baked
+    into the key so one self-join serves every config), and the exact-
+    Jaccard verify joins shingles back only for candidate pairs. At
+    100 TB the sweep costs one extra explode factor over a single-config
+    run — never four corpus passes."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        lsh_band_keys_col,
+    )
+    from wagtail_vector_index_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n=3, num_hashes=16, cache=True)
+
+    def _cfg_entries(b: int):
+        return F.transform(
+            lsh_band_keys_col(F.col("sig"), b, 16 // b),
+            lambda k: F.struct(
+                F.lit(b).cast("long").alias("bands"),
+                F.concat(F.lit(f"{b}|"), k).alias("band"),
+            ),
+        )
+
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(*[_cfg_entries(b) for b in _SWEEP_BANDS]))
+        ).alias("e"),
+    ).select("doc_id", F.col("e.bands").alias("bands"), F.col("e.band").alias("band"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .dropDuplicates(["bands", "id_a", "id_b"])
+    )
+    sh_a = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "bands",
+            F.when(inter / union >= 0.1, 1).otherwise(0).alias("ok"),
+        )
+    )
+    return (
+        verified.groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("ok").alias("n_verified"),
+            F.round(F.sum("ok") / F.count(F.lit(1)), 6).alias("precision"),
+        )
+        .withColumn("rows_per_band", (F.lit(16) / F.col("bands")).cast("long"))
+        .select(
+            "bands", "rows_per_band", "n_candidates", "n_verified", "precision"
+        )
+        .orderBy("bands")
+    )

@@ -3924,3 +3924,80 @@ def ann_posting_stats(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "vector_isotropy",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(
+               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+               'sum')) AS nrm
+      FROM embeddings),
+    u AS (SELECT vec_id, nrm,
+                 list_transform(embedding, x -> x::DOUBLE / nrm) AS uv
+          FROM n),
+    d AS (SELECT unnest(uv) AS x, generate_subscripts(uv, 1) AS dim FROM u),
+    m AS (SELECT dim, round(avg(x), 6) AS mx FROM d GROUP BY dim),
+    s AS (SELECT sum(mx * mx) AS s2 FROM m),
+    c AS (SELECT count(*)::BIGINT AS n, round(avg(nrm), 6) AS avg_norm FROM u)
+    SELECT n, avg_norm,
+           round(sqrt(s2), 6) AS mean_dir_norm,
+           round((n * n * s2 - n) / (n * (n - 1.0)), 6) AS avg_pairwise_cos
+    FROM c, s
+    """,
+)
+def vector_isotropy(spark, sf_dir):
+    """Embedding-space health report: average vector norm, the norm of
+    the mean DIRECTION (0 = perfectly isotropic, 1 = all vectors
+    collapsed to one ray — Ethayarajh's anisotropy diagnostic), and the
+    exact average pairwise cosine similarity — WITHOUT any pair join.
+    The identity: for unit vectors u_i, sum_{i != j} u_i . u_j =
+    ||sum_i u_i||^2 - n, so the exact all-pairs average falls out of one
+    per-dimension mean — a map-side-combinable aggregate moving dim
+    doubles per partition. The O(n^2) statistic at O(n) cost; at 100 TB
+    this is a single scan + a dim-sized agg, where the naive pair join
+    is 10^21 rows. Per-dim means round to 6 dp (the silhouette/meanpool
+    convention) so both engines derive the quadratic forms from
+    identical values."""
+    from wagtail_vector_index_spark.functions.vector import meanpool_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    u = emb.select(
+        "vec_id",
+        nrm.alias("nrm"),
+        F.transform(F.col("v"), lambda x: x / nrm).alias("uv"),
+    )
+    mean_u = meanpool_vectors(
+        u.withColumn("__g", F.lit(1)),
+        group_col="__g",
+        vec_col="uv",
+        out_col="m",
+        round_decimals=6,
+    ).select(
+        F.aggregate(
+            F.col("m"), F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("s2")
+    )
+    stats = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+    )
+    return stats.crossJoin(mean_u).select(
+        "n",
+        "avg_norm",
+        F.round(F.sqrt("s2"), 6).alias("mean_dir_norm"),
+        F.round(
+            (F.col("n") * F.col("n") * F.col("s2") - F.col("n"))
+            / (F.col("n") * (F.col("n") - F.lit(1.0))),
+            6,
+        ).alias("avg_pairwise_cos"),
+    )
