@@ -217,3 +217,81 @@ def test_band_sweep_monotone_and_matches_single_config(spark, sf_dir):
         threshold=0.1,
     ).count()
     assert by_bands[8]["n_verified"] == single
+
+
+# --------------------------------------------------------------------------
+# pipeline_span_scrub: surgical window removal, hand-planted contamination
+# --------------------------------------------------------------------------
+
+
+def test_span_scrub_removes_only_contaminated_windows(spark, tmp_path):
+    # 13-gram protocol with a planted verbatim quote: train doc 1 embeds
+    # the eval doc's exact 13 tokens in the middle of clean prose; train
+    # doc 2 shares nothing. Only the quoted window (plus the overlapping
+    # gram starts) must disappear.
+    eval_tokens = [f"e{i}" for i in range(13)]
+    prefix = [f"p{i}" for i in range(20)]
+    suffix = [f"s{i}" for i in range(20)]
+    rows = [
+        (0, " ".join(eval_tokens), "src0"),
+        (1, " ".join(prefix + eval_tokens + suffix), "web"),
+        (2, " ".join(f"c{i}" for i in range(40)), "web"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * 3,
+                "source": [r[2] for r in rows],
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    from wagtail_vector_index_spark.queries import QUERY_FNS
+
+    out = {r["doc_id"]: r for r in QUERY_FNS["pipeline_span_scrub"](spark, d).collect()}
+    # doc 2 is clean -> absent
+    assert set(out) == {1}
+    r = out[1]
+    assert r["n_tokens"] == 53
+    # exactly one colliding gram position (the quote start)
+    assert r["n_spans"] == 1
+    # the 13 quoted tokens are removed, prefix/suffix survive
+    assert r["n_removed"] == 13
+    import hashlib
+
+    expected = " ".join(prefix + suffix)
+    assert r["cleaned_sha"] == hashlib.sha256(expected.encode()).hexdigest()
+
+
+def test_corpus_scrub_spans_facade(spark, tmp_path):
+    # same planted corpus as above, through the Corpus transformation
+    # facade: contaminated doc loses exactly the quoted window, clean
+    # doc's text is byte-identical
+    eval_tokens = [f"e{i}" for i in range(13)]
+    prefix = [f"p{i}" for i in range(20)]
+    suffix = [f"s{i}" for i in range(20)]
+    rows = [
+        (0, " ".join(eval_tokens), "src0"),
+        (1, " ".join(prefix + eval_tokens + suffix), "web"),
+        (2, " ".join(f"c{i}" for i in range(40)), "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in Corpus(df).scrub_spans(eval_sources={"src0"}).df.collect()
+    }
+    assert set(out) == {1, 2}  # eval docs excluded, train docs kept
+    assert out[1] == " ".join(prefix + suffix)
+    assert out[2] == rows[2][1]

@@ -294,6 +294,91 @@ class Corpus:
         )
         return self._wrap(train_docs.join(flagged, self.id_col, "left_anti"))
 
+    def scrub_spans(
+        self,
+        *,
+        eval_sources: set[str] | None = None,
+        eval_df: DataFrame | None = None,
+        n: int = 13,
+    ) -> "Corpus":
+        """SURGICAL decontamination — the Llama-2 refinement of
+        :meth:`decontaminate_collisions`: instead of dropping a
+        contaminated training document wholesale, remove exactly the
+        token windows covered by a colliding eval ``n``-gram and keep
+        the rest (``pipeline_span_scrub`` is the oracle-gated audit
+        twin). Same fingerprint kernel and broadcast-eval-grams shape;
+        window expansion + token filtering are JVM array lambdas on
+        each doc's own row, so the corpus never shuffles. Documents
+        with no collision pass through untouched (text object
+        identity preserved — the left join misses)."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            ngram_fingerprints_col,
+            token_sha_hashes_col,
+            tokens_col,
+        )
+
+        if (eval_sources is None) == (eval_df is None):
+            raise ValueError("pass exactly one of eval_sources / eval_df")
+        if eval_sources is not None:
+            train_docs = self.df.where(
+                ~F.col(self.source_col).isin(list(eval_sources))
+            )
+            eval_docs = self.df.where(
+                F.col(self.source_col).isin(list(eval_sources))
+            )
+        else:
+            train_docs = self.df
+            eval_docs = eval_df
+
+        def fingerprints(df, *cols):
+            return df.select(
+                *cols,
+                token_sha_hashes_col(F.col(self.text_col)).alias("__th"),
+            ).select(
+                *cols,
+                ngram_fingerprints_col(F.col("__th"), n).alias("__fps"),
+            )
+
+        ev = F.broadcast(
+            fingerprints(eval_docs)
+            .select(F.explode("__fps").alias("__sh"))
+            .distinct()
+        )
+        poss = (
+            fingerprints(train_docs, self.id_col)
+            .select(
+                self.id_col, F.posexplode("__fps").alias("__pos", "__sh")
+            )
+            .join(ev, "__sh")
+            .groupBy(self.id_col)
+            .agg(F.collect_set("__pos").alias("__poss"))
+        )
+        joined = train_docs.join(poss, self.id_col, "left")
+        toks = tokens_col(F.col(self.text_col))
+        dp = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "__poss",
+                    lambda p: F.sequence(
+                        p, F.least(p + n - 1, F.size(toks) - 1)
+                    ),
+                )
+            )
+        )
+        cleaned = F.concat_ws(
+            " ",
+            F.filter(
+                toks, lambda tok, i: ~F.array_contains(dp, i)
+            ),
+        )
+        return self._wrap(
+            joined.withColumn(
+                self.text_col,
+                F.when(F.col("__poss").isNull(), F.col(self.text_col))
+                .otherwise(cleaned),
+            ).drop("__poss")
+        )
+
     # -- reporting -----------------------------------------------------------
 
     def report(self, *, lang_col: str = "lang") -> DataFrame:
@@ -334,6 +419,162 @@ class Corpus:
             ).alias("en_frac"),
             F.sum("n_dtoks").alias("n_distinct_tokens"),
             (F.sum("n_dtoks") / F.sum("n_toks")).alias("pooled_distinct_ratio"),
+        )
+
+    def heaps_fit(self) -> DataFrame:
+        """Heaps'-law vocabulary-growth fit V(N) ~ K * N^beta in id
+        order — does more data still buy new vocabulary? (natural text:
+        beta ~ 0.5; templated corpora flatten early). First occurrences
+        from one min-agg, cumulative counts from the distributed prefix
+        scan, log-log fit from the built-in least-squares aggregate.
+        One row: n_docs, total_tokens, vocab, heaps_beta, heaps_k. The
+        oracle-gated ``text_heaps_law`` shape."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            tokens_col,
+        )
+        from wagtail_vector_index_spark.operators.prefixsum import prefix_sum
+
+        t = self.df.select(
+            self.id_col, tokens_col(F.col(self.text_col)).alias("toks")
+        )
+        per_doc = t.select(
+            self.id_col, F.size("toks").cast("long").alias("n_toks")
+        )
+        nf = (
+            t.select(self.id_col, F.explode("toks").alias("tok"))
+            .groupBy("tok")
+            .agg(F.min(self.id_col).alias("first_doc"))
+            .groupBy("first_doc")
+            .agg(F.count(F.lit(1)).alias("n_first"))
+        )
+        joined = per_doc.join(
+            nf, F.col(self.id_col) == F.col("first_doc"), "left"
+        ).select(
+            self.id_col,
+            "n_toks",
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+        )
+        cum = prefix_sum(
+            joined, order_cols=[self.id_col], value_cols=["n_toks", "n_first"]
+        )
+        pts = cum.where(
+            (F.col("n_toks_cum") > 0) & (F.col("n_first_cum") > 0)
+        ).select(
+            F.col("n_toks_cum").alias("big_n"),
+            F.col("n_first_cum").alias("v"),
+        )
+        lx = F.log(F.col("big_n").cast("double"))
+        ly = F.log(F.col("v").cast("double"))
+        return pts.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("big_n").alias("total_tokens"),
+            F.max("v").alias("vocab"),
+            F.round(F.regr_slope(ly, lx), 4).alias("heaps_beta"),
+            F.round(F.exp(F.regr_intercept(ly, lx)), 4).alias("heaps_k"),
+        )
+
+    def padding_waste(self, *, batch_size: int = 32) -> DataFrame:
+        """Tokens burned on padding when the corpus is batched
+        ``batch_size`` sequences at a time, arrival order vs
+        length-sorted — the measurement behind length-bucketed batch
+        samplers. Dense ids from the distributed assigner (no
+        single-task window), then one tiny (batch -> count/max/sum)
+        aggregate per strategy. The oracle-gated
+        ``pipeline_padding_waste`` shape."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            tokens_col,
+        )
+        from wagtail_vector_index_spark.operators.prefixsum import (
+            assign_dense_ids,
+        )
+
+        t = self.df.select(
+            self.id_col,
+            F.size(tokens_col(F.col(self.text_col))).cast("long").alias("n"),
+        )
+
+        def _waste(frame, order_cols, label):
+            ids = assign_dense_ids(frame, order_cols=order_cols, out_col="rn")
+            batches = (
+                ids.withColumn(
+                    "batch",
+                    ((F.col("rn") - 1) / F.lit(batch_size)).cast("long"),
+                )
+                .groupBy("batch")
+                .agg(
+                    (F.count(F.lit(1)) * F.max("n") - F.sum("n")).alias("pad"),
+                    F.sum("n").alias("toks"),
+                )
+            )
+            return batches.agg(
+                F.lit(label).alias("strategy"),
+                F.count(F.lit(1)).alias("n_batches"),
+                F.sum("toks").alias("total_tokens"),
+                F.sum("pad").alias("padded_tokens"),
+                F.round(
+                    F.sum("pad") / (F.sum("pad") + F.sum("toks")), 6
+                ).alias("waste_pct"),
+            )
+
+        arrival = _waste(t, [self.id_col], "arrival")
+        by_len = _waste(
+            t.withColumn("neg_n", -F.col("n")),
+            ["neg_n", self.id_col],
+            "length_sorted",
+        )
+        return arrival.unionByName(by_len).orderBy("strategy")
+
+    def quality_auc(self, **rule_kwargs) -> DataFrame:
+        """Tie-corrected Mann-Whitney AUC of the hashed linear quality
+        score against the Gopher rule battery as gold — the acceptance
+        gate before a learned filter replaces a rule battery. Scores
+        aggregate to SCORE grain before ranking, so the rank window
+        sees at most ~1e6 distinct 6-dp scores, never the corpus. The
+        oracle-gated ``text_quality_auc`` shape."""
+        from pyspark.sql import Window
+
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            gopher_reject_reason_col,
+            hashed_linear_quality_col,
+            tokens_col,
+        )
+
+        text = F.col(self.text_col)
+        scored = self.df.where(F.size(tokens_col(text)) > 0).select(
+            F.when(
+                gopher_reject_reason_col(text, **rule_kwargs) == "pass", 1
+            )
+            .otherwise(0)
+            .alias("y"),
+            F.round(
+                hashed_linear_quality_col(text, dims=256, scale=8.0), 6
+            ).alias("s"),
+        )
+        g = scored.groupBy("s").agg(
+            F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
+        )
+        w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+        r = g.select(
+            "p",
+            "c",
+            (
+                F.coalesce(F.sum("c").over(w), F.lit(0))
+                + (F.col("c") + 1) / F.lit(2.0)
+            ).alias("avg_rank"),
+        )
+        n_pos = F.sum("p")
+        n_neg = F.sum("c") - F.sum("p")
+        return r.agg(
+            n_pos.alias("n_pos"),
+            n_neg.alias("n_neg"),
+            F.round(
+                (
+                    F.sum(F.col("p") * F.col("avg_rank"))
+                    - n_pos * (n_pos + 1) / 2.0
+                )
+                / (n_pos * n_neg),
+                6,
+            ).alias("auc"),
         )
 
     # -- mixing / tokenization / terminals ----------------------------------

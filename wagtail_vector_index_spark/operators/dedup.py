@@ -698,6 +698,143 @@ def minhash_lsh_pairs(
     return _jaccard_verify(candidates, sh_a, sh_b, threshold)
 
 
+def minhash_band_sweep(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands_grid: tuple[int, ...] = (2, 4, 8, 16),
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Banding tuning curve — (bands, rows_per_band, n_candidates,
+    n_verified, precision) for every split in ``bands_grid`` of ONE
+    ``num_hashes``-long MinHash signature. The knob sweep a dedup
+    deployment runs before fixing its banding: more bands = higher
+    recall = more candidate pairs to verify; this measures the price.
+
+    Mega-cluster safe: identical word-n-gram shingle SETS collapse to
+    one representative (:func:`_shingle_set_groups`) before any join.
+    Identical sets imply identical signatures, hence identical band
+    keys in every config, so candidate/verified COUNTS expand back
+    arithmetically — cross-group rep pairs multiply by
+    ``gsize_a * gsize_b``, within-group pairs contribute
+    ``C(gsize, 2)`` to every config (they share all bands). A crawl's
+    boilerplate cluster of R copies costs ONE banded row, not R^2/2
+    join rows — count-grain expansion means the quadratic answer is
+    never even enumerated (unlike the pair-output gates, where the
+    answer itself is quadratic). Exact: only provably-identical sets
+    collapse, and the expansion is the identity the collapse proves.
+
+    The signature pass runs once; a generated explode fans each rep's
+    band keys across all configs with the config id baked into the key,
+    so one self-join serves the whole grid."""
+    if threshold > 1.0:
+        raise ValueError("threshold > 1.0 would verify nothing")
+    for b in bands_grid:
+        if num_hashes % b:
+            raise ValueError(f"bands={b} does not divide num_hashes={num_hashes}")
+    members, groups = _shingle_set_groups(
+        df, id_col=id_col, text_col=text_col, n=n
+    )
+    reps = (
+        groups.withColumn("hs", shingle_hashes_col(F.col("shingles")))
+        .withColumn("sig", minhash_signature_col(F.col("hs"), num_hashes))
+        .select("__rep", "__gsize", "shingles", "sig")
+        .cache()
+    )
+
+    def _cfg_entries(b: int):
+        return F.transform(
+            lsh_band_keys_col(F.col("sig"), b, num_hashes // b),
+            lambda k: F.struct(
+                F.lit(b).cast("long").alias("bands"),
+                F.concat(F.lit(f"{b}|"), k).alias("band"),
+            ),
+        )
+
+    banded = reps.select(
+        "__rep",
+        F.explode(
+            F.flatten(F.array(*[_cfg_entries(b) for b in bands_grid]))
+        ).alias("e"),
+    ).select(
+        "__rep", F.col("e.bands").alias("bands"), F.col("e.band").alias("band")
+    )
+    cross = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band")
+        .where(F.col("a.__rep") < F.col("b.__rep"))
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.__rep").alias("rep_a"),
+            F.col("b.__rep").alias("rep_b"),
+        )
+        .dropDuplicates(["bands", "rep_a", "rep_b"])
+    )
+    ga = reps.select(
+        F.col("__rep").alias("rep_a"),
+        F.col("__gsize").alias("gs_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    gb = reps.select(
+        F.col("__rep").alias("rep_b"),
+        F.col("__gsize").alias("gs_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    weighted = (
+        cross.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select(
+            "bands",
+            (F.col("gs_a") * F.col("gs_b")).alias("w"),
+            F.when(inter / union >= F.lit(float(threshold)), 1)
+            .otherwise(0)
+            .alias("ok"),
+        )
+        .groupBy("bands")
+        .agg(
+            F.sum("w").alias("cross_cand"),
+            F.sum(F.col("w") * F.col("ok")).alias("cross_ver"),
+        )
+    )
+    # within-group pairs share ALL bands in every config and verify at
+    # jaccard 1.0 — one scalar, identical for each grid entry
+    within = reps.agg(
+        F.coalesce(
+            F.sum(F.col("__gsize") * (F.col("__gsize") - 1) / 2), F.lit(0)
+        )
+        .cast("long")
+        .alias("within")
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(int(b), int(num_hashes // b)) for b in bands_grid],
+        "bands long, rows_per_band long",
+    )
+    return (
+        grid.join(weighted, "bands", "left")
+        .crossJoin(F.broadcast(within))
+        .select(
+            "bands",
+            "rows_per_band",
+            (F.coalesce("cross_cand", F.lit(0)) + F.col("within")).alias(
+                "n_candidates"
+            ),
+            (F.coalesce("cross_ver", F.lit(0)) + F.col("within")).alias(
+                "n_verified"
+            ),
+        )
+        .withColumn(
+            "precision",
+            F.round(F.col("n_verified") / F.col("n_candidates"), 6),
+        )
+        .orderBy("bands")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

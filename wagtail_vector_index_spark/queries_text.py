@@ -3865,50 +3865,11 @@ def text_heaps_law(spark, sf_dir):
     vocabulary counts ride the distributed prefix scan
     (operators/prefixsum.py — no single-task window), and the log-log
     fit is the built-in least-squares aggregate, map-side combinable.
-    At 100 TB every stage is a hash agg or a range-partitioned scan."""
-    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
-    from wagtail_vector_index_spark.operators.prefixsum import prefix_sum
+    At 100 TB every stage is a hash agg or a range-partitioned scan
+    (served via Corpus.heaps_fit)."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
 
-    docs = _t(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", tokens_col(F.col("text")).alias("toks")
-    )
-    per_doc = t.select(
-        "doc_id", F.size("toks").cast("long").alias("n_toks")
-    )
-    firsts = (
-        t.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.min("doc_id").alias("first_doc"))
-    )
-    nf = firsts.groupBy("first_doc").agg(
-        F.count(F.lit(1)).alias("n_first")
-    )
-    joined = (
-        per_doc.join(nf, per_doc.doc_id == nf.first_doc, "left")
-        .select(
-            "doc_id",
-            "n_toks",
-            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
-        )
-    )
-    cum = prefix_sum(
-        joined, order_cols=["doc_id"], value_cols=["n_toks", "n_first"]
-    )
-    pts = cum.where(
-        (F.col("n_toks_cum") > 0) & (F.col("n_first_cum") > 0)
-    ).select(
-        F.col("n_toks_cum").alias("big_n"), F.col("n_first_cum").alias("v")
-    )
-    lx = F.log(F.col("big_n").cast("double"))
-    ly = F.log(F.col("v").cast("double"))
-    return pts.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max("big_n").alias("total_tokens"),
-        F.max("v").alias("vocab"),
-        F.round(F.regr_slope(ly, lx), 4).alias("heaps_beta"),
-        F.round(F.exp(F.regr_intercept(ly, lx)), 4).alias("heaps_k"),
-    )
+    return Corpus(_t(spark, sf_dir, "documents")).heaps_fit()
 
 
 _PAD_BATCH = 32
@@ -3943,52 +3904,14 @@ def pipeline_padding_waste(spark, sf_dir):
     sorting by length collapses the per-batch spread). Row numbers come
     from the distributed dense-id assigner (operators/prefixsum.py) so
     neither ordering pays a single-task window; each strategy is then
-    one map-side-combinable (batch -> count/max/sum) aggregate."""
-    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
-    from wagtail_vector_index_spark.operators.prefixsum import assign_dense_ids
+    one map-side-combinable (batch -> count/max/sum) aggregate (served
+    via Corpus.padding_waste; the descending length sort tie-breaks
+    ASCENDING on doc_id, replayed as ORDER BY n DESC, doc_id)."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
 
-    docs = _t(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n")
+    return Corpus(_t(spark, sf_dir, "documents")).padding_waste(
+        batch_size=_PAD_BATCH
     )
-
-    def _waste(frame, order_cols, descending, label):
-        ids = assign_dense_ids(
-            frame, order_cols=order_cols, out_col="rn", descending=descending
-        )
-        batches = (
-            ids.withColumn(
-                "batch", ((F.col("rn") - 1) / F.lit(_PAD_BATCH)).cast("long")
-            )
-            .groupBy("batch")
-            .agg(
-                (
-                    F.count(F.lit(1)) * F.max("n") - F.sum("n")
-                ).alias("pad"),
-                F.sum("n").alias("toks"),
-            )
-        )
-        return batches.agg(
-            F.lit(label).alias("strategy"),
-            F.count(F.lit(1)).alias("n_batches"),
-            F.sum("toks").alias("total_tokens"),
-            F.sum("pad").alias("padded_tokens"),
-            F.round(
-                F.sum("pad") / (F.sum("pad") + F.sum("toks")), 6
-            ).alias("waste_pct"),
-        )
-
-    # descending length sort must tie-break ASCENDING on doc_id to match
-    # the oracle's ORDER BY n DESC, doc_id — assign_dense_ids applies
-    # `descending` to every order column, so flip the sign of n instead
-    arrival = _waste(t, ["doc_id"], False, "arrival")
-    by_len = _waste(
-        t.withColumn("neg_n", -F.col("n")),
-        ["neg_n", "doc_id"],
-        False,
-        "length_sorted",
-    )
-    return arrival.unionByName(by_len).orderBy("strategy")
 
 
 @register(
@@ -4040,48 +3963,10 @@ def text_quality_auc(spark, sf_dir):
     rounded score — a map-side-combinable hash agg over the corpus), so
     the rank window runs over at most ~1e6 distinct 6-dp scores, never
     the corpus; AUC then falls out of three sums. No pair join, no
-    corpus-sized sort."""
-    from wagtail_vector_index_spark.functions.text_analysis import (
-        gopher_reject_reason_col,
-        hashed_linear_quality_col,
-        tokens_col,
-    )
+    corpus-sized sort (served via Corpus.quality_auc)."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = docs.where(F.size(tokens_col(F.col("text"))) > 0).select(
-        F.when(gopher_reject_reason_col(F.col("text")) == "pass", 1)
-        .otherwise(0)
-        .alias("y"),
-        F.round(
-            hashed_linear_quality_col(F.col("text"), dims=256, scale=8.0), 6
-        ).alias("s"),
-    )
-    g = scored.groupBy("s").agg(
-        F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
-    )
-    w = (
-        Window.orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    r = g.select(
-        "p",
-        "c",
-        (
-            F.coalesce(F.sum("c").over(w), F.lit(0))
-            + (F.col("c") + 1) / F.lit(2.0)
-        ).alias("avg_rank"),
-    )
-    n_pos = F.sum("p")
-    n_neg = F.sum("c") - F.sum("p")
-    return r.agg(
-        n_pos.alias("n_pos"),
-        n_neg.alias("n_neg"),
-        F.round(
-            (F.sum(F.col("p") * F.col("avg_rank")) - n_pos * (n_pos + 1) / 2.0)
-            / (n_pos * n_neg),
-            6,
-        ).alias("auc"),
-    )
+    return Corpus(_t(spark, sf_dir, "documents")).quality_auc()
 
 
 _SWEEP_BANDS = (2, 4, 8, 16)
@@ -4132,65 +4017,131 @@ def dedup_band_sweep(spark, sf_dir):
     ann_nprobe_sweep: the signature pass runs ONCE, a generated explode
     fans each doc's band keys across all four configs (config id baked
     into the key so one self-join serves every config), and the exact-
-    Jaccard verify joins shingles back only for candidate pairs. At
-    100 TB the sweep costs one extra explode factor over a single-config
-    run — never four corpus passes."""
-    from wagtail_vector_index_spark.functions.text_analysis import (
-        lsh_band_keys_col,
+    Jaccard verify joins shingles back only for candidate pairs — and
+    identical shingle SETS collapse to one representative first, with
+    candidate/verified COUNTS expanded back arithmetically (see
+    dedup.minhash_band_sweep), so a crawl's boilerplate mega-cluster
+    costs one banded row instead of R^2/2 join rows. At 100 TB the
+    sweep costs one extra explode factor over a single-config run —
+    never four corpus passes, never a quadratic pair enumeration."""
+    from wagtail_vector_index_spark.operators.dedup import minhash_band_sweep
+
+    return minhash_band_sweep(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=16,
+        bands_grid=_SWEEP_BANDS,
+        threshold=0.1,
     )
-    from wagtail_vector_index_spark.operators.dedup import minhash_signatures
+
+
+@register(
+    "pipeline_span_scrub",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks,
+                      {TOKEN_HASHES_SQL} AS th
+               FROM documents),
+    fp AS (SELECT doc_id, source, toks, {_ngram_fp_sql(13)} AS fps FROM t),
+    ex AS (SELECT doc_id, source,
+                  generate_subscripts(fps, 1) - 1 AS pos, unnest(fps) AS s
+           FROM fp),
+    ev AS (SELECT DISTINCT s FROM ex WHERE source IN ('src0', 'src1')),
+    hits AS (SELECT doc_id, pos, s FROM ex
+             WHERE source NOT IN ('src0', 'src1')),
+    contaminated AS (
+      SELECT doc_id, list(DISTINCT pos) AS poss
+      FROM hits JOIN ev USING (s) GROUP BY doc_id),
+    scrubbed AS (
+      SELECT c.doc_id, f.toks, len(c.poss)::BIGINT AS n_spans,
+             list_distinct(flatten(list_transform(c.poss,
+               p -> range(p, least(p + 13, len(f.toks)))))) AS dp
+      FROM contaminated c JOIN fp f ON c.doc_id = f.doc_id),
+    cleaned AS (
+      SELECT doc_id, n_spans, len(toks)::BIGINT AS n_tokens,
+             list_filter(toks, (tok, i) -> NOT list_contains(dp, i - 1))
+               AS keep
+      FROM scrubbed)
+    SELECT doc_id, n_tokens, n_spans,
+           (n_tokens - len(keep))::BIGINT AS n_removed,
+           sha256(coalesce(array_to_string(keep, ' '), '')) AS cleaned_sha
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def pipeline_span_scrub(spark, sf_dir):
+    """SURGICAL span-level decontamination — the Llama-2 refinement of
+    the GPT-3 13-gram protocol: instead of dropping a contaminated
+    train document wholesale (pipeline_decontaminate) or merely
+    flagging it (pipeline_ngram_collision), remove exactly the token
+    windows covered by a colliding 13-gram and keep the rest of the
+    document. Long documents with one quoted benchmark item survive
+    minus the quote — at web scale that's the difference between
+    losing and keeping entire domains.
+
+    Scale shape: same fingerprint kernel as the collision gate (one
+    sha per TOKEN, XOR-shift per gram — the gram string is never
+    built), eval grams distinct'd once and BROADCAST so the
+    corpus-sized train side never shuffles; contaminated positions
+    aggregate per doc (state bounded by the doc's own gram count),
+    window expansion + token filtering are pure JVM array lambdas on
+    the doc's own row. Python stages: zero. Output: one row per
+    contaminated train doc — n_spans colliding gram positions,
+    n_removed tokens dropped, sha of the scrubbed text (the new
+    content fingerprint downstream dedup re-keys on)."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        ngram_fingerprints_col,
+        token_sha_hashes_col,
+        tokens_col,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, n=3, num_hashes=16, cache=True)
-
-    def _cfg_entries(b: int):
-        return F.transform(
-            lsh_band_keys_col(F.col("sig"), b, 16 // b),
-            lambda k: F.struct(
-                F.lit(b).cast("long").alias("bands"),
-                F.concat(F.lit(f"{b}|"), k).alias("band"),
-            ),
-        )
-
-    banded = sig.select(
+    eval_set = {"src0", "src1"}
+    fp = docs.select(
         "doc_id",
-        F.explode(
-            F.flatten(F.array(*[_cfg_entries(b) for b in _SWEEP_BANDS]))
-        ).alias("e"),
-    ).select("doc_id", F.col("e.bands").alias("bands"), F.col("e.band").alias("band"))
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), "band")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.bands").alias("bands"),
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-        .dropDuplicates(["bands", "id_a", "id_b"])
+        "source",
+        tokens_col(F.col("text")).alias("toks"),
+        token_sha_hashes_col(F.col("text")).alias("__th"),
+    ).select(
+        "doc_id",
+        "source",
+        "toks",
+        ngram_fingerprints_col(F.col("__th"), 13).alias("fps"),
     )
-    sh_a = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    verified = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
-            "bands",
-            F.when(inter / union >= 0.1, 1).otherwise(0).alias("ok"),
-        )
+    ex = fp.select(
+        "doc_id", "source", F.posexplode("fps").alias("pos", "s")
     )
-    return (
-        verified.groupBy("bands")
-        .agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum("ok").alias("n_verified"),
-            F.round(F.sum("ok") / F.count(F.lit(1)), 6).alias("precision"),
-        )
-        .withColumn("rows_per_band", (F.lit(16) / F.col("bands")).cast("long"))
-        .select(
-            "bands", "rows_per_band", "n_candidates", "n_verified", "precision"
-        )
-        .orderBy("bands")
+    ev = F.broadcast(
+        ex.where(F.col("source").isin(eval_set)).select("s").distinct()
     )
+    contaminated = (
+        ex.where(~F.col("source").isin(eval_set))
+        .join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("poss"))
+    )
+    scrubbed = contaminated.join(
+        fp.select("doc_id", "toks"), "doc_id"
+    ).select(
+        "doc_id",
+        "toks",
+        F.size("poss").cast("long").alias("n_spans"),
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "poss",
+                    lambda p: F.sequence(
+                        p, F.least(p + 12, F.size("toks") - 1)
+                    ),
+                )
+            )
+        ).alias("dp"),
+    )
+    keep = F.filter(
+        F.col("toks"), lambda tok, i: ~F.array_contains(F.col("dp"), i)
+    )
+    return scrubbed.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        "n_spans",
+        (F.size("toks") - F.size(keep)).cast("long").alias("n_removed"),
+        F.sha2(F.concat_ws(" ", keep), 256).alias("cleaned_sha"),
+    ).orderBy("doc_id")
