@@ -295,3 +295,45 @@ def test_corpus_scrub_spans_facade(spark, tmp_path):
     assert set(out) == {1, 2}  # eval docs excluded, train docs kept
     assert out[1] == " ".join(prefix + suffix)
     assert out[2] == rows[2][1]
+
+
+def test_minhash_estimate_extremes(spark):
+    # identical docs agree on all 16 signature positions and have exact
+    # jaccard 1.0; the near-identical pair agrees on most but its exact
+    # jaccard < 1.0 — the calibration gate's two ends
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base + " tail0 tail1 tail2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from wagtail_vector_index_spark.operators.dedup import (
+        _band_candidates,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(df, n=3, num_hashes=16, cache=False)
+    cand = _band_candidates(sig, "doc_id", 8, 2)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    m = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = {
+        (r["id_a"], r["id_b"]): (r["m"], r["j"])
+        for r in cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", m.alias("m"), (inter / union).alias("j"))
+        .collect()
+    }
+    assert out[(1, 2)] == (16, 1.0)
+    m3, j3 = out[(1, 3)]
+    assert j3 < 1.0 and m3 <= 16

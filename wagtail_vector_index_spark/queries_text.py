@@ -4145,3 +4145,88 @@ def pipeline_span_scrub(spark, sf_dir):
         (F.size("toks") - F.size(keep)).cast("long").alias("n_removed"),
         F.sha2(F.concat_ws(" ", keep), 256).alias("cleaned_sha"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    hashed AS (SELECT doc_id, shingles, {HS_SQL} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_minhash_sig_sql()} AS sig FROM hashed),
+    bands AS (SELECT doc_id, unnest({_band_keys_sql('sig')}) AS band
+              FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT len(list_filter(range(1, 17),
+                             i -> sa.sig[i] = sb.sig[i]))::BIGINT AS matches,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS exact_j
+      FROM cand JOIN sig sa ON id_a = sa.doc_id
+                JOIN sig sb ON id_b = sb.doc_id)
+    SELECT matches, round(matches / 16.0, 6) AS est_jaccard,
+           count(*)::BIGINT AS n_pairs,
+           round(avg(exact_j), 6) AS avg_exact_jaccard
+    FROM scored GROUP BY matches ORDER BY matches
+    """,
+)
+def dedup_minhash_estimate(spark, sf_dir):
+    """MinHash estimator calibration: for every LSH candidate pair, the
+    signature-agreement estimate (matching positions / 16) against the
+    exact shingle Jaccard, bucketed by match count — the table that
+    says whether the 16-hash signature can be TRUSTED as a similarity
+    in place of the exact verify (E[matches/k] = J is the MinHash
+    guarantee; this measures the realized spread on this corpus). A
+    deployment that verifies with the estimate instead of the exact
+    intersect skips fetching shingle arrays entirely — at 100 TB
+    that's the difference between shuffling 16 longs and shuffling
+    full shingle sets per candidate. Same signature pass and band join
+    as the production dedup path; the match count is one zip_with
+    fold, the calibration rollup a 17-key agg."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        _band_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n=3, num_hashes=16, cache=True)
+    cand = _band_candidates(sig, "doc_id", 8, 2)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda b: b,
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(matches.alias("matches"), (inter / union).alias("exact_j"))
+    )
+    return (
+        scored.groupBy("matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("exact_j"), 6).alias("avg_exact_jaccard"),
+        )
+        .select(
+            "matches",
+            F.round(F.col("matches") / 16.0, 6).alias("est_jaccard"),
+            "n_pairs",
+            "avg_exact_jaccard",
+        )
+        .orderBy("matches")
+    )
