@@ -157,6 +157,9 @@ ADDED = [
     "pipeline_padding_waste",
     "text_quality_auc",
     "vector_isotropy",
+    "dedup_band_sweep",
+    "pipeline_span_scrub",
+    "dedup_minhash_estimate",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round
