@@ -160,6 +160,7 @@ ADDED = [
     "dedup_band_sweep",
     "pipeline_span_scrub",
     "dedup_minhash_estimate",
+    "text_vocab_coverage",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

@@ -337,3 +337,45 @@ def test_minhash_estimate_extremes(spark):
     assert out[(1, 2)] == (16, 1.0)
     m3, j3 = out[(1, 3)]
     assert j3 < 1.0 and m3 <= 16
+
+
+# --------------------------------------------------------------------------
+# text_vocab_coverage: one-pass conditional agg vs a hand-built curve
+# --------------------------------------------------------------------------
+
+
+def test_vocab_coverage_matches_hand_curve(spark):
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    docs = [
+        (1, "s", "a a a a b b c d"),
+        (2, "s", "a b b c e"),
+        (3, "s", "f a"),
+    ]
+    # counts: a=6 b=4 c=2 d=1 e=1 f=1 (total 15, 6 types); rank ties on
+    # count break ascending by token: d(4) e(5) f(6)
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {
+        r["vocab_size"]: r
+        for r in Corpus(df).vocab_coverage(vocab_sizes=(1, 2, 4, 10)).collect()
+    }
+    assert [out[k]["covered_tokens"] for k in (1, 2, 4, 10)] == [
+        6,
+        10,
+        13,
+        15,
+    ]
+    for k in (1, 2, 4, 10):
+        assert out[k]["total_tokens"] == 15
+        assert out[k]["n_types"] == 6
+        assert out[k]["coverage"] == round(out[k]["covered_tokens"] / 15, 6)
+
+
+def test_vocab_coverage_deterministic_under_repartition(spark):
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    docs = [(i, "s", f"tok{i % 7} tok{i % 3} shared") for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    a = Corpus(df.repartition(1)).vocab_coverage(vocab_sizes=(3, 5)).collect()
+    b = Corpus(df.repartition(13)).vocab_coverage(vocab_sizes=(3, 5)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

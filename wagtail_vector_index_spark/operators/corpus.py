@@ -524,6 +524,73 @@ class Corpus:
         )
         return arrival.unionByName(by_len).orderBy("strategy")
 
+    def vocab_coverage(
+        self, *, vocab_sizes: tuple[int, ...] = (1000, 4000, 16000)
+    ) -> DataFrame:
+        """Token-occurrence coverage of the top-``k`` most frequent
+        word types for each candidate vocabulary size ``k`` — the
+        tokenizer-sizing curve (what OOV rate a k-entry word vocabulary
+        buys on THIS corpus). One explode + map-side-combinable count
+        to TYPE grain (Heaps-sublinear in corpus rows), dense frequency
+        ranks from the distributed assigner (no single-task window over
+        the vocabulary), then a single conditional aggregate produces
+        every k in one pass — the corpus is scanned exactly once no
+        matter how many sizes are probed. Ties rank deterministically
+        by (count desc, token asc). The oracle-gated
+        ``text_vocab_coverage`` shape."""
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            tokens_col,
+        )
+        from wagtail_vector_index_spark.operators.prefixsum import (
+            assign_dense_ids,
+        )
+
+        counts = (
+            self.df.select(
+                F.explode(tokens_col(F.col(self.text_col))).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ranked = assign_dense_ids(
+            counts.withColumn("__negcnt", -F.col("cnt")),
+            order_cols=["__negcnt", "tok"],
+            out_col="rk",
+        )
+        aggs = [
+            F.sum("cnt").alias("__total"),
+            F.count(F.lit(1)).alias("__types"),
+        ]
+        for k in vocab_sizes:
+            aggs.append(
+                F.sum(
+                    F.when(F.col("rk") <= int(k), F.col("cnt")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"__cov_{int(k)}")
+            )
+        one = ranked.agg(*aggs)
+        stack_args = ", ".join(
+            f"{int(k)}L, __cov_{int(k)}" for k in vocab_sizes
+        )
+        wide = one.select(
+            F.expr(
+                f"stack({len(vocab_sizes)}, {stack_args})"
+                " as (vocab_size, covered_tokens)"
+            ),
+            F.col("__total").alias("total_tokens"),
+            F.col("__types").alias("n_types"),
+        )
+        return wide.select(
+            "vocab_size",
+            "covered_tokens",
+            "total_tokens",
+            "n_types",
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        ).orderBy("vocab_size")
+
     def quality_auc(self, **rule_kwargs) -> DataFrame:
         """Tie-corrected Mann-Whitney AUC of the hashed linear quality
         score against the Gopher rule battery as gold — the acceptance

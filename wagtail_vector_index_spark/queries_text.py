@@ -3872,6 +3872,53 @@ def text_heaps_law(spark, sf_dir):
     return Corpus(_t(spark, sf_dir, "documents")).heaps_fit()
 
 
+_VOCAB_SIZES = (8, 16, 16000)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH t AS (SELECT {TOKS_SQL} AS toks FROM documents),
+    c AS (SELECT tok, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+          FROM c)
+    SELECT k.vocab_size::BIGINT AS vocab_size,
+           sum(CASE WHEN r.rk <= k.vocab_size THEN r.cnt ELSE 0 END)::BIGINT
+             AS covered_tokens,
+           sum(r.cnt)::BIGINT AS total_tokens,
+           count(*)::BIGINT AS n_types,
+           round(sum(CASE WHEN r.rk <= k.vocab_size THEN r.cnt
+                          ELSE 0 END)::DOUBLE / sum(r.cnt), 6) AS coverage
+    FROM (VALUES {', '.join(f'({k})' for k in _VOCAB_SIZES)})
+         k(vocab_size) CROSS JOIN r
+    GROUP BY k.vocab_size ORDER BY k.vocab_size
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage curve: for each candidate vocab size k, the
+    fraction of token OCCURRENCES covered by the k most frequent word
+    types — the tokenizer-sizing measurement (coverage at k is exactly
+    1 - OOV rate a k-entry word vocabulary would pay on this corpus;
+    run before committing a vocab size, since Zipfian corpora saturate
+    early and templated ones earlier still; the probed sizes bracket
+    the synthetic testdata's 31-type vocabulary so the curve is
+    non-degenerate — production callers pass e.g. (8k, 32k, 128k)).
+    Scale shape: one corpus
+    scan to a map-side-combinable type-grain count (vocabulary is
+    Heaps-sublinear in corpus rows), dense frequency ranks via the
+    distributed assigner (operators/prefixsum.py — no single-task
+    window over the vocabulary), and ONE conditional aggregate emits
+    every probed k; ties rank (count desc, token asc) so the curve is
+    deterministic across partitionings and engines (served via
+    Corpus.vocab_coverage)."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    return Corpus(_t(spark, sf_dir, "documents")).vocab_coverage(
+        vocab_sizes=_VOCAB_SIZES
+    )
+
+
 _PAD_BATCH = 32
 
 
