@@ -1158,3 +1158,40 @@ def test_dup_cluster_edges_same_components_and_losers(spark):
     # edge count linear on the 8-clique: 7 star edges + cross pairs,
     # vs the full graph's 28 within-clique pairs
     assert star.count() < full.count()
+
+
+def test_dup_cluster_edges_prefix_matches_cocount_components(spark):
+    """method='prefix' must yield edge sets with EXACTLY the same
+    connected components as the co-count default — including identical
+    docs (star edges), chained near-dups, and hot shared shingles (the
+    regime the prefix route exists for)."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        connected_components,
+        ngram_dup_cluster_edges,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat near the door by the house"),
+        (2, "the cat sat on the mat near the door by the barn"),
+        (3, "the cat sat on the mat close to the gate by a barn"),
+        (4, "a completely different sentence about spark joins and shuffles"),
+        (5, "another unrelated line mentioning the cat once only here"),
+        (6, "the cat sat on the mat near the door by the house"),  # dup of 1
+        (7, "the cat sat on the mat near the door by the house"),  # dup of 1
+        (8, "the the the the the the the the"),  # degenerate repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        want = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                ngram_dup_cluster_edges(df, threshold=t)
+            ).collect()
+        }
+        got = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                ngram_dup_cluster_edges(df, threshold=t, method="prefix")
+            ).collect()
+        }
+        assert got == want, f"threshold {t}: {got} != {want}"

@@ -392,6 +392,7 @@ def ngram_dup_cluster_edges(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "cocount",
 ) -> DataFrame:
     """Edge list (id_a, id_b) whose connected components are EXACTLY the
     components of the full :func:`ngram_jaccard_pairs` graph, with
@@ -402,15 +403,34 @@ def ngram_dup_cluster_edges(
     (identical sets => every member pair qualifies iff the rep pair
     does). The mega-cluster-safe pair source for components / cluster
     sizes / dup-aware weights, where enumerating a clique's R(R-1)/2
-    edges buys nothing."""
+    edges buys nothing.
+
+    ``method`` picks the representative-pair joiner. ``"cocount"``
+    (default) is the two-shuffle co-count join — fastest on corpora
+    whose shared shingles are rare (the identical-set collapse already
+    removed exact-duplicate mass). ``"prefix"`` routes through the
+    AllPairs prefix filter (:func:`_prefix_jaccard_pairs`) — identical
+    output, required on HOT-SHINGLE corpora: on a realistic Zipfian
+    vocabulary the head grams ("of the and"-class) are shared by
+    thousands of documents each, every such shingle mates O(k²)
+    co-count rows, and the co-count join detonates even after the
+    collapse (SCALE.md 100x-docs staging: 16s -> 416s for 10x at 50k
+    docs, unrunnable at 500k; the prefix route never joins on head
+    shingles and stays near-linear)."""
     members, groups = _shingle_set_groups(
         df, id_col=id_col, text_col=text_col, n=n
     )
-    rep_pairs = _exact_jaccard_pairs(
-        groups.select(F.col("__rep").alias(id_col), "shingles"),
-        id_col=id_col,
-        threshold=threshold,
-    ).select("id_a", "id_b")
+    reps = groups.select(F.col("__rep").alias(id_col), "shingles")
+    if method == "prefix":
+        rep_pairs = _prefix_jaccard_pairs(
+            reps, id_col=id_col, threshold=threshold
+        ).select("id_a", "id_b")
+    elif method == "cocount":
+        rep_pairs = _exact_jaccard_pairs(
+            reps, id_col=id_col, threshold=threshold
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     if float(threshold) > 1.0:  # identical sets (J=1.0) don't qualify
         return rep_pairs
     mg = members.join(groups.select("__g", "__rep"), "__g")
@@ -505,11 +525,25 @@ def ngram_jaccard_pairs_prefix(
     ngram_jaccard_pairs and gated by dedup_jaccard_prefix against the
     same co-count oracle family.
     """
-    t = float(threshold)
     df = _ensure_parallelism(df, id_col)
     shingled = df.select(
         F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
     )
+    return _prefix_jaccard_pairs(
+        shingled, id_col=id_col, threshold=threshold
+    )
+
+
+def _prefix_jaccard_pairs(
+    shingled: DataFrame, *, id_col: str, threshold: float
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard over pre-shingled rows (id,
+    shingles array<string>) — the AllPairs kernel behind
+    :func:`ngram_jaccard_pairs_prefix`, factored out so callers that
+    already hold shingle sets (identical-set representatives in
+    :func:`ngram_dup_cluster_edges`) can route hot-shingle corpora
+    through it without re-shingling."""
+    t = float(threshold)
     sized = shingled.select(
         id_col, "shingles", F.size("shingles").alias("n_sh")
     ).where(F.col("n_sh") > 0)
