@@ -1195,3 +1195,57 @@ def test_dup_cluster_edges_prefix_matches_cocount_components(spark):
             ).collect()
         }
         assert got == want, f"threshold {t}: {got} != {want}"
+
+
+def test_collapsed_pairs_prefix_matches_cocount(spark):
+    """ngram_jaccard_pairs_collapsed(method='prefix') must return the
+    same pairs AND jaccard values as the co-count default, including
+    the expanded identical-set (jaccard 1.0) pairs."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_jaccard_pairs_collapsed,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat near the door by the house"),
+        (2, "the cat sat on the mat near the door by the barn"),
+        (3, "the cat sat on the mat close to the gate by a barn"),
+        (4, "a completely different sentence about spark joins here"),
+        (5, "the cat sat on the mat near the door by the house"),  # dup of 1
+        (6, "the cat sat on the mat near the door by the house"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5):
+        want = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs_collapsed(df, threshold=t).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs_collapsed(
+                df, threshold=t, method="prefix"
+            ).collect()
+        }
+        assert got == want, f"threshold {t}: {got} != {want}"
+
+
+def test_dup_aware_weights_pair_method_parity(spark):
+    """Corpus.with_dup_aware_weights must produce identical weights via
+    either pair source."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    rows = [
+        (i, "s", "the cat sat on the mat near the door by the house")
+        for i in range(4)
+    ] + [(9, "s", "something else entirely unrelated to the cluster")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(
+        (r["doc_id"], r["weight"])
+        for r in Corpus(df).with_dup_aware_weights().df.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["weight"])
+        for r in Corpus(df)
+        .with_dup_aware_weights(pair_method="prefix")
+        .df.collect()
+    )
+    assert a == b

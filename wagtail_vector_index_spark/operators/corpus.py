@@ -111,12 +111,16 @@ class Corpus:
             # policies depend only on has-a-smaller-qualifying-neighbor
             # (keep_representatives) or connectivity
             # (keep_representatives_exact), and star edges preserve both
-            # exactly while staying linear in mega-cluster size
+            # exactly while staying linear in mega-cluster size.
+            # pair_method="prefix" routes the rep join through AllPairs
+            # for hot-shingle corpora (the op's own `method` kwarg is
+            # shadowed by this method's family selector).
             pairs = ngram_dup_cluster_edges(
                 self.df,
                 id_col=self.id_col,
                 text_col=self.text_col,
                 threshold=threshold,
+                method=kwargs.pop("pair_method", "cocount"),
                 **kwargs,
             )
         elif method == "simhash":
@@ -700,6 +704,7 @@ class Corpus:
         *,
         n: int = 3,
         threshold: float = 0.5,
+        pair_method: str = "cocount",
     ) -> DataFrame:
         """Terminal: near-duplicate pairs (word-``n``-gram Jaccard >=
         ``threshold``) whose members land in DIFFERENT splits under
@@ -727,6 +732,7 @@ class Corpus:
             text_col=self.text_col,
             n=n,
             threshold=threshold,
+            method=pair_method,
         )
         return (
             pairs.join(
@@ -753,6 +759,7 @@ class Corpus:
         n: int = 3,
         threshold: float = 0.5,
         col: str = "weight",
+        pair_method: str = "cocount",
     ) -> "Corpus":
         """Append duplication-aware sampling weights: every doc gets
         ``1/cluster_size`` over its transitively-closed near-dup cluster
@@ -776,6 +783,7 @@ class Corpus:
             text_col=self.text_col,
             n=n,
             threshold=threshold,
+            method=pair_method,
         )
         # Rename the components output to reserved names BEFORE the join:
         # a corpus frame that already carries a `component` column would

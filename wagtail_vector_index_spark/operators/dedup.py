@@ -324,6 +324,7 @@ def ngram_jaccard_pairs_collapsed(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "cocount",
 ) -> DataFrame:
     """Identical output to :func:`ngram_jaccard_pairs` (every qualifying
     (id_a < id_b, jaccard) pair), but identical-shingle-set documents
@@ -338,15 +339,28 @@ def ngram_jaccard_pairs_collapsed(
     identical docs = R(R-1)/2 pairs — that's the answer, not a plan
     artifact); what this removes is the quadratic JOIN/AGG work. When
     only connectivity is needed downstream (components, cluster sizes,
-    weights), use :func:`ngram_dup_cluster_edges` — linear output too."""
+    weights), use :func:`ngram_dup_cluster_edges` — linear output too.
+
+    ``method`` picks the representative-pair joiner exactly as on
+    :func:`ngram_dup_cluster_edges`: ``"cocount"`` (default) for
+    benign shingle distributions, ``"prefix"`` (AllPairs) for
+    hot-shingle / Zipf-head corpora where any single shared shingle
+    mates thousands of documents (jaccard values then come from the
+    hashed-shingle verify — same collision caveat as the prefix gate)."""
     members, groups = _shingle_set_groups(
         df, id_col=id_col, text_col=text_col, n=n
     )
-    rep_pairs = _exact_jaccard_pairs(
-        groups.select(F.col("__rep").alias(id_col), "shingles"),
-        id_col=id_col,
-        threshold=threshold,
-    )
+    reps = groups.select(F.col("__rep").alias(id_col), "shingles")
+    if method == "prefix":
+        rep_pairs = _prefix_jaccard_pairs(
+            reps, id_col=id_col, threshold=threshold
+        )
+    elif method == "cocount":
+        rep_pairs = _exact_jaccard_pairs(
+            reps, id_col=id_col, threshold=threshold
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     # member -> representative map (narrow; one hash join on __g)
     mg = members.join(groups.select("__g", "__rep"), "__g").select(
         F.col(id_col), F.col("__rep")
