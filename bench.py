@@ -161,6 +161,7 @@ ADDED = [
     "pipeline_span_scrub",
     "dedup_minhash_estimate",
     "text_vocab_coverage",
+    "dedup_minhash_estverify",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

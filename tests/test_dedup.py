@@ -1249,3 +1249,41 @@ def test_dup_aware_weights_pair_method_parity(spark):
         .df.collect()
     )
     assert a == b
+
+
+def test_minhash_estimate_verify_matches_signature_fold(spark):
+    """verify='estimate' must score each candidate pair exactly
+    matches/num_hashes over the SAME signatures the exact path bands
+    on, with identical docs scoring 1.0 and the pair set a subset of
+    the band candidates."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat near the door by the house"),
+        (2, "the cat sat on the mat near the door by the barn"),
+        (3, "a completely different sentence about spark joins here"),
+        (4, "the cat sat on the mat near the door by the house"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(df, cache=False).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, threshold=0.0, verify="estimate"
+        ).collect()
+    }
+    assert got, "banding must produce candidates on this corpus"
+    for (a, b), est in got.items():
+        matches = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        assert est == matches / 16.0, (a, b, est, matches)
+    assert got[(1, 4)] == 1.0
+    # threshold filters on the estimate
+    high = minhash_lsh_pairs(df, threshold=0.9, verify="estimate").collect()
+    assert {(r["id_a"], r["id_b"]) for r in high} <= set(got)
+    assert all(r["jaccard"] >= 0.9 for r in high)

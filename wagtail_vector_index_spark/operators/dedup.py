@@ -727,6 +727,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    verify: str = "exact",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -735,11 +736,38 @@ def minhash_lsh_pairs(
     its key is a 64-hex band hash — skew-free by construction. Verified
     pairs carry their exact Jaccard, so output ⊆ ngram_jaccard_pairs with
     LSH-probabilistic recall.
+
+    ``verify="estimate"`` verifies candidates by SIGNATURE AGREEMENT
+    instead (matching positions / num_hashes — the unbiased MinHash
+    estimator, E[matches/k] = J): the verify join then fetches 16 longs
+    per side instead of the full shingle arrays, the dominant shuffle
+    of the exact path at corpus scale. The returned ``jaccard`` column
+    is the estimate (granularity 1/num_hashes; spread measured per
+    corpus by the ``dedup_minhash_estimate`` calibration gate — run it
+    before trusting the estimator as the production verify).
     """
     sig = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
     )
     candidates = _band_candidates(sig, id_col, bands, num_hashes // bands)
+    if verify == "estimate":
+        sg_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+        sg_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+        matches = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        return (
+            candidates.join(sg_a, "id_a")
+            .join(sg_b, "id_b")
+            .withColumn("jaccard", matches / F.lit(float(num_hashes)))
+            .where(F.col("jaccard") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "jaccard")
+        )
+    if verify != "exact":
+        raise ValueError(f"unknown verify: {verify!r}")
     # fetch shingles back only for the (few) candidate pairs
     sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))

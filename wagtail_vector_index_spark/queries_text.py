@@ -4277,3 +4277,50 @@ def dedup_minhash_estimate(spark, sf_dir):
         )
         .orderBy("matches")
     )
+
+
+@register(
+    "dedup_minhash_estverify",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents),
+    hashed AS (SELECT doc_id, shingles, {HS_SQL} AS hs FROM sh),
+    sig AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashed),
+    bands AS (SELECT doc_id, unnest({_band_keys_sql('sig')}) AS band
+              FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_filter(range(1, 17),
+                                 i -> sa.sig[i] = sb.sig[i])) / 16.0, 6)
+             AS est_jaccard
+    FROM cand JOIN sig sa ON id_a = sa.doc_id
+              JOIN sig sb ON id_b = sb.doc_id
+    WHERE len(list_filter(range(1, 17),
+              i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_estverify(spark, sf_dir):
+    """Estimate-verified MinHash dedup pairs: the production shuffle-cut
+    path the ``dedup_minhash_estimate`` calibration gate exists to
+    justify — LSH candidates are verified by signature agreement
+    (matches/16, the unbiased MinHash estimator) instead of the exact
+    shingle intersect, so the verify join moves 16 longs per side
+    instead of full shingle arrays (at 100 TB the exact path's
+    dominant shuffle). Same signature pass and band join as
+    ``dedup_minhash_lsh``; output pairs ⊆ candidates with estimator
+    granularity 1/16. The oracle replays signatures, banding, and the
+    agreement fold."""
+    from wagtail_vector_index_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_pairs(docs, threshold=0.5, verify="estimate")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("est_jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
