@@ -4142,19 +4142,22 @@ def pipeline_span_scrub(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = {"src0", "src1"}
-    fp = docs.select(
+    # The fingerprint/explode pipeline must stay TOKS-FREE: carrying the
+    # token array through the fingerprint projection pushes the combined
+    # expression past codegen's subexpression elimination and the sha
+    # pass re-evaluates per gram reference — measured 0.7s -> 34.7s on
+    # this branch alone at sf0.1 (the token array joins back below, and
+    # only for the contaminated minority).
+    ex = docs.select(
         "doc_id",
         "source",
-        tokens_col(F.col("text")).alias("toks"),
         token_sha_hashes_col(F.col("text")).alias("__th"),
     ).select(
         "doc_id",
         "source",
-        "toks",
-        ngram_fingerprints_col(F.col("__th"), 13).alias("fps"),
-    )
-    ex = fp.select(
-        "doc_id", "source", F.posexplode("fps").alias("pos", "s")
+        F.posexplode(ngram_fingerprints_col(F.col("__th"), 13)).alias(
+            "pos", "s"
+        ),
     )
     ev = F.broadcast(
         ex.where(F.col("source").isin(eval_set)).select("s").distinct()
@@ -4166,7 +4169,8 @@ def pipeline_span_scrub(spark, sf_dir):
         .agg(F.collect_set("pos").alias("poss"))
     )
     scrubbed = contaminated.join(
-        fp.select("doc_id", "toks"), "doc_id"
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks")),
+        "doc_id",
     ).select(
         "doc_id",
         "toks",
