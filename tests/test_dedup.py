@@ -1287,3 +1287,24 @@ def test_minhash_estimate_verify_matches_signature_fold(spark):
     high = minhash_lsh_pairs(df, threshold=0.9, verify="estimate").collect()
     assert {(r["id_a"], r["id_b"]) for r in high} <= set(got)
     assert all(r["jaccard"] >= 0.9 for r in high)
+
+
+def test_dedup_fuzzy_forwards_estimate_verify(spark):
+    """Corpus.dedup_fuzzy(method='minhash', verify='estimate') must
+    apply the signature-agreement verify end-to-end: identical docs
+    dedup (estimate 1.0 >= threshold), unrelated docs survive."""
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    rows = [
+        (1, "s", "the cat sat on the mat near the door by the house"),
+        (2, "s", "the cat sat on the mat near the door by the house"),
+        (3, "s", "a completely different sentence about spark joins here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in Corpus(df)
+        .dedup_fuzzy(method="minhash", threshold=0.9, verify="estimate")
+        .df.collect()
+    )
+    assert kept == [1, 3]
