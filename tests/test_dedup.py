@@ -1308,3 +1308,50 @@ def test_dedup_fuzzy_forwards_estimate_verify(spark):
         .df.collect()
     )
     assert kept == [1, 3]
+
+
+def test_incremental_neardup_estimate_verify(spark):
+    """verify='estimate' on the asymmetric ingestion path: identical
+    new-vs-corpus docs score 1.0 and filter out; unrelated docs pass;
+    estimates equal the signature-agreement fold."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        incremental_neardup_filter,
+        incremental_neardup_pairs,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat near the door by the house"),
+            (101, "some corpus document with entirely other content here"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat near the door by the house"),
+            (2, "fresh unseen words that match nothing in the corpus side"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = incremental_neardup_pairs(
+        new, corpus, threshold=0.0, verify="estimate"
+    ).collect()
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for df in (new, corpus)
+        for r in minhash_signatures(df, cache=False).collect()
+    }
+    assert pairs, "band join must produce candidates"
+    for r in pairs:
+        m = sum(
+            x == y for x, y in zip(sigs[r["new_id"]], sigs[r["corpus_id"]])
+        )
+        assert r["jaccard"] == m / 16.0
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_neardup_filter(
+            new, corpus, threshold=0.9, verify="estimate"
+        ).collect()
+    )
+    assert kept == [2]

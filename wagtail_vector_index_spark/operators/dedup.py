@@ -2302,10 +2302,18 @@ def incremental_neardup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     corpus_signatures: "DataFrame | CorpusSignatures | None" = None,
+    verify: str = "exact",
 ) -> DataFrame:
     """Asymmetric MinHash near-dup detection for continuous ingestion:
     which NEW rows near-duplicate the STANDING corpus. Returns
     (new_id, corpus_id, jaccard) pairs above threshold.
+
+    ``verify="estimate"`` scores candidates by signature agreement
+    (matches/num_hashes) exactly as on :func:`minhash_lsh_pairs` — the
+    per-batch verify join then moves 16 longs per corpus row touched
+    instead of the corpus row's full shingle array (and a stored
+    :class:`CorpusSignatures` no longer needs its shingle column
+    materialized into the join at all).
 
     The band join is new-side x corpus-side only — no corpus self-join,
     no new self-join — so per-batch cost scales with the batch's band
@@ -2371,14 +2379,45 @@ def incremental_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = _jaccard_verify(
-        candidates,
-        new_side.select(F.col("new_id").alias("id_a"), F.col("new_sh").alias("sh_a")),
-        corpus_side.select(
-            F.col("corpus_id").alias("id_b"), F.col("corpus_sh").alias("sh_b")
-        ),
-        threshold,
-    )
+    if verify == "estimate":
+        matches = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        verified = (
+            candidates.join(
+                new_side.select(
+                    F.col("new_id").alias("id_a"), F.col("sig").alias("sig_a")
+                ),
+                "id_a",
+            )
+            .join(
+                corpus_side.select(
+                    F.col("corpus_id").alias("id_b"),
+                    F.col("sig").alias("sig_b"),
+                ),
+                "id_b",
+            )
+            .withColumn("jaccard", matches / F.lit(float(num_hashes)))
+            .where(F.col("jaccard") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "jaccard")
+        )
+    elif verify == "exact":
+        verified = _jaccard_verify(
+            candidates,
+            new_side.select(
+                F.col("new_id").alias("id_a"), F.col("new_sh").alias("sh_a")
+            ),
+            corpus_side.select(
+                F.col("corpus_id").alias("id_b"),
+                F.col("corpus_sh").alias("sh_b"),
+            ),
+            threshold,
+        )
+    else:
+        raise ValueError(f"unknown verify: {verify!r}")
     return verified.select(
         F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"),
         "jaccard",
