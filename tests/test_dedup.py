@@ -1355,3 +1355,36 @@ def test_incremental_neardup_estimate_verify(spark):
         ).collect()
     )
     assert kept == [2]
+
+
+def test_incremental_estimate_accepts_signatures_only_corpus(spark):
+    """A signatures-only CorpusSignatures (include_shingles=False) must
+    serve verify='estimate' batches; the exact path keeps requiring
+    shingles."""
+    import pytest
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        CorpusSignatures,
+        incremental_neardup_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "the cat sat on the mat near the door by the house")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "the cat sat on the mat near the door by the house")],
+        "doc_id long, text string",
+    )
+    with CorpusSignatures.build(corpus, include_shingles=False) as sigs:
+        assert "shingles" not in sigs.df.columns
+        got = incremental_neardup_pairs(
+            new, corpus_signatures=sigs, threshold=0.9, verify="estimate"
+        ).collect()
+        assert [(r["new_id"], r["corpus_id"], r["jaccard"]) for r in got] == [
+            (1, 100, 1.0)
+        ]
+        with pytest.raises(Exception):
+            incremental_neardup_pairs(
+                new, corpus_signatures=sigs, threshold=0.9
+            ).collect()

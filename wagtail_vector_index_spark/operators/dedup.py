@@ -2272,13 +2272,23 @@ class CorpusSignatures:
         text_col: str = "text",
         n: int = 3,
         num_hashes: int = 16,
+        include_shingles: bool = True,
     ) -> "CorpusSignatures":
+        """``include_shingles=False`` persists (id, sig) only — the
+        shingle arrays dominate the stored state (each doc's full
+        distinct gram set vs 16 longs), so an ingestion loop that
+        verifies with ``verify="estimate"`` holds ~an order of
+        magnitude less executor storage. Exact-verify callers need the
+        default."""
         from pyspark import StorageLevel
 
         sig = minhash_signatures(
             corpus_df, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes, cache=False,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if not include_shingles:
+            sig = sig.drop("shingles")
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
         return cls(sig)
 
     def unpersist(self) -> None:
@@ -2355,11 +2365,12 @@ def incremental_neardup_pairs(
     )
 
     def sided(side, alias):
-        return side.select(
-            F.col(id_col).alias(f"{alias}_id"),
-            F.col("shingles").alias(f"{alias}_sh"),
-            F.col("sig"),
-        )
+        cols = [F.col(id_col).alias(f"{alias}_id"), F.col("sig")]
+        if verify == "exact":
+            # estimate mode never touches shingles, so a signatures-only
+            # CorpusSignatures (include_shingles=False) is accepted there
+            cols.insert(1, F.col("shingles").alias(f"{alias}_sh"))
+        return side.select(*cols)
 
     new_side, corpus_side = sided(new_side, "new"), sided(corpus_side, "corpus")
 
