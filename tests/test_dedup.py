@@ -1388,3 +1388,51 @@ def test_incremental_estimate_accepts_signatures_only_corpus(spark):
             incremental_neardup_pairs(
                 new, corpus_signatures=sigs, threshold=0.9
             ).collect()
+
+
+def test_cluster_edges_prefix_property_random_docs(spark):
+    """Randomized differential for the production prefix route: on a
+    hot-shingle random corpus (tiny vocab -> heavy sharing, plus planted
+    identical docs), method='prefix' must yield the same connected
+    components AND the same collapsed pair set as the co-count default."""
+    import random
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        connected_components,
+        ngram_dup_cluster_edges,
+        ngram_jaccard_pairs_collapsed,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 18))))
+        for i in range(36)
+    ]
+    rows += [(100 + j, rows[j][1]) for j in range(4)]  # identical dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.4, 0.7):
+        want_c = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                ngram_dup_cluster_edges(df, threshold=t)
+            ).collect()
+        }
+        got_c = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                ngram_dup_cluster_edges(df, threshold=t, method="prefix")
+            ).collect()
+        }
+        assert got_c == want_c, f"components diverge at t={t}"
+        want_p = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs_collapsed(df, threshold=t).collect()
+        }
+        got_p = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs_collapsed(
+                df, threshold=t, method="prefix"
+            ).collect()
+        }
+        assert got_p == want_p, f"pairs diverge at t={t}"
