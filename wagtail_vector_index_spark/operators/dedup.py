@@ -599,13 +599,36 @@ def _prefix_jaccard_pairs(
         ex.join(dfreq, "sh")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= prefix_len)
-        .select(id_col, "n_sh", "sh")
+        .select(id_col, "n_sh", "sh", "__rn")
     )
     a = pre.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh"
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("__rn").alias("__ra"),
+        "sh",
     )
     b = pre.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "sh"
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("__rn").alias("__rb"),
+        "sh",
+    )
+    # PPJoin POSITION filter (Xiao et al. WWW'08 §3.2): both docs'
+    # shingle lists are sorted by the same (global df, sh) total order,
+    # so every shared shingle sits at position >= the matched one —
+    # overlap <= min(n_a - ra, n_b - rb) + 1 on any match row, and a
+    # qualifying pair's FIRST common shingle maximizes that bound. The
+    # Jaccard threshold in overlap terms is o >= ceil(t/(1+t) *
+    # (n_a + n_b)); rows whose capacity bound can't reach it are pruned
+    # BEFORE the pair ever fetches its full arrays for the verify.
+    # Same safe-epsilon discipline as _tceil: erring looser only admits
+    # candidates the exact verify removes.
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")) - F.lit(1e-9)
+    )
+    capacity = (
+        F.least(F.col("n_a") - F.col("__ra"), F.col("n_b") - F.col("__rb"))
+        + 1
     )
     cand = (
         a.join(b, "sh")
@@ -613,6 +636,7 @@ def _prefix_jaccard_pairs(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("n_b") >= _tceil(F.col("n_a")))
             & (F.col("n_a") >= _tceil(F.col("n_b")))
+            & (capacity >= alpha)
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
