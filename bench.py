@@ -174,6 +174,15 @@ HEAVY_TRACKED = [
     "graph_hits",
     "vector_dbscan",
     "dedup_lsh_precision",
+    # r10 (verdict ask #4): the shingle cohort the r9 perf work targeted
+    # — promoted so a regression trips a machine-readable diff instead
+    # of hiding in BENCH_NOTES prose.
+    "pipeline_contamination_report",
+    "pipeline_split_leakage",
+    "pipeline_dup_aware_weights",
+    "pipeline_span_scrub",
+    "pipeline_source_overlap",
+    "dedup_jaccard_exact",
 ]
 
 SPARK_RUNS = 5

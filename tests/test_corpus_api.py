@@ -392,3 +392,26 @@ def test_with_dup_aware_weights_tolerates_component_column(spark):
     }
     assert out[1] == (0.5, "x") and out[2] == (0.5, "x")
     assert out[3] == (1.0, "y")
+
+
+def test_dedup_fuzzy_pair_method_rejected_for_non_jaccard(spark):
+    """pair_method with a non-jaccard family must raise a clear
+    ValueError instead of leaking into **kwargs as an opaque
+    TypeError."""
+    import pytest as _pytest
+
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="pair_method"):
+        Corpus(df).dedup_fuzzy(method="minhash", pair_method="prefix")
+    # jaccard still accepts an explicit route
+    out = (
+        Corpus(df)
+        .dedup_fuzzy(method="jaccard", pair_method="prefix", threshold=0.5)
+        .df.collect()
+    )
+    assert {r["doc_id"] for r in out} == {1}

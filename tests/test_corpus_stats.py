@@ -379,3 +379,21 @@ def test_vocab_coverage_deterministic_under_repartition(spark):
     a = Corpus(df.repartition(1)).vocab_coverage(vocab_sizes=(3, 5)).collect()
     b = Corpus(df.repartition(13)).vocab_coverage(vocab_sizes=(3, 5)).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_vocab_coverage_dedupes_and_sorts_sizes(spark):
+    """Duplicate / unsorted vocab_sizes must not break the stack()
+    expression; the output equals the deduped sorted curve."""
+    import pytest as _pytest
+
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d e")], "doc_id long, text string"
+    )
+    got = Corpus(df).vocab_coverage(vocab_sizes=(4, 2, 2, 4)).collect()
+    assert [r["vocab_size"] for r in got] == [2, 4]
+    want = Corpus(df).vocab_coverage(vocab_sizes=(2, 4)).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    with _pytest.raises(ValueError, match="non-empty"):
+        Corpus(df).vocab_coverage(vocab_sizes=())

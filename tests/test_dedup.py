@@ -1436,3 +1436,149 @@ def test_cluster_edges_prefix_property_random_docs(spark):
             ).collect()
         }
         assert got_p == want_p, f"pairs diverge at t={t}"
+
+
+def test_choose_pair_method_routes_by_cocount_size(spark):
+    """choose_pair_method must keep co-count on benign corpora (shared
+    shingles rare) and switch to prefix when the exact co-count join
+    size blows past the budget — the mechanized docs/scale.md rule."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        choose_pair_method,
+    )
+
+    benign = spark.createDataFrame(
+        [(i, [f"u{i}a", f"u{i}b", f"u{i}c"]) for i in range(50)],
+        "doc_id long, shingles array<string>",
+    )
+    m, stats = choose_pair_method(benign)
+    assert m == "cocount"
+    assert stats["cocount_rows"] == 0.0 and stats["exploded_rows"] == 150.0
+    # hot shingle shared by every doc: C = 50*49/2 = 1225 exact
+    hot = spark.createDataFrame(
+        [(i, ["the cat sat", f"u{i}"]) for i in range(50)],
+        "doc_id long, shingles array<string>",
+    )
+    m2, stats2 = choose_pair_method(hot)
+    assert stats2["cocount_rows"] == 1225.0 and stats2["max_df"] == 50.0
+    # within the default absolute floor -> still cocount
+    assert m2 == "cocount"
+    # force the budget down: the same corpus must route to prefix
+    m3, _ = choose_pair_method(
+        hot, cocount_budget_rows=100, cocount_budget_ratio=1.0
+    )
+    assert m3 == "prefix"
+    # empty corpus: no rows, cocount, no crash
+    empty = spark.createDataFrame([], "doc_id long, shingles array<string>")
+    m4, stats4 = choose_pair_method(empty)
+    assert m4 == "cocount" and stats4["cocount_rows"] == 0.0
+
+
+def test_auto_pair_method_matches_pinned_routes(spark):
+    """method='auto' (the new default) must return exactly the same
+    pairs/edges as BOTH pinned routes on a corpus with identical
+    clusters, near-dups, and a hot shared shingle."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        connected_components,
+        ngram_dup_cluster_edges,
+        ngram_jaccard_pairs_collapsed,
+    )
+
+    rows = [(i, "the cat sat on the mat near the door by the house")
+            for i in range(5)]
+    rows += [
+        (10, "the cat sat on the mat near the door by the barn"),
+        (11, "a completely different sentence about spark joins here"),
+        (12, "the the the the the the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6):
+        want_pairs = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs_collapsed(
+                df, threshold=t, method="cocount"
+            ).collect()
+        }
+        for m in ("auto", "prefix"):
+            got = {
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs_collapsed(
+                    df, threshold=t, method=m
+                ).collect()
+            }
+            assert got == want_pairs, (t, m)
+        want_comp = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                ngram_dup_cluster_edges(df, threshold=t, method="cocount")
+            ).collect()
+        }
+        got_comp = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                ngram_dup_cluster_edges(df, threshold=t, method="auto")
+            ).collect()
+        }
+        assert got_comp == want_comp, t
+
+
+def test_auto_pair_method_rejects_unknown_and_caches(spark, tmp_path):
+    """Unknown methods raise up front; the auto verdict is memoized per
+    (plan, data version) so a repeated corpus pays the decision scan
+    once, and a new data version gets a fresh verdict."""
+    import pytest as _pytest
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        _PAIR_METHOD_CACHE,
+        ngram_dup_cluster_edges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="unknown method"):
+        ngram_dup_cluster_edges(df, method="bogus").collect()
+
+    path = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(path)
+    _PAIR_METHOD_CACHE.clear()
+    fdf = spark.read.parquet(path)
+    ngram_dup_cluster_edges(fdf, threshold=0.5).collect()
+    assert len(_PAIR_METHOD_CACHE) == 1
+    ngram_dup_cluster_edges(fdf, threshold=0.5).collect()
+    assert len(_PAIR_METHOD_CACHE) == 1  # hit, no new entry
+    # same path, new data version (extra part file) -> fresh verdict
+    spark.createDataFrame(
+        [(3, "x y z w v")], "doc_id long, text string"
+    ).write.mode("append").parquet(path)
+    ngram_dup_cluster_edges(spark.read.parquet(path), threshold=0.5).collect()
+    assert len(_PAIR_METHOD_CACHE) == 2
+
+
+def test_incremental_neardup_signatures_only_exact_verify_raises(spark):
+    """verify='exact' against a signatures-only CorpusSignatures must
+    fail fast with a clear contract error, not an unresolved-column
+    AnalysisException from deep plan analysis."""
+    import pytest as _pytest
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        CorpusSignatures,
+        incremental_neardup_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "a b c d e f g")], "doc_id long, text string"
+    )
+    with CorpusSignatures.build(corpus, include_shingles=False) as sigs:
+        with _pytest.raises(ValueError, match="include_shingles"):
+            incremental_neardup_pairs(
+                new, corpus_signatures=sigs, verify="exact"
+            )
+        # estimate mode stays fine on the same signatures-only state
+        got = incremental_neardup_pairs(
+            new, corpus_signatures=sigs, verify="estimate", threshold=0.5
+        ).collect()
+        assert {r["corpus_id"] for r in got} == {1}

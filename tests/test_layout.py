@@ -104,3 +104,39 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed_t")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed_t")
+
+
+def test_driver_rotation_map_derives_from_correctness_files():
+    """_DRIVER_LAST_SAMPLED must be computed from the CORRECTNESS_r*.json
+    files (the hand-edited literal drifted one round behind in r7, r8
+    and r9): every key of every round file appears with the max round it
+    was sampled in, so the driver's next draw never re-samples the most
+    recent round while older cohorts starve."""
+    import importlib
+    import json
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root))
+    try:
+        entry = importlib.import_module("__spark_entry__")
+    finally:
+        sys.path.remove(str(root))
+    want: dict[str, int] = {}
+    rounds = []
+    for p in root.glob("CORRECTNESS_r*.json"):
+        rnd = int(p.stem.split("_r")[1])
+        rounds.append(rnd)
+        for key in json.loads(p.read_text()):
+            want[key] = max(want.get(key, 0), rnd)
+    assert entry._DRIVER_LAST_SAMPLED == want
+    if rounds:  # latest round's keys sort strictly after everything else
+        latest = max(rounds)
+        latest_keys = set(json.loads(
+            (root / f"CORRECTNESS_r{latest:02d}.json").read_text()
+        ))
+        order = list(entry.queries())
+        tail = set(order[-len(latest_keys):])
+        assert latest_keys <= set(order)
+        assert latest_keys == {k for k in order if want.get(k) == latest} & latest_keys

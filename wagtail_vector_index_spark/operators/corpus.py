@@ -29,6 +29,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _eval_gram_side(ev: DataFrame, max_broadcast_grams: int) -> DataFrame:
+    """Broadcast the distinct eval-gram frame only while it is
+    broadcast-sized; above ``max_broadcast_grams`` fall back to a plain
+    shuffle hash join. Real eval suites are bounded (the broadcast is
+    the right default — the corpus side never shuffles for the join),
+    but a crawl-scale "eval" set with tens of millions of grams would
+    otherwise outgrow executor memory inside an un-overridable
+    broadcast hint. The size probe is ``limit(bound + 1).count()`` —
+    bounded work regardless of how large the eval side really is, one
+    small job. ``max_broadcast_grams <= 0`` forces the shuffle join."""
+    if max_broadcast_grams <= 0:
+        return ev
+    n = ev.limit(int(max_broadcast_grams) + 1).count()
+    return F.broadcast(ev) if n <= max_broadcast_grams else ev
+
+
 class Corpus:
     """A lazily-transformed document corpus.
 
@@ -98,6 +114,14 @@ class Corpus:
             simhash_pairs_dense,
         )
 
+        # pop unconditionally: left in **kwargs for a non-jaccard family
+        # it would surface as an opaque TypeError from the underlying op
+        pair_method = kwargs.pop("pair_method", None)
+        if pair_method is not None and method != "jaccard":
+            raise ValueError(
+                "pair_method applies only to method='jaccard'; got "
+                f"pair_method={pair_method!r} with method={method!r}"
+            )
         if method == "minhash":
             pairs = minhash_lsh_pairs(
                 self.df,
@@ -112,15 +136,17 @@ class Corpus:
             # (keep_representatives) or connectivity
             # (keep_representatives_exact), and star edges preserve both
             # exactly while staying linear in mega-cluster size.
-            # pair_method="prefix" routes the rep join through AllPairs
-            # for hot-shingle corpora (the op's own `method` kwarg is
-            # shadowed by this method's family selector).
+            # pair_method defaults to "auto": one bounded aggregation
+            # counts the exact co-count join size and routes hot-shingle
+            # corpora through the AllPairs prefix filter (the op's own
+            # `method` kwarg is shadowed by this method's family
+            # selector). Pass "cocount"/"prefix" to pin a route.
             pairs = ngram_dup_cluster_edges(
                 self.df,
                 id_col=self.id_col,
                 text_col=self.text_col,
                 threshold=threshold,
-                method=kwargs.pop("pair_method", "cocount"),
+                method=pair_method if pair_method is not None else "auto",
                 **kwargs,
             )
         elif method == "simhash":
@@ -244,6 +270,7 @@ class Corpus:
         eval_sources: set[str] | None = None,
         eval_df: DataFrame | None = None,
         n: int = 13,
+        max_broadcast_grams: int = 5_000_000,
     ) -> "Corpus":
         """Remove training docs sharing ANY word-``n``-gram with the
         held-out set — the GPT-3 / PaLM exact-collision protocol (Brown
@@ -287,9 +314,11 @@ class Corpus:
                 F.explode(ngram_fingerprints_col(F.col("__th"), n)).alias("sh"),
             )
 
-        # broadcast: the distinct eval gram set is eval-suite sized
-        # (bounded), so the corpus side never shuffles for this join
-        ev = F.broadcast(grams(eval_docs).distinct())
+        # broadcast while eval-suite sized (the corpus side then never
+        # shuffles for this join); shuffle-join fallback above the bound
+        ev = _eval_gram_side(
+            grams(eval_docs).distinct(), max_broadcast_grams
+        )
         flagged = (
             grams(train_docs, self.id_col)
             .join(ev, "sh")
@@ -304,6 +333,7 @@ class Corpus:
         eval_sources: set[str] | None = None,
         eval_df: DataFrame | None = None,
         n: int = 13,
+        max_broadcast_grams: int = 5_000_000,
     ) -> "Corpus":
         """SURGICAL decontamination — the Llama-2 refinement of
         :meth:`decontaminate_collisions`: instead of dropping a
@@ -343,10 +373,11 @@ class Corpus:
                 ngram_fingerprints_col(F.col("__th"), n).alias("__fps"),
             )
 
-        ev = F.broadcast(
+        ev = _eval_gram_side(
             fingerprints(eval_docs)
             .select(F.explode("__fps").alias("__sh"))
-            .distinct()
+            .distinct(),
+            max_broadcast_grams,
         )
         poss = (
             fingerprints(train_docs, self.id_col)
@@ -549,6 +580,12 @@ class Corpus:
             assign_dense_ids,
         )
 
+        # dedupe/sort up front: duplicate k values would build duplicate
+        # __cov_{k} aliases and the stack() expr then fails with an
+        # ambiguous-reference AnalysisException
+        vocab_sizes = tuple(sorted({int(k) for k in vocab_sizes}))
+        if not vocab_sizes:
+            raise ValueError("vocab_sizes must be non-empty")
         counts = (
             self.df.select(
                 F.explode(tokens_col(F.col(self.text_col))).alias("tok")
@@ -704,7 +741,7 @@ class Corpus:
         *,
         n: int = 3,
         threshold: float = 0.5,
-        pair_method: str = "cocount",
+        pair_method: str = "auto",
     ) -> DataFrame:
         """Terminal: near-duplicate pairs (word-``n``-gram Jaccard >=
         ``threshold``) whose members land in DIFFERENT splits under
@@ -713,10 +750,13 @@ class Corpus:
         ``pipeline_split_leakage`` shape). Returns (id_a, id_b, jaccard,
         split_a, split_b); empty means the split is leak-free at this
         threshold. Pairs meet only on shared shingles — never quadratic
-        in corpus size — and identical-shingle-set documents collapse to
-        one representative before the co-count join (exact; see
-        ngram_jaccard_pairs_collapsed), so a crawl's
-        identical-boilerplate mega-cluster can't detonate the join."""
+        in corpus size — identical-shingle-set documents collapse to
+        one representative before the pair join (exact; see
+        ngram_jaccard_pairs_collapsed), and ``pair_method="auto"``
+        (default) routes hot-shingle corpora through the AllPairs
+        prefix filter, so neither a crawl's identical-boilerplate
+        mega-cluster nor its Zipf-head shingles can detonate the
+        join."""
         from wagtail_vector_index_spark.operators.dedup import (
             ngram_jaccard_pairs_collapsed,
         )
@@ -759,7 +799,7 @@ class Corpus:
         n: int = 3,
         threshold: float = 0.5,
         col: str = "weight",
-        pair_method: str = "cocount",
+        pair_method: str = "auto",
     ) -> "Corpus":
         """Append duplication-aware sampling weights: every doc gets
         ``1/cluster_size`` over its transitively-closed near-dup cluster

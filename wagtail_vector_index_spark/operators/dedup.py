@@ -317,6 +317,116 @@ def _shingle_set_groups(
     return members, groups
 
 
+def choose_pair_method(
+    shingled: DataFrame,
+    *,
+    cocount_budget_rows: int = 50_000_000,
+    cocount_budget_ratio: float = 16.0,
+) -> tuple[str, dict]:
+    """Route an exact-Jaccard pair join — ``"cocount"`` vs ``"prefix"``
+    — from ONE bounded aggregation over the corpus's shingle
+    document-frequency distribution. This is the mechanized form of the
+    selection rule the r9 100x organic staging (SCALE.md, docs/scale.md)
+    established: on a crawl-shaped Zipfian vocabulary the head shingles
+    are shared by thousands of documents each, the co-count join is
+    quadratic per hot shingle (12s -> 261s for 10x data at 50k docs,
+    DNF at 500k), while the AllPairs prefix route never joins on head
+    shingles and stays near-linear; on benign corpora (shared shingles
+    rare) co-count's two-shuffle plan wins outright.
+
+    The decision statistic is EXACT, not sampled: the co-count join
+    materializes precisely ``C = sum_sh df*(df-1)/2`` pair rows (df =
+    per-shingle document frequency over ``shingled``, shingle arrays
+    are distinct within a doc), so one explode + count + single-row agg
+    yields the true join size before running it. ``"cocount"`` is kept
+    iff ``C <= max(cocount_budget_rows, cocount_budget_ratio * E)``
+    where ``E = sum_sh df`` is the exploded row count (the linear work
+    every route pays): the absolute floor keeps small corpora on the
+    cheaper two-shuffle plan regardless of skew (a bounded join is a
+    bounded join), and the ratio term caps the quadratic blow-up
+    relative to corpus size at any scale — a 100 TB corpus gets a
+    proportionally larger budget, a hot-shingle corpus blows past the
+    ratio long before the join runs. Shingles are xxhash64'd for the
+    decision count (collisions only merge two df counts and INFLATE C
+    — errs toward the scale-safe route).
+
+    Returns ``(method, stats)`` with stats carrying ``cocount_rows``,
+    ``exploded_rows``, ``max_df`` and the evaluated ``budget`` so
+    callers can log the decision. Cost: one shuffle over exploded
+    shingle hashes (8-byte keys) + a single-row collect — the same
+    order as the first stage of either route it chooses between.
+    """
+    row = (
+        shingled.select(F.explode("shingles").alias("__s"))
+        .select(F.xxhash64("__s").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .agg(
+            F.coalesce(F.sum("df"), F.lit(0.0)).alias("rows"),
+            F.coalesce(
+                F.sum(F.col("df") * (F.col("df") - F.lit(1.0)) / 2),
+                F.lit(0.0),
+            ).alias("cocount_rows"),
+            F.coalesce(F.max("df"), F.lit(0.0)).alias("max_df"),
+        )
+        .collect()[0]
+    )
+    budget = max(
+        float(cocount_budget_rows), float(cocount_budget_ratio) * row["rows"]
+    )
+    method = "cocount" if row["cocount_rows"] <= budget else "prefix"
+    return method, {
+        "cocount_rows": row["cocount_rows"],
+        "exploded_rows": row["rows"],
+        "max_df": row["max_df"],
+        "budget": budget,
+    }
+
+
+# Memoized auto-route verdicts, keyed (plan semanticHash, data version
+# fingerprint) exactly like _SKEW_VERDICT_CACHE: the decision is a pure
+# function of the data version (same plan + same immutable parquet part
+# files => same shingle distribution), so a per-session corpus re-run —
+# a gate suite, an ingestion loop over a standing corpus — pays the
+# decision scan once. Either route returns the identical pair set, so a
+# (impossible-without-in-place-file-mutation) stale hit could only
+# change the plan shape, never the answer. Bounded at 64 entries.
+_PAIR_METHOD_CACHE: dict[tuple, str] = {}
+
+
+def _resolve_pair_method(
+    method: str, groups: DataFrame
+) -> tuple[str, DataFrame]:
+    """Shared ``"auto"`` resolution for the collapsed pair generators:
+    lazily localCheckpoint the identical-set group frame (the decision
+    aggregation and the pair join both read it — one materialization,
+    blocks reclaimed by the ContextCleaner when the frame drops), then
+    decide on the REPRESENTATIVES' shingle sets, which is exactly what
+    the pair join will see."""
+    if method not in ("auto", "cocount", "prefix"):
+        raise ValueError(
+            f"unknown method: {method!r}; expected auto | cocount | prefix"
+        )
+    if method != "auto":
+        return method, groups
+    key = None
+    version = _data_version_fingerprint(groups)
+    if version is not None:
+        try:
+            key = (groups.semanticHash(), version)
+        except Exception:
+            key = None
+    if key is not None and key in _PAIR_METHOD_CACHE:
+        return _PAIR_METHOD_CACHE[key], groups
+    groups = groups.localCheckpoint(eager=False)
+    chosen, _ = choose_pair_method(groups.select("shingles"))
+    if key is not None:
+        if len(_PAIR_METHOD_CACHE) >= 64:
+            _PAIR_METHOD_CACHE.pop(next(iter(_PAIR_METHOD_CACHE)))
+        _PAIR_METHOD_CACHE[key] = chosen
+    return chosen, groups
+
+
 def ngram_jaccard_pairs_collapsed(
     df: DataFrame,
     *,
@@ -324,7 +434,7 @@ def ngram_jaccard_pairs_collapsed(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    method: str = "cocount",
+    method: str = "auto",
 ) -> DataFrame:
     """Identical output to :func:`ngram_jaccard_pairs` (every qualifying
     (id_a < id_b, jaccard) pair), but identical-shingle-set documents
@@ -342,25 +452,27 @@ def ngram_jaccard_pairs_collapsed(
     weights), use :func:`ngram_dup_cluster_edges` — linear output too.
 
     ``method`` picks the representative-pair joiner exactly as on
-    :func:`ngram_dup_cluster_edges`: ``"cocount"`` (default) for
-    benign shingle distributions, ``"prefix"`` (AllPairs) for
-    hot-shingle / Zipf-head corpora where any single shared shingle
-    mates thousands of documents (jaccard values then come from the
-    hashed-shingle verify — same collision caveat as the prefix gate)."""
+    :func:`ngram_dup_cluster_edges`: ``"auto"`` (default) runs the
+    bounded :func:`choose_pair_method` aggregation and routes by the
+    EXACT co-count join size; ``"cocount"`` pins the two-shuffle plan
+    (fastest on benign shingle distributions), ``"prefix"`` pins
+    AllPairs for hot-shingle / Zipf-head corpora where any single
+    shared shingle mates thousands of documents (jaccard values then
+    come from the hashed-shingle verify — same collision caveat as the
+    prefix gate)."""
     members, groups = _shingle_set_groups(
         df, id_col=id_col, text_col=text_col, n=n
     )
+    method, groups = _resolve_pair_method(method, groups)
     reps = groups.select(F.col("__rep").alias(id_col), "shingles")
     if method == "prefix":
         rep_pairs = _prefix_jaccard_pairs(
             reps, id_col=id_col, threshold=threshold
         )
-    elif method == "cocount":
+    else:
         rep_pairs = _exact_jaccard_pairs(
             reps, id_col=id_col, threshold=threshold
         )
-    else:
-        raise ValueError(f"unknown method: {method!r}")
     # member -> representative map (narrow; one hash join on __g)
     mg = members.join(groups.select("__g", "__rep"), "__g").select(
         F.col(id_col), F.col("__rep")
@@ -406,7 +518,7 @@ def ngram_dup_cluster_edges(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    method: str = "cocount",
+    method: str = "auto",
 ) -> DataFrame:
     """Edge list (id_a, id_b) whose connected components are EXACTLY the
     components of the full :func:`ngram_jaccard_pairs` graph, with
@@ -419,32 +531,35 @@ def ngram_dup_cluster_edges(
     sizes / dup-aware weights, where enumerating a clique's R(R-1)/2
     edges buys nothing.
 
-    ``method`` picks the representative-pair joiner. ``"cocount"``
-    (default) is the two-shuffle co-count join — fastest on corpora
-    whose shared shingles are rare (the identical-set collapse already
-    removed exact-duplicate mass). ``"prefix"`` routes through the
-    AllPairs prefix filter (:func:`_prefix_jaccard_pairs`) — identical
-    output, required on HOT-SHINGLE corpora: on a realistic Zipfian
-    vocabulary the head grams ("of the and"-class) are shared by
-    thousands of documents each, every such shingle mates O(k²)
-    co-count rows, and the co-count join detonates even after the
-    collapse (SCALE.md 100x-docs staging: 16s -> 416s for 10x at 50k
-    docs, unrunnable at 500k; the prefix route never joins on head
-    shingles and stays near-linear)."""
+    ``method`` picks the representative-pair joiner. ``"auto"``
+    (default) runs :func:`choose_pair_method` — one bounded aggregation
+    counting the EXACT co-count join size — and keeps co-count only
+    when that size is within budget; the scale-safe default, so a
+    crawl-shaped corpus pointed at this function never hits the engine
+    that DNF'd. ``"cocount"`` pins the two-shuffle co-count join —
+    fastest on corpora whose shared shingles are rare (the
+    identical-set collapse already removed exact-duplicate mass).
+    ``"prefix"`` pins the AllPairs prefix filter
+    (:func:`_prefix_jaccard_pairs`) — identical output, required on
+    HOT-SHINGLE corpora: on a realistic Zipfian vocabulary the head
+    grams ("of the and"-class) are shared by thousands of documents
+    each, every such shingle mates O(k²) co-count rows, and the
+    co-count join detonates even after the collapse (SCALE.md 100x-docs
+    staging: 16s -> 416s for 10x at 50k docs, unrunnable at 500k; the
+    prefix route never joins on head shingles and stays near-linear)."""
     members, groups = _shingle_set_groups(
         df, id_col=id_col, text_col=text_col, n=n
     )
+    method, groups = _resolve_pair_method(method, groups)
     reps = groups.select(F.col("__rep").alias(id_col), "shingles")
     if method == "prefix":
         rep_pairs = _prefix_jaccard_pairs(
             reps, id_col=id_col, threshold=threshold
         ).select("id_a", "id_b")
-    elif method == "cocount":
+    else:
         rep_pairs = _exact_jaccard_pairs(
             reps, id_col=id_col, threshold=threshold
         ).select("id_a", "id_b")
-    else:
-        raise ValueError(f"unknown method: {method!r}")
     if float(threshold) > 1.0:  # identical sets (J=1.0) don't qualify
         return rep_pairs
     mg = members.join(groups.select("__g", "__rep"), "__g")
@@ -614,10 +729,14 @@ def _prefix_jaccard_pairs(
         "sh",
     )
     # PPJoin POSITION filter (Xiao et al. WWW'08 §3.2): both docs'
-    # shingle lists are sorted by the same (global df, sh) total order,
-    # so every shared shingle sits at position >= the matched one —
-    # overlap <= min(n_a - ra, n_b - rb) + 1 on any match row, and a
-    # qualifying pair's FIRST common shingle maximizes that bound. The
+    # shingle lists are sorted by the same (global df, sh) total order.
+    # The capacity bound overlap <= min(n_a - ra, n_b - rb) + 1 holds
+    # for the pair's FIRST common shingle (no shared shingles can
+    # precede it in either list); on later match rows shared shingles
+    # MAY precede the matched one and the bound does not hold. The
+    # filter is nonetheless sound because a qualifying pair always
+    # survives via its first-common-shingle row before dropDuplicates
+    # — do NOT tighten it to prune per-row without revisiting this. The
     # Jaccard threshold in overlap terms is o >= ceil(t/(1+t) *
     # (n_a + n_b)); rows whose capacity bound can't reach it are pruned
     # BEFORE the pair ever fetches its full arrays for the verify.
@@ -2387,6 +2506,14 @@ def incremental_neardup_pairs(
             num_hashes=num_hashes,
         )
     )
+
+    if verify == "exact" and "shingles" not in corpus_side.columns:
+        raise ValueError(
+            "verify='exact' needs the corpus side's shingle arrays, but "
+            "the provided corpus signatures carry none (built with "
+            "include_shingles=False?). Rebuild with include_shingles=True "
+            "or use verify='estimate', which scores on signatures alone."
+        )
 
     def sided(side, alias):
         cols = [F.col(id_col).alias(f"{alias}_id"), F.col("sig")]
