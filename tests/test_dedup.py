@@ -1582,3 +1582,83 @@ def test_incremental_neardup_signatures_only_exact_verify_raises(spark):
             new, corpus_signatures=sigs, verify="estimate", threshold=0.5
         ).collect()
         assert {r["corpus_id"] for r in got} == {1}
+
+
+def test_corpus_signatures_extend_matches_rebuild_and_stays_flat(spark):
+    """extend() must roll the standing state to exactly the signatures a
+    fresh build over the concatenated corpus would produce, while plan
+    depth and pinned storage stay flat across batches (the r10 ingestion
+    staging found the naive persist-union rollover growing per-batch
+    wall 13s->61s in three batches)."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        CorpusSignatures,
+        incremental_neardup_filter,
+    )
+
+    def mk(lo, hi):
+        # fully disjoint token sets: no near-dup pairs, so kept == batch
+        # and the rolled state must equal a fresh build over everything
+        return spark.createDataFrame(
+            [(i, " ".join(f"t{i}x{j}" for j in range(8)))
+             for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    sc = spark.sparkContext
+
+    def pinned():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    with CorpusSignatures.build(
+        mk(0, 40), include_shingles=False
+    ) as sigs:
+        sigs.df.count()
+        base_pin = pinned()
+        depths = []
+        for b in range(3):
+            batch = mk(100 + 40 * b, 140 + 40 * b)
+            kept = incremental_neardup_filter(
+                batch, None, corpus_signatures=sigs,
+                threshold=0.9, verify="estimate",
+            )
+            sigs.extend(kept)
+            # lineage truncated: the state's plan is a leaf scan, never
+            # the accumulated union/dedup tree
+            depths.append(
+                sigs.df._jdf.queryExecution().optimizedPlan()
+                .toString().count("Union")
+            )
+        assert depths == [0, 0, 0], depths
+        # old states release via the ContextCleaner once their refs drop
+        # (same GC-loop pattern as the lifecycle test above); the last
+        # batch's frames hold the final kept-side checkpoint until they
+        # leave scope, so drop them first
+        del kept, batch
+        import gc
+        import time as _time
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            gc.collect()
+            spark._jvm.System.gc()
+            if pinned() <= base_pin + 1:
+                break
+            _time.sleep(0.5)
+        assert pinned() <= base_pin + 1  # old states released, not stacked
+        got = sorted(
+            (r["doc_id"], tuple(r["sig"])) for r in sigs.df.collect()
+        )
+    whole = mk(0, 40)
+    for b in range(3):
+        whole = whole.unionByName(mk(100 + 40 * b, 140 + 40 * b))
+    with CorpusSignatures.build(whole, include_shingles=False) as fresh:
+        want = sorted(
+            (r["doc_id"], tuple(r["sig"])) for r in fresh.df.collect()
+        )
+    assert got == want
+    # extend() without build params is a clear contract error
+    import pytest as _pytest
+
+    bare = CorpusSignatures(spark.range(1).toDF("doc_id"))
+    with _pytest.raises(ValueError, match="build"):
+        bare.extend(mk(0, 1))

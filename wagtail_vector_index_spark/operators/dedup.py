@@ -473,9 +473,19 @@ def ngram_jaccard_pairs_collapsed(
         rep_pairs = _exact_jaccard_pairs(
             reps, id_col=id_col, threshold=threshold
         )
-    # member -> representative map (narrow; one hash join on __g)
-    mg = members.join(groups.select("__g", "__rep"), "__g").select(
-        F.col(id_col), F.col("__rep")
+    # member -> representative map (narrow; one hash join on __g).
+    # Lazily localCheckpointed: FOUR consumers below (both expansion
+    # sides of the cross pairs + both sides of the within-group
+    # self-join), and without the barrier each consumer re-runs the
+    # full text-scan -> shingle -> sha-of-sorted-set pass that feeds
+    # `members` — measured ~5.2s of the dedup_jaccard_exact gate's
+    # 5.9s at sf0.1 (the pair join itself is 0.66s). The materialized
+    # frame is two columns, linear in corpus size; blocks are
+    # reclaimed by the ContextCleaner when the frame drops.
+    mg = (
+        members.join(groups.select("__g", "__rep"), "__g")
+        .select(F.col(id_col), F.col("__rep"))
+        .localCheckpoint(eager=False)
     )
     cross = (
         rep_pairs.join(
@@ -2403,8 +2413,9 @@ class CorpusSignatures:
     ADVICE flagged.
     """
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, *, _params: dict | None = None):
         self.df = df
+        self._params = _params
 
     @classmethod
     def build(
@@ -2432,10 +2443,64 @@ class CorpusSignatures:
         if not include_shingles:
             sig = sig.drop("shingles")
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-        return cls(sig)
+        return cls(
+            sig,
+            _params={
+                "id_col": id_col,
+                "text_col": text_col,
+                "n": n,
+                "num_hashes": num_hashes,
+                "include_shingles": include_shingles,
+            },
+        )
+
+    def extend(self, new_df: DataFrame) -> "CorpusSignatures":
+        """Roll the standing state forward with an ingested batch —
+        the CORRECT per-batch rollover for a long ingestion loop.
+
+        Signatures for ``new_df`` are computed with the instance's own
+        build parameters (one prep, the two sides cannot drift), the
+        union with the current state is EAGERLY localCheckpointed —
+        materializing the batch AND truncating lineage, so the state's
+        plan stays depth-1 forever — and the previous state's storage
+        is released. The naive alternative (persist the union, unpersist
+        the old frame) keeps the whole union/dedup lineage tree alive:
+        each batch's plan re-embeds every prior batch's band join, and
+        the r10 ingestion staging measured its per-batch wall growing
+        13s -> 61s within three 50k-doc batches with one leaked pinned
+        RDD per batch; this method holds both flat (SCALE.md r10-B).
+
+        Mutates and returns self, so the context-manager form keeps
+        releasing whatever the CURRENT state is on exit.
+        """
+        if self._params is None:
+            raise ValueError(
+                "extend() needs the build parameters; construct via "
+                "CorpusSignatures.build(...)"
+            )
+        p = self._params
+        batch = minhash_signatures(
+            new_df, id_col=p["id_col"], text_col=p["text_col"], n=p["n"],
+            num_hashes=p["num_hashes"], cache=False,
+        )
+        if not p["include_shingles"]:
+            batch = batch.drop("shingles")
+        old = self.df
+        # eager: materializes now AND truncates lineage to the
+        # checkpointed blocks — the next extend unions a depth-1 plan
+        self.df = old.unionByName(batch).localCheckpoint(eager=True)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # previous state was itself a checkpoint: blocks
+            # release via the ContextCleaner once `old` drops
+        return self
 
     def unpersist(self) -> None:
-        self.df.unpersist()
+        try:
+            self.df.unpersist()
+        except Exception:
+            pass  # checkpointed state: ContextCleaner reclaims on drop
 
     def __enter__(self) -> "CorpusSignatures":
         return self
