@@ -682,10 +682,11 @@ def pipeline_split_leakage(spark, sf_dir):
     sp = docs.select(
         "doc_id", split_col(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split")
     )
-    # identical-shingle-set docs collapse before the co-count join and
+    # identical-shingle-set docs collapse before the pair join and
     # expand back after (exact — pair-grain output is preserved); the
     # output stays quadratic in clique size because the ANSWER is, but
-    # the join/agg work no longer is
+    # the join/agg work no longer is. method="auto" (default) routes
+    # hot-shingle corpora through the AllPairs prefix filter
     pairs = ngram_jaccard_pairs_collapsed(docs, n=3, threshold=0.5)
     return (
         pairs.join(
@@ -907,7 +908,8 @@ def dedup_components(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     # connectivity-equivalent star edges: identical-shingle-set groups
-    # collapse before the co-count join (ngram_dup_cluster_edges), so a
+    # collapse before the pair join (ngram_dup_cluster_edges; the
+    # method="auto" default prefix-routes hot-shingle corpora), so a
     # mega-duplicate cluster contributes O(R) edges, not O(R^2) join rows
     pairs = ngram_dup_cluster_edges(docs, n=3, threshold=0.1)
     comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
