@@ -1662,3 +1662,73 @@ def test_corpus_signatures_extend_matches_rebuild_and_stays_flat(spark):
     bare = CorpusSignatures(spark.range(1).toDF("doc_id"))
     with _pytest.raises(ValueError, match="build"):
         bare.extend(mk(0, 1))
+
+
+def test_containment_prefix_matches_cocount(spark):
+    """_prefix_containment_pairs must return exactly the co-count
+    formulation's directed (contained, container, containment) rows —
+    subset-quote case, identical docs, degenerate repetition, and a
+    hot shared shingle included."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat near the door by the house today"),
+        (2, "the cat sat on the mat"),  # quoted subset of 1
+        (3, "the cat sat on the mat near the door by the house today"),
+        (4, "a completely different sentence about spark joins here"),
+        (5, "the the the the the the"),
+        (6, "intro words then the cat sat on the mat near the door by "
+            "the house today and a long tail of extra commentary text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.6, 0.8, 1.0):
+        want = {
+            (r["contained"], r["container"]): round(r["containment"], 9)
+            for r in ngram_containment_pairs(
+                df, n=3, threshold=t, method="cocount"
+            ).collect()
+        }
+        for m in ("prefix", "auto"):
+            got = {
+                (r["contained"], r["container"]): round(r["containment"], 9)
+                for r in ngram_containment_pairs(
+                    df, n=3, threshold=t, method=m
+                ).collect()
+            }
+            assert got == want, (t, m, got, want)
+        if t <= 0.8:  # the planted subset-quote must actually be caught
+            assert (2, 1) in want and want[(2, 1)] == 1.0
+
+
+def test_containment_prefix_property_random_docs(spark):
+    """Randomized differential: prefix containment == co-count on
+    corpora of random words (heavy shingle overlap by construction)."""
+    import random
+
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 18))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        want = {
+            (r["contained"], r["container"]): round(r["containment"], 9)
+            for r in ngram_containment_pairs(
+                df, threshold=t, method="cocount"
+            ).collect()
+        }
+        got = {
+            (r["contained"], r["container"]): round(r["containment"], 9)
+            for r in ngram_containment_pairs(
+                df, threshold=t, method="prefix"
+            ).collect()
+        }
+        assert got == want, t

@@ -586,6 +586,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    method: str = "auto",
 ) -> DataFrame:
     """ASYMMETRIC containment near-duplicate pairs: directed rows
     (contained, container, containment) where
@@ -597,15 +598,35 @@ def ngram_containment_pairs(
     J ~= 0.1 but containment 1.0 — the quoted-boilerplate /
     aggregator-page case a training-data pipeline must catch (the
     same asymmetry motivates the suffix-array ExactSubstr pass; this
-    is its set-grain sibling). Both directions come from ONE co-count
-    pass (:func:`_co_counts` — the identical two-shuffle plan as
+    is its set-grain sibling).
+
+    ``method="cocount"``: both directions come from ONE co-count pass
+    (:func:`_co_counts` — the identical two-shuffle plan as
     :func:`ngram_jaccard_pairs`): each canonical (id_a < id_b) pair
     row fans out into up to two directed rows, ``ni/n_a`` and
-    ``ni/n_b``, so containment costs nothing over Jaccard."""
+    ``ni/n_b``, so containment costs nothing over Jaccard. Like every
+    co-count join it is quadratic per hot shingle, so ``"auto"``
+    (default) runs the same bounded :func:`choose_pair_method`
+    aggregation as the Jaccard family and switches to ``"prefix"``
+    (:func:`_prefix_containment_pairs` — contained-side prefix vs
+    container-side full list) on Zipf-head corpora (r10 staging:
+    co-count 31s at 20k Zipfian docs and detonating quadratically,
+    prefix near-linear)."""
+    if method not in ("auto", "cocount", "prefix"):
+        raise ValueError(
+            f"unknown method: {method!r}; expected auto | cocount | prefix"
+        )
     df = _ensure_parallelism(df, id_col)
     shingled = df.select(
         F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
     )
+    if method == "auto":
+        shingled = shingled.localCheckpoint(eager=False)
+        method, _ = _containment_route(shingled)
+    if method == "prefix":
+        return _prefix_containment_pairs(
+            shingled, id_col=id_col, threshold=threshold
+        )
     inter = _co_counts(_exploded_shingles(shingled, id_col), id_col)
     t = F.lit(float(threshold))
     fwd = inter.select(
@@ -619,6 +640,137 @@ def ngram_containment_pairs(
         (F.col("n_inter") / F.col("n_b")).alias("containment"),
     )
     return fwd.unionByName(rev).where(F.col("containment") >= t)
+
+
+def _containment_route(shingled: DataFrame) -> tuple[str, dict]:
+    """Memoized auto-route for :func:`ngram_containment_pairs` — same
+    decision statistic and cache discipline as
+    :func:`_resolve_pair_method` (the co-count join is literally the
+    same plan), keyed separately because containment decides on the raw
+    shingled frame, not identical-set representatives."""
+    key = None
+    version = _data_version_fingerprint(shingled)
+    if version is not None:
+        try:
+            key = ("containment", shingled.semanticHash(), version)
+        except Exception:
+            key = None
+    if key is not None and key in _PAIR_METHOD_CACHE:
+        return _PAIR_METHOD_CACHE[key], {}
+    method, stats = choose_pair_method(shingled.select("shingles"))
+    if key is not None:
+        if len(_PAIR_METHOD_CACHE) >= 64:
+            _PAIR_METHOD_CACHE.pop(next(iter(_PAIR_METHOD_CACHE)))
+        _PAIR_METHOD_CACHE[key] = method
+    return method, stats
+
+
+def _prefix_containment_pairs(
+    shingled: DataFrame, *, id_col: str, threshold: float
+) -> DataFrame:
+    """Prefix-filtered exact containment over pre-shingled rows —
+    identical output to the co-count formulation of
+    :func:`ngram_containment_pairs`, hot-shingle safe.
+
+    The asymmetric adaptation of the AllPairs lemma: ``C(A in B) >= t``
+    means ``overlap >= ceil(t * n_a)``, so if NONE of A's first
+    ``n_a - ceil(t*n_a) + 1`` shingles (rarest-first global
+    document-frequency order, id tie-break) occurs in B, at most
+    ``ceil(t*n_a) - 1`` shingles can be shared and the pair cannot
+    qualify — the prefix lives on the CONTAINED side only; the
+    container side joins its full list (a container has no upper size
+    bound, so it gets no prefix). Hot Zipf-head shingles sort LAST in
+    every ranked list and therefore almost never enter a contained
+    prefix: the join's fan-out per hot shingle is (its tiny
+    prefix-side df) x (its full-side df), linear-ish, where the
+    co-count join pays df² (r10 staging: 31s at 20k Zipfian docs and
+    detonating quadratically).
+
+    Per-row pruning mirrors :func:`_prefix_jaccard_pairs`: a length
+    filter (``n_b >= ceil(t*n_a)``) and the first-common-shingle
+    position bound (``min(n_a - ra, n_b - rb) + 1 >= ceil(t*n_a)``;
+    sound because a qualifying pair's first common shingle sits in the
+    contained prefix — no shared shingle precedes it in either list —
+    and always passes, same invariant note as the Jaccard kernel).
+    Survivors verify exactly on per-document sorted 60-bit-hash arrays;
+    same collision caveat as every hashed-shingle path here. Both
+    directions fall out of the one join because every document appears
+    on the contained side with its prefix AND on the container side in
+    full."""
+    t = float(threshold)
+    sized = shingled.select(
+        id_col, "shingles", F.size("shingles").alias("n_sh")
+    ).where(F.col("n_sh") > 0)
+    ex = (
+        sized.select(id_col, "n_sh", F.explode("shingles").alias("__s"))
+        .select(
+            id_col,
+            "n_sh",
+            F.conv(F.substring(F.sha2(F.col("__s"), 256), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh"),
+        )
+        # three consumers: document-frequency agg, ranked join, verify
+        # arrays — one materialization (see _prefix_jaccard_pairs)
+        .localCheckpoint(eager=False)
+    )
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("sh").asc()
+    )
+
+    def _tceil(ncol):  # same safe-epsilon discipline as the Jaccard kernel
+        return F.ceil(F.lit(t) * ncol - F.lit(1e-9))
+
+    ranked = ex.join(dfreq, "sh").withColumn("__rn", F.row_number().over(w))
+    pre = ranked.where(
+        F.col("__rn") <= F.col("n_sh") - _tceil(F.col("n_sh")) + 1
+    ).select(
+        F.col(id_col).alias("contained"),
+        F.col("n_sh").alias("n_a"),
+        F.col("__rn").alias("__ra"),
+        "sh",
+    )
+    full = ranked.select(
+        F.col(id_col).alias("container"),
+        F.col("n_sh").alias("n_b"),
+        F.col("__rn").alias("__rb"),
+        "sh",
+    )
+    alpha = _tceil(F.col("n_a"))
+    capacity = (
+        F.least(F.col("n_a") - F.col("__ra"), F.col("n_b") - F.col("__rb"))
+        + 1
+    )
+    cand = (
+        pre.join(full, "sh")
+        .where(
+            (F.col("contained") != F.col("container"))
+            & (F.col("n_b") >= alpha)
+            & (capacity >= alpha)
+        )
+        .select("contained", "container")
+        .dropDuplicates(["contained", "container"])
+    )
+    arrs = ex.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("sh")).alias("__arr")
+    )
+    va = arrs.select(
+        F.col(id_col).alias("contained"), F.col("__arr").alias("__a")
+    )
+    vb = arrs.select(
+        F.col(id_col).alias("container"), F.col("__arr").alias("__b")
+    )
+    return (
+        cand.join(va, "contained")
+        .join(vb, "container")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("__a", "__b")) / F.size("__a"),
+        )
+        .where(F.col("containment") >= F.lit(t))
+        .select("contained", "container", "containment")
+    )
 
 
 def ngram_jaccard_pairs_prefix(
