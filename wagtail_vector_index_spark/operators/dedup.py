@@ -266,7 +266,14 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard near-duplicate pairs (id_a < id_b)."""
+    """Exact word-n-gram Jaccard near-duplicate pairs (id_a < id_b).
+
+    This is the reference-shaped base formulation (plain co-count
+    join): quadratic per hot shingle and per identical-text cluster.
+    Production callers want :func:`ngram_jaccard_pairs_collapsed`
+    (identical output; identical-set collapse + ``method="auto"``
+    hot-shingle routing) or :func:`ngram_dup_cluster_edges` when only
+    connectivity is needed downstream."""
     df = _ensure_parallelism(df, id_col)
     shingled = df.select(
         F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
