@@ -24,7 +24,12 @@ B. **Standing-corpus ingestion at 100x volume** (verdict #5): a 50k-doc
      the API the staging forced into the library (the verdict-#5
      "any fix it forces").
 
-Run: python tools/scale_r10.py [A] [B]   (default: both parts)
+C. **Containment prefix route** (found during r10): the raw co-count
+   containment join detonates on the same Zipf-head shingles; part C
+   times cocount/prefix/auto at 5k-200k docs and asserts identical
+   pair counts (the SCALE.md r10-C table).
+
+Run: python tools/scale_r10.py [A] [B] [C]   (default: A and B)
 """
 
 from __future__ import annotations
@@ -192,6 +197,40 @@ def part_b(spark, rng, tmp) -> None:
     )
 
 
+def part_c(spark, rng, tmp) -> None:
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    print("== C: ngram_containment_pairs cocount/prefix/auto ==", flush=True)
+    rows = []
+    for n in (5_000, 20_000, 50_000, 200_000):
+        pdf = _gen_docs_pdf(rng, n)
+        spark.createDataFrame(pdf).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/c{n}")
+        df = spark.read.parquet(f"{tmp}/c{n}")
+        outs = {}
+        for m in ("cocount", "prefix", "auto"):
+            if m == "cocount" and n > 20_000:
+                print(f"{n} cocount: SKIP (quadratic per hot shingle; "
+                      "31s at 20k and ~n^2)", flush=True)
+                continue
+            t0 = time.time()
+            outs[m] = ngram_containment_pairs(
+                df, n=3, threshold=0.8, method=m
+            ).count()
+            rows.append((n, m, time.time() - t0, outs[m]))
+            print(f"{n} {m}: {rows[-1][2]:.1f}s pairs={outs[m]}", flush=True)
+        assert len(set(outs.values())) == 1, outs  # identical answers
+    print()
+    print("| docs | method | wall | pairs |")
+    print("|---|---|---|---|")
+    for n, m, w, o in rows:
+        print(f"| {n} | {m} | {w:.1f}s | {o} |")
+    print(flush=True)
+
+
 def main() -> None:
     spark = build_session(
         "scale-r10",
@@ -211,6 +250,8 @@ def main() -> None:
         part_a(spark, rng, tmp)
     if "B" in parts:
         part_b(spark, rng, tmp)
+    if "C" in parts:
+        part_c(spark, rng, tmp)
 
 
 if __name__ == "__main__":
