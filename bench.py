@@ -162,6 +162,8 @@ ADDED = [
     "dedup_minhash_estimate",
     "text_vocab_coverage",
     "dedup_minhash_estverify",
+    # r10 additions
+    "pipeline_exactsubstr_trim",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

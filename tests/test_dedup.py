@@ -1732,3 +1732,85 @@ def test_containment_prefix_property_random_docs(spark):
             ).collect()
         }
         assert got == want, t
+
+
+def test_remove_duplicated_spans_keep_first_semantics(spark):
+    """ExactSubstr apply: the globally-first occurrence of a duplicated
+    k-window keeps its tokens; every other occurrence loses exactly the
+    union of its duplicated-window positions; untouched docs keep text
+    object identity."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    boiler = "alpha beta gamma delta"  # one 4-token window
+    rows = [
+        (1, f"{boiler} unique tail one"),       # first occurrence: kept
+        (2, f"intro words {boiler} more text"), # later: loses the window
+        (3, "completely unrelated content here entirely"),  # untouched
+        (4, f"{boiler} {boiler}"),  # two more occurrences, both removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, k=4).collect()
+    }
+    assert got[1] == rows[0][1]          # first occurrence untouched
+    assert got[3] == rows[2][1]          # no dup windows -> identity
+    assert got[2] == "intro words more text"
+    # doc 4: windows at pos 1 and 5 both non-first; the straddling
+    # windows (pos 2-4) are unique ("delta alpha..." etc.), so exactly
+    # tokens 1-4 and 5-8 go
+    assert got[4] == ""
+
+
+def test_remove_duplicated_spans_within_doc_and_overlap_union(spark):
+    """A phrase repeated INSIDE one document collapses to its first
+    occurrence, and overlapping duplicated windows union their
+    positions (no double-removal, no misalignment)."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    # "a b c a b c": k=3 windows: (a b c)@1, (b c a)@2, (c a b)@3,
+    # (a b c)@4 -> only (a b c) duplicates; pos 4 is non-first, so
+    # tokens 4-6 drop
+    df = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    )
+    got = remove_duplicated_spans(df, k=3).collect()[0]["text"]
+    assert got == "a b c"
+    # overlapping duplicated windows in the SAME later doc: doc 2 holds
+    # "x1..x5" whose two 4-windows both duplicate doc 1's -> union is
+    # tokens 1-5, not 8
+    df2 = spark.createDataFrame(
+        [
+            (1, "x1 x2 x3 x4 x5 tail one"),
+            (2, "x1 x2 x3 x4 x5 other thing"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df2, k=4).collect()
+    }
+    assert got2[1] == "x1 x2 x3 x4 x5 tail one"
+    assert got2[2] == "other thing"
+
+
+def test_corpus_trim_duplicated_spans_facade(spark):
+    from wagtail_vector_index_spark.operators.corpus import Corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "one two three four tail"),
+            (2, "s", "one two three four different"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in Corpus(df).trim_duplicated_spans(k=4).df.collect()
+    }
+    assert got[1] == "one two three four tail"
+    assert got[2] == "different"

@@ -1222,6 +1222,26 @@ class Corpus:
         ).select(self.id_col, F.col("coverage").alias(col))
         return self._wrap(self.df.join(cov, self.id_col, "left"))
 
+    def trim_duplicated_spans(self, *, k: int = 8) -> "Corpus":
+        """ExactSubstr dedup APPLY (Lee et al. 2022,
+        operators/dedup.remove_duplicated_spans): every ``k``-token
+        window duplicated anywhere in the corpus keeps only its first
+        occurrence (min (id, start)); all other occurrences lose the
+        window's tokens. The apply step behind
+        :meth:`with_substring_coverage`'s measurement — run the measure
+        first to size the damage, then this to take it. Untouched
+        documents keep text object identity (the oracle-gated
+        ``pipeline_exactsubstr_trim`` shape)."""
+        from wagtail_vector_index_spark.operators.dedup import (
+            remove_duplicated_spans,
+        )
+
+        return self._wrap(
+            remove_duplicated_spans(
+                self.df, id_col=self.id_col, text_col=self.text_col, k=k
+            )
+        )
+
     def split_without_leakage(
         self,
         fractions: dict[str, float],

@@ -258,6 +258,116 @@ def substring_duplicate_coverage(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr dedup APPLY (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every ``k``-token
+    window whose content occurs >= 2 times ANYWHERE in the corpus, keep
+    its FIRST occurrence — minimum (id, window start) in the global
+    order, a deterministic SQL-replayable stand-in for the paper's
+    keep-one rule — and remove the window's tokens from every other
+    occurrence. The sub-document counterpart of
+    :func:`keep_representatives`: a unique page quoting a license
+    header loses the header and keeps the page, where whole-document
+    dedup would either miss it or drop the page
+    (:func:`substring_duplicate_coverage` is the MEASURE twin of this
+    APPLY; both share the window-hash kernel and the k-window union
+    closed form's positions).
+
+    Returns the corpus with ``text_col`` rewritten; documents with no
+    removed window pass through with text OBJECT identity preserved
+    (the left join misses). Overlapping removed windows union exactly
+    (distinct expanded positions), and a window is compared by CONTENT
+    (hash), so a phrase repeated inside one document collapses to its
+    first occurrence too.
+
+    Scale shape: one explode (n-k+1 windows/doc, sha per window), one
+    map-side-combinable count+min agg on the 64-bit window hash, one
+    shuffle join back of only the DUPLICATED windows, one per-doc
+    collect_set, then pure JVM array lambdas on each doc's own row —
+    the corpus text itself never shuffles (rebuild happens on the
+    original rows via a hash join on ``id_col``). Collision caveat
+    shared with every hashed-window path here; the oracle replays the
+    same convention."""
+    kk = int(k)
+    wins = (
+        df.select(
+            F.col(id_col), tokens_col(F.col(text_col)).alias("__tk")
+        )
+        .select(id_col, F.size("__tk").alias("__n"), "__tk")
+        .where(F.col("__n") >= kk)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - kk + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        sha_hash64(
+                            F.array_join(F.slice(F.col("__tk"), i, kk), " ")
+                        ).alias("wh"),
+                    ),
+                )
+            ).alias("__w"),
+        )
+        .select(
+            id_col, F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh")
+        )
+    )
+    dup_first = (
+        wins.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+        )
+        .where(F.col("__c") >= 2)
+        .select("wh", "__first")
+    )
+    # Expand window starts to TOKEN indices BEFORE the per-doc agg: the
+    # collect_set dedups overlapping windows once per doc, and the
+    # rebuild filter below scans a STORED array attribute. Building the
+    # expanded-union array as an expression in the rebuild projection
+    # instead (transform+flatten+array_distinct over the window starts)
+    # re-evaluates it per token once projection collapse inlines it into
+    # the filter lambda — the same recompute-cliff class as the r9
+    # span-scrub bug; the 10x-replica staging (45k docs rebuilt, every
+    # window duplicated) ran 8+ minutes in that shape and 19s in this
+    # one. A window always fits its document (pos <= n-k+1), so the
+    # expanded indices need no capping.
+    removals = (
+        wins.join(dup_first, "wh")
+        .where(
+            (F.col(id_col) != F.col("__first").getField(id_col))
+            | (F.col("pos") != F.col("__first").getField("pos"))
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos") - 1, F.col("pos") + kk - 2)
+            ).alias("__i"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__i").alias("__poss"))
+    )
+    joined = df.join(removals, id_col, "left")
+    toks = tokens_col(F.col(text_col))
+    cleaned = F.concat_ws(
+        " ",
+        F.filter(
+            toks, lambda tok, i: ~F.array_contains(F.col("__poss"), i)
+        ),
+    )
+    return joined.withColumn(
+        text_col,
+        F.when(F.col("__poss").isNull(), F.col(text_col)).otherwise(cleaned),
+    ).drop("__poss")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

@@ -1446,6 +1446,84 @@ def dedup_substring_coverage(spark, sf_dir):
 
 
 @register(
+    "pipeline_exactsubstr_trim",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS_SQL} AS l FROM documents),
+    sized AS (SELECT doc_id, l, len(l)::BIGINT AS n FROM tk
+              WHERE len(l) >= {_SUBSTR_K}),
+    w AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(sha256(
+                array_to_string(l[pos:pos + {_SUBSTR_K - 1}], ' ')), 1, 8)
+             )::UBIGINT AS wh
+      FROM (SELECT doc_id, l,
+                   unnest(range(1, n - {_SUBSTR_K} + 2)) AS pos
+            FROM sized)),
+    dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+      FROM w JOIN dup USING (wh)),
+    removals AS (
+      SELECT doc_id, list(DISTINCT pos) AS poss
+      FROM ranked WHERE rn > 1 GROUP BY doc_id),
+    spans AS (
+      SELECT r.doc_id, s.l, s.n,
+             list_distinct(flatten(list_transform(r.poss,
+               p -> range(p - 1, least(p + {_SUBSTR_K} - 1, n))))) AS dp
+      FROM removals r JOIN sized s USING (doc_id)),
+    cleaned AS (
+      SELECT doc_id, n,
+             list_filter(l, (tok, i) -> NOT list_contains(dp, i - 1)) AS keep
+      FROM spans)
+    SELECT doc_id, n AS n_tokens, (n - len(keep))::BIGINT AS n_removed,
+           sha256(coalesce(array_to_string(keep, ' '), '')) AS cleaned_sha
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def pipeline_exactsubstr_trim(spark, sf_dir):
+    """ExactSubstr dedup APPLY (Lee et al. 2022): every 8-token window
+    whose content occurs >= 2 times anywhere in the corpus keeps only
+    its FIRST occurrence (minimum (doc_id, start) — deterministic,
+    SQL-replayable keep-one rule); all other occurrences lose the
+    window's tokens. The apply twin of dedup_substring_coverage's
+    measurement and the sub-document counterpart of dedup_apply: a
+    unique page quoting a duplicated license header loses the header,
+    keeps the page. Output: one row per MODIFIED document — token
+    count, tokens removed, sha of the trimmed text (full-content
+    equality witness).
+
+    Scale shape (operators/dedup.py::remove_duplicated_spans): one
+    window explode + sha per window, one map-side-combinable count+min
+    agg on the 64-bit window hash, join-back of duplicated windows
+    only, per-doc collect_set, JVM array rebuild on the doc's own row —
+    the corpus text never shuffles. Zero python stages."""
+    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
+    from wagtail_vector_index_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    trimmed = remove_duplicated_spans(docs, k=_SUBSTR_K).select(
+        "doc_id", F.col("text").alias("__clean")
+    )
+    orig = docs.select("doc_id", tokens_col(F.col("text")).alias("__tk"))
+    return (
+        orig.join(trimmed, "doc_id")
+        .select(
+            "doc_id",
+            F.size("__tk").cast("long").alias("n_tokens"),
+            (
+                F.size("__tk") - F.size(tokens_col(F.col("__clean")))
+            ).cast("long").alias("n_removed"),
+            F.sha2(F.col("__clean"), 256).alias("cleaned_sha"),
+        )
+        .where(F.col("n_removed") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corpus_report",
     oracle=f"""
     WITH base AS (
