@@ -57,8 +57,28 @@ def word_shingles_col(text: Column, n: int = 3) -> Column:
 
 def sha_hash64(s: Column) -> Column:
     """First 8 hex chars of sha256 as a bigint in [0, 2^32) — identical in
-    DuckDB via ('0x' || substr(sha256(s), 1, 8))::UBIGINT."""
+    DuckDB via ('0x' || substr(sha256(s), 1, 8))::UBIGINT.
+
+    32 bits is plenty for NON-destructive uses (sketch uniforms, shard
+    assignment, fingerprint join keys whose collisions only merge
+    counts); a path that DELETES data keyed on the hash must use
+    :func:`sha_hash60` instead — at tens of millions of keys, 32-bit
+    birthday collisions are expected in bulk."""
     return F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10).cast("long")
+
+
+def sha_hash60(s: Column) -> Column:
+    """First 15 hex chars of sha256 as a bigint in [0, 2^60) — identical
+    in DuckDB via ('0x' || substr(sha256(s), 1, 15))::UBIGINT. The same
+    convention the prefix-filter dedup kernels use for shingle keys.
+
+    The widened sibling of :func:`sha_hash64` for DESTRUCTIVE
+    hash-keyed paths (ExactSubstr span removal): a false window-hash
+    collision there silently deletes real tokens, and at corpus scale
+    (tens of millions of windows) 32-bit collisions are expected in
+    bulk where 60-bit ones stay ~vanishingly rare (expectation
+    n²/2^61 ≈ 4e-4 at 10^8 windows)."""
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
 
 
 def token_sha_hashes_col(text: Column) -> Column:

@@ -42,6 +42,7 @@ from wagtail_vector_index_spark.functions.text_analysis import (
     fingerprint_col,
     lsh_band_keys_col,
     minhash_signature_col,
+    sha_hash60,
     sha_hash64,
     shingle_hashes_col,
     tokens_col,
@@ -185,10 +186,14 @@ def substring_duplicate_coverage(
 
     Scale shape: one explode (n windows per doc), one
     map-side-combinable count to find duplicated hashes, one shuffle
-    join back on the 64-bit window hash (collision caveat shared with
-    every hashed-shingle path here), one doc-keyed window + agg. All
-    JVM expressions; the sha window hash is the replayable
-    :func:`sha_hash64` convention.
+    join back on the 60-bit window hash, one doc-keyed window + agg.
+    All JVM expressions; the sha window hash is the replayable
+    :func:`sha_hash60` convention — 60-bit, not the 32-bit
+    :func:`sha_hash64`, because this family keys a DESTRUCTIVE apply
+    (:func:`remove_duplicated_spans`): a false collision marks a unique
+    window duplicated, and at tens of millions of windows 32-bit
+    collisions are expected in bulk. The MEASURE twin shares the
+    convention so coverage and trim agree on what "duplicated" means.
     """
     kk = int(k)
     toks = df.select(
@@ -204,7 +209,7 @@ def substring_duplicate_coverage(
                 F.sequence(F.lit(1), F.col("n_toks") - kk + 1),
                 lambda i: F.struct(
                     i.alias("pos"),
-                    sha_hash64(
+                    sha_hash60(
                         F.array_join(F.slice(F.col("__tk"), i, kk), " ")
                     ).alias("wh"),
                 ),
@@ -287,13 +292,24 @@ def remove_duplicated_spans(
     first occurrence too.
 
     Scale shape: one explode (n-k+1 windows/doc, sha per window), one
-    map-side-combinable count+min agg on the 64-bit window hash, one
-    shuffle join back of only the DUPLICATED windows, one per-doc
-    collect_set, then pure JVM array lambdas on each doc's own row —
-    the corpus text itself never shuffles (rebuild happens on the
-    original rows via a hash join on ``id_col``). Collision caveat
-    shared with every hashed-window path here; the oracle replays the
-    same convention."""
+    map-side-combinable count+min agg on the 60-bit window hash
+    (:func:`sha_hash60` — destructive apply, so NOT the 32-bit
+    :func:`sha_hash64`: a false collision here silently deletes k real
+    tokens, and 32-bit birthday collisions are expected in bulk at
+    corpus scale), one shuffle join back of only the DUPLICATED
+    windows, one per-doc sorted-set agg, then pure JVM array lambdas
+    on each doc's own row — the corpus text itself never shuffles
+    (rebuild happens on the original rows via a hash join on
+    ``id_col``). The rebuild is LINEAR in document length: a boolean
+    keep-mask is assembled from the sorted removed positions (each
+    removal contributes its preceding gap of Trues plus one False —
+    O(n_toks + n_removed) array work) and zipped against the token
+    array once. The per-token ``array_contains(removed, i)`` membership
+    shape is O(n_toks x n_removed) per document — invisible on
+    ~100-token web docs, a cliff on book-length documents (10^5 tokens
+    mostly duplicated => 10^10 comparisons on ONE row; the r11
+    long-document staging measures both shapes). The oracle replays
+    the same hash convention and semantics."""
     kk = int(k)
     wins = (
         df.select(
@@ -308,7 +324,7 @@ def remove_duplicated_spans(
                     F.sequence(F.lit(1), F.col("__n") - kk + 1),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        sha_hash64(
+                        sha_hash60(
                             F.array_join(F.slice(F.col("__tk"), i, kk), " ")
                         ).alias("wh"),
                     ),
@@ -352,14 +368,44 @@ def remove_duplicated_spans(
             ).alias("__i"),
         )
         .groupBy(id_col)
-        .agg(F.collect_set("__i").alias("__poss"))
+        # sorted in the agg (once per doc) — the mask build below
+        # consumes positions in ascending order
+        .agg(F.sort_array(F.collect_set("__i")).alias("__poss"))
     )
     joined = df.join(removals, id_col, "left")
     toks = tokens_col(F.col(text_col))
+    # LINEAR keep-mask rebuild (r11; replaces the per-token
+    # array_contains membership test, which was O(n_toks x removals)
+    # per doc — quadratic on book-length documents). Each removed
+    # position contributes its preceding run of Trues plus one False;
+    # the final run of Trues pads the mask to n_toks. Every O(m)
+    # subexpression here sits in ARGUMENT position of zip_with /
+    # concat (evaluated once per row) — nothing data-sized inside a
+    # per-element lambda, the recompute-cliff class the r10 staging
+    # caught.
+    sp = F.col("__poss")
+    prev = F.concat(F.array(F.lit(-1)), F.slice(sp, 1, F.size(sp) - 1))
+    mask = F.concat(
+        F.flatten(
+            F.zip_with(
+                sp,
+                prev,
+                lambda c, p: F.concat(
+                    F.array_repeat(F.lit(True), (c - p - 1).cast("int")),
+                    F.array(F.lit(False)),
+                ),
+            )
+        ),
+        F.array_repeat(
+            F.lit(True),
+            (F.size(toks) - F.element_at(sp, -1) - 1).cast("int"),
+        ),
+    )
     cleaned = F.concat_ws(
         " ",
         F.filter(
-            toks, lambda tok, i: ~F.array_contains(F.col("__poss"), i)
+            F.zip_with(toks, mask, lambda t, m: F.when(m, t)),
+            lambda x: x.isNotNull(),
         ),
     )
     return joined.withColumn(

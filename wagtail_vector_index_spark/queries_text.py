@@ -1402,7 +1402,7 @@ _SUBSTR_K = 8
     w AS (
       SELECT doc_id, pos,
              ('0x' || substr(sha256(
-                array_to_string(l[pos:pos + {_SUBSTR_K - 1}], ' ')), 1, 8)
+                array_to_string(l[pos:pos + {_SUBSTR_K - 1}], ' ')), 1, 15)
              )::UBIGINT AS wh
       FROM (SELECT doc_id, l,
                    unnest(range(1, n - {_SUBSTR_K} + 2)) AS pos
@@ -1454,7 +1454,7 @@ def dedup_substring_coverage(spark, sf_dir):
     w AS (
       SELECT doc_id, pos,
              ('0x' || substr(sha256(
-                array_to_string(l[pos:pos + {_SUBSTR_K - 1}], ' ')), 1, 8)
+                array_to_string(l[pos:pos + {_SUBSTR_K - 1}], ' ')), 1, 15)
              )::UBIGINT AS wh
       FROM (SELECT doc_id, l,
                    unnest(range(1, n - {_SUBSTR_K} + 2)) AS pos
@@ -1495,9 +1495,13 @@ def pipeline_exactsubstr_trim(spark, sf_dir):
 
     Scale shape (operators/dedup.py::remove_duplicated_spans): one
     window explode + sha per window, one map-side-combinable count+min
-    agg on the 64-bit window hash, join-back of duplicated windows
-    only, per-doc collect_set, JVM array rebuild on the doc's own row —
-    the corpus text never shuffles. Zero python stages."""
+    agg on the 60-bit window hash (sha_hash60 — destructive apply, so
+    not the 32-bit fingerprint convention), join-back of duplicated
+    windows only, per-doc sorted-set agg, then a LINEAR keep-mask
+    rebuild zipped against the token array on the doc's own row — the
+    corpus text never shuffles, and per-doc rebuild cost is
+    O(n_toks + n_removed) even on book-length documents. Zero python
+    stages."""
     from wagtail_vector_index_spark.functions.text_analysis import tokens_col
     from wagtail_vector_index_spark.operators.dedup import (
         remove_duplicated_spans,
