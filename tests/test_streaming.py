@@ -346,6 +346,79 @@ def test_neardup_corpus_stream_matches_sequential_batches(spark, tmp_path):
     assert read_live_table(spark, table).count() == before
 
 
+def test_neardup_corpus_stream_signature_sidecars(spark, tmp_path):
+    """Standing-signature state (r11): every committed generation
+    carries a ``_sigs-n3-h16`` parquet sidecar with the survivors'
+    MinHash signatures; the sidecar is invisible to data readers; and
+    a generation whose sidecar is missing (pre-r11 data) is backfilled
+    in place on the next batch instead of re-shingling forever —
+    results identical either way."""
+    import os
+    import shutil
+
+    from wagtail_vector_index_spark.sources.manifest import (
+        ManifestLog,
+        read_live_table,
+    )
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        _sigs_dirname,
+        neardup_corpus_stream,
+    )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "sig_stream")
+    table = str(tmp_path / "sig_corpus")
+    base = "the quick brown fox jumps over the lazy dog near the river"
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = neardup_corpus_stream(
+            stream, path=table, checkpoint_dir=ckpt, threshold=0.4,
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame(
+        [(1, base), (2, "totally unrelated subject matter entirely")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run(str(tmp_path / "ck1"))
+
+    log = ManifestLog(table)
+    gens = log.live_paths()
+    assert gens, "first batch committed a generation"
+    sd = _sigs_dirname(3, 16)
+    for gp in gens:
+        sig_files = os.listdir(os.path.join(gp, sd))
+        assert any(f.endswith(".parquet") for f in sig_files)
+    sigs = spark.read.parquet(os.path.join(gens[0], sd))
+    assert set(sigs.columns) == {"doc_id", "shingles", "sig"}
+    assert sigs.count() == 2
+    # invisible to data readers: the live table has only the data schema
+    live = read_live_table(spark, table)
+    assert set(live.columns) == {"doc_id", "text"}
+    assert live.count() == 2
+
+    # kill the sidecar (simulates a pre-r11 generation), stream a second
+    # batch: the dedup still works (near-dup of doc 1 dropped, fresh doc
+    # kept) and the backfill restores the sidecar in place
+    shutil.rmtree(os.path.join(gens[0], sd))
+    spark.createDataFrame(
+        [(10, base.replace("river", "canal")),
+         (11, "spark adaptive query execution reorders joins")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run(str(tmp_path / "ck1"))
+    got = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+    assert got == {1, 2, 11}
+    for gp in ManifestLog(table).live_paths():
+        assert any(
+            f.endswith(".parquet")
+            for f in os.listdir(os.path.join(gp, sd))
+        ), f"sidecar missing under {gp}"
+
+
 def test_decontaminated_corpus_stream_eval_set_refresh(spark, tmp_path):
     """Mid-stream eval-set replacement: refresh_eval_set() swaps the
     gram table, so a doc colliding only with the NEW eval suite passes

@@ -81,6 +81,54 @@ def sha_hash60(s: Column) -> Column:
     return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
 
 
+def keep_mask_col(sorted_removed: Column, n_toks: Column) -> Column:
+    """Boolean keep-mask of length ``n_toks`` from a SORTED, DISTINCT,
+    non-empty array of 0-based removed token indices — the LINEAR
+    rebuild kernel shared by every span-removal apply (ExactSubstr
+    trim, 13-gram span scrub).
+
+    Each removed index contributes its preceding run of Trues plus one
+    False; a final run of Trues pads to ``n_toks`` — O(n_toks +
+    n_removed) array work per row. The naive per-token
+    ``array_contains(removed, i)`` membership test is O(n_toks x
+    n_removed) per document: invisible on ~100-token web docs, a cliff
+    on book-length documents (10^5 mostly-duplicated tokens => 10^10
+    comparisons on ONE row). Every O(n)-sized subexpression here sits
+    in ARGUMENT position of zip_with/concat/flatten (evaluated once
+    per row); nothing data-sized is referenced inside a per-element
+    lambda — the recompute-cliff class the r10 ExactSubstr staging
+    caught."""
+    prev = F.concat(
+        F.array(F.lit(-1)), F.slice(sorted_removed, 1, F.size(sorted_removed) - 1)
+    )
+    return F.concat(
+        F.flatten(
+            F.zip_with(
+                sorted_removed,
+                prev,
+                lambda c, p: F.concat(
+                    F.array_repeat(F.lit(True), (c - p - 1).cast("int")),
+                    F.array(F.lit(False)),
+                ),
+            )
+        ),
+        F.array_repeat(
+            F.lit(True),
+            (n_toks - F.element_at(sorted_removed, -1) - 1).cast("int"),
+        ),
+    )
+
+
+def apply_keep_mask_col(toks: Column, mask: Column) -> Column:
+    """Kept elements of ``toks`` under a same-length boolean
+    :func:`keep_mask_col` — one zip + one null-filter, linear, with
+    ``toks`` in argument position (evaluated once per row)."""
+    return F.filter(
+        F.zip_with(toks, mask, lambda t, m: F.when(m, t)),
+        lambda x: x.isNotNull(),
+    )
+
+
 def token_sha_hashes_col(text: Column) -> Column:
     """One 32-bit sha256-derived hash per (lowercased, whitespace) token —
     the precursor to :func:`ngram_fingerprints_col`. BIND THE RESULT TO A

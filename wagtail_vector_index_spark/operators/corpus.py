@@ -388,23 +388,34 @@ class Corpus:
             .groupBy(self.id_col)
             .agg(F.collect_set("__pos").alias("__poss"))
         )
+        from wagtail_vector_index_spark.functions.text_analysis import (
+            apply_keep_mask_col,
+            keep_mask_col,
+        )
+
         joined = train_docs.join(poss, self.id_col, "left")
         toks = tokens_col(F.col(self.text_col))
-        dp = F.array_distinct(
-            F.flatten(
-                F.transform(
-                    "__poss",
-                    lambda p: F.sequence(
-                        p, F.least(p + n - 1, F.size(toks) - 1)
-                    ),
+        dp = F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "__poss",
+                        lambda p: F.sequence(
+                            p, F.least(p + n - 1, F.size(toks) - 1)
+                        ),
+                    )
                 )
             )
         )
+        # linear keep-mask rebuild (keep_mask_col — shared with the
+        # ExactSubstr apply): the per-token array_contains(dp, i)
+        # membership shape is O(n_toks x removed) per doc and puts the
+        # window expansion at risk of per-token re-evaluation once
+        # projection collapse inlines dp into the filter lambda —
+        # quadratic-or-worse on book-length documents
         cleaned = F.concat_ws(
             " ",
-            F.filter(
-                toks, lambda tok, i: ~F.array_contains(dp, i)
-            ),
+            apply_keep_mask_col(toks, keep_mask_col(dp, F.size(toks))),
         )
         return self._wrap(
             joined.withColumn(

@@ -42,6 +42,8 @@ from wagtail_vector_index_spark.functions.text_analysis import (
     fingerprint_col,
     lsh_band_keys_col,
     minhash_signature_col,
+    apply_keep_mask_col,
+    keep_mask_col,
     sha_hash60,
     sha_hash64,
     shingle_hashes_col,
@@ -376,38 +378,9 @@ def remove_duplicated_spans(
     toks = tokens_col(F.col(text_col))
     # LINEAR keep-mask rebuild (r11; replaces the per-token
     # array_contains membership test, which was O(n_toks x removals)
-    # per doc — quadratic on book-length documents). Each removed
-    # position contributes its preceding run of Trues plus one False;
-    # the final run of Trues pads the mask to n_toks. Every O(m)
-    # subexpression here sits in ARGUMENT position of zip_with /
-    # concat (evaluated once per row) — nothing data-sized inside a
-    # per-element lambda, the recompute-cliff class the r10 staging
-    # caught.
-    sp = F.col("__poss")
-    prev = F.concat(F.array(F.lit(-1)), F.slice(sp, 1, F.size(sp) - 1))
-    mask = F.concat(
-        F.flatten(
-            F.zip_with(
-                sp,
-                prev,
-                lambda c, p: F.concat(
-                    F.array_repeat(F.lit(True), (c - p - 1).cast("int")),
-                    F.array(F.lit(False)),
-                ),
-            )
-        ),
-        F.array_repeat(
-            F.lit(True),
-            (F.size(toks) - F.element_at(sp, -1) - 1).cast("int"),
-        ),
-    )
-    cleaned = F.concat_ws(
-        " ",
-        F.filter(
-            F.zip_with(toks, mask, lambda t, m: F.when(m, t)),
-            lambda x: x.isNotNull(),
-        ),
-    )
+    # per doc — quadratic on book-length documents). See keep_mask_col.
+    mask = keep_mask_col(F.col("__poss"), F.size(toks))
+    cleaned = F.concat_ws(" ", apply_keep_mask_col(toks, mask))
     return joined.withColumn(
         text_col,
         F.when(F.col("__poss").isNull(), F.col(text_col)).otherwise(cleaned),

@@ -4252,6 +4252,11 @@ def pipeline_span_scrub(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("poss"))
     )
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        apply_keep_mask_col,
+        keep_mask_col,
+    )
+
     scrubbed = contaminated.join(
         docs.select("doc_id", tokens_col(F.col("text")).alias("toks")),
         "doc_id",
@@ -4259,19 +4264,26 @@ def pipeline_span_scrub(spark, sf_dir):
         "doc_id",
         "toks",
         F.size("poss").cast("long").alias("n_spans"),
-        F.array_distinct(
-            F.flatten(
-                F.transform(
-                    "poss",
-                    lambda p: F.sequence(
-                        p, F.least(p + 12, F.size("toks") - 1)
-                    ),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "poss",
+                        lambda p: F.sequence(
+                            p, F.least(p + 12, F.size("toks") - 1)
+                        ),
+                    )
                 )
             )
         ).alias("dp"),
     )
-    keep = F.filter(
-        F.col("toks"), lambda tok, i: ~F.array_contains(F.col("dp"), i)
+    # linear keep-mask rebuild (keep_mask_col): the previous per-token
+    # array_contains(dp, i) filter was O(n_toks x removed) per doc —
+    # and dp, living in the same projection as the filter, could be
+    # inlined into the per-token lambda by projection collapse,
+    # re-expanding the windows once per token on book-length documents
+    keep = apply_keep_mask_col(
+        F.col("toks"), keep_mask_col(F.col("dp"), F.size("toks"))
     )
     return scrubbed.select(
         "doc_id",

@@ -158,6 +158,19 @@ def windowed_event_counts(
     )
 
 
+def _sigs_dirname(n: int, num_hashes: int) -> str:
+    """Per-generation MinHash-signature sidecar directory name. The
+    leading underscore keeps it INVISIBLE to every data reader
+    (Hadoop's listing filter skips ``_``/``.`` paths — the same rule
+    that hides ``_SUCCESS``), so the sidecar rides inside the
+    generation directory and is published by the SAME atomic rename +
+    manifest commit as the data. Parameters are baked into the name:
+    a stream restarted with different MinHash settings falls back to
+    recompute-and-backfill instead of silently reading signatures of
+    the wrong shape."""
+    return f"_sigs-n{int(n)}-h{int(num_hashes)}"
+
+
 def neardup_corpus_stream(
     doc_stream: DataFrame,
     *,
@@ -178,6 +191,27 @@ def neardup_corpus_stream(
     survivors as a new manifest generation. The streaming counterpart
     of ``Corpus.dedup_against`` for continuous ingestion.
 
+    STANDING SIGNATURE STATE (r11): each committed generation carries a
+    ``_sigs-n{n}-h{num_hashes}`` parquet sidecar holding its survivors'
+    (id, shingles, sig) MinHash signatures, written into the staged
+    generation directory so the one atomic rename + manifest commit
+    publishes data and signatures together (underscore prefix = hidden
+    from data readers). Per batch, the standing-corpus side of the
+    dedup is the UNION OF SIDECAR LEAF SCANS — the banding join reads
+    only the 16-longs-per-doc ``sig`` column (parquet column pruning),
+    and the exact verify fetches the ``shingles`` column for candidate
+    rows only via the join — so a trigger never re-tokenizes or
+    re-shas the standing corpus (the O(corpus) CPU loop the r10 batch
+    staging measured growing 15.6s -> 113.3s in 4 batches before
+    CorpusSignatures.extend killed it in the batch plane). Generations
+    written before this convention (or with other MinHash parameters)
+    are recomputed ONCE and backfilled in place — safe because the
+    sidecar is deterministic and invisible to readers. Because the
+    state lives in the table directory rather than executor memory, it
+    survives executor loss, dynamic-allocation decommission, and
+    stream restarts — the durability gap a localCheckpoint-rolled
+    in-closure state would have on a real cluster.
+
     Exactly-once: the same dedup-token protocol as
     :func:`incremental_ann_stream` — each append carries a token
     derived from (checkpoint, batch_id), stored IN the manifest, so a
@@ -189,6 +223,11 @@ def neardup_corpus_stream(
     ``sources.manifest.read_live_table(spark, f"{path}")`` (or any
     manifest-aware reader).
     """
+    import os
+    import shutil
+    import uuid
+    from functools import reduce
+
     from wagtail_vector_index_spark.operators.ann_index import (
         _append_gen,
         _commit_append,
@@ -203,10 +242,48 @@ def neardup_corpus_stream(
     )
     from wagtail_vector_index_spark.sources.manifest import (
         ManifestLog,
-        read_live_table,
+        has_data_files,
     )
 
     log = ManifestLog(path)
+    n = int(minhash_kwargs.get("n", 3))
+    num_hashes = int(minhash_kwargs.get("num_hashes", 16))
+    sigs_dir = _sigs_dirname(n, num_hashes)
+
+    def _batch_sigs(rows: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            rows, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, cache=False,
+        )
+
+    def _standing_signatures(spark, cur) -> DataFrame:
+        """Union of the live generations' signature sidecars — leaf
+        scans, no text recompute. A generation without a matching
+        sidecar (pre-r11 data, or different MinHash parameters) is
+        recomputed once and backfilled via stage+rename; losing the
+        rename race to a concurrent backfill just reads the winner's
+        identical copy."""
+        frames = []
+        for gp in log.live_paths(cur):
+            sp = os.path.join(gp, sigs_dir)
+            if not has_data_files(sp):
+                sigs = _batch_sigs(spark.read.parquet(gp))
+                stage = f"{sp}.stage-{uuid.uuid4().hex[:12]}"
+                sigs.write.mode("overwrite").parquet(stage)
+                try:
+                    os.rename(stage, sp)
+                except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)
+            if has_data_files(sp):
+                frames.append(spark.read.parquet(sp))
+        if not frames:  # every backfill failed (shared-FS hiccup):
+            # fall back to the direct compute rather than crash the batch
+            from wagtail_vector_index_spark.sources.manifest import (
+                read_live_table,
+            )
+
+            return _batch_sigs(read_live_table(spark, path))
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -224,31 +301,24 @@ def neardup_corpus_stream(
         survivors = keep_representatives_exact(batch_df, pairs, id_col=id_col)
         cur = log.current()
         if cur is not None and cur.live:
-            corpus = read_live_table(spark, path)
-            # self-releasing corpus signatures (localCheckpoint, not the
-            # cache() the corpus_df= convenience path would pin): a
-            # long-running stream must not accumulate one pinned copy of
-            # the ever-growing corpus signatures PER BATCH — the exact
-            # leak CorpusSignatures exists to prevent in batch loops
-            corpus_sigs = minhash_signatures(
-                corpus,
-                id_col=id_col,
-                text_col=text_col,
-                n=minhash_kwargs.get("n", 3),
-                num_hashes=minhash_kwargs.get("num_hashes", 16),
-                cache=False,
-            ).localCheckpoint(eager=False)
             survivors = incremental_neardup_filter(
                 survivors,
                 None,
                 id_col=id_col,
                 text_col=text_col,
                 threshold=threshold,
-                corpus_signatures=corpus_sigs,
+                corpus_signatures=_standing_signatures(spark, cur),
                 **minhash_kwargs,
             )
         written = _gen_write_path(log, gen, token)
         survivors.write.mode("overwrite").parquet(written)
+        if has_data_files(written):
+            # signatures from the just-written parquet (leaf scan — not
+            # the survivors plan, which would re-run the whole dedup),
+            # into the STAGED dir so publish/commit stay one atomic step
+            _batch_sigs(spark.read.parquet(written)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(written, sigs_dir))
         _publish_gen_dir(log, written, gen)
         _commit_append(log, gen, dedup_token=token)
 
