@@ -1656,6 +1656,30 @@ def test_corpus_signatures_extend_matches_rebuild_and_stays_flat(spark):
             (r["doc_id"], tuple(r["sig"])) for r in fresh.df.collect()
         )
     assert got == want
+    # durable rollover (r11): snapshot -> load -> extend must land on
+    # the same state as a fresh build over everything — the
+    # executor-loss recovery path a cluster ingestion loop uses
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="wvi_sigsnap_") + "/state"
+    with CorpusSignatures.build(mk(0, 40), include_shingles=False) as s1:
+        s1.extend(mk(100, 140))
+        s1.snapshot(snap)
+    resumed = CorpusSignatures.load(spark, snap)
+    assert resumed._params["include_shingles"] is False
+    resumed.extend(mk(140, 180))
+    got2 = sorted(
+        (r["doc_id"], tuple(r["sig"])) for r in resumed.df.collect()
+    )
+    with CorpusSignatures.build(
+        mk(0, 40).unionByName(mk(100, 180)), include_shingles=False
+    ) as fresh2:
+        want2 = sorted(
+            (r["doc_id"], tuple(r["sig"])) for r in fresh2.df.collect()
+        )
+    assert got2 == want2
+    resumed.unpersist()
+
     # extend() without build params is a clear contract error
     import pytest as _pytest
 
@@ -1732,6 +1756,116 @@ def test_containment_prefix_property_random_docs(spark):
             ).collect()
         }
         assert got == want, t
+
+
+def test_containment_collapse_matches_bruteforce(spark):
+    """r11 identical-set collapse differential, independent of BOTH
+    join routes: directed containment pairs must equal a Python
+    brute force over the per-doc shingle sets — corpus includes an
+    identical-set cluster of 4 (within-group ordered pairs, cross-group
+    expansion) and near-miss / subset docs."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        word_shingles_col,
+    )
+    from wagtail_vector_index_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(10)]
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, boiler) for i in range(4)]  # identical-set cluster
+    rows += [(4, "alpha beta gamma delta")]  # subset of the cluster
+    rows += [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {
+        r["doc_id"]: frozenset(r["sh"])
+        for r in df.select(
+            "doc_id", word_shingles_col(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    for t in (0.5, 0.8, 1.0):
+        want = {}
+        for a, b in itertools.permutations(sets, 2):
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= t:
+                want[(a, b)] = round(c, 9)
+        for m in ("cocount", "prefix", "auto"):
+            got = {
+                (r["contained"], r["container"]): round(r["containment"], 9)
+                for r in ngram_containment_pairs(
+                    df, n=3, threshold=t, method=m
+                ).collect()
+            }
+            assert got == want, (t, m)
+    # the cluster must appear as 12 ordered within-group pairs at 1.0
+    got_1 = ngram_containment_pairs(df, n=3, threshold=1.0).collect()
+    cluster = {
+        (r["contained"], r["container"])
+        for r in got_1
+        if r["contained"] < 4 and r["container"] < 4
+    }
+    assert len(cluster) == 12
+
+
+def test_pair_route_decision_telemetry(spark):
+    """method='auto' resolutions are observable: a fresh decision logs
+    family/method + the choose_pair_method stats; a memoized re-run of
+    the same data version logs cached=True."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        _PAIR_METHOD_CACHE,
+        _ROUTE_DECISION_LOG,
+        last_pair_route_decisions,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs_collapsed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} with words {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # parquet-backed so the data-version fingerprint (and thus the memo)
+    # engages
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="wvi_route_telemetry_") + "/docs"
+    df.write.mode("overwrite").parquet(p)
+    pdf = spark.read.parquet(p)
+
+    _PAIR_METHOD_CACHE.clear()
+    _ROUTE_DECISION_LOG.clear()
+    ngram_jaccard_pairs_collapsed(pdf, threshold=0.5, method="auto").count()
+    recs = last_pair_route_decisions()
+    assert recs, "a decision was recorded"
+    fresh = recs[-1]
+    assert fresh["family"] == "jaccard" and fresh["cached"] is False
+    assert {"cocount_rows", "budget", "exploded_rows", "max_df"} <= set(fresh)
+    assert fresh["method"] in ("cocount", "prefix")
+
+    ngram_jaccard_pairs_collapsed(pdf, threshold=0.5, method="auto").count()
+    hit = last_pair_route_decisions()[-1]
+    assert hit["cached"] is True and hit["method"] == fresh["method"]
+
+    # containment records under its own family label AND its memo key
+    # actually hits on a second resolution (the r10 bug: checkpointing
+    # before the key computation made every key unique). Clear the memo
+    # first: jaccard and containment share the cache by design (same
+    # groups frame => same decision), which would make call 1 a hit.
+    _PAIR_METHOD_CACHE.clear()
+    n_before = len(last_pair_route_decisions(100))
+    ngram_containment_pairs(pdf, threshold=0.8, method="auto").count()
+    ngram_containment_pairs(pdf, threshold=0.8, method="auto").count()
+    tail = last_pair_route_decisions(100)[n_before:]
+    assert [r["family"] for r in tail] == ["containment", "containment"]
+    assert tail[0]["cached"] is False and tail[1]["cached"] is True
 
 
 def test_remove_duplicated_spans_keep_first_semantics(spark):

@@ -105,7 +105,14 @@ class Corpus:
         (``minhash`` | ``simhash`` | ``jaccard``) and drop the higher-id
         member of each pair (or, with ``exact_components``, keep exactly
         one representative per connected component — needed when
-        near-dup clusters chain rather than form cliques)."""
+        near-dup clusters chain rather than form cliques).
+
+        NOTE (``method="jaccard"``): the default ``pair_method="auto"``
+        runs an EAGER Spark job (the bounded route-decision
+        aggregation, memoized per data version) at CONSTRUCTION time —
+        pin ``pair_method="cocount"``/``"prefix"`` for pure-lazy
+        composition; the decision is observable via
+        ``operators.dedup.last_pair_route_decisions()``."""
         from wagtail_vector_index_spark.operators.dedup import (
             keep_representatives,
             keep_representatives_exact,
@@ -767,7 +774,10 @@ class Corpus:
         (default) routes hot-shingle corpora through the AllPairs
         prefix filter, so neither a crawl's identical-boilerplate
         mega-cluster nor its Zipf-head shingles can detonate the
-        join."""
+        join. ``"auto"`` runs an eager decision job at construction
+        time (memoized per data version; see
+        ``operators.dedup.last_pair_route_decisions()``) — pin the
+        route for pure-lazy composition."""
         from wagtail_vector_index_spark.operators.dedup import (
             ngram_jaccard_pairs_collapsed,
         )
@@ -819,7 +829,10 @@ class Corpus:
         matter how many times the crawl found it — the soft alternative
         to :meth:`dedup_fuzzy` when duplicates carry signal (the
         oracle-gated ``pipeline_dup_aware_weights`` shape). Chain into
-        :meth:`sample_weighted` to realize the downsampling."""
+        :meth:`sample_weighted` to realize the downsampling.
+        ``pair_method="auto"`` (default) runs an eager decision job at
+        construction time (memoized; see
+        ``operators.dedup.last_pair_route_decisions()``)."""
         from wagtail_vector_index_spark.operators.dedup import (
             connected_components,
             ngram_dup_cluster_edges,

@@ -28,6 +28,7 @@ driver — says so in its docstring and has the distributed
 
 from __future__ import annotations
 
+import logging
 import math
 from collections.abc import Sequence
 
@@ -529,16 +530,65 @@ def choose_pair_method(
 # change the plan shape, never the answer. Bounded at 64 entries.
 _PAIR_METHOD_CACHE: dict[tuple, str] = {}
 
+# Rolling log of auto-route decisions (r11, verdict #6): at 100 TB an
+# operator needs to see WHY a job picked prefix over cocount without
+# re-running the decision aggregation. Every `method="auto"` resolution
+# appends one record here (and emits a logging.INFO line); cache hits
+# append too, flagged `cached=True` with the stats they were resolved
+# from originally absent. Bounded; read with last_pair_route_decisions().
+_ROUTE_DECISION_LOG: list[dict] = []
+_ROUTE_DECISION_LOG_MAX = 256
+
+_logger = logging.getLogger(__name__)
+
+
+def _record_route_decision(
+    family: str, method: str, stats: dict, *, cached: bool
+) -> None:
+    rec = {"family": family, "method": method, "cached": cached, **stats}
+    _ROUTE_DECISION_LOG.append(rec)
+    del _ROUTE_DECISION_LOG[:-_ROUTE_DECISION_LOG_MAX]
+    if cached:
+        _logger.debug("pair-route decision (memoized): %s", rec)
+    else:
+        _logger.info(
+            "pair-route decision: family=%s method=%s cocount_rows=%.4g "
+            "budget=%.4g exploded_rows=%.4g max_df=%g",
+            family, method, stats.get("cocount_rows", float("nan")),
+            stats.get("budget", float("nan")),
+            stats.get("exploded_rows", float("nan")),
+            stats.get("max_df", float("nan")),
+        )
+
+
+def last_pair_route_decisions(n: int = 10) -> list[dict]:
+    """The most recent ``n`` ``method="auto"`` routing decisions, newest
+    last — each a dict with ``family`` (``"jaccard"`` grouped-set or
+    ``"containment"``), ``method`` chosen, ``cached`` (memoized hit —
+    no stats re-measured), and on fresh decisions the
+    :func:`choose_pair_method` statistics (``cocount_rows``,
+    ``budget``, ``exploded_rows``, ``max_df``). The same records are
+    emitted as ``logging.INFO`` lines on this module's logger at
+    decision time — wire that to your job log to see every route
+    verdict in a 100-TB run."""
+    return list(_ROUTE_DECISION_LOG[-int(n):])
+
 
 def _resolve_pair_method(
-    method: str, groups: DataFrame
+    method: str, groups: DataFrame, *, family: str = "jaccard"
 ) -> tuple[str, DataFrame]:
     """Shared ``"auto"`` resolution for the collapsed pair generators:
     lazily localCheckpoint the identical-set group frame (the decision
     aggregation and the pair join both read it — one materialization,
     blocks reclaimed by the ContextCleaner when the frame drops), then
     decide on the REPRESENTATIVES' shingle sets, which is exactly what
-    the pair join will see."""
+    the pair join will see. NOTE: resolving ``"auto"`` runs an EAGER
+    Spark job (the bounded decision aggregation) at DataFrame-
+    CONSTRUCTION time — callers composing plans lazily should pin
+    ``method="cocount"``/``"prefix"``. The memo key is computed on the
+    PRE-checkpoint frame (a localCheckpoint replaces the plan with a
+    fresh LogicalRDD whose semanticHash changes per call — keying on it
+    would never hit); the checkpoint happens only after a miss."""
     if method not in ("auto", "cocount", "prefix"):
         raise ValueError(
             f"unknown method: {method!r}; expected auto | cocount | prefix"
@@ -553,9 +603,12 @@ def _resolve_pair_method(
         except Exception:
             key = None
     if key is not None and key in _PAIR_METHOD_CACHE:
-        return _PAIR_METHOD_CACHE[key], groups
+        chosen = _PAIR_METHOD_CACHE[key]
+        _record_route_decision(family, chosen, {}, cached=True)
+        return chosen, groups
     groups = groups.localCheckpoint(eager=False)
-    chosen, _ = choose_pair_method(groups.select("shingles"))
+    chosen, stats = choose_pair_method(groups.select("shingles"))
+    _record_route_decision(family, chosen, stats, cached=False)
     if key is not None:
         if len(_PAIR_METHOD_CACHE) >= 64:
             _PAIR_METHOD_CACHE.pop(next(iter(_PAIR_METHOD_CACHE)))
@@ -595,7 +648,11 @@ def ngram_jaccard_pairs_collapsed(
     AllPairs for hot-shingle / Zipf-head corpora where any single
     shared shingle mates thousands of documents (jaccard values then
     come from the hashed-shingle verify — same collision caveat as the
-    prefix gate)."""
+    prefix gate). NOTE: ``"auto"`` runs an EAGER Spark job (the
+    bounded decision aggregation, memoized per data version) at
+    DataFrame-CONSTRUCTION time — pin the method for pure-lazy
+    composition; decisions are observable via
+    :func:`last_pair_route_decisions`."""
     members, groups = _shingle_set_groups(
         df, id_col=id_col, text_col=text_col, n=n
     )
@@ -692,7 +749,10 @@ def ngram_dup_cluster_edges(
     each, every such shingle mates O(k²) co-count rows, and the
     co-count join detonates even after the collapse (SCALE.md 100x-docs
     staging: 16s -> 416s for 10x at 50k docs, unrunnable at 500k; the
-    prefix route never joins on head shingles and stays near-linear)."""
+    prefix route never joins on head shingles and stays near-linear).
+    NOTE: ``"auto"`` runs an EAGER Spark job at construction time
+    (memoized per data version; see :func:`last_pair_route_decisions`)
+    — pin the method for pure-lazy composition."""
     members, groups = _shingle_set_groups(
         df, id_col=id_col, text_col=text_col, n=n
     )
@@ -713,6 +773,29 @@ def ngram_dup_cluster_edges(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
     )
     return rep_pairs.unionByName(star)
+
+
+def _cocount_containment_pairs(
+    shingled: DataFrame, *, id_col: str, threshold: float
+) -> DataFrame:
+    """Directed containment pairs from ONE co-count pass over
+    pre-shingled rows — both directions fan out of each canonical
+    (id_a < id_b) intersection row, so containment costs nothing over
+    Jaccard here. Quadratic per hot shingle like every co-count join;
+    the caller's ``"auto"`` routing guards that."""
+    inter = _co_counts(_exploded_shingles(shingled, id_col), id_col)
+    t = F.lit(float(threshold))
+    fwd = inter.select(
+        F.col("id_a").alias("contained"),
+        F.col("id_b").alias("container"),
+        (F.col("n_inter") / F.col("n_a")).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("id_b").alias("contained"),
+        F.col("id_a").alias("container"),
+        (F.col("n_inter") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= t)
 
 
 def ngram_containment_pairs(
@@ -736,6 +819,16 @@ def ngram_containment_pairs(
     same asymmetry motivates the suffix-array ExactSubstr pass; this
     is its set-grain sibling).
 
+    IDENTICAL-SET COLLAPSE (r11, parity with the Jaccard family):
+    containment is a pure function of the two shingle sets, so
+    documents with identical sets collapse to one representative
+    BEFORE the pair join (:func:`_shingle_set_groups`) and results
+    expand back exactly — cross-group directed pairs inherit the
+    representative pair's containment, within-group ordered pairs are
+    containment 1.0 by construction. A boilerplate cluster of R
+    identical docs previously entered the join as R individuals and
+    cost R² join rows on the co-count route; now it costs one.
+
     ``method="cocount"``: both directions come from ONE co-count pass
     (:func:`_co_counts` — the identical two-shuffle plan as
     :func:`ngram_jaccard_pairs`): each canonical (id_a < id_b) pair
@@ -743,62 +836,71 @@ def ngram_containment_pairs(
     ``ni/n_b``, so containment costs nothing over Jaccard. Like every
     co-count join it is quadratic per hot shingle, so ``"auto"``
     (default) runs the same bounded :func:`choose_pair_method`
-    aggregation as the Jaccard family and switches to ``"prefix"``
-    (:func:`_prefix_containment_pairs` — contained-side prefix vs
-    container-side full list) on Zipf-head corpora (r10 staging:
-    co-count 31s at 20k Zipfian docs and detonating quadratically,
-    prefix near-linear)."""
-    if method not in ("auto", "cocount", "prefix"):
-        raise ValueError(
-            f"unknown method: {method!r}; expected auto | cocount | prefix"
-        )
-    df = _ensure_parallelism(df, id_col)
-    shingled = df.select(
-        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    aggregation as the Jaccard family — shared memo cache, decided on
+    the representatives' sets, which is what the join sees — and
+    switches to ``"prefix"`` (:func:`_prefix_containment_pairs` —
+    contained-side prefix vs container-side full list) on Zipf-head
+    corpora (r10 staging: co-count 31s at 20k Zipfian docs and
+    detonating quadratically, prefix near-linear). NOTE:
+    ``method="auto"`` runs an EAGER decision job at construction time
+    (memoized per data version); pin the method for pure-lazy
+    composition."""
+    members, groups = _shingle_set_groups(
+        df, id_col=id_col, text_col=text_col, n=n
     )
-    if method == "auto":
-        shingled = shingled.localCheckpoint(eager=False)
-        method, _ = _containment_route(shingled)
+    method, groups = _resolve_pair_method(
+        method, groups, family="containment"
+    )
+    reps = groups.select(F.col("__rep").alias(id_col), "shingles")
     if method == "prefix":
-        return _prefix_containment_pairs(
-            shingled, id_col=id_col, threshold=threshold
+        rep_pairs = _prefix_containment_pairs(
+            reps, id_col=id_col, threshold=threshold
         )
-    inter = _co_counts(_exploded_shingles(shingled, id_col), id_col)
-    t = F.lit(float(threshold))
-    fwd = inter.select(
-        F.col("id_a").alias("contained"),
-        F.col("id_b").alias("container"),
-        (F.col("n_inter") / F.col("n_a")).alias("containment"),
+    else:
+        rep_pairs = _cocount_containment_pairs(
+            reps, id_col=id_col, threshold=threshold
+        )
+    # member -> representative map; lazily localCheckpointed for the
+    # same four-consumer reason as ngram_jaccard_pairs_collapsed
+    mg = (
+        members.join(groups.select("__g", "__rep"), "__g")
+        .select(F.col(id_col), F.col("__rep"))
+        .localCheckpoint(eager=False)
     )
-    rev = inter.select(
-        F.col("id_b").alias("contained"),
-        F.col("id_a").alias("container"),
-        (F.col("n_inter") / F.col("n_b")).alias("containment"),
+    cross = (
+        rep_pairs.join(
+            mg.select(
+                F.col("__rep").alias("contained"),
+                F.col(id_col).alias("__xa"),
+            ),
+            "contained",
+        )
+        .join(
+            mg.select(
+                F.col("__rep").alias("container"),
+                F.col(id_col).alias("__xb"),
+            ),
+            "container",
+        )
+        .select(
+            F.col("__xa").alias("contained"),
+            F.col("__xb").alias("container"),
+            "containment",
+        )
     )
-    return fwd.unionByName(rev).where(F.col("containment") >= t)
-
-
-def _containment_route(shingled: DataFrame) -> tuple[str, dict]:
-    """Memoized auto-route for :func:`ngram_containment_pairs` — same
-    decision statistic and cache discipline as
-    :func:`_resolve_pair_method` (the co-count join is literally the
-    same plan), keyed separately because containment decides on the raw
-    shingled frame, not identical-set representatives."""
-    key = None
-    version = _data_version_fingerprint(shingled)
-    if version is not None:
-        try:
-            key = ("containment", shingled.semanticHash(), version)
-        except Exception:
-            key = None
-    if key is not None and key in _PAIR_METHOD_CACHE:
-        return _PAIR_METHOD_CACHE[key], {}
-    method, stats = choose_pair_method(shingled.select("shingles"))
-    if key is not None:
-        if len(_PAIR_METHOD_CACHE) >= 64:
-            _PAIR_METHOD_CACHE.pop(next(iter(_PAIR_METHOD_CACHE)))
-        _PAIR_METHOD_CACHE[key] = method
-    return method, stats
+    if float(threshold) > 1.0:  # identical sets (C=1.0) don't qualify
+        return cross
+    l, r = mg.alias("l"), mg.alias("r")
+    within = (
+        l.join(r, F.col("l.__rep") == F.col("r.__rep"))
+        .where(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("contained"),
+            F.col(f"r.{id_col}").alias("container"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def _prefix_containment_pairs(
@@ -2760,6 +2862,18 @@ class CorpusSignatures:
 
         Mutates and returns self, so the context-manager form keeps
         releasing whatever the CURRENT state is on exit.
+
+        DURABILITY: the eager localCheckpoint is the ONLY copy of the
+        standing state and its blocks are EXECUTOR-LOCAL and
+        non-replayable — on a real cluster, executor loss or a
+        dynamic-allocation decommission destroys the state
+        mid-ingestion-loop with no way to recompute it (lineage was
+        truncated by design). Fine for single-JVM/local-mode loops; a
+        long-running cluster ingestion loop should either call
+        :meth:`snapshot` every N batches (parquet rollover — restart
+        via :meth:`load`) or keep the state in the table itself, the
+        way ``streaming.maintenance.neardup_corpus_stream`` persists
+        per-generation signature sidecars.
         """
         if self._params is None:
             raise ValueError(
@@ -2783,6 +2897,52 @@ class CorpusSignatures:
             pass  # previous state was itself a checkpoint: blocks
             # release via the ContextCleaner once `old` drops
         return self
+
+    def snapshot(self, path: str) -> "CorpusSignatures":
+        """Durable rollover: write the standing state to parquet at
+        ``path`` (overwrite), re-point ``self.df`` at the WRITTEN files
+        (a leaf scan — replayable from storage, unlike the
+        executor-local checkpoint blocks), and release the previous
+        in-memory state. Call every N batches in a cluster ingestion
+        loop so executor loss costs at most N batches of re-extends
+        (resume with :meth:`load`). Mutates and returns self."""
+        spark = self.df.sparkSession
+        self.df.write.mode("overwrite").parquet(path)
+        old = self.df
+        self.df = spark.read.parquet(path)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # checkpointed state: ContextCleaner reclaims on drop
+        return self
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_hashes: int = 16,
+    ) -> "CorpusSignatures":
+        """Resume a :meth:`snapshot`-ted standing state from parquet.
+        The MinHash parameters must match the ones the snapshot was
+        built with — they parameterize :meth:`extend`'s batch prep and
+        are not stored in the files (pass the same config your loop
+        owns)."""
+        df = spark.read.parquet(path)
+        return cls(
+            df,
+            _params={
+                "id_col": id_col,
+                "text_col": text_col,
+                "n": n,
+                "num_hashes": num_hashes,
+                "include_shingles": "shingles" in df.columns,
+            },
+        )
 
     def unpersist(self) -> None:
         try:
