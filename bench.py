@@ -164,6 +164,9 @@ ADDED = [
     "dedup_minhash_estverify",
     # r10 additions
     "pipeline_exactsubstr_trim",
+    # r11 additions
+    "rag_batch_echo",
+    "pipeline_corpus_prep",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round
@@ -185,6 +188,12 @@ HEAVY_TRACKED = [
     "pipeline_span_scrub",
     "pipeline_source_overlap",
     "dedup_jaccard_exact",
+    # r11 (verdict ask #4): surface these in the machine-readable
+    # detail/printed maps so the r7 line-dedup fix (10.6s -> 1.9s) and
+    # the RAG / corpus-prep end-to-end paths can't silently regress.
+    "pipeline_line_dedup",
+    "rag_batch_echo",
+    "pipeline_corpus_prep",
 ]
 
 SPARK_RUNS = 5

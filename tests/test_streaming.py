@@ -3,6 +3,7 @@ file-source stream of the events table, and incremental index maintenance
 via foreachBatch (SURVEY §2.4 streaming EXT)."""
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -344,6 +345,68 @@ def test_neardup_corpus_stream_matches_sequential_batches(spark, tmp_path):
     before = read_live_table(spark, table).count()
     run_stream()
     assert read_live_table(spark, table).count() == before
+
+
+def test_decontaminated_corpus_stream_overbound_eval_set(spark, tmp_path):
+    """Eval-refresh at crawl scale (r11): with ``max_broadcast_grams``
+    forced tiny, the construction-time gram table AND a mid-stream
+    ``refresh_eval_set`` swap both exceed the bound and take the
+    shuffle-join fallback instead of an un-overridable broadcast —
+    decontamination results identical to the broadcast path."""
+    from wagtail_vector_index_spark.sources.manifest import read_live_table
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        decontaminated_corpus_stream,
+    )
+
+    old_span = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    new_span = "nov osc papa queb rome sierra tango unif vic whisk xray yank zulu"
+    filler = " ".join(f"w{i}" for i in range(40))
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "ob_stream")
+    table = str(tmp_path / "ob_corpus")
+    ckpt = str(tmp_path / "ob_ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, f"{filler} {old_span}"), (2, f"{filler} {new_span}")])
+    old_eval = spark.createDataFrame([(100, f"x {old_span} y")], schema)
+    new_eval = spark.createDataFrame([(200, f"x {new_span} y")], schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = decontaminated_corpus_stream(
+        stream, eval_df=old_eval, path=table, checkpoint_dir=ckpt,
+        max_broadcast_grams=2,  # both suites exceed this: shuffle join
+        trigger_once=False,
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if {r["doc_id"] for r in
+                        read_live_table(spark, table).collect()} == {2}:
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(0.5)
+        assert {
+            r["doc_id"] for r in read_live_table(spark, table).collect()
+        } == {2}
+        # crawl-scale refresh mid-stream: the NEW gram table is also
+        # over-bound; 3 collides with it (dropped), 4 passes (old suite
+        # replaced)
+        q.refresh_eval_set(new_eval)
+        write_batch([(3, f"{filler} {new_span}"), (4, f"{filler} {old_span}")])
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+            if 4 in got:
+                break
+            time.sleep(0.5)
+        assert got == {2, 4}, got
+    finally:
+        q.stop()
 
 
 def test_neardup_corpus_stream_signature_sidecars(spark, tmp_path):

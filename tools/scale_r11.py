@@ -351,16 +351,20 @@ def part_b(spark, rng, tmp) -> None:
         print(f"scrub_spans r11  {n_docs}x{doc_len}: {w_scrub:.1f}s",
               flush=True)
 
-        # line dedup — split each doc into 12-token lines first
+        # line dedup — split each doc into 12-token lines first. The
+        # token array is BOUND to a column before the per-line lambda
+        # (an inline F.split inside the transform would re-split the
+        # whole doc once per line: O(n^2/12) per doc).
         lines_df = df.select(
+            "doc_id", F.split("text", " ").alias("__tk")
+        ).localCheckpoint(eager=False).select(
             "doc_id",
             F.transform(
                 F.sequence(
-                    F.lit(0),
-                    F.floor((F.size(F.split("text", " ")) - 1) / 12),
+                    F.lit(0), F.floor((F.size("__tk") - 1) / 12)
                 ),
                 lambda i: F.array_join(
-                    F.slice(F.split("text", " "), i * 12 + 1, 12), " "
+                    F.slice(F.col("__tk"), (i * 12 + 1).cast("int"), 12), " "
                 ),
             ).alias("lines"),
         )

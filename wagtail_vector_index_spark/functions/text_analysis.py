@@ -36,12 +36,30 @@ def word_ngrams_col(text: Column, n: int) -> Column:
     """All word n-grams in document order, repeats included ("a b c"
     style) — the shared construction for shingling (distinct), repetition
     metrics, and top-gram stats. A doc with fewer than n tokens yields
-    its full token-join as the single gram."""
+    its full token-join as the single gram.
+
+    LINEAR in document length (r11): the grams come from zipping ``n``
+    shifted slices of the token array — every O(len)-sized expression
+    (the tokenization itself, each slice) sits in ARGUMENT position of
+    arrays_zip/transform, evaluated once per row. The previous
+    formulation indexed ``toks`` inside the per-gram lambda
+    (``slice(toks, i, n)``), and interpreted higher-order-function
+    evaluation re-evaluates the lambda body's subtrees per element —
+    re-splitting the whole document once per gram, O(len²) per doc.
+    Invisible on ~100-token web docs; measured 4.5s -> 28.6s on a
+    fixed 200k-token budget as doc length grew 200 -> 5000, and the
+    dominant cost of every shingle operator in the books regime. The
+    zipped sequence column pins the gram count so sub-``n``-token
+    (and empty) docs keep the single-gram rule; concat_ws skips the
+    null pads."""
     toks = tokens_col(text)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.transform(
+    z = F.arrays_zip(
         F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        *[F.slice(toks, j + 1, count) for j in range(n)],
+    )
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(j + 1)] for j in range(n)])
     )
 
 
@@ -79,6 +97,36 @@ def sha_hash60(s: Column) -> Column:
     bulk where 60-bit ones stay ~vanishingly rare (expectation
     n²/2^61 ≈ 4e-4 at 10^8 windows)."""
     return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+
+def explode_nofilter(arr: Column) -> Column:
+    """``F.explode`` over a BOUND array attribute WITHOUT the inferred
+    size-filter (r11).
+
+    Exploding a bound array attribute lets the optimizer infer
+    ``Filter(size(attr) > 0 AND isnotnull(attr))`` under the Generate
+    and push it through the binding projection, SUBSTITUTING the full
+    array-construction expression into an interpreted per-row
+    predicate — so a shingle/fingerprint pipeline evaluates its whole
+    array build twice per row (and, pushed through a second binding,
+    once per inner reference: the r11 long-doc staging thread-dump
+    caught sha256 running inside a filter's 13-term XOR chain).
+    Measured on the exploded-shingle pipeline: 4.1s -> 0.4s for the
+    same 200k tokens once the filter is gone. The identity-transform
+    wrapper makes the generator child a non-attribute expression, which
+    disables the inference (SPARK-36715 restricts it to attribute-like
+    children) at the cost of one array copy per row; a NULL array maps
+    to NULL and explode drops it, exactly as the filter would.
+
+    Only worth using when the array is NOT already materialized: below
+    a localCheckpoint/exchange the inferred filter reads a stored
+    attribute and is effectively free."""
+    return F.explode(F.transform(arr, lambda x: x))
+
+
+def posexplode_nofilter(arr: Column) -> Column:
+    """``F.posexplode`` twin of :func:`explode_nofilter`."""
+    return F.posexplode(F.transform(arr, lambda x: x))
 
 
 def keep_mask_col(sorted_removed: Column, n_toks: Column) -> Column:

@@ -220,6 +220,7 @@ class Corpus:
         dominated shuffle bytes; collision caveat as documented on the
         prefix-filter dedup path."""
         from wagtail_vector_index_spark.functions.text_analysis import (
+            explode_nofilter,
             shingle_hashes_col,
             word_shingles_col,
         )
@@ -248,7 +249,7 @@ class Corpus:
             ).select(
                 id_alias,
                 F.size("__sh").alias(n_alias),
-                F.explode("__sh").alias("sh"),
+                explode_nofilter(F.col("__sh")).alias("sh"),
             )
 
         train = shingled(train_docs, "train_id", "n_t")
@@ -371,26 +372,34 @@ class Corpus:
             train_docs = self.df
             eval_docs = eval_df
 
-        def fingerprints(df, *cols):
-            return df.select(
+        # The fingerprint array is exploded INLINE (generator child is an
+        # expression over the bound __th attribute, never a bound __fps
+        # attribute): exploding a bound array attribute lets the
+        # optimizer infer a `size(attr) > 0` filter under the Generate
+        # and push it through the binding projections, substituting the
+        # full fingerprint fold — WITH the sha token pass inlined per
+        # fold term — into an interpreted per-row predicate. Measured as
+        # a hard stall on 1000-token docs (the r11 long-doc staging
+        # thread dump caught sha256 running inside the filter's 13-term
+        # XOR chain); the inline-generator shape is the gate's proven
+        # one (queries_text.pipeline_span_scrub).
+        def gram_rows(df, *cols, pos: bool = False):
+            bound = df.select(
                 *cols,
                 token_sha_hashes_col(F.col(self.text_col)).alias("__th"),
-            ).select(
-                *cols,
-                ngram_fingerprints_col(F.col("__th"), n).alias("__fps"),
             )
+            fps = ngram_fingerprints_col(F.col("__th"), n)
+            if pos:
+                return bound.select(
+                    *cols, F.posexplode(fps).alias("__pos", "__sh")
+                )
+            return bound.select(*cols, F.explode(fps).alias("__sh"))
 
         ev = _eval_gram_side(
-            fingerprints(eval_docs)
-            .select(F.explode("__fps").alias("__sh"))
-            .distinct(),
-            max_broadcast_grams,
+            gram_rows(eval_docs).distinct(), max_broadcast_grams
         )
         poss = (
-            fingerprints(train_docs, self.id_col)
-            .select(
-                self.id_col, F.posexplode("__fps").alias("__pos", "__sh")
-            )
+            gram_rows(train_docs, self.id_col, pos=True)
             .join(ev, "__sh")
             .groupBy(self.id_col)
             .agg(F.collect_set("__pos").alias("__poss"))
@@ -483,6 +492,7 @@ class Corpus:
         One row: n_docs, total_tokens, vocab, heaps_beta, heaps_k. The
         oracle-gated ``text_heaps_law`` shape."""
         from wagtail_vector_index_spark.functions.text_analysis import (
+            explode_nofilter,
             tokens_col,
         )
         from wagtail_vector_index_spark.operators.prefixsum import prefix_sum
@@ -494,7 +504,7 @@ class Corpus:
             self.id_col, F.size("toks").cast("long").alias("n_toks")
         )
         nf = (
-            t.select(self.id_col, F.explode("toks").alias("tok"))
+            t.select(self.id_col, explode_nofilter(F.col("toks")).alias("tok"))
             .groupBy("tok")
             .agg(F.min(self.id_col).alias("first_doc"))
             .groupBy("first_doc")

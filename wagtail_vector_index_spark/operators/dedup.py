@@ -44,6 +44,7 @@ from wagtail_vector_index_spark.functions.text_analysis import (
     lsh_band_keys_col,
     minhash_signature_col,
     apply_keep_mask_col,
+    explode_nofilter,
     keep_mask_col,
     sha_hash60,
     sha_hash64,
@@ -126,7 +127,9 @@ def _exploded_shingles(shingled: DataFrame, id_col: str) -> DataFrame:
         F.col(id_col), F.size("shingles").alias("n_sh"), F.col("shingles")
     )
     return (
-        sizes.select(id_col, "n_sh", F.explode("shingles").alias("__shs"))
+        sizes.select(
+            id_col, "n_sh", explode_nofilter(F.col("shingles")).alias("__shs")
+        )
         .select(
             id_col,
             "n_sh",
@@ -494,7 +497,7 @@ def choose_pair_method(
     order as the first stage of either route it chooses between.
     """
     row = (
-        shingled.select(F.explode("shingles").alias("__s"))
+        shingled.select(explode_nofilter(F.col("shingles")).alias("__s"))
         .select(F.xxhash64("__s").alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -940,7 +943,9 @@ def _prefix_containment_pairs(
         id_col, "shingles", F.size("shingles").alias("n_sh")
     ).where(F.col("n_sh") > 0)
     ex = (
-        sized.select(id_col, "n_sh", F.explode("shingles").alias("__s"))
+        sized.select(
+            id_col, "n_sh", explode_nofilter(F.col("shingles")).alias("__s")
+        )
         .select(
             id_col,
             "n_sh",
@@ -1077,7 +1082,9 @@ def _prefix_jaccard_pairs(
         id_col, "shingles", F.size("shingles").alias("n_sh")
     ).where(F.col("n_sh") > 0)
     ex = (
-        sized.select(id_col, "n_sh", F.explode("shingles").alias("__s"))
+        sized.select(
+            id_col, "n_sh", explode_nofilter(F.col("shingles")).alias("__s")
+        )
         .select(
             id_col,
             "n_sh",

@@ -341,6 +341,7 @@ def decontaminated_corpus_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
+    max_broadcast_grams: int = 5_000_000,
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """Maintain a DECONTAMINATED corpus table from a document stream:
@@ -361,7 +362,14 @@ def decontaminated_corpus_stream(
     XOR-shift fingerprints (ngram_fingerprints_col — sha256 once per
     token, never a gram string), not raw n-gram strings — smaller
     broadcast, cheaper probe; same collision caveat the batch twins
-    document.
+    document. ``max_broadcast_grams`` bounds the broadcast exactly as
+    on the batch twins (Corpus._eval_gram_side): an eval set whose
+    distinct gram count exceeds it joins via shuffle hash join instead
+    of an un-overridable broadcast hint that would outgrow executor
+    memory — the bound is re-evaluated per gram table, so a
+    ``refresh_eval_set`` to a crawl-scale suite downgrades to the
+    shuffle join and a refresh back to a bounded suite restores the
+    broadcast. ``max_broadcast_grams <= 0`` forces the shuffle join.
 
     REFRESHING THE EVAL SET: a long-running ingest stream outlives eval
     suites. The returned query carries a ``refresh_eval_set(new_eval_df)``
@@ -401,7 +409,15 @@ def decontaminated_corpus_stream(
         )
 
     def _grams(src: DataFrame) -> DataFrame:
-        return _gram_rows(src).distinct().localCheckpoint(eager=True)
+        from wagtail_vector_index_spark.operators.corpus import (
+            _eval_gram_side,
+        )
+
+        g = _gram_rows(src).distinct().localCheckpoint(eager=True)
+        # broadcast-vs-shuffle decided ONCE per gram table (the
+        # checkpoint makes the size probe a cheap leaf count), not per
+        # batch — and re-decided on every refresh_eval_set swap
+        return _eval_gram_side(g, max_broadcast_grams)
 
     # one-slot holder so refresh_eval_set can swap the gram table under
     # the foreachBatch closure (single reference assignment — atomic)
@@ -416,7 +432,7 @@ def decontaminated_corpus_stream(
             return  # replayed batch: already live
         flagged = (
             _gram_rows(batch_df, id_col)
-            .join(F.broadcast(eval_state["grams"]), "__sh")
+            .join(eval_state["grams"], "__sh")
             .select(id_col)
             .distinct()
         )
