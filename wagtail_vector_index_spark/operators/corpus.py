@@ -391,18 +391,32 @@ class Corpus:
             fps = ngram_fingerprints_col(F.col("__th"), n)
             if pos:
                 return bound.select(
-                    *cols, F.posexplode(fps).alias("__pos", "__sh")
+                    *cols,
+                    F.size("__th").alias("__nt"),
+                    F.posexplode(fps).alias("__pos", "__sh"),
                 )
             return bound.select(*cols, F.explode(fps).alias("__sh"))
 
         ev = _eval_gram_side(
             gram_rows(eval_docs).distinct(), max_broadcast_grams
         )
+        # __nt rides the gram rows (size of the bound __th attribute —
+        # token count without another tokenize) into the agg, so the
+        # window-expansion lambda below caps against an AGGREGATED
+        # ATTRIBUTE. Referencing size(tokens_col(text)) inside that
+        # per-removal lambda re-splits the whole document once per
+        # removal (interpreted HOF eval re-evaluates lambda-body
+        # subtrees per element) — the r11 long-doc staging measured the
+        # facade at 83s where the gate (which binds toks through its
+        # join) runs the same corpus in seconds.
         poss = (
             gram_rows(train_docs, self.id_col, pos=True)
             .join(ev, "__sh")
             .groupBy(self.id_col)
-            .agg(F.collect_set("__pos").alias("__poss"))
+            .agg(
+                F.collect_set("__pos").alias("__poss"),
+                F.first("__nt").alias("__nt"),
+            )
         )
         from wagtail_vector_index_spark.functions.text_analysis import (
             apply_keep_mask_col,
@@ -411,13 +425,14 @@ class Corpus:
 
         joined = train_docs.join(poss, self.id_col, "left")
         toks = tokens_col(F.col(self.text_col))
+        nt = F.col("__nt")
         dp = F.array_sort(
             F.array_distinct(
                 F.flatten(
                     F.transform(
                         "__poss",
                         lambda p: F.sequence(
-                            p, F.least(p + n - 1, F.size(toks) - 1)
+                            p, F.least(p + n - 1, nt - 1)
                         ),
                     )
                 )
@@ -431,14 +446,14 @@ class Corpus:
         # quadratic-or-worse on book-length documents
         cleaned = F.concat_ws(
             " ",
-            apply_keep_mask_col(toks, keep_mask_col(dp, F.size(toks))),
+            apply_keep_mask_col(toks, keep_mask_col(dp, nt)),
         )
         return self._wrap(
             joined.withColumn(
                 self.text_col,
                 F.when(F.col("__poss").isNull(), F.col(self.text_col))
                 .otherwise(cleaned),
-            ).drop("__poss")
+            ).drop("__poss", "__nt")
         )
 
     # -- reporting -----------------------------------------------------------
