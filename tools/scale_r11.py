@@ -153,12 +153,27 @@ def part_a(spark, rng, tmp) -> None:
         n_live = read_live_table(spark, table).count()
         return prog, total, n_live
 
-    new_prog, new_total, new_live = run("new", neardup_corpus_stream)
-    print(f"r11 sidecar state: total={new_total:.1f}s live_docs={new_live}",
-          flush=True)
-    old_prog, old_total, old_live = run("old", _old_neardup_corpus_stream)
-    print(f"r10 re-fingerprint: total={old_total:.1f}s live_docs={old_live}",
-          flush=True)
+    import os
+
+    # JVM/JIT warm-up lands on whichever stream runs first; flip with
+    # SCALE_A_ORDER=old_first and compare growth SLOPES across both
+    # orderings (the within-run slope is the signal either way)
+    if os.environ.get("SCALE_A_ORDER") == "old_first":
+        old_prog, old_total, old_live = run("old", _old_neardup_corpus_stream)
+        print(f"r10 re-fingerprint: total={old_total:.1f}s "
+              f"live_docs={old_live}", flush=True)
+        new_prog, new_total, new_live = run("new", neardup_corpus_stream)
+        print(f"r11 sidecar state: total={new_total:.1f}s "
+              f"live_docs={new_live}", flush=True)
+    else:
+        new_prog, new_total, new_live = run("new", neardup_corpus_stream)
+        print(f"r11 sidecar state: total={new_total:.1f}s "
+              f"live_docs={new_live}", flush=True)
+        old_prog, old_total, old_live = run(
+            "old", _old_neardup_corpus_stream
+        )
+        print(f"r10 re-fingerprint: total={old_total:.1f}s "
+              f"live_docs={old_live}", flush=True)
     assert new_live == old_live, (new_live, old_live)
 
     print()
@@ -385,6 +400,71 @@ def part_b(spark, rng, tmp) -> None:
     print(flush=True)
 
 
+def part_c(spark, rng, tmp) -> None:
+    """Containment identical-set collapse (verdict #7): a boilerplate
+    cluster of R identical docs used to enter the containment pair join
+    as R individuals (R² co-count rows); r11 collapses identical
+    shingle sets to one representative first, matching the Jaccard
+    family. Corpus = organic Zipf docs + one planted identical cluster;
+    the staging times the shipped collapsed path vs a staging-local
+    copy of the pre-r11 uncollapsed formulation and asserts identical
+    directed pair sets."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        word_shingles_col,
+    )
+    from wagtail_vector_index_spark.operators.dedup import (
+        _cocount_containment_pairs,
+        _ensure_parallelism,
+        ngram_containment_pairs,
+    )
+
+    print("== C: containment pairs, planted identical cluster ==",
+          flush=True)
+    rows = []
+    for n_docs, r_clique in ((5_000, 500), (20_000, 2_000), (20_000, 8_000)):
+        pdf = _gen_docs_pdf(rng, n_docs)[["doc_id", "text"]]
+        boiler = pdf["text"].iloc[0]
+        pdf.loc[: r_clique - 1, "text"] = boiler  # identical cluster
+        p = f"{tmp}/c_{n_docs}_{r_clique}"
+        spark.createDataFrame(pdf).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(p)
+        df = spark.read.parquet(p)
+
+        t0 = time.time()
+        got = ngram_containment_pairs(
+            df, n=3, threshold=0.8, method="cocount"
+        ).count()
+        w_new = time.time() - t0
+
+        def uncollapsed():
+            sh = _ensure_parallelism(df, "doc_id").select(
+                F.col("doc_id"),
+                word_shingles_col(F.col("text"), 3).alias("shingles"),
+            )
+            return _cocount_containment_pairs(
+                sh, id_col="doc_id", threshold=0.8
+            )
+
+        if r_clique <= 2_000:
+            t0 = time.time()
+            want = uncollapsed().count()
+            w_old = time.time() - t0
+            assert got == want, (got, want)
+            old_txt = f"{w_old:.1f}s"
+        else:
+            old_txt = "SKIP (R^2 = 64M clique join rows)"
+        rows.append((n_docs, r_clique, w_new, old_txt, got))
+        print(f"{n_docs} docs, clique {r_clique}: collapsed={w_new:.1f}s "
+              f"uncollapsed={old_txt} pairs={got}", flush=True)
+    print()
+    print("| docs | identical-cluster size | collapsed (r11) | uncollapsed (pre-r11) | directed pairs |")
+    print("|---|---|---|---|---|")
+    for n_docs, r, w, o, g in rows:
+        print(f"| {n_docs} | {r} | {w:.1f}s | {o} | {g} |")
+    print(flush=True)
+
+
 def main() -> None:
     spark = build_session(
         "scale-r11",
@@ -404,6 +484,8 @@ def main() -> None:
         part_a(spark, rng, tmp)
     if "B" in parts:
         part_b(spark, rng, tmp)
+    if "C" in parts:
+        part_c(spark, rng, tmp)
 
 
 if __name__ == "__main__":
