@@ -222,6 +222,11 @@ def substring_duplicate_coverage(
             )
         ).alias("__w"),
     ).select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh"))
+    # TWO consumers (duplicated-hash agg + join-back) — one
+    # materialization of the (id, pos, wh) rows, or the dominant
+    # window-sha explode runs twice; lazy localCheckpoint, blocks
+    # reclaimed by the ContextCleaner when the frame drops
+    wins = wins.localCheckpoint(eager=False)
     dup = (
         wins.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -340,6 +345,10 @@ def remove_duplicated_spans(
         .select(
             id_col, F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh")
         )
+        # two consumers (keep-first agg + join-back): one
+        # materialization of the narrow (id, pos, wh) rows instead of
+        # running the window-sha explode twice (see the MEASURE twin)
+        .localCheckpoint(eager=False)
     )
     dup_first = (
         wins.groupBy("wh")
