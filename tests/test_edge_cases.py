@@ -93,3 +93,72 @@ def test_semantic_dedup_no_pairs_above_threshold(spark):
         df, cents, id_col="vec_id", vec_col="embedding", threshold=0.99
     )
     assert sorted(r["vec_id"] for r in out.collect()) == [1, 2]
+
+
+def test_word_ngrams_matches_python_reference(spark):
+    """The r11 arrays_zip n-gram kernel (linear in doc length) must
+    reproduce the defining semantics exactly: all n-grams in order,
+    repeats included, sub-n-token docs (and empty docs) yielding their
+    full token-join as the single gram."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        word_ngrams_col,
+    )
+
+    rng = random.Random(3)
+    texts = ["", "x", "  ", "a b", "a b c", "A  b\tC d", "w w w w w w"]
+    texts += [
+        " ".join(f"t{rng.randrange(6)}" for _ in range(rng.randint(0, 25)))
+        for _ in range(40)
+    ]
+
+    def ref(text, n):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) < n:
+            return [" ".join(toks)]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (2, 3, 5):
+        got = [
+            r["g"]
+            for r in df.select(
+                word_ngrams_col(F.col("text"), n).alias("g")
+            ).collect()
+        ]
+        assert got == [ref(t, n) for t in texts], n
+
+
+def test_explode_nofilter_suppresses_inferred_filter(spark):
+    """Exploding a BOUND array attribute lets the optimizer infer a
+    size()>0 filter under the Generate and push the full array
+    construction into an interpreted per-row predicate (the r11
+    long-doc cliff); explode_nofilter's identity-transform wrapper must
+    keep the optimized plan Filter-free while returning identical
+    rows."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        explode_nofilter,
+        word_shingles_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s t u"), (3, "")],
+        "doc_id long, text string",
+    )
+    shingled = df.select(
+        "doc_id", word_shingles_col(F.col("text"), 3).alias("sh")
+    )
+    wrapped = shingled.select(
+        "doc_id", explode_nofilter(F.col("sh")).alias("s")
+    )
+    plan = wrapped._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, plan
+    plain = shingled.select("doc_id", F.explode("sh").alias("s"))
+    assert sorted(map(tuple, wrapped.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
