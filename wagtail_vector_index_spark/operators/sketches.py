@@ -632,12 +632,18 @@ def ams_f2(
     — in one pass with ``depth`` counters of state.
 
     Each estimator j derives a 4-wise-ish sign ``s_j(v) in {-1,+1}``
-    from the shared sha hash (parity of ``sha_hash64(j ':' v)``), and
-    keeps the running sum ``Z_j = sum_rows s_j(v)`` — frequency
-    weighting is automatic because every occurrence contributes its
-    sign. ``E[Z_j^2] = F2``; the estimate is the MEDIAN of the depth
-    squared sums (for even depth, the mean of the two middle order
-    statistics), which concentrates by Chebyshev + median-of-means.
+    from ONE shared sha256 of the value — the parity of hex nibble
+    ``j+1`` (r11; one hash per ROW, not one per (row, estimator): at
+    depth 32 the previous per-estimator ``sha(j ':' v)`` convention
+    cost 32 hashes per row, the dominant term of the whole pass at any
+    scale — distinct bits of one strong hash are the standard
+    bit-slicing used for exactly this). ``depth`` is capped at 64 (the
+    sha256 hex width). Each estimator keeps the running sum
+    ``Z_j = sum_rows s_j(v)`` — frequency weighting is automatic
+    because every occurrence contributes its sign. ``E[Z_j^2] = F2``;
+    the estimate is the MEDIAN of the depth squared sums (for even
+    depth, the mean of the two middle order statistics), which
+    concentrates by Chebyshev + median-of-means.
 
     This is the join-size / skew estimator a planner consults before
     choosing a strategy at 100 TB: the whole pass is ``depth``
@@ -653,15 +659,37 @@ def ams_f2(
     pass alone."""
     if depth < 2 or depth % 2:
         raise ValueError("depth must be an even integer >= 2")
+    if depth > 64:
+        raise ValueError("depth must be <= 64 (sha256 hex width)")
     v = F.col(value_col).cast("string")
+    # ONE sha per row, parsed into 8-hex-char chunks (bound columns —
+    # multi-reference aliases are exempt from projection collapse, so
+    # neither the hash nor a chunk is re-evaluated per estimator); each
+    # estimator's sign is then two integer bit ops. Per-row string work
+    # is 1 sha + ceil(depth/8) substr+conv instead of depth substrings
+    # (or depth full hashes, the pre-r11 convention).
+    n_chunks = (depth + 7) // 8
+    hashed = df.select(F.sha2(v, 256).alias("__h")).select(
+        *[
+            F.conv(F.substring(F.col("__h"), 8 * c + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"__c{c}")
+            for c in range(n_chunks)
+        ]
+    )
+    # estimator j reads hex char j+1 = nibble p=j%8 of chunk j//8; the
+    # nibble's parity (its lowest bit) sits at bit 4*(7-p) of the
+    # chunk's 32-bit value
     signs = [
         (
             F.lit(1)
-            - F.lit(2) * (sha_hash64(F.concat_ws(":", F.lit(j), v)) % 2)
+            - F.lit(2)
+            * F.shiftright(F.col(f"__c{j // 8}"), 4 * (7 - j % 8))
+            .bitwiseAND(F.lit(1))
         ).alias(f"__s{j}")
         for j in range(depth)
     ]
-    sums = df.select(*signs).agg(
+    sums = hashed.select(*signs).agg(
         *[F.sum(f"__s{j}").alias(f"__z{j}") for j in range(depth)]
     )
     sq = F.array_sort(

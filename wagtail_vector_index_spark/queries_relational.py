@@ -2109,12 +2109,14 @@ def graph_pagerank(spark, sf_dir):
 
 
 _AMS_DEPTH = 32
+# r11 convention: one sha256 per row; estimator j's sign is the parity
+# of hex nibble j+1 (operators/sketches.py::ams_f2 replays identically)
 _AMS_SIGN = (
-    "(1 - 2 * ((('0x' || substr(sha256('{j}:' || user_id::VARCHAR),"
-    " 1, 8))::UBIGINT % 2)::BIGINT))"
+    "(1 - 2 * ((('0x' || substr(sha256(user_id::VARCHAR),"
+    " {j1}, 1))::UBIGINT % 2)::BIGINT))"
 )
 _AMS_SUMS = ", ".join(
-    f"sum({_AMS_SIGN.format(j=j)})::BIGINT AS z{j}"
+    f"sum({_AMS_SIGN.format(j1=j + 1)})::BIGINT AS z{j}"
     for j in range(_AMS_DEPTH)
 )
 _AMS_SQ = ", ".join(
