@@ -1678,6 +1678,14 @@ def test_corpus_signatures_extend_matches_rebuild_and_stays_flat(spark):
             (r["doc_id"], tuple(r["sig"])) for r in fresh2.df.collect()
         )
     assert got2 == want2
+    # snapshot back to the SAME path the state was loaded from (the
+    # load -> extend -> snapshot loop): the staged swap must not
+    # overwrite the files backing the plan while writing them
+    resumed.snapshot(snap)
+    reloaded = CorpusSignatures.load(spark, snap)
+    assert sorted(
+        (r["doc_id"], tuple(r["sig"])) for r in reloaded.df.collect()
+    ) == got2
     resumed.unpersist()
 
     # extend() without build params is a clear contract error

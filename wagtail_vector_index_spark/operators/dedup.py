@@ -2921,9 +2921,23 @@ class CorpusSignatures:
         executor-local checkpoint blocks), and release the previous
         in-memory state. Call every N batches in a cluster ingestion
         loop so executor loss costs at most N batches of re-extends
-        (resume with :meth:`load`). Mutates and returns self."""
+        (resume with :meth:`load`). Mutates and returns self.
+
+        The write is STAGED and swapped in: when the current state was
+        itself loaded/snapshotted from ``path`` (the load -> extend ->
+        snapshot loop), a direct ``mode("overwrite")`` would delete
+        the files backing ``self.df`` while the write job reads them.
+        A crash inside the short rmtree/rename window loses only the
+        on-disk snapshot, never the in-memory state."""
+        import os
+        import shutil
+        import uuid
+
         spark = self.df.sparkSession
-        self.df.write.mode("overwrite").parquet(path)
+        stage = f"{path}.stage-{uuid.uuid4().hex[:12]}"
+        self.df.write.mode("overwrite").parquet(stage)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(stage, path)
         old = self.df
         self.df = spark.read.parquet(path)
         try:
