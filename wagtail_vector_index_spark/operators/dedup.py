@@ -280,6 +280,7 @@ def remove_duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    with_stats: bool = False,
 ) -> DataFrame:
     """ExactSubstr dedup APPLY (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): for every ``k``-token
@@ -297,7 +298,14 @@ def remove_duplicated_spans(
 
     Returns the corpus with ``text_col`` rewritten; documents with no
     removed window pass through with text OBJECT identity preserved
-    (the left join misses). Overlapping removed windows union exactly
+    (the left join misses). ``with_stats=True`` appends ``n_tokens``
+    (original token count) and ``n_removed`` (tokens dropped) — both
+    derived from state the trim already computed, so consumers that
+    want a trim report (the ``pipeline_exactsubstr_trim`` gate shape)
+    avoid re-tokenizing the corpus AND the rebuilt text. Untouched
+    documents carry ``n_removed = 0`` and a NULL ``n_tokens``
+    (computing it would cost exactly the tokenize pass the option
+    exists to avoid). Overlapping removed windows union exactly
     (distinct expanded positions), and a window is compared by CONTENT
     (hash), so a phrase repeated inside one document collapses to its
     first occurrence too.
@@ -330,6 +338,7 @@ def remove_duplicated_spans(
         .where(F.col("__n") >= kk)
         .select(
             id_col,
+            "__n",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.col("__n") - kk + 1),
@@ -343,7 +352,10 @@ def remove_duplicated_spans(
             ).alias("__w"),
         )
         .select(
-            id_col, F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh")
+            id_col,
+            F.col("__n").alias("__nt"),
+            F.col("__w.pos").alias("pos"),
+            F.col("__w.wh").alias("wh"),
         )
         # two consumers (keep-first agg + join-back): one
         # materialization of the narrow (id, pos, wh) rows instead of
@@ -378,26 +390,42 @@ def remove_duplicated_spans(
         )
         .select(
             id_col,
+            "__nt",
             F.explode(
                 F.sequence(F.col("pos") - 1, F.col("pos") + kk - 2)
             ).alias("__i"),
         )
         .groupBy(id_col)
         # sorted in the agg (once per doc) — the mask build below
-        # consumes positions in ascending order
-        .agg(F.sort_array(F.collect_set("__i")).alias("__poss"))
+        # consumes positions in ascending order; the token count rides
+        # along so the stats option never re-tokenizes
+        .agg(
+            F.sort_array(F.collect_set("__i")).alias("__poss"),
+            F.first("__nt").alias("__nt"),
+        )
     )
     joined = df.join(removals, id_col, "left")
     toks = tokens_col(F.col(text_col))
     # LINEAR keep-mask rebuild (r11; replaces the per-token
     # array_contains membership test, which was O(n_toks x removals)
     # per doc — quadratic on book-length documents). See keep_mask_col.
-    mask = keep_mask_col(F.col("__poss"), F.size(toks))
+    # The mask length comes from the aggregated __nt attribute (equal
+    # to size(toks) by construction), not size(tokens_col(...)) — no
+    # extra tokenize.
+    mask = keep_mask_col(F.col("__poss"), F.col("__nt"))
     cleaned = F.concat_ws(" ", apply_keep_mask_col(toks, mask))
-    return joined.withColumn(
+    out = joined.withColumn(
         text_col,
         F.when(F.col("__poss").isNull(), F.col(text_col)).otherwise(cleaned),
-    ).drop("__poss")
+    )
+    if with_stats:
+        out = out.withColumn(
+            "n_tokens", F.col("__nt").cast("long")
+        ).withColumn(
+            "n_removed",
+            F.coalesce(F.size("__poss"), F.lit(0)).cast("long"),
+        )
+    return out.drop("__poss", "__nt")
 
 
 def ngram_jaccard_pairs(

@@ -1502,27 +1502,25 @@ def pipeline_exactsubstr_trim(spark, sf_dir):
     corpus text never shuffles, and per-doc rebuild cost is
     O(n_toks + n_removed) even on book-length documents. Zero python
     stages."""
-    from wagtail_vector_index_spark.functions.text_analysis import tokens_col
     from wagtail_vector_index_spark.operators.dedup import (
         remove_duplicated_spans,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    trimmed = remove_duplicated_spans(docs, k=_SUBSTR_K).select(
-        "doc_id", F.col("text").alias("__clean")
-    )
-    orig = docs.select("doc_id", tokens_col(F.col("text")).alias("__tk"))
+    # with_stats: n_tokens / n_removed come from state the trim already
+    # computed (the aggregated token count + the removed-position set),
+    # so the gate never re-tokenizes the corpus or the rebuilt text —
+    # two full passes the previous join-back shape paid
     return (
-        orig.join(trimmed, "doc_id")
-        .select(
-            "doc_id",
-            F.size("__tk").cast("long").alias("n_tokens"),
-            (
-                F.size("__tk") - F.size(tokens_col(F.col("__clean")))
-            ).cast("long").alias("n_removed"),
-            F.sha2(F.col("__clean"), 256).alias("cleaned_sha"),
+        remove_duplicated_spans(
+            _t(spark, sf_dir, "documents"), k=_SUBSTR_K, with_stats=True
         )
         .where(F.col("n_removed") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.sha2(F.col("text"), 256).alias("cleaned_sha"),
+        )
         .orderBy("doc_id")
     )
 
