@@ -482,6 +482,84 @@ def test_neardup_corpus_stream_signature_sidecars(spark, tmp_path):
         ), f"sidecar missing under {gp}"
 
 
+def test_neardup_corpus_stream_compaction(spark, tmp_path):
+    """Generation compaction (r12): with ``compact_every=3`` a 9-batch
+    stream ends with ONE live generation (the merges fire at batches
+    3/6/9), the merged generation carries a consolidated signature
+    sidecar, the surviving corpus is IDENTICAL to the uncompacted run,
+    and exactly-once survives compaction — a restart with the same
+    checkpoint over one extra file processes only that file even though
+    every generation that carried the earlier batches was rewritten
+    away (token memory lives in the manifest)."""
+    from wagtail_vector_index_spark.sources.manifest import (
+        ManifestLog,
+        read_live_table,
+    )
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        _sigs_dirname,
+        neardup_corpus_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "cmp_stream")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, base), (2, "totally unrelated subject matter here")])
+    for i in range(1, 9):
+        write_batch([
+            (10 * i, base.replace("river", f"canal{i}")),  # near-dups doc 1
+            (10 * i + 1, f"unique standalone document number {i} "
+                         f"about topic {i * 7} and subject {i * 13}"),
+        ])
+
+    def run(table, ckpt, compact_every):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = neardup_corpus_stream(
+            stream, path=table, checkpoint_dir=ckpt, threshold=0.4,
+            compact_every=compact_every,
+        )
+        q.awaitTermination(600)
+
+    compacted = str(tmp_path / "cmp_corpus")
+    plain = str(tmp_path / "plain_corpus")
+    run(compacted, str(tmp_path / "cmp_ck"), 3)
+    run(plain, str(tmp_path / "plain_ck"), 0)
+
+    want = {r["doc_id"] for r in read_live_table(spark, plain).collect()}
+    got = {r["doc_id"] for r in read_live_table(spark, compacted).collect()}
+    assert got == want == {1, 2} | {10 * i + 1 for i in range(1, 9)}
+
+    log = ManifestLog(compacted)
+    live = log.live_paths()
+    assert len(live) == 1, f"expected 1 live generation, got {len(live)}"
+    assert len(ManifestLog(plain).live_paths()) == 9
+    # consolidated sidecar rides the merged generation
+    sd = os.path.join(live[0], _sigs_dirname(3, 16))
+    assert any(f.endswith(".parquet") for f in os.listdir(sd))
+    sigs = spark.read.parquet(sd)
+    assert set(sigs.columns) == {"doc_id", "shingles", "sig"}
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == got
+    # superseded generations + token gens were GC'd from disk
+    on_disk = [n for n in os.listdir(compacted) if n.startswith("gen-")]
+    assert on_disk == [os.path.basename(live[0])], on_disk
+
+    # exactly-once across compaction: same checkpoint, one new file —
+    # only the new batch lands (replays of compacted-away batches stay
+    # no-ops because their tokens are in the manifest, not the gens)
+    write_batch([(90, base.replace("river", "harbor")),
+                 (91, "a ninth wholly distinct body of text entirely")])
+    run(compacted, str(tmp_path / "cmp_ck"), 3)
+    got2 = {r["doc_id"] for r in read_live_table(spark, compacted).collect()}
+    assert got2 == got | {91}
+
+
 def test_decontaminated_corpus_stream_eval_set_refresh(spark, tmp_path):
     """Mid-stream eval-set replacement: refresh_eval_set() swaps the
     gram table, so a doc colliding only with the NEW eval suite passes

@@ -179,6 +179,7 @@ def neardup_corpus_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    compact_every: int = 0,
     trigger_once: bool = True,
     **minhash_kwargs,
 ) -> StreamingQuery:
@@ -212,6 +213,27 @@ def neardup_corpus_stream(
     stream restarts — the durability gap a localCheckpoint-rolled
     in-closure state would have on a real cluster.
 
+    GENERATION COMPACTION (r12): per-trigger cost is flat in corpus
+    SIZE (the sidecars), but every micro-batch appends one generation
+    forever — after 10^4 triggers, ``_standing_signatures`` would list,
+    existence-check, and union 10^4 sidecar leaf scans per batch
+    (driver-side plan bloat + the small-file reads the manifest's own
+    compaction machinery exists to prevent). ``compact_every`` > 0
+    mirrors :func:`incremental_ann_stream`: every N batches the live
+    generations are rewritten into ONE (data plus ONE consolidated
+    ``_sigs`` sidecar, derived from the EXISTING sidecars — a
+    16-longs/doc scan, never a corpus re-shingle), committed via the
+    manifest rewrite protocol — a crash mid-compact leaves the old
+    state serving, appends landed by a concurrent writer during the
+    rewrite are carried over — then the superseded generations are
+    GC'd (min_age_s=0: like ``IvfIndex.compact``, compaction assumes
+    the stream owns table maintenance; an INDEPENDENT concurrent
+    appender mid-stage is protected by the manifest protocol for
+    committed state but its staging dirs are not — run foreign writers
+    with compaction off). Token memory survives compaction (tokens
+    live in the manifest, not the generations), so crash-replays of
+    already-compacted batches stay no-ops.
+
     Exactly-once: the same dedup-token protocol as
     :func:`incremental_ann_stream` — each append carries a token
     derived from (checkpoint, batch_id), stored IN the manifest, so a
@@ -231,6 +253,7 @@ def neardup_corpus_stream(
     from wagtail_vector_index_spark.operators.ann_index import (
         _append_gen,
         _commit_append,
+        _commit_rewrite,
         _gen_write_path,
         _publish_gen_dir,
     )
@@ -262,7 +285,22 @@ def neardup_corpus_stream(
         sidecar (pre-r11 data, or different MinHash parameters) is
         recomputed once and backfilled via stage+rename; losing the
         rename race to a concurrent backfill just reads the winner's
-        identical copy."""
+        identical copy.
+
+        The backfill rename is POSIX-only (like ``_publish_gen_dir``,
+        this module is the local-FS stand-in the manifest protocol
+        docstring describes): ``os.rename`` is atomic and
+        won't-clobber on a local filesystem, neither on an object
+        store — an S3 deployment should disable the in-place backfill
+        (run one batch of the stream before upgrading parameters, so
+        every generation is written WITH its sidecar and this path
+        never fires) or port it to the store's conditional-put
+        primitive. The backfill is loss-tolerant by construction: the
+        sidecar is a deterministic pure function of the committed
+        generation data, so any interleaving of concurrent backfills
+        yields byte-equivalent content, and a lost/partial copy is
+        re-derived on the next trigger (`has_data_files` gates the
+        read)."""
         frames = []
         for gp in log.live_paths(cur):
             sp = os.path.join(gp, sigs_dir)
@@ -284,6 +322,36 @@ def neardup_corpus_stream(
 
             return _batch_sigs(read_live_table(spark, path))
         return reduce(lambda a, b: a.unionByName(b), frames)
+
+    def _compact(spark) -> None:
+        """Rewrite the live generations into one — data union plus ONE
+        consolidated signature sidecar derived from the standing
+        sidecars (16 longs + shingles per doc read back; the text is
+        never re-shingled). Both writes land in the new generation
+        directory BEFORE the single manifest commit publishes it, so a
+        crash at any point leaves the previous state serving; the GC
+        then reclaims the superseded generations (min_age_s=0 — the
+        stream owns maintenance, see docstring)."""
+        base = log.current()
+        if base is None or len(base.live) <= 1:
+            return  # nothing to merge
+        # coalesce (narrow — no shuffle) to the session's declared
+        # parallelism: N micro-batches leave O(N x parallelism) small
+        # files; the rewrite folds them back to one generation of at
+        # most shuffle.partitions files without paying a corpus shuffle
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        sigs = _standing_signatures(spark, base).coalesce(nparts)
+        frames = [spark.read.parquet(p) for p in log.live_paths(base)]
+        data = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        ).coalesce(nparts)
+        gen = log.new_generation()
+        gp = log.gen_path(gen)
+        data.write.mode("overwrite").parquet(gp)
+        if has_data_files(gp):
+            sigs.write.mode("overwrite").parquet(os.path.join(gp, sigs_dir))
+        _commit_rewrite(log, gen, base)
+        log.gc(keep_manifests=1, min_age_s=0.0)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -321,6 +389,8 @@ def neardup_corpus_stream(
             ).parquet(os.path.join(written, sigs_dir))
         _publish_gen_dir(log, written, gen)
         _commit_append(log, gen, dedup_token=token)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            _compact(spark)
 
     writer = (
         doc_stream.writeStream.foreachBatch(_process)
