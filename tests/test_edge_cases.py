@@ -162,3 +162,112 @@ def test_explode_nofilter_suppresses_inferred_filter(spark):
     assert sorted(map(tuple, wrapped.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_keep_mask_col_empty_and_normal_inputs(spark):
+    """keep_mask_col is a public kernel: an EMPTY (non-null) removed
+    array must yield the all-True mask instead of a per-row Spark
+    exception (slice with length -1) far from the misuse site — a
+    future caller passing array() where the in-library callers pass
+    NULL must not fail mid-job. Normal inputs (head/tail/run removals)
+    pinned alongside."""
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        apply_keep_mask_col,
+        keep_mask_col,
+    )
+
+    rows = [
+        (1, [0], 3),          # head removal
+        (2, [2], 3),          # tail removal
+        (3, [0, 1, 2], 3),    # everything removed
+        (4, [1, 3], 5),       # interior gaps
+        (5, [], 4),           # EMPTY array (the guarded case)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, removed array<int>, n int"
+    )
+    got = {
+        r["doc_id"]: r["mask"]
+        for r in df.select(
+            "doc_id",
+            keep_mask_col(F.col("removed"), F.col("n")).alias("mask"),
+        ).collect()
+    }
+    assert got[1] == [False, True, True]
+    assert got[2] == [True, True, False]
+    assert got[3] == [False, False, False]
+    assert got[4] == [True, False, True, False, True]
+    assert got[5] == [True, True, True, True]
+
+    kept = {
+        r["doc_id"]: r["kept"]
+        for r in df.select(
+            "doc_id",
+            apply_keep_mask_col(
+                F.sequence(F.lit(10), F.lit(10) + F.col("n") - 1),
+                keep_mask_col(F.col("removed"), F.col("n")),
+            ).alias("kept"),
+        ).collect()
+    }
+    assert kept[4] == [10, 12, 14]
+    assert kept[5] == [10, 11, 12, 13]
+
+
+def test_rolling_window_hash60_matches_python_reference(spark):
+    """The r12 ExactSubstr window key — XOR of per-position rotations
+    of per-token sha_hash60 values (one sha per TOKEN, replacing the
+    per-window slice+join+sha) — must match an independent python
+    reference bit-for-bit, including the 1-based position convention
+    the destructive apply keys on (posexplode pos + 1)."""
+    import hashlib
+
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        posexplode_nofilter,
+        rolling_window_hash60_col,
+        sha_hash60,
+    )
+
+    def sha60(s):
+        return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+    def rot60(x, r):
+        if r == 0:
+            return x
+        return ((x % (1 << (60 - r))) << r) | (x >> (60 - r))
+
+    k = 8
+    texts = {
+        1: " ".join(f"tok{i}" for i in range(12)),
+        2: " ".join(f"tok{i % 3}" for i in range(9)),  # repeated tokens
+        3: "a b c d e f g h",  # exactly k tokens -> one window
+    }
+    want = {}
+    for d, text in texts.items():
+        th = [sha60(t) for t in text.split()]
+        for pos in range(1, len(th) - k + 2):
+            wh = 0
+            for j in range(k):
+                wh ^= rot60(th[pos - 1 + j], (7 * j) % 60)
+            want[(d, pos)] = wh
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["pos"]): r["wh"]
+        for r in df.select(
+            "doc_id",
+            F.transform(
+                F.split("text", " "), lambda t: sha_hash60(t)
+            ).alias("__th"),
+        )
+        .select(
+            "doc_id",
+            posexplode_nofilter(
+                rolling_window_hash60_col(F.col("__th"), k)
+            ).alias("__p0", "wh"),
+        )
+        .select("doc_id", (F.col("__p0") + 1).alias("pos"), "wh")
+        .collect()
+    }
+    assert got == want

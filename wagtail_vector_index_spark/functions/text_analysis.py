@@ -130,10 +130,14 @@ def posexplode_nofilter(arr: Column) -> Column:
 
 
 def keep_mask_col(sorted_removed: Column, n_toks: Column) -> Column:
-    """Boolean keep-mask of length ``n_toks`` from a SORTED, DISTINCT,
-    non-empty array of 0-based removed token indices — the LINEAR
-    rebuild kernel shared by every span-removal apply (ExactSubstr
-    trim, 13-gram span scrub).
+    """Boolean keep-mask of length ``n_toks`` from a SORTED, DISTINCT
+    array of 0-based removed token indices — the LINEAR rebuild kernel
+    shared by every span-removal apply (ExactSubstr trim, 13-gram span
+    scrub). An EMPTY (but non-null) ``sorted_removed`` yields the
+    all-True mask — the in-library callers guarantee non-emptiness
+    (collect_set over joined rows), but the kernel is public and the
+    naive formulation failed that input with a per-row Spark exception
+    (slice with length -1) far from the misuse site.
 
     Each removed index contributes its preceding run of Trues plus one
     False; a final run of Trues pads to ``n_toks`` — O(n_toks +
@@ -149,7 +153,7 @@ def keep_mask_col(sorted_removed: Column, n_toks: Column) -> Column:
     prev = F.concat(
         F.array(F.lit(-1)), F.slice(sorted_removed, 1, F.size(sorted_removed) - 1)
     )
-    return F.concat(
+    mask = F.concat(
         F.flatten(
             F.zip_with(
                 sorted_removed,
@@ -165,6 +169,12 @@ def keep_mask_col(sorted_removed: Column, n_toks: Column) -> Column:
             (n_toks - F.element_at(sorted_removed, -1) - 1).cast("int"),
         ),
     )
+    # CASE WHEN short-circuits per row, so the empty branch never
+    # evaluates the slice/element_at the empty array would fail on
+    return F.when(
+        F.size(sorted_removed) == 0,
+        F.array_repeat(F.lit(True), n_toks.cast("int")),
+    ).otherwise(mask)
 
 
 def apply_keep_mask_col(toks: Column, mask: Column) -> Column:
@@ -175,6 +185,56 @@ def apply_keep_mask_col(toks: Column, mask: Column) -> Column:
         F.zip_with(toks, mask, lambda t, m: F.when(m, t)),
         lambda x: x.isNotNull(),
     )
+
+
+def _rot60(x: Column, r: int) -> Column:
+    """Rotate a value in [0, 2^60) left by ``r`` bits within 60 bits,
+    overflow-free in BOTH engines: the low 60-r bits are isolated with
+    a modulo BEFORE the shift, so no intermediate exceeds 2^60 (Spark
+    ANSI-mode safe; DuckDB replays the identical ((x % 2^(60-r)) << r)
+    | (x >> (60-r)) with UBIGINT arithmetic)."""
+    if r == 0:
+        return x
+    return F.shiftleft(x % F.lit(1 << (60 - r)), r).bitwiseOR(
+        F.shiftright(x, 60 - r)
+    )
+
+
+def rolling_window_hash60_col(th: Column, k: int) -> Column:
+    """Array of 60-bit k-token-window hashes from PRE-BOUND per-token
+    60-bit hashes ``th`` (one :func:`sha_hash60` per token):
+    ``wh(i) = XOR_{j<k} rot60(th[i+j], 7j mod 60)`` — one sha256 per
+    TOKEN instead of one per WINDOW over a freshly built ~k-token
+    string (the slice + array_join + sha-of-50-chars per window was
+    the dominant CPU of the ExactSubstr passes; the same
+    build-a-string-just-to-hash-it waste :func:`ngram_fingerprints_col`
+    removed from the 13-gram gate). Rotation by a per-position
+    distinct amount keeps permuted windows distinct; XOR-of-rotations
+    of 60-bit sha-derived values behaves as a random 60-bit window
+    hash (structured collisions require a token-hash pair whose XOR is
+    rotation-invariant — probability ~2^-60 per pair), so the
+    collision budget matches the direct-sha convention this replaces
+    and stays fit for DESTRUCTIVE applies.
+
+    ``th`` MUST be a bound column attribute (select/withColumn it
+    first): the lambda body references it k+1 times, and an unbound
+    expression would re-run the whole per-token sha pass once per
+    window (the [[spark-hof-lambda-recompute]] trap 1 — attribute
+    reads are row-field lookups, O(1)). Caller guarantees
+    ``size(th) >= k``. Positions are 1-based via array index
+    (posexplode pos+1). DuckDB-identical replay: see
+    queries_text._window_hash_sql."""
+    kk = int(k)
+    cnt = F.size(th) - F.lit(kk - 1)
+
+    def wh(i):
+        acc = None
+        for j in range(kk):
+            term = _rot60(F.element_at(th, i + F.lit(j)), (7 * j) % 60)
+            acc = term if acc is None else acc.bitwiseXOR(term)
+        return acc
+
+    return F.transform(F.sequence(F.lit(1), cnt), wh)
 
 
 def token_sha_hashes_col(text: Column) -> Column:

@@ -46,6 +46,8 @@ from wagtail_vector_index_spark.functions.text_analysis import (
     apply_keep_mask_col,
     explode_nofilter,
     keep_mask_col,
+    posexplode_nofilter,
+    rolling_window_hash60_col,
     sha_hash60,
     sha_hash64,
     shingle_hashes_col,
@@ -190,16 +192,20 @@ def substring_duplicate_coverage(
     (windows are fixed-length, so a gap >= k means no overlap), one
     ``lead()`` over a per-document window — doc-keyed, never global.
 
-    Scale shape: one explode (n windows per doc), one
+    Scale shape: one sha256 per TOKEN (not per window — the window key
+    is a rotate-XOR fold of pre-bound 60-bit token hashes,
+    :func:`rolling_window_hash60_col`, r12: the per-window
+    slice+array_join+sha built and hashed a ~k-token string per
+    window, the measured dominant CPU of both ExactSubstr passes), one
     map-side-combinable count to find duplicated hashes, one shuffle
     join back on the 60-bit window hash, one doc-keyed window + agg.
-    All JVM expressions; the sha window hash is the replayable
-    :func:`sha_hash60` convention — 60-bit, not the 32-bit
-    :func:`sha_hash64`, because this family keys a DESTRUCTIVE apply
-    (:func:`remove_duplicated_spans`): a false collision marks a unique
-    window duplicated, and at tens of millions of windows 32-bit
-    collisions are expected in bulk. The MEASURE twin shares the
-    convention so coverage and trim agree on what "duplicated" means.
+    All JVM expressions; 60-bit (not the 32-bit :func:`sha_hash64`
+    fingerprint convention) because this family keys a DESTRUCTIVE
+    apply (:func:`remove_duplicated_spans`): a false collision marks a
+    unique window duplicated, and at tens of millions of windows
+    32-bit collisions are expected in bulk. The MEASURE twin shares
+    the convention so coverage and trim agree on what "duplicated"
+    means.
     """
     kk = int(k)
     toks = df.select(
@@ -208,20 +214,21 @@ def substring_duplicate_coverage(
     sized = toks.select(
         id_col, "__tk", F.size("__tk").cast("long").alias("n_toks")
     ).where(F.col("n_toks") >= kk)
-    wins = sized.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_toks") - kk + 1),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    sha_hash60(
-                        F.array_join(F.slice(F.col("__tk"), i, kk), " ")
-                    ).alias("wh"),
-                ),
-            )
-        ).alias("__w"),
-    ).select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh"))
+    wins = (
+        sized.select(
+            id_col,
+            F.transform(F.col("__tk"), lambda t: sha_hash60(t)).alias(
+                "__th"
+            ),
+        )
+        .select(
+            id_col,
+            posexplode_nofilter(
+                rolling_window_hash60_col(F.col("__th"), kk)
+            ).alias("__p0", "wh"),
+        )
+        .select(id_col, (F.col("__p0") + 1).alias("pos"), "wh")
+    )
     # TWO consumers (duplicated-hash agg + join-back) — one
     # materialization of the (id, pos, wh) rows, or the dominant
     # window-sha explode runs twice; lazy localCheckpoint, blocks
@@ -339,27 +346,25 @@ def remove_duplicated_spans(
         .select(
             id_col,
             "__n",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("__n") - kk + 1),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        sha_hash60(
-                            F.array_join(F.slice(F.col("__tk"), i, kk), " ")
-                        ).alias("wh"),
-                    ),
-                )
-            ).alias("__w"),
+            # one sha per TOKEN; the window key is the rotate-XOR fold
+            # of the bound token hashes (rolling_window_hash60_col,
+            # r12) — not a per-window slice+join+sha of a ~k-token
+            # string, which was the dominant CPU of this pass
+            F.transform(F.col("__tk"), lambda t: sha_hash60(t)).alias(
+                "__th"
+            ),
         )
         .select(
             id_col,
             F.col("__n").alias("__nt"),
-            F.col("__w.pos").alias("pos"),
-            F.col("__w.wh").alias("wh"),
+            posexplode_nofilter(
+                rolling_window_hash60_col(F.col("__th"), kk)
+            ).alias("__p0", "wh"),
         )
+        .select(id_col, "__nt", (F.col("__p0") + 1).alias("pos"), "wh")
         # two consumers (keep-first agg + join-back): one
         # materialization of the narrow (id, pos, wh) rows instead of
-        # running the window-sha explode twice (see the MEASURE twin)
+        # running the window-hash explode twice (see the MEASURE twin)
         .localCheckpoint(eager=False)
     )
     dup_first = (
@@ -568,14 +573,19 @@ def choose_pair_method(
 # decision scan once. Either route returns the identical pair set, so a
 # (impossible-without-in-place-file-mutation) stale hit could only
 # change the plan shape, never the answer. Bounded at 64 entries.
-_PAIR_METHOD_CACHE: dict[tuple, str] = {}
+# Values are (method, stats): the decision statistics ride along so a
+# telemetry record emitted on a warm hit still carries WHY the route
+# was chosen (r12 — a 100-TB operator reading the log after a memoized
+# resolution used to see an empty stats dict).
+_PAIR_METHOD_CACHE: dict[tuple, tuple[str, dict]] = {}
 
 # Rolling log of auto-route decisions (r11, verdict #6): at 100 TB an
 # operator needs to see WHY a job picked prefix over cocount without
 # re-running the decision aggregation. Every `method="auto"` resolution
 # appends one record here (and emits a logging.INFO line); cache hits
-# append too, flagged `cached=True` with the stats they were resolved
-# from originally absent. Bounded; read with last_pair_route_decisions().
+# append too, flagged `cached=True`, carrying the stats the decision
+# was originally resolved from (cached with the method, not
+# re-measured). Bounded; read with last_pair_route_decisions().
 _ROUTE_DECISION_LOG: list[dict] = []
 _ROUTE_DECISION_LOG_MAX = 256
 
@@ -605,8 +615,8 @@ def last_pair_route_decisions(n: int = 10) -> list[dict]:
     """The most recent ``n`` ``method="auto"`` routing decisions, newest
     last — each a dict with ``family`` (``"jaccard"`` grouped-set or
     ``"containment"``), ``method`` chosen, ``cached`` (memoized hit —
-    no stats re-measured), and on fresh decisions the
-    :func:`choose_pair_method` statistics (``cocount_rows``,
+    stats carried over from the original resolution, not re-measured),
+    and the :func:`choose_pair_method` statistics (``cocount_rows``,
     ``budget``, ``exploded_rows``, ``max_df``). The same records are
     emitted as ``logging.INFO`` lines on this module's logger at
     decision time — wire that to your job log to see every route
@@ -643,8 +653,8 @@ def _resolve_pair_method(
         except Exception:
             key = None
     if key is not None and key in _PAIR_METHOD_CACHE:
-        chosen = _PAIR_METHOD_CACHE[key]
-        _record_route_decision(family, chosen, {}, cached=True)
+        chosen, stats = _PAIR_METHOD_CACHE[key]
+        _record_route_decision(family, chosen, stats, cached=True)
         return chosen, groups
     groups = groups.localCheckpoint(eager=False)
     chosen, stats = choose_pair_method(groups.select("shingles"))
@@ -652,7 +662,7 @@ def _resolve_pair_method(
     if key is not None:
         if len(_PAIR_METHOD_CACHE) >= 64:
             _PAIR_METHOD_CACHE.pop(next(iter(_PAIR_METHOD_CACHE)))
-        _PAIR_METHOD_CACHE[key] = chosen
+        _PAIR_METHOD_CACHE[key] = (chosen, stats)
     return chosen, groups
 
 
@@ -822,8 +832,20 @@ def _cocount_containment_pairs(
     pre-shingled rows — both directions fan out of each canonical
     (id_a < id_b) intersection row, so containment costs nothing over
     Jaccard here. Quadratic per hot shingle like every co-count join;
-    the caller's ``"auto"`` routing guards that."""
-    inter = _co_counts(_exploded_shingles(shingled, id_col), id_col)
+    the caller's ``"auto"`` routing guards that.
+
+    The intersection frame is lazily localCheckpointed: BOTH union
+    branches below read it, and without the barrier each branch
+    carries its own copy of the join+agg subtree — AQE's exchange
+    reuse usually collapses them, but the materialized frame makes
+    the single execution structural rather than optimizer-dependent
+    (r12 books staging: small consistent win warm, no regression).
+    The frame is one row per co-occurring pair, which the ``"auto"``
+    router's budget bounds BEFORE this route is chosen; blocks are
+    reclaimed by the ContextCleaner when the frame drops."""
+    inter = _co_counts(
+        _exploded_shingles(shingled, id_col), id_col
+    ).localCheckpoint(eager=False)
     t = F.lit(float(threshold))
     fwd = inter.select(
         F.col("id_a").alias("contained"),
@@ -2955,17 +2977,37 @@ class CorpusSignatures:
         itself loaded/snapshotted from ``path`` (the load -> extend ->
         snapshot loop), a direct ``mode("overwrite")`` would delete
         the files backing ``self.df`` while the write job reads them.
-        A crash inside the short rmtree/rename window loses only the
-        on-disk snapshot, never the in-memory state."""
+        The swap never deletes the previous snapshot before the new
+        one is in place: the old directory is renamed ASIDE (O(1)),
+        the staged write renamed in, and only then is the aside copy
+        removed — so the window with no complete snapshot on disk is
+        two renames, not an O(files) rmtree, and a crash inside it
+        leaves the aside copy recoverable by hand (a crash never
+        touches the in-memory state either way).
+
+        ``path`` must be a POSIX filesystem visible to the DRIVER
+        (``os.rename`` semantics — the same local-FS stand-in note as
+        ``sources/manifest.py``): on an object store, snapshot to a
+        posix staging area or port the swap to the store's
+        conditional-put primitive. :meth:`load` reads with plain
+        ``spark.read.parquet`` and shares the requirement only insofar
+        as the path must name a completed snapshot."""
         import os
         import shutil
         import uuid
 
         spark = self.df.sparkSession
-        stage = f"{path}.stage-{uuid.uuid4().hex[:12]}"
+        nonce = uuid.uuid4().hex[:12]
+        stage = f"{path}.stage-{nonce}"
         self.df.write.mode("overwrite").parquet(stage)
-        shutil.rmtree(path, ignore_errors=True)
+        aside = f"{path}.old-{nonce}"
+        try:
+            os.rename(path, aside)
+        except OSError:
+            aside = None  # first snapshot: nothing to move aside
         os.rename(stage, path)
+        if aside is not None:
+            shutil.rmtree(aside, ignore_errors=True)
         old = self.df
         self.df = spark.read.parquet(path)
         try:
@@ -2989,7 +3031,10 @@ class CorpusSignatures:
         The MinHash parameters must match the ones the snapshot was
         built with — they parameterize :meth:`extend`'s batch prep and
         are not stored in the files (pass the same config your loop
-        owns)."""
+        owns). ``path`` must name a COMPLETED snapshot (see
+        :meth:`snapshot` for the POSIX swap contract: mid-swap there
+        is a two-rename window with no complete snapshot at ``path``;
+        a load racing it fails cleanly and should retry)."""
         df = spark.read.parquet(path)
         return cls(
             df,

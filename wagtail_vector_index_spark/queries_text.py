@@ -1393,20 +1393,45 @@ def dedup_shared_passages(spark, sf_dir):
 _SUBSTR_K = 8
 
 
+def _rot60_sql(e: str, r: int) -> str:
+    """DuckDB replay of functions.text_analysis._rot60: rotate a
+    [0, 2^60) UBIGINT left by ``r`` within 60 bits, overflow-free (the
+    low bits are isolated with a modulo BEFORE the shift)."""
+    if r == 0:
+        return e
+    return (
+        f"((({e}) % {1 << (60 - r)}::UBIGINT) << {r}) | (({e}) >> {60 - r})"
+    )
+
+
+def _window_hash_sql(arr: str, k: int) -> str:
+    """DuckDB replay of rolling_window_hash60_col's window key at
+    1-based position ``pos`` over a per-token 60-bit hash list
+    ``arr``: XOR of per-position rotations — one sha per token, never
+    a window string."""
+    terms = [_rot60_sql(f"{arr}[pos + {j}]", (7 * j) % 60) for j in range(k)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"xor({out}, {t})"
+    return out
+
+
 @register(
     "dedup_substring_coverage",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {TOKS_SQL} AS l FROM documents),
     sized AS (SELECT doc_id, l, len(l)::BIGINT AS n FROM tk
               WHERE len(l) >= {_SUBSTR_K}),
+    th AS (
+      SELECT doc_id, n,
+             list_transform(l, t ->
+               ('0x' || substr(sha256(t), 1, 15))::UBIGINT) AS h
+      FROM sized),
     w AS (
-      SELECT doc_id, pos,
-             ('0x' || substr(sha256(
-                array_to_string(l[pos:pos + {_SUBSTR_K - 1}], ' ')), 1, 15)
-             )::UBIGINT AS wh
-      FROM (SELECT doc_id, l,
+      SELECT doc_id, pos, {_window_hash_sql('h', _SUBSTR_K)} AS wh
+      FROM (SELECT doc_id, h,
                    unnest(range(1, n - {_SUBSTR_K} + 2)) AS pos
-            FROM sized)),
+            FROM th)),
     dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
     cov AS (
       SELECT doc_id,
@@ -1451,14 +1476,16 @@ def dedup_substring_coverage(spark, sf_dir):
     WITH tk AS (SELECT doc_id, {TOKS_SQL} AS l FROM documents),
     sized AS (SELECT doc_id, l, len(l)::BIGINT AS n FROM tk
               WHERE len(l) >= {_SUBSTR_K}),
+    th AS (
+      SELECT doc_id, n,
+             list_transform(l, t ->
+               ('0x' || substr(sha256(t), 1, 15))::UBIGINT) AS h
+      FROM sized),
     w AS (
-      SELECT doc_id, pos,
-             ('0x' || substr(sha256(
-                array_to_string(l[pos:pos + {_SUBSTR_K - 1}], ' ')), 1, 15)
-             )::UBIGINT AS wh
-      FROM (SELECT doc_id, l,
+      SELECT doc_id, pos, {_window_hash_sql('h', _SUBSTR_K)} AS wh
+      FROM (SELECT doc_id, h,
                    unnest(range(1, n - {_SUBSTR_K} + 2)) AS pos
-            FROM sized)),
+            FROM th)),
     dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
     ranked AS (
       SELECT doc_id, pos,
@@ -1494,9 +1521,11 @@ def pipeline_exactsubstr_trim(spark, sf_dir):
     equality witness).
 
     Scale shape (operators/dedup.py::remove_duplicated_spans): one
-    window explode + sha per window, one map-side-combinable count+min
-    agg on the 60-bit window hash (sha_hash60 — destructive apply, so
-    not the 32-bit fingerprint convention), join-back of duplicated
+    sha per TOKEN + a rotate-XOR rolling window key (r12 — the old
+    shape built and sha'd a ~k-token string per window, the pass's
+    dominant CPU), one map-side-combinable count+min agg on the
+    60-bit window hash (destructive apply, so not the 32-bit
+    fingerprint convention), join-back of duplicated
     windows only, per-doc sorted-set agg, then a LINEAR keep-mask
     rebuild zipped against the token array on the doc's own row — the
     corpus text never shuffles, and per-doc rebuild cost is
