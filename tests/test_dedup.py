@@ -1861,6 +1861,11 @@ def test_pair_route_decision_telemetry(spark):
     ngram_jaccard_pairs_collapsed(pdf, threshold=0.5, method="auto").count()
     hit = last_pair_route_decisions()[-1]
     assert hit["cached"] is True and hit["method"] == fresh["method"]
+    # r12: a memoized hit still carries the ORIGINAL decision stats
+    # (cached alongside the method), so a log read after a warm
+    # resolution sees WHY the route was chosen
+    for key in ("cocount_rows", "budget", "exploded_rows", "max_df"):
+        assert hit[key] == fresh[key], key
 
     # containment records under its own family label AND its memo key
     # actually hits on a second resolution (the r10 bug: checkpointing

@@ -560,6 +560,64 @@ def test_neardup_corpus_stream_compaction(spark, tmp_path):
     assert got2 == got | {91}
 
 
+def test_decontaminated_corpus_stream_compaction(spark, tmp_path):
+    """The decontamination stream shares the one-generation-per-batch
+    growth of the neardup twin (minus sidecars); with ``compact_every=3``
+    a 6-batch stream ends with one live generation holding exactly the
+    surviving rows, and a same-checkpoint restart over one extra file
+    processes only that file (token memory survives the rewrite)."""
+    from wagtail_vector_index_spark.sources.manifest import (
+        ManifestLog,
+        read_live_table,
+    )
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        decontaminated_corpus_stream,
+    )
+
+    bad_span = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+               "juliett kilo lima mike"
+    filler = " ".join(f"w{i}" for i in range(30))
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "dcc_stream")
+    table = str(tmp_path / "dcc_corpus")
+    ckpt = str(tmp_path / "dcc_ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    for i in range(6):
+        write_batch([
+            (10 * i, f"{filler} {bad_span}"),           # contaminated
+            (10 * i + 1, f"{filler} clean doc {i} topic {i * 3}"),
+        ])
+    eval_df = spark.createDataFrame([(999, f"x {bad_span} y")], schema)
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = decontaminated_corpus_stream(
+            stream, eval_df=eval_df, path=table, checkpoint_dir=ckpt,
+            compact_every=3,
+        )
+        q.awaitTermination(600)
+
+    run()
+    got = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+    assert got == {10 * i + 1 for i in range(6)}
+    live = ManifestLog(table).live_paths()
+    assert len(live) == 1, live
+    on_disk = [n for n in os.listdir(table) if n.startswith("gen-")]
+    assert on_disk == [os.path.basename(live[0])], on_disk
+
+    write_batch([(90, f"{filler} {bad_span}"), (91, f"{filler} late clean")])
+    run()
+    got2 = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+    assert got2 == got | {91}
+
+
 def test_decontaminated_corpus_stream_eval_set_refresh(spark, tmp_path):
     """Mid-stream eval-set replacement: refresh_eval_set() swaps the
     gram table, so a doc colliding only with the NEW eval suite passes

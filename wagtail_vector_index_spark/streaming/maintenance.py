@@ -412,6 +412,7 @@ def decontaminated_corpus_stream(
     text_col: str = "text",
     n: int = 13,
     max_broadcast_grams: int = 5_000_000,
+    compact_every: int = 0,
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """Maintain a DECONTAMINATED corpus table from a document stream:
@@ -453,7 +454,16 @@ def decontaminated_corpus_stream(
     Exactly-once: the same dedup-token manifest protocol as
     :func:`neardup_corpus_stream` — a crash-replayed foreachBatch
     resolves to the already-live generation and becomes a no-op.
+
+    ``compact_every`` > 0 mirrors :func:`neardup_corpus_stream`'s r12
+    generation compaction (this stream appends one generation per
+    micro-batch forever too — same driver-plan-bloat / small-file
+    growth, minus the sidecars): every N batches the live generations
+    are rewritten into one via the manifest rewrite protocol, then
+    superseded generations are GC'd. Same single-maintainer caveat.
     """
+    from functools import reduce
+
     from wagtail_vector_index_spark.functions.text_analysis import (
         ngram_fingerprints_col,
         token_sha_hashes_col,
@@ -461,12 +471,27 @@ def decontaminated_corpus_stream(
     from wagtail_vector_index_spark.operators.ann_index import (
         _append_gen,
         _commit_append,
+        _commit_rewrite,
         _gen_write_path,
         _publish_gen_dir,
     )
     from wagtail_vector_index_spark.sources.manifest import ManifestLog
 
     log = ManifestLog(path)
+
+    def _compact(spark) -> None:
+        base = log.current()
+        if base is None or len(base.live) <= 1:
+            return
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        frames = [spark.read.parquet(p) for p in log.live_paths(base)]
+        data = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        ).coalesce(nparts)
+        gen = log.new_generation()
+        data.write.mode("overwrite").parquet(log.gen_path(gen))
+        _commit_rewrite(log, gen, base)
+        log.gc(keep_manifests=1, min_age_s=0.0)
 
     def _gram_rows(src: DataFrame, *cols: str) -> DataFrame:
         # token hashes bound before fingerprinting (see
@@ -511,6 +536,8 @@ def decontaminated_corpus_stream(
         survivors.write.mode("overwrite").parquet(written)
         _publish_gen_dir(log, written, gen)
         _commit_append(log, gen, dedup_token=token)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            _compact(batch_df.sparkSession)
 
     writer = (
         doc_stream.writeStream.foreachBatch(_process)
