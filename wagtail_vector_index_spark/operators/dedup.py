@@ -196,9 +196,11 @@ def substring_duplicate_coverage(
     is a rotate-XOR fold of pre-bound 60-bit token hashes,
     :func:`rolling_window_hash60_col`, r12: the per-window
     slice+array_join+sha built and hashed a ~k-token string per
-    window, the measured dominant CPU of both ExactSubstr passes), one
-    map-side-combinable count to find duplicated hashes, one shuffle
-    join back on the 60-bit window hash, one doc-keyed window + agg.
+    window, the measured dominant CPU of both ExactSubstr passes), ONE
+    exchange of the window rows on the 60-bit hash with a windowed
+    count flagging duplicates (r12 — replaces the dup-hash agg +
+    join-back + localCheckpoint: single-pass, one exchange instead of
+    two at scale), one doc-keyed window + agg.
     All JVM expressions; 60-bit (not the 32-bit :func:`sha_hash64`
     fingerprint convention) because this family keys a DESTRUCTIVE
     apply (:func:`remove_duplicated_spans`): a false collision marks a
@@ -229,21 +231,26 @@ def substring_duplicate_coverage(
         )
         .select(id_col, (F.col("__p0") + 1).alias("pos"), "wh")
     )
-    # TWO consumers (duplicated-hash agg + join-back) — one
-    # materialization of the (id, pos, wh) rows, or the dominant
-    # window-sha explode runs twice; lazy localCheckpoint, blocks
-    # reclaimed by the ContextCleaner when the frame drops
-    wins = wins.localCheckpoint(eager=False)
-    dup = (
-        wins.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    # ONE exchange on the window hash: the duplicated-flag comes from a
+    # count() OVER (PARTITION BY wh) instead of a separate dup-hash agg
+    # joined back (r12 — the agg+join shape exchanged the window set
+    # for the agg AND paid a second pass for the join-back, behind a
+    # localCheckpoint; the window shape is single-pass. A hot window
+    # content (the boilerplate this family exists to find) concentrates
+    # its group in one task, where the agg shape's partial agg would
+    # have combined map-side — but the group rows are ~30 B and
+    # WindowExec buffers through ExternalAppendOnlyUnsafeRowArray,
+    # which SPILLS: a pathological group degrades to disk speed, never
+    # OOM. The APPLY twin shares the shape.)
+    wdup = Window.partitionBy("wh")
+    flagged = (
+        wins.withColumn("__c", F.count(F.lit(1)).over(wdup))
         .where(F.col("__c") >= 2)
-        .select("wh")
+        .select(id_col, "pos")
     )
     wnd = Window.partitionBy(id_col).orderBy("pos")
     agg = (
-        wins.join(dup, "wh")
-        .withColumn(
+        flagged.withColumn(
             "__cov",
             F.least(
                 F.lit(kk),
@@ -317,14 +324,18 @@ def remove_duplicated_spans(
     (hash), so a phrase repeated inside one document collapses to its
     first occurrence too.
 
-    Scale shape: one explode (n-k+1 windows/doc, sha per window), one
-    map-side-combinable count+min agg on the 60-bit window hash
-    (:func:`sha_hash60` — destructive apply, so NOT the 32-bit
-    :func:`sha_hash64`: a false collision here silently deletes k real
+    Scale shape: one sha256 per TOKEN + a rotate-XOR rolling window
+    key (:func:`rolling_window_hash60_col`, r12 — the old shape built
+    and sha'd a ~k-token string per window, the pass's dominant CPU),
+    one explode (n-k+1 windows/doc), ONE exchange of the window rows
+    on the 60-bit hash with keep-first flags from count()+min(struct)
+    OVER (PARTITION BY wh) (r12 — replaces the dup-hash agg +
+    join-back behind a localCheckpoint: single-pass, one window-set
+    exchange instead of two at scale; 60-bit because this is a
+    DESTRUCTIVE apply — a false collision silently deletes k real
     tokens, and 32-bit birthday collisions are expected in bulk at
-    corpus scale), one shuffle join back of only the DUPLICATED
-    windows, one per-doc sorted-set agg, then pure JVM array lambdas
-    on each doc's own row — the corpus text itself never shuffles
+    corpus scale), one per-doc sorted-set agg, then pure JVM array
+    lambdas on each doc's own row — the corpus text itself never shuffles
     (rebuild happens on the original rows via a hash join on
     ``id_col``). The rebuild is LINEAR in document length: a boolean
     keep-mask is assembled from the sorted removed positions (each
@@ -362,20 +373,16 @@ def remove_duplicated_spans(
             ).alias("__p0", "wh"),
         )
         .select(id_col, "__nt", (F.col("__p0") + 1).alias("pos"), "wh")
-        # two consumers (keep-first agg + join-back): one
-        # materialization of the narrow (id, pos, wh) rows instead of
-        # running the window-hash explode twice (see the MEASURE twin)
-        .localCheckpoint(eager=False)
     )
-    dup_first = (
-        wins.groupBy("wh")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
-        )
-        .where(F.col("__c") >= 2)
-        .select("wh", "__first")
-    )
+    # keep-first flags from count() + min(struct) OVER (PARTITION BY
+    # wh) — r12, same single-exchange argument as the MEASURE twin:
+    # the previous shape ran a dup-hash agg AND joined it back to a
+    # localCheckpointed copy of the window rows (two consumers, two
+    # window-set exchanges at scale, one materialization); this is one
+    # pass over one exchange. Hot-window groups (the boilerplate this
+    # operator removes) buffer through WindowExec's spilling row array
+    # — disk speed on a pathological key, never OOM.
+    wdup = Window.partitionBy("wh")
     # Expand window starts to TOKEN indices BEFORE the per-doc agg: the
     # collect_set dedups overlapping windows once per doc, and the
     # rebuild filter below scans a STORED array attribute. Building the
@@ -388,10 +395,21 @@ def remove_duplicated_spans(
     # one. A window always fits its document (pos <= n-k+1), so the
     # expanded indices need no capping.
     removals = (
-        wins.join(dup_first, "wh")
+        wins.select(
+            id_col,
+            "__nt",
+            "pos",
+            F.count(F.lit(1)).over(wdup).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("pos")))
+            .over(wdup)
+            .alias("__first"),
+        )
         .where(
-            (F.col(id_col) != F.col("__first").getField(id_col))
-            | (F.col("pos") != F.col("__first").getField("pos"))
+            (F.col("__c") >= 2)
+            & (
+                (F.col(id_col) != F.col("__first").getField(id_col))
+                | (F.col("pos") != F.col("__first").getField("pos"))
+            )
         )
         .select(
             id_col,
