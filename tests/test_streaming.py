@@ -560,6 +560,96 @@ def test_neardup_corpus_stream_compaction(spark, tmp_path):
     assert got2 == got | {91}
 
 
+def test_neardup_corpus_stream_tiered_compaction(spark, tmp_path):
+    """Size-tiered compaction (compact_fanout>=2): checking after every
+    batch (compact_every=1) with fanout 3, the live generation count
+    stays strictly below 2*fanout across a 12-batch stream, merges only
+    ever touch the smallest tier (big merged generations survive), the
+    surviving corpus equals the uncompacted run's, and near-dups of
+    docs whose generation has been MERGED AWAY are still dropped (the
+    consolidated sidecar serves the standing dedup)."""
+    from wagtail_vector_index_spark.sources.manifest import (
+        ManifestLog,
+        read_live_table,
+    )
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        _sigs_dirname,
+        neardup_corpus_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "tier_stream")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, base), (2, "totally unrelated subject matter here")])
+    for i in range(1, 12):
+        write_batch([
+            (10 * i, base.replace("river", f"canal{i}")),  # near-dups doc 1
+            (10 * i + 1, f"unique standalone document number {i} "
+                         f"about theme {i * 7} and matter {i * 13}"),
+        ])
+
+    def run(table, ckpt, fanout):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = neardup_corpus_stream(
+            stream, path=table, checkpoint_dir=ckpt, threshold=0.4,
+            compact_every=1, compact_fanout=fanout,
+        )
+        q.awaitTermination(600)
+
+    tiered = str(tmp_path / "tier_corpus")
+    plain = str(tmp_path / "tier_plain")
+    run(tiered, str(tmp_path / "tier_ck"), 3)
+    run(plain, str(tmp_path / "tier_plain_ck"), 0)
+    # fanout=0 with compact_every=1 full-merges every batch: 1 live gen
+    assert len(ManifestLog(plain).live_paths()) == 1
+
+    want = {r["doc_id"] for r in read_live_table(spark, plain).collect()}
+    got = {r["doc_id"] for r in read_live_table(spark, tiered).collect()}
+    assert got == want == {1, 2} | {10 * i + 1 for i in range(1, 12)}
+    # doc 110 near-dupped doc 1, whose generation was merged away long
+    # before batch 11 — the standing side must have served it from a
+    # consolidated sidecar
+    assert 110 not in got
+
+    log = ManifestLog(tiered)
+    live = log.live_paths()
+    assert 1 < len(live) < 6, live  # bounded < 2*fanout, tiered (not 1)
+    sd = _sigs_dirname(3, 16)
+    for gp in live:
+        assert any(
+            f.endswith(".parquet")
+            for f in os.listdir(os.path.join(gp, sd))
+        ), f"sidecar missing under {gp}"
+    # sidecar doc coverage over live gens == the live corpus exactly
+    import functools
+
+    sig_ids = set()
+    for gp in live:
+        sig_ids |= {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(gp, sd)).collect()
+        }
+    assert sig_ids == got
+    # GC reclaimed everything merged away
+    on_disk = {n for n in os.listdir(tiered) if n.startswith("gen-")}
+    assert on_disk == {os.path.basename(p) for p in live}
+
+    # exactly-once across tiered merges: same checkpoint, one new file
+    write_batch([(120, base.replace("river", "harbor")),
+                 (121, "a thoroughly novel composition of words")])
+    run(tiered, str(tmp_path / "tier_ck"), 3)
+    got2 = {r["doc_id"] for r in read_live_table(spark, tiered).collect()}
+    assert got2 == got | {121}
+
+
 def test_decontaminated_corpus_stream_compaction(spark, tmp_path):
     """The decontamination stream shares the one-generation-per-batch
     growth of the neardup twin (minus sidecars); with ``compact_every=3``

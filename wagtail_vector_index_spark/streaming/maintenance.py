@@ -180,6 +180,7 @@ def neardup_corpus_stream(
     text_col: str = "text",
     threshold: float = 0.5,
     compact_every: int = 0,
+    compact_fanout: int = 0,
     trigger_once: bool = True,
     **minhash_kwargs,
 ) -> StreamingQuery:
@@ -234,6 +235,20 @@ def neardup_corpus_stream(
     live in the manifest, not the generations), so crash-replays of
     already-compacted batches stay no-ops.
 
+    ``compact_fanout`` (r12) picks the merge POLICY when compaction
+    fires: 0 (default) merges every live generation into one — one
+    standing generation, but each cycle rewrites the whole corpus
+    (fine for bounded tables; the 120-batch soak's shape). >= 2
+    switches to SIZE-TIERED merging: when the live count reaches
+    ``2 * compact_fanout``, the ``compact_fanout`` smallest
+    generations merge into one and the big ones stay untouched —
+    live generations bounded < 2*fanout forever, per-compaction write
+    cost bounded by the small tier instead of O(corpus), each row
+    rewritten O(log_fanout(corpus/batch)) times over the stream's
+    lifetime (the LSM amortization). The 100-TB continuous-ingest
+    setting; the full-merge spike the soak measured (29.6s at batch
+    100, growing with the corpus) is what this removes.
+
     Exactly-once: the same dedup-token protocol as
     :func:`incremental_ann_stream` — each append carries a token
     derived from (checkpoint, batch_id), stored IN the manifest, so a
@@ -253,7 +268,6 @@ def neardup_corpus_stream(
     from wagtail_vector_index_spark.operators.ann_index import (
         _append_gen,
         _commit_append,
-        _commit_rewrite,
         _gen_write_path,
         _publish_gen_dir,
     )
@@ -301,56 +315,112 @@ def neardup_corpus_stream(
         yields byte-equivalent content, and a lost/partial copy is
         re-derived on the next trigger (`has_data_files` gates the
         read)."""
-        frames = []
-        for gp in log.live_paths(cur):
-            sp = os.path.join(gp, sigs_dir)
-            if not has_data_files(sp):
-                sigs = _batch_sigs(spark.read.parquet(gp))
-                stage = f"{sp}.stage-{uuid.uuid4().hex[:12]}"
-                sigs.write.mode("overwrite").parquet(stage)
-                try:
-                    os.rename(stage, sp)
-                except OSError:
-                    shutil.rmtree(stage, ignore_errors=True)
-            if has_data_files(sp):
-                frames.append(spark.read.parquet(sp))
-        if not frames:  # every backfill failed (shared-FS hiccup):
-            # fall back to the direct compute rather than crash the batch
-            from wagtail_vector_index_spark.sources.manifest import (
-                read_live_table,
-            )
-
-            return _batch_sigs(read_live_table(spark, path))
+        frames = [_gen_sigs(spark, gp) for gp in log.live_paths(cur)]
         return reduce(lambda a, b: a.unionByName(b), frames)
 
-    def _compact(spark) -> None:
-        """Rewrite the live generations into one — data union plus ONE
-        consolidated signature sidecar derived from the standing
-        sidecars (16 longs + shingles per doc read back; the text is
-        never re-shingled). Both writes land in the new generation
-        directory BEFORE the single manifest commit publishes it, so a
-        crash at any point leaves the previous state serving; the GC
-        then reclaims the superseded generations (min_age_s=0 — the
-        stream owns maintenance, see docstring)."""
-        base = log.current()
-        if base is None or len(base.live) <= 1:
-            return  # nothing to merge
+    def _gen_sigs(spark, gp) -> DataFrame:
+        """One generation's signature frame: the sidecar leaf scan when
+        present, a stage+rename backfill when absent, and — when the
+        backfill itself fails (shared-FS hiccup) — a direct compute
+        over that generation's data, so a generation is NEVER silently
+        missing from the standing dedup side (the pre-r12 shape
+        dropped a failed-backfill generation's frame entirely and only
+        fell back to a full-table recompute when EVERY backfill
+        failed)."""
+        sp = os.path.join(gp, sigs_dir)
+        if not has_data_files(sp):
+            sigs = _batch_sigs(spark.read.parquet(gp))
+            stage = f"{sp}.stage-{uuid.uuid4().hex[:12]}"
+            sigs.write.mode("overwrite").parquet(stage)
+            try:
+                os.rename(stage, sp)
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)
+        if has_data_files(sp):
+            return spark.read.parquet(sp)
+        return _batch_sigs(spark.read.parquet(gp))
+
+    def _dir_bytes(p: str) -> int:
+        total = 0
+        for dp, _dirs, fs in os.walk(p):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(dp, f))
+                    except OSError:
+                        pass
+        return total
+
+    def _merge_gens(spark, merge: list) -> None:
+        """Merge the named live generations into one — data union plus
+        ONE consolidated signature sidecar derived from THEIR sidecars
+        (16 longs + shingles per doc read back; the text is never
+        re-shingled) — and commit live = (untouched) + [merged]. Both
+        writes land in the new generation directory BEFORE the single
+        manifest commit publishes it, so a crash at any point leaves
+        the previous state serving; untouched generations and any
+        concurrently appended ones are carried over by the commit's
+        update function."""
         # coalesce (narrow — no shuffle) to the session's declared
         # parallelism: N micro-batches leave O(N x parallelism) small
-        # files; the rewrite folds them back to one generation of at
-        # most shuffle.partitions files without paying a corpus shuffle
+        # files; the rewrite folds them back to at most
+        # shuffle.partitions files without paying a corpus shuffle
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        sigs = _standing_signatures(spark, base).coalesce(nparts)
-        frames = [spark.read.parquet(p) for p in log.live_paths(base)]
+        paths = [log.gen_path(g) for g in merge]
+        sigs = reduce(
+            lambda a, b: a.unionByName(b),
+            [_gen_sigs(spark, gp) for gp in paths],
+        ).coalesce(nparts)
         data = reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [spark.read.parquet(p) for p in paths],
         ).coalesce(nparts)
         gen = log.new_generation()
         gp = log.gen_path(gen)
         data.write.mode("overwrite").parquet(gp)
-        if has_data_files(gp):
+        ok = has_data_files(gp)
+        if ok:
             sigs.write.mode("overwrite").parquet(os.path.join(gp, sigs_dir))
-        _commit_rewrite(log, gen, base)
+        else:
+            shutil.rmtree(gp, ignore_errors=True)
+        merged = set(merge)
+
+        def up(cur):
+            out = [g for g in (cur.live if cur else ()) if g not in merged]
+            if ok:
+                out.append(gen)
+            return out, {}
+
+        log.commit(up)
+
+    def _compact(spark) -> None:
+        """``compact_fanout`` == 0: full merge — every live generation
+        into one. >= 2: size-tiered — when the live count reaches
+        ``2 * compact_fanout``, merge the ``compact_fanout`` SMALLEST
+        generations into one, leaving the big ones untouched. The
+        tiered policy bounds BOTH sides at scale: live generations stay
+        < 2*fanout forever, and per-compaction write cost is bounded by
+        the smallest-fanout set instead of O(corpus) — merged
+        generations grow ~fanout-fold per promotion, so each row is
+        rewritten O(log_fanout(corpus/batch)) times total, the LSM
+        amortization argument. Full merge keeps exactly one live
+        generation but rewrites the whole corpus every cycle — right
+        for bounded tables; tiered is the 100-TB continuous-ingest
+        setting. GC reclaims superseded generations after each merge
+        (min_age_s=0 — the stream owns maintenance, see docstring)."""
+        base = log.current()
+        if base is None or len(base.live) <= 1:
+            return  # nothing to merge
+        if compact_fanout >= 2:
+            if len(base.live) < 2 * compact_fanout:
+                return
+            by_size = sorted(
+                (_dir_bytes(log.gen_path(g)), g) for g in base.live
+            )
+            merge = [g for _, g in by_size[:compact_fanout]]
+        else:
+            merge = list(base.live)
+        _merge_gens(spark, merge)
         log.gc(keep_manifests=1, min_age_s=0.0)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
