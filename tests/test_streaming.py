@@ -707,6 +707,24 @@ def test_decontaminated_corpus_stream_compaction(spark, tmp_path):
     got2 = {r["doc_id"] for r in read_live_table(spark, table).collect()}
     assert got2 == got | {91}
 
+    # tiered policy parity on the same source: fanout=2 with
+    # per-batch checking keeps the live set bounded in (1, 4) and the
+    # surviving rows identical
+    table2 = str(tmp_path / "dcc_tiered")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = decontaminated_corpus_stream(
+        stream, eval_df=eval_df, path=table2,
+        checkpoint_dir=str(tmp_path / "dcc_tier_ck"),
+        compact_every=1, compact_fanout=2,
+    )
+    q.awaitTermination(600)
+    got3 = {r["doc_id"] for r in read_live_table(spark, table2).collect()}
+    assert got3 == got2
+    n_live = len(ManifestLog(table2).live_paths())
+    assert 1 < n_live < 4, n_live
+
 
 def test_decontaminated_corpus_stream_eval_set_refresh(spark, tmp_path):
     """Mid-stream eval-set replacement: refresh_eval_set() swaps the

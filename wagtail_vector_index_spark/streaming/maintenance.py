@@ -483,6 +483,7 @@ def decontaminated_corpus_stream(
     n: int = 13,
     max_broadcast_grams: int = 5_000_000,
     compact_every: int = 0,
+    compact_fanout: int = 0,
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """Maintain a DECONTAMINATED corpus table from a document stream:
@@ -529,9 +530,14 @@ def decontaminated_corpus_stream(
     generation compaction (this stream appends one generation per
     micro-batch forever too — same driver-plan-bloat / small-file
     growth, minus the sidecars): every N batches the live generations
-    are rewritten into one via the manifest rewrite protocol, then
-    superseded generations are GC'd. Same single-maintainer caveat.
+    merge via the manifest rewrite protocol, then superseded
+    generations are GC'd. ``compact_fanout`` picks the same policy as
+    on the twin — 0 full merge, >= 2 size-tiered (merge the F smallest
+    at live count 2F; bounded live set + LSM-amortized rewrites for
+    continuous 100-TB ingest). Same single-maintainer caveat.
     """
+    import os
+    import shutil
     from functools import reduce
 
     from wagtail_vector_index_spark.functions.text_analysis import (
@@ -541,26 +547,60 @@ def decontaminated_corpus_stream(
     from wagtail_vector_index_spark.operators.ann_index import (
         _append_gen,
         _commit_append,
-        _commit_rewrite,
         _gen_write_path,
         _publish_gen_dir,
     )
-    from wagtail_vector_index_spark.sources.manifest import ManifestLog
+    from wagtail_vector_index_spark.sources.manifest import (
+        ManifestLog,
+        has_data_files,
+    )
 
     log = ManifestLog(path)
+
+    def _dir_bytes(p: str) -> int:
+        total = 0
+        for dp, _dirs, fs in os.walk(p):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(dp, f))
+                    except OSError:
+                        pass
+        return total
 
     def _compact(spark) -> None:
         base = log.current()
         if base is None or len(base.live) <= 1:
             return
+        if compact_fanout >= 2:
+            if len(base.live) < 2 * compact_fanout:
+                return
+            by_size = sorted(
+                (_dir_bytes(log.gen_path(g)), g) for g in base.live
+            )
+            merge = [g for _, g in by_size[:compact_fanout]]
+        else:
+            merge = list(base.live)
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        frames = [spark.read.parquet(p) for p in log.live_paths(base)]
         data = reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [spark.read.parquet(log.gen_path(g)) for g in merge],
         ).coalesce(nparts)
         gen = log.new_generation()
-        data.write.mode("overwrite").parquet(log.gen_path(gen))
-        _commit_rewrite(log, gen, base)
+        gp = log.gen_path(gen)
+        data.write.mode("overwrite").parquet(gp)
+        ok = has_data_files(gp)
+        if not ok:
+            shutil.rmtree(gp, ignore_errors=True)
+        merged = set(merge)
+
+        def up(cur):
+            out = [g for g in (cur.live if cur else ()) if g not in merged]
+            if ok:
+                out.append(gen)
+            return out, {}
+
+        log.commit(up)
         log.gc(keep_manifests=1, min_age_s=0.0)
 
     def _gram_rows(src: DataFrame, *cols: str) -> DataFrame:
