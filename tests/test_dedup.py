@@ -244,6 +244,69 @@ def test_connected_components_star_pointer_doubling_rounds(spark):
     assert star_stats["rounds"] < label_stats["rounds"]
 
 
+def test_connected_components_structural_probe_zero_rounds(spark):
+    """r12 structural convergence probe: a canonical star-forest input
+    (center < children, center in the v slot) is detected as the
+    fixpoint BEFORE any round runs; a REVERSED star (center in the u
+    slot — structurally a star but not a fixpoint, and the final
+    min-per-child label agg would read it backwards) must still run
+    the loop and label correctly; and a two-star chain converges in
+    fewer rounds than the old unchanged-signature probe's minimum of
+    2 (converge + confirm)."""
+    from wagtail_vector_index_spark.operators.dedup import connected_components
+
+    # canonical star forest: children 2,3 -> center 1; children 12 -> 10
+    stats: dict = {}
+    star = spark.createDataFrame(
+        [(2, 1), (3, 1), (12, 10)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(star, stats=stats).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 12: 10}
+    assert stats["rounds"] == 0
+
+    # reversed orientation: same edges with the center in the u slot —
+    # not a fixpoint; a naive structural test would stop at 0 rounds
+    # and label component minima as 2/3/12
+    stats = {}
+    rev = spark.createDataFrame(
+        [(1, 2), (1, 3), (10, 12)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(rev, stats=stats).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 12: 10}
+    assert stats["rounds"] >= 1
+
+    # a chained pair graph: fixpoint detected AT the converged round
+    # (the signature probe needed an extra no-op round to certify)
+    stats = {}
+    chain = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 8)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(chain, stats=stats).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5}
+    assert stats["rounds"] <= 2
+
+    # self-loop-only node keeps its roster row (the raw-checkpoint
+    # roster must not drop it with the u != v edge filter)
+    stats = {}
+    loops = spark.createDataFrame(
+        [(9, 9), (2, 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(loops, stats=stats).collect()
+    }
+    assert got == {1: 1, 2: 1, 9: 9}
+
+
 def test_connected_components_fixed_rounds_probeless(spark):
     """fixed_rounds (r6): probeless star execution must match the
     signature-probed default when the budget covers convergence, run

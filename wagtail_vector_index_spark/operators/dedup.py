@@ -2225,14 +2225,16 @@ def connected_components(
 
     ``fixed_rounds`` (star only): run exactly that many rounds with NO
     per-round convergence probe — one driver action per round
-    (the checkpoint) instead of two (checkpoint + signature agg). Use
+    (the checkpoint) instead of two (checkpoint + probe agg). Use
     when the duplicate graph's longest chain is known-bounded (LSH
     near-dup chains rarely exceed a few dozen hops:
     ``ceil(log2(chain)) + 1`` rounds suffice — paths halve per round).
-    The signature probe stays the default because it EARLY-EXITS:
-    typical duplicate graphs converge in 3-5 rounds, far under any
-    safe a-priori bound, and the probe is a tiny agg over the
-    just-checkpointed blocks.
+    The structural probe stays the default because it EARLY-EXITS:
+    typical duplicate graphs converge in 1-3 rounds, far under any
+    safe a-priori bound, the probe detects the star-forest fixpoint AT
+    the converged round (r12 — the old unchanged-signature probe
+    needed one extra full no-op round to certify), and an
+    already-canonical star input runs zero rounds.
     """
     if algorithm == "star":
         return _cc_star(
@@ -2284,16 +2286,34 @@ def _cc_star(
 
     Both half-steps preserve connectivity and only ever lower the
     reachable minimum, so the fixpoint — every component a star centered
-    at its minimum id — is exact. Convergence is detected by an
-    (edge-count, xxhash64-sum) signature of the checkpointed edge frame:
-    equal signatures mean the edge multiset is unchanged (a missed change
-    needs colliding 64-bit hash SUMS, ~2^-64 per round, and ``max_iter``
-    still bounds the loop). localCheckpoint per round truncates the
-    otherwise-exponential iterative lineage.
+    at its minimum id — is exact. Convergence is detected STRUCTURALLY
+    (r12): the fixpoint is exactly a star forest (every child points at
+    one center, no center is itself a child), and that property is
+    checkable on the just-checkpointed edge frame with one exchange of
+    2|E| skinny (node, role) rows — so the loop stops AT the converged
+    round instead of paying a full extra no-op round for an
+    unchanged-signature confirmation (the pre-r12 probe compared
+    (count, hash-sum) signatures across rounds, which by construction
+    needs round N+1 to certify round N). An already-star input — the
+    common case when the identical-set collapse produced pure
+    rep→member stars and no cross-group pairs qualified — now runs
+    ZERO rounds. Probe cost accounting at scale: +1 skinny exchange per
+    non-final round, −1 full round (≈4 edge-set exchanges + 2 joins);
+    net positive for any convergence under ~2·max_iter rounds.
+    localCheckpoint per round truncates the otherwise-exponential
+    iterative lineage.
+
+    The input pair frame is materialized ONCE (r12): ``pairs`` is
+    consumed twice — the edge loop and the post-loop ``nodes`` roster —
+    and before r12 the second consumption re-ran the caller's whole
+    pair-generation pipeline (shingle, group, pair join) inside the
+    final action. One skinny localCheckpoint of (u, v) now feeds both.
     """
+    raw = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .where(F.col("u") != F.col("v"))
+        raw.where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -2326,12 +2346,54 @@ def _cc_star(
             .distinct()
         )
 
-    def _signature(e: DataFrame):
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    def _is_star_forest(e: DataFrame) -> bool:
+        # Fixpoint test: star forest iff every edge is oriented
+        # child→center with center < child (u > v), no node has two
+        # child edges, and no node is both a child (u) and a center
+        # (v). The orientation clause matters only for the PRE-loop
+        # check — a reversed star (center in the u slot) is structurally
+        # a star but NOT a fixpoint, and the final min-per-u label agg
+        # would read it backwards; every post-round frame already
+        # satisfies u > v by small-star construction. One exchange of
+        # 2|E| (node, role) rows + a single-row agg — the checkpointed
+        # frame is read locally. Exact, not probabilistic: a premature
+        # stop would mislabel components, so no sketch shortcuts here.
+        roles = e.select(
+            F.col("u").alias("__n"),
+            F.lit(1).alias("__child"),
+            F.lit(0).alias("__center"),
+            F.when(F.col("v") > F.col("u"), 1).otherwise(0).alias("__rev"),
+        ).unionByName(
+            e.select(
+                F.col("v").alias("__n"),
+                F.lit(0).alias("__child"),
+                F.lit(1).alias("__center"),
+                F.lit(0).alias("__rev"),
+            )
+        )
+        row = (
+            roles.groupBy("__n")
+            .agg(
+                F.sum("__child").alias("nc"),
+                F.max("__center").alias("ctr"),
+                F.sum("__rev").alias("nrev"),
+            )
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("nc") > 1)
+                            | ((F.col("nc") > 0) & (F.col("ctr") > 0))
+                            | (F.col("nrev") > 0),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("viol")
+            )
+            .collect()[0]
+        )
+        return row["viol"] == 0
 
     rounds = 0
     if fixed_rounds is not None:
@@ -2344,17 +2406,14 @@ def _cc_star(
                 eager=True
             )
             rounds += 1
-    else:
-        prev = _signature(edges)
+    elif not _is_star_forest(edges):
         for _ in range(max_iter):
             edges = _small_star(_large_star(edges)).localCheckpoint(
                 eager=True
             )
             rounds += 1
-            sig = _signature(edges)
-            if sig == prev:
+            if _is_star_forest(edges):
                 break
-            prev = sig
     if stats is not None:
         stats["rounds"] = rounds
 
@@ -2367,9 +2426,12 @@ def _cc_star(
     # targets mid-collapse; the label then degrades to the node's best
     # known target — same graceful-cutoff class as label propagation —
     # instead of emitting conflicting duplicate rows).
+    # roster from the checkpointed raw frame — NOT from ``pairs``, whose
+    # un-materialized plan would re-run the caller's entire
+    # pair-generation pipeline inside this final action (r12)
     nodes = (
-        pairs.select(F.col(id_a).alias(out_id))
-        .unionByName(pairs.select(F.col(id_b).alias(out_id)))
+        raw.select(F.col("u").alias(out_id))
+        .unionByName(raw.select(F.col("v").alias(out_id)))
         .distinct()
     )
     child_labels = edges.groupBy(F.col("u").alias(out_id)).agg(
