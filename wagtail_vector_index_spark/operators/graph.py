@@ -109,8 +109,22 @@ def pagerank(
     outdeg = edges.groupBy("__e_src").agg(
         F.count(F.lit(1)).cast("double").alias("__deg")
     )
-    src_keys = outdeg.select(F.col("__e_src").alias("node"))
     edges = edges.join(outdeg, "__e_src")
+    if checkpoint_edges:
+        # r12: materialize the DEGREE-ANNOTATED frame too. The agg and
+        # the join are exchange-free over the src-partitioned blocks,
+        # but left lazy they re-ran INSIDE EVERY ROUND's plan — five
+        # full passes over the edge frame (the 100 TB side) that the
+        # docstring's "folded in up front" always intended to pay once.
+        # Same for the node roster: its union+distinct subtree is
+        # referenced by every round's update (and ReuseExchange stops
+        # deduplicating it once mid-loop checkpoints split the plan).
+        # LogicalRDD preserves the HashPartitioning either way.
+        edges = edges.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+        src_keys = edges.select(F.col("__e_src").alias("node")).distinct()
+    else:
+        src_keys = outdeg.select(F.col("__e_src").alias("node"))
     n = float(nodes.count())
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("pr"))
