@@ -290,8 +290,10 @@ def bloom_semi_join(
     ~(1 - e^{-kn/m})^k false positives, making the result exactly the
     plain semi join at a fraction of the shuffled bytes. Spark's own
     AQE runtime filters do this opportunistically; this operator is
-    the explicit, engine-independent form (sha-derived bit positions —
-    replayable anywhere, unlike engine-internal filter state).
+    the explicit form under the caller's control (xxhash64-derived bit
+    positions — XXH64 is a published, version-stable algorithm, unlike
+    engine-internal runtime-filter state; the probe hash rides
+    whole-stage codegen, see the r12 note below).
 
     The filter is a ``m_bits/64``-row (word_index, word) frame built
     with one explode + ``bit_or`` agg on the small side and joined
@@ -299,14 +301,27 @@ def bloom_semi_join(
     expression, all JVM."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
-    from wagtail_vector_index_spark.functions.text_analysis import sha_hash64
+
+    # Probe positions from xxhash64 — a published, engine-version-stable
+    # algorithm (XXH64), evaluated inside whole-stage codegen. r12: the
+    # old form computed k sha256 digests over freshly-concatenated
+    # prefix strings PER ROW of the big side — measured as the probe
+    # pass's dominant CPU (sha was ~10x the cost of everything else in
+    # the filter). Two rejected rewrites, for the record: (a) k probe
+    # positions double-hashed from ONE sha digest via named projected
+    # columns — CollapseProject + filter pushdown re-inlined the
+    # conv(sha2(...)) subtree into every reference (30 sha2 nodes in
+    # the collapsed plan, the r11 n-gram cliff); (b) the same bound
+    # through higher-order-function lambdas so the digest evaluates
+    # once — HOF lambdas execute INTERPRETED, outside codegen, and the
+    # per-row interpreter overhead exceeded the sha it saved. Hash
+    #-family choice does not touch results: no false negatives either
+    # way, and exact=True removes the false positives, so the output
+    # is the plain semi join regardless.
 
     def positions(col):
         return [
-            F.pmod(
-                sha_hash64(F.concat(F.lit(f"bloom{j}:"), col.cast("string"))),
-                F.lit(m_bits),
-            )
+            F.pmod(F.xxhash64(F.lit(j), col), F.lit(m_bits))
             for j in range(int(k_hashes))
         ]
 
@@ -331,22 +346,29 @@ def bloom_semi_join(
             F.collect_list("__w"), F.collect_list("__word")
         ).alias("__bloom")
     )
-    probed = big.crossJoin(F.broadcast(table)).select(
-        "*",
-        *[
-            p.alias(f"__bp{j}")
-            for j, p in enumerate(positions(F.col(key)))
-        ],
-    )
-    cond = None
-    for j in range(int(k_hashes)):
-        c = F.expr(
-            f"(coalesce(element_at(__bloom, __bp{j} DIV 64), "
-            f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(__bp{j} % 64 AS INT))) != 0"
+    # probe: k codegen'd bit tests; the positions are cheap enough that
+    # optimizer re-inlining costs nothing (unlike the sha forms above)
+    def _bit_set(p):
+        word = F.coalesce(
+            F.element_at(F.col("__bloom"), F.floor(p / F.lit(64)).cast("long")),
+            F.lit(0).cast("long"),
         )
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(p, F.lit(64)).cast("int"),
+        )
+        return word.bitwiseAND(mask) != F.lit(0)
+
+    cond = None
+    for p in positions(F.col(key)):
+        c = _bit_set(p)
         cond = c if cond is None else cond & c
-    filtered = probed.where(cond).select(*big.columns)
+    filtered = (
+        big.crossJoin(F.broadcast(table))
+        .where(cond)
+        .select(*big.columns)
+    )
     if not exact:
         return filtered
     # exactness pass: a PLAIN semi join (no broadcast hint — the whole

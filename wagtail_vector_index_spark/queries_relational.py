@@ -1865,7 +1865,7 @@ def graph_pagerank_dangling(spark, sf_dir):
 def q_bloom_semi_join(spark, sf_dir):
     """Runtime-filter semi join (operators/skew.py::bloom_semi_join):
     revenue of lineitems belonging to urgent orders, with the big side
-    pre-filtered MAP-SIDE by an 8 KiB deterministic sha-Bloom built
+    pre-filtered MAP-SIDE by an 8 KiB deterministic xxhash64-Bloom built
     from the key set — only bloom survivors reach the exactness
     exchange, the shuffled-bytes saving that matters when the key set
     itself is too big to broadcast. Bloom filters have no false
