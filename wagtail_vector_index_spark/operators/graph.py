@@ -234,6 +234,13 @@ def triangle_counts(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # lazy lineage cut (r12): the canonical edge set feeds THREE
+        # consumers (degree agg, the rank join, the closing join), so
+        # without it the caller's edge-building pipeline — often a
+        # co-occurrence self-join — re-ran per consumer; blocks
+        # materialize once in the first action (same pattern as
+        # dbscan_cosine's pair frame)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -250,7 +257,9 @@ def triangle_counts(
     oriented = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+        # lazy cut: both sides of the wedge self-join read this frame —
+        # one materialization instead of re-running the two degree joins
+    ).localCheckpoint(eager=False)
     o1 = oriented.select("s", F.col("t").alias("a"))
     o2 = oriented.select("s", F.col("t").alias("b"))
     wedges = o1.join(o2, "s").where(F.col("a") < F.col("b"))
