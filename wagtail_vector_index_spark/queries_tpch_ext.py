@@ -694,11 +694,28 @@ def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21: suppliers who alone held up multi-supplier orders — the
     hardest reference plan shape (EXISTS + NOT EXISTS, both correlated
     with an inequality on the correlated column). "Late" is adapted to
-    shipdate > orderdate + 90d (no receipt/commit dates in schema). The
-    two correlated subqueries become a left-semi and a left-anti join,
-    both on l_orderkey with the supplier-inequality residual; the `late`
-    set is computed once and reused for both the driving side and the
-    anti side. Deterministic top-10 via (numwait desc, s_name)."""
+    shipdate > orderdate + 90d (no receipt/commit dates in schema).
+
+    r12: the semi/anti-join decorrelation is replaced by two per-order
+    min/max aggregations — provably the same result, an order of
+    magnitude fewer shuffled bytes. For an l1 row of ``late``:
+
+    - EXISTS(l2 in lineitem: same order, other supplier) holds iff the
+      order has >= 2 distinct suppliers in lineitem — l1's supplier is
+      one of them — i.e. ``min(l_suppkey) != max(l_suppkey)`` per order.
+    - NOT EXISTS(l3 in late: same order, other supplier) holds iff the
+      order's late rows name exactly one distinct supplier (l1 itself
+      is late), i.e. min == max over the order's ``late`` rows — and
+      then every late row of the order belongs to that supplier, so the
+      per-(supplier, order) contribution to numwait is count(*).
+
+    Both aggregations partial-aggregate map-side and exchange three
+    skinny columns per order; their outputs are co-partitioned on
+    l_orderkey so the join between them adds no exchange. The old
+    shape shuffled ``late`` twice through a semi + anti join (at bench
+    scale the planner even broadcast the FULL lineitem projection as
+    the semi's build side — the big side, a non-starter at 100 TB).
+    Deterministic top-10 via (numwait desc, s_name)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -708,26 +725,38 @@ def q21_waiting_suppliers(spark, sf_dir):
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    semi = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
+    # orders whose late rows name exactly one supplier: that supplier
+    # (min == max) plus the row count it contributes to numwait
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("late_min"),
+            F.max("l_suppkey").alias("late_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .where(F.col("late_min") == F.col("late_max"))
+        .select(
+            "l_orderkey",
+            F.col("late_min").alias("l_suppkey"),
+            "n_rows",
+        )
     )
-    anti = semi.alias("l1").join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    # orders shipped by >= 2 distinct suppliers overall
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("all_min"),
+            F.max("l_suppkey").alias("all_max"),
+        )
+        .where(F.col("all_min") != F.col("all_max"))
+        .select("l_orderkey")
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        anti.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(multi_supp, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_rows").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
