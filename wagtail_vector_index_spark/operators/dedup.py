@@ -3320,51 +3320,66 @@ def remove_boilerplate_lines(
     kept lines rejoined by ``sep``; documents whose every line was
     boilerplate (or that had no lines) survive with an empty string.
 
-    Shape at 100 TB: posexplode -> ONE (group, line)-keyed count-
-    distinct agg (map-side combinable) -> hash join back on the same
-    key -> one doc-keyed regroup. Two shuffles of line-grain rows plus
-    the doc regroup, no broadcast of anything data-sized, no driver
-    state. Line frequency is a classic heavy-hitter distribution —
-    the join key includes the line text itself, so a single viral
-    line lands in one task only during the count (bounded state),
-    never during reassembly (doc-keyed)."""
+    Shape at 100 TB (r12): a document's lines live in ONE array cell,
+    so the per-(doc, line) dedup that count_distinct existed for is a
+    map-side ``array_distinct`` — the frequency count then becomes a
+    plain count(*) with map-side partial aggregation (ONE line-grain
+    exchange instead of the distinct agg's two). The join back is a
+    left-ANTI join against only the lines that ARE boilerplate
+    (nd >= min_docs — a tiny fraction of distinct lines, so the
+    planner broadcasts it and the probe pays no exchange), and the
+    doc-keyed reassembly regroup carries surviving lines only;
+    n_dropped falls out as size(lines) - n_kept, never shuffled.
+    Line-grain exchanges: 2 (deduped count + kept-line regroup) vs 4
+    before. Line frequency is a classic heavy-hitter distribution —
+    the key includes the line text itself, so a viral line lands in
+    one task only during the bounded count, never during reassembly
+    (doc-keyed)."""
     keys = [group_col] if group_col else []
+    # one row per DISTINCT line per doc — the local dedup that makes
+    # the global distinct-doc count a plain partial-aggregated count(*)
+    bad = (
+        df.select(
+            *keys,
+            F.explode(F.array_distinct(F.col(lines_col))).alias(
+                "__line"
+            ),
+        )
+        .groupBy(*keys, "__line")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select(*keys, "__line")
+    )
     ex = df.select(
         id_col, *keys, F.posexplode(lines_col).alias("__pos", "__line")
     )
-    freq = ex.groupBy(*keys, "__line").agg(
-        F.count_distinct(F.col(id_col)).alias("__nd")
-    )
-    tagged = ex.join(freq, [*keys, "__line"])
-    per_doc = tagged.groupBy(id_col).agg(
+    kept = ex.join(bad, [*keys, "__line"], "left_anti")
+    per_doc = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("__nd") < min_docs,
-                            F.struct("__pos", "__line"),
-                        )
-                    )
+                    F.collect_list(F.struct("__pos", "__line"))
                 ),
                 lambda s: s["__line"],
             ),
             sep,
         ).alias("clean_text"),
-        F.sum(
-            F.when(F.col("__nd") < min_docs, 1).otherwise(0)
-        ).alias("n_kept"),
-        F.sum(
-            F.when(F.col("__nd") >= min_docs, 1).otherwise(0)
-        ).alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_kept"),
     )
     return (
-        df.select(id_col)
+        df.select(
+            id_col,
+            F.coalesce(F.size(F.col(lines_col)), F.lit(0))
+            .cast("long")
+            .alias("__n_total"),
+        )
         .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("__n_total") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
         )
     )
