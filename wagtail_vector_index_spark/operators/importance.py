@@ -56,7 +56,27 @@ def dsir_select(
     score 0 (an empty sum) and compete at that weight."""
     b = int(buckets)
     tc = _bucket_counts(target, text_col=text_col, buckets=b)
-    rc = _bucket_counts(raw, text_col=text_col, buckets=b)
+    # r12: ONE tokenize+hash pass over ``raw``. The per-doc bucket
+    # histogram (id, bucket, cnt) — at most ``b`` rows per document,
+    # three narrow columns — feeds BOTH the corpus-level bucket counts
+    # (for the weight table) and the per-doc scores; the old shape ran
+    # the explode + sha per token twice (_bucket_counts(raw) AND
+    # doc_tokens). Lazily materialized because its two consumers prune
+    # different columns, which defeats exchange reuse.
+    dh = (
+        raw.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("__tok"),
+        )
+        .select(
+            id_col,
+            F.pmod(sha_hash64(F.col("__tok")), F.lit(b)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    rc = dh.groupBy("bucket").agg(F.sum("__cnt").alias("n"))
     totals = tc.agg(F.sum("n").alias("tt")).crossJoin(
         rc.agg(F.sum("n").alias("tr"))
     )
@@ -74,17 +94,13 @@ def dsir_select(
             ).alias("w"),
         )
     )
-    doc_tokens = raw.select(
-        F.col(id_col),
-        F.explode(tokens_col(F.col(text_col))).alias("__tok"),
-    ).select(
-        id_col,
-        F.pmod(sha_hash64(F.col("__tok")), F.lit(b)).alias("bucket"),
-    )
+    # per-doc score from the histogram: sum of cnt * w — the same sum
+    # the oracle computes per token, grouped; the join probe is
+    # (doc x distinct-bucket)-grain instead of token-grain
     scores = (
-        doc_tokens.join(F.broadcast(weights), "bucket")
+        dh.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
-        .agg(F.sum("w").alias("log_w"))
+        .agg(F.sum(F.col("__cnt") * F.col("w")).alias("log_w"))
     )
     # docs with no tokens score 0
     scores = (
