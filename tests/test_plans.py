@@ -125,11 +125,14 @@ def test_q19_pushes_quantity_band_union_to_scan(spark):
 
 
 def test_q21_semi_anti_shapes(spark):
-    """EXISTS/NOT EXISTS decorrelate to semi + anti joins with the
-    supplier-inequality as a residual — never a nested loop over lineitem."""
+    """The EXISTS/NOT EXISTS subqueries are replaced by per-order
+    min/max supplier aggregations (r12): no semi/anti join remains —
+    the old shape broadcast the full lineitem projection as a LeftSemi
+    BUILD side, a non-starter at scale — and never a nested loop."""
     plan = _plan(spark, "q21_waiting_suppliers")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
     assert "TakeOrderedAndProject" in plan
 
 
