@@ -959,6 +959,72 @@ def test_prefix_jaccard_property_random_docs(spark):
         assert got == want
 
 
+def test_hash64_is_hash60_shifted(spark):
+    """The 32-bit MinHash base hash is the 60-bit prefix-kernel hash
+    shifted right 28 bits — both are prefixes of the SAME sha256 digest
+    (8 vs 15 hex chars), so one hashed frame can serve both sides of
+    the LSH eval gates. Pinned because lsh_eval_pair_sets relies on it
+    for signature equality."""
+    from pyspark.sql import functions as F
+
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        sha_hash60,
+        sha_hash64,
+    )
+
+    rows = [(s,) for s in ["a b c", "the cat sat", "", "x", "über täst"]]
+    df = spark.createDataFrame(rows, "s string")
+    got = df.select(
+        sha_hash64(F.col("s")).alias("h64"),
+        F.shiftright(sha_hash60(F.col("s")), 28).alias("h60s"),
+    ).collect()
+    for r in got:
+        assert r["h64"] == r["h60s"]
+
+
+def test_lsh_eval_pair_sets_matches_composed(spark):
+    """lsh_eval_pair_sets (one shared shingle+sha pass) must return
+    EXACTLY the pair sets of composing ngram_jaccard_pairs_prefix and
+    minhash_lsh_candidates — including docs too short to shingle, whose
+    (non-)banding behavior must not change."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        lsh_eval_pair_sets,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat near the door by the house"),
+        (2, "the cat sat on the mat near the door by the barn"),
+        (3, "the cat sat on the mat close to the gate by a barn"),
+        (4, "a completely different sentence about spark joins and shuffles"),
+        (5, "the cat sat on the mat near the door by the house"),  # dup of 1
+        (6, "too short"),  # < n words: empty shingle array
+        (7, "tiny"),  # another, so empty-sig docs could pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact, cand = lsh_eval_pair_sets(
+        df, n=3, num_hashes=16, bands=8, threshold=0.3
+    )
+    want_exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs_prefix(df, n=3, threshold=0.3).collect()
+    }
+    got_exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in exact.collect()
+    }
+    assert got_exact == want_exact
+    want_cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            df, n=3, num_hashes=16, bands=8
+        ).collect()
+    }
+    got_cand = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert got_cand == want_cand
+
+
 def test_keep_representatives_exact_prefer_col(spark):
     """prefer_col keeps the component member maximizing the column
     (min-id tie-break), including chained clusters and singletons."""

@@ -1145,6 +1145,35 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def _shingle_hash60_frame(shingled: DataFrame, *, id_col: str) -> DataFrame:
+    """(id, __hs): per-document SORTED 60-bit shingle-hash arrays from
+    pre-shingled rows (id, shingles array<string>) — ONE sha256 per
+    shingle, lazily localCheckpointed so every consumer reads the
+    materialized longs instead of re-tokenizing/re-hashing the corpus.
+
+    The 60-bit key is the prefix kernel's join/verify convention
+    (``sha_hash60``); the 32-bit MinHash base (``sha_hash64``) is the
+    SAME digest's first 8 hex chars, so ``__hs >> 28`` recovers it
+    exactly — one hashed frame serves both the AllPairs verify arrays
+    and MinHash signature derivation (the LSH eval gates share it).
+    Rows with empty/null shingle arrays are KEPT (callers that must
+    drop them filter on ``size(__hs)`` themselves): the banded-LSH side
+    folds empty arrays into a null signature exactly as hashing the raw
+    shingles would, and filtering here would change its candidate set.
+
+    The sort costs O(k log k) per doc once and makes the array directly
+    usable as the exact-verify operand — the groupBy(id)/collect_list
+    exchange the kernel previously paid to rebuild per-doc arrays from
+    exploded rows is gone (guide §2.4). Blocks are reclaimed by the
+    ContextCleaner when the frame drops (no session-lifetime pin)."""
+    return shingled.select(
+        F.col(id_col),
+        F.sort_array(
+            F.transform(F.col("shingles"), lambda s: sha_hash60(s))
+        ).alias("__hs"),
+    ).localCheckpoint(eager=False)
+
+
 def _prefix_jaccard_pairs(
     shingled: DataFrame, *, id_col: str, threshold: float
 ) -> DataFrame:
@@ -1154,28 +1183,27 @@ def _prefix_jaccard_pairs(
     already hold shingle sets (identical-set representatives in
     :func:`ngram_dup_cluster_edges`) can route hot-shingle corpora
     through it without re-shingling."""
+    return _prefix_jaccard_pairs_hashed(
+        _shingle_hash60_frame(shingled, id_col=id_col),
+        id_col=id_col,
+        threshold=threshold,
+    )
+
+
+def _prefix_jaccard_pairs_hashed(
+    hashed: DataFrame, *, id_col: str, threshold: float
+) -> DataFrame:
+    """The AllPairs kernel over a :func:`_shingle_hash60_frame` result —
+    split out so the LSH eval gates can share ONE hashed frame between
+    this exact side and the banded-candidate side."""
     t = float(threshold)
-    sized = shingled.select(
-        id_col, "shingles", F.size("shingles").alias("n_sh")
+    sized = hashed.select(
+        id_col, "__hs", F.size("__hs").alias("n_sh")
     ).where(F.col("n_sh") > 0)
-    ex = (
-        sized.select(
-            id_col, "n_sh", explode_nofilter(F.col("shingles")).alias("__s")
-        )
-        .select(
-            id_col,
-            "n_sh",
-            F.conv(F.substring(F.sha2(F.col("__s"), 256), 1, 15), 16, 10)
-            .cast("long")
-            .alias("sh"),
-        )
-        # lazy localCheckpoint: the exploded+hashed frame feeds THREE
-        # consumers (document-frequency agg, prefix ranking, verify
-        # arrays) and the sha-per-shingle pass is the dominant CPU cost
-        # on the boilerplate corpora this path targets; the checkpoint
-        # materializes it once and the blocks are reclaimed by the
-        # ContextCleaner when the frame drops (no session-lifetime pin)
-        .localCheckpoint(eager=False)
+    # re-exploding the materialized long arrays per consumer is a cheap
+    # Generate over a LogicalRDD — no sha, no string handling
+    ex = sized.select(
+        id_col, "n_sh", explode_nofilter(F.col("__hs")).alias("sh")
     )
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(
@@ -1244,11 +1272,10 @@ def _prefix_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    arrs = ex.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("sh")).alias("__arr")
-    )
-    va = arrs.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__a"))
-    vb = arrs.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__b"))
+    # verify arrays come straight from the materialized per-doc sorted
+    # arrays — no groupBy/collect_list exchange to rebuild them
+    va = sized.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__a"))
+    vb = sized.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__b"))
     inter = F.size(F.array_intersect("__a", "__b"))
     union = F.size("__a") + F.size("__b") - inter
     return (
@@ -1343,6 +1370,50 @@ def minhash_lsh_candidates(
         cache=False,
     )
     return _band_candidates(sig, id_col, bands, num_hashes // bands)
+
+
+def lsh_eval_pair_sets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.3,
+) -> tuple[DataFrame, DataFrame]:
+    """(exact_pairs, candidate_pairs) for the LSH precision/recall eval
+    gates, from ONE tokenize+shingle+sha pass over the corpus.
+
+    ``exact_pairs`` is exactly :func:`ngram_jaccard_pairs_prefix`'s
+    output at ``threshold``; ``candidate_pairs`` is exactly
+    :func:`minhash_lsh_candidates`'s. Composing those two operators
+    instead runs the whole tokenize -> n-gram -> sha-per-shingle pass
+    TWICE (the two subtrees diverge below the first exchange, so
+    ReuseExchange cannot deduplicate them); here both sides read one
+    lazily-materialized :func:`_shingle_hash60_frame`. The MinHash base
+    hashes derive from the shared 60-bit keys as ``__hs >> 28`` — the
+    first 8 hex chars of the same sha256 digest, bit-for-bit what
+    ``shingle_hashes_col`` computes (pinned by
+    ``test_hash64_is_hash60_shifted``) — so signatures, band keys and
+    the candidate set are unchanged."""
+    df = _ensure_parallelism(df, id_col)
+    shingled = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    )
+    hashed = _shingle_hash60_frame(shingled, id_col=id_col)
+    exact = _prefix_jaccard_pairs_hashed(
+        hashed, id_col=id_col, threshold=threshold
+    )
+    sig = hashed.select(
+        F.col(id_col),
+        minhash_signature_col(
+            F.transform(F.col("__hs"), lambda h: F.shiftright(h, 28)),
+            num_hashes,
+        ).alias("sig"),
+    )
+    cand = _band_candidates(sig, id_col, bands, num_hashes // bands)
+    return exact, cand
 
 
 def minhash_lsh_pairs(

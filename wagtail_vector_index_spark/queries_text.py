@@ -2895,19 +2895,18 @@ def dedup_lsh_recall(spark, sf_dir):
     is 1-(1-j^2)^8 ~ 0.53, so this gate pins a genuinely lossy
     operating point — the number tells you to add hashes/bands, not
     that the code is wrong. Both pair sets are deterministic (shared
-    sha-derived minhash params), so recall is exactly replayable."""
-    from wagtail_vector_index_spark.operators.dedup import (
-        minhash_lsh_candidates,
-        ngram_jaccard_pairs_prefix,
-    )
+    sha-derived minhash params), so recall is exactly replayable.
+    Both sets come from lsh_eval_pair_sets — ONE shingle+sha pass
+    feeds the prefix-AllPairs exact side and the banded candidate
+    side (identical pair sets to composing the two operators)."""
+    from wagtail_vector_index_spark.operators.dedup import lsh_eval_pair_sets
 
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.3).select(
-        "id_a", "id_b"
+    exact, cand = lsh_eval_pair_sets(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.3
     )
-    cand = minhash_lsh_candidates(
-        docs, n=3, num_hashes=16, bands=8
-    ).select("id_a", "id_b")
+    exact = exact.select("id_a", "id_b")
+    cand = cand.select("id_a", "id_b")
     hit = exact.join(cand, ["id_a", "id_b"])
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -3629,19 +3628,18 @@ def dedup_lsh_precision(spark, sf_dir):
     candidates (add rows-per-band); low recall means lost duplicates
     (add bands) — a banding config is tuned on BOTH numbers from the
     same two deterministic pair sets. Same operators, same shuffles as
-    the recall gate; only the denominator changes."""
-    from wagtail_vector_index_spark.operators.dedup import (
-        minhash_lsh_candidates,
-        ngram_jaccard_pairs_prefix,
-    )
+    the recall gate; only the denominator changes. Both sets come from
+    lsh_eval_pair_sets — ONE shingle+sha pass feeds the prefix-AllPairs
+    exact side and the banded candidate side (identical pair sets to
+    composing the two operators)."""
+    from wagtail_vector_index_spark.operators.dedup import lsh_eval_pair_sets
 
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.3).select(
-        "id_a", "id_b"
+    exact, cand = lsh_eval_pair_sets(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.3
     )
-    cand = minhash_lsh_candidates(
-        docs, n=3, num_hashes=16, bands=8
-    ).select("id_a", "id_b")
+    exact = exact.select("id_a", "id_b")
+    cand = cand.select("id_a", "id_b")
     hit = cand.join(exact, ["id_a", "id_b"])
     return (
         cand.agg(F.count(F.lit(1)).alias("n_candidates"))
