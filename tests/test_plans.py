@@ -174,3 +174,16 @@ def test_ann_ivf_filtered_pushes_label_filter(spark):
     plan = _plan(spark, "ann_ivf_filtered")
     assert "PushedFilters: [In(label" in plan or "PushedFilters: [IsNotNull(label), In(label" in plan or re.search(r"PushedFilters: \[[^\]]*label", plan)
     assert re.search(r"PartitionFilters: \[[^\]]*cid", plan)
+
+
+def test_matryoshka_is_one_linear_plan(spark):
+    """All five truncation levels (brute + 8/16/32/64) are computed in
+    ONE scan projection and ranked by ONE rank-limited window over the
+    exploded (level, sim) rows (r12): no per-level scan branches, no
+    union, and the recall join is collect_set membership — not a
+    broadcast self-join of a second scan of the vectors."""
+    plan = _plan(spark, "knn_matryoshka_recall")
+    assert "Union" not in plan
+    assert "WindowGroupLimit" in plan
+    # one vectors scan + one probe scan
+    assert plan.count("Scan parquet") <= 2

@@ -1765,10 +1765,16 @@ def knn_matryoshka_recall(spark, sf_dir):
     scored against the full-dimension brute ranking — the curve that
     picks a serving dimension before committing an index layout (a
     64->16 truncation is a 4x scan-byte cut if recall holds). All four
-    truncations run in ONE plan: the prefix slice happens inside the
-    scan projection, each level is a WindowGroupLimit top-10, and the
-    recall join touches (dim, id) pairs only. EXT — the reference
-    serves one fixed dimension per backend."""
+    truncations run in ONE plan: every candidate row computes the brute
+    similarity and all four truncated similarities in the single scan
+    projection and explodes into (level, sim) rows — ONE rank-limited
+    window (planned as WindowGroupLimit: each map task pre-filters to
+    <=10 rows per level before the tiny final window) cuts all five
+    top-10s, and recall is collect_set membership on the <=50 winner
+    rows, never a join back to the vectors (the knn_jl_recall r7
+    shape — this gate ran five partitionBy(lit(1)) windows over five
+    scan branches + a union + a broadcast join until r12). EXT — the
+    reference serves one fixed dimension per backend."""
     from wagtail_vector_index_spark.functions.vector import similarity_col
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1776,41 +1782,60 @@ def knn_matryoshka_recall(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     probe = vecs.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
-    cands = vecs.where(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
 
-    def top10(sim_col, tag):
-        w = Window.partitionBy(F.lit(1)).orderBy(
-            F.col("__sim").desc(), F.col("vec_id").asc()
-        )
-        return (
-            cands.withColumn("__sim", sim_col)
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= 10)
-            .select(F.lit(tag).alias("trunc_dim"), "vec_id")
-        )
-
-    brute = top10(
-        similarity_col(F.col("v"), F.col("pv"), "cosine"), -1
-    ).select("vec_id", F.lit(1).alias("__hit"))
-    levels = None
-    for d in (8, 16, 32, 64):
-        lv = top10(
+    def lvl(d):
+        return F.struct(
+            F.lit(d).alias("trunc_dim"),
             similarity_col(
                 F.slice(F.col("v"), 1, d), F.slice(F.col("pv"), 1, d),
                 "cosine",
-            ),
-            d,
+            ).alias("__sim"),
         )
-        levels = lv if levels is None else levels.unionByName(lv)
-    return (
-        levels.join(F.broadcast(brute), "vec_id", "left")
-        .groupBy("trunc_dim")
-        .agg(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
-            (
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(10)
-            ).alias("recall_at_10"),
+
+    cand = (
+        vecs.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(-1).alias("trunc_dim"),
+                        similarity_col(
+                            F.col("v"), F.col("pv"), "cosine"
+                        ).alias("__sim"),
+                    ),
+                    lvl(8),
+                    lvl(16),
+                    lvl(32),
+                    lvl(64),
+                )
+            ).alias("t"),
         )
+        .select("vec_id", "t.trunc_dim", "t.__sim")
+    )
+    w = Window.partitionBy("trunc_dim").orderBy(
+        F.col("__sim").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .select("trunc_dim", "vec_id")
+    )
+    sets = top.groupBy("vec_id").agg(
+        F.collect_set("trunc_dim").alias("__ds")
+    )
+    per_level = sets.select(
+        F.explode(
+            F.filter(F.col("__ds"), lambda d: d != F.lit(-1))
+        ).alias("trunc_dim"),
+        F.when(F.array_contains(F.col("__ds"), -1), 1)
+        .otherwise(0)
+        .alias("__hit"),
+    )
+    return per_level.groupBy("trunc_dim").agg(
+        F.sum("__hit").alias("n_hits"),
+        (F.sum("__hit") / F.lit(10)).alias("recall_at_10"),
     )
 
 
