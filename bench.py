@@ -167,6 +167,12 @@ ADDED = [
     # r11 additions
     "rag_batch_echo",
     "pipeline_corpus_prep",
+    # r12 additions — the largest previously-untracked Spark rows found
+    # by ranking the full sf0.1 oracle-gate walls (text_lang_id_ngram
+    # was the single largest Spark row in the engine at 14s before its
+    # r12 linear-trigram rework)
+    "text_lang_id_ngram",
+    "knn_matryoshka_recall",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

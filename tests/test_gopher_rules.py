@@ -140,3 +140,43 @@ def test_cdc_chunks_reassemble_exactly(spark):
         cdc_chunks_col(F.col("text")).alias("c")
     ).collect()
     assert "".join(rows[0]["c"]) == text
+
+
+def test_char_trigrams_match_python_reference(spark):
+    """The r12 zip-slice trigram kernel (linear in doc length) must
+    reproduce the old per-position substr construction bit for bit,
+    including the padded-under-3-chars single-trigram rule."""
+    import re
+
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        char_trigrams_col,
+    )
+
+    texts = [
+        "Der Hund ist  nicht\tauf der Wiese",
+        "a",
+        "",
+        "ab",
+        "x y",
+        "the quick brown fox",
+        "mixed CASE and   runs\n\nof whitespace",
+    ]
+
+    def ref(text):
+        padded = "_" + re.sub(r"\s+", "_", text.lower()) + "_"
+        n = max(len(padded) - 2, 1)
+        seen, out = set(), []
+        for i in range(n):
+            t = padded[i : i + 3]
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    rows = (
+        spark.createDataFrame([(t,) for t in texts], "text string")
+        .select("text", char_trigrams_col(F.col("text")).alias("tris"))
+        .collect()
+    )
+    for r in rows:
+        assert r["tris"] == ref(r["text"]), (r["text"], r["tris"])
