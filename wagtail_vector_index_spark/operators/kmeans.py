@@ -22,21 +22,44 @@ from wagtail_vector_index_spark.functions.vector import similarity_col
 
 def _assign(index_df: DataFrame, centroids: list[tuple[int, list[float]]],
             *, vec_col: str) -> DataFrame:
-    """Best-centroid id per row (cosine argmax, tie -> lowest cid)."""
+    """Best-centroid id per row (cosine argmax, tie -> lowest cid).
+
+    ZERO-SHUFFLE (r12): the codebook rides a broadcast 1-row matrix
+    frame (k x dim literals in the plan would charge ~1s of Catalyst
+    analysis per round — the jl_recall lesson), and the argmax is an
+    ``array_max`` over per-centroid (sim, -index) structs computed in
+    the scan projection. The previous shape exploded every index row
+    k-fold through a broadcast join and shuffled the exploded VECTOR
+    payloads into a row-keyed window (one k x |index| exchange per
+    Lloyd round) just to keep the best row. Centroids are evaluated in
+    ascending-cid order so the struct-max tie-break (max sim, then max
+    -index) is bit-identical to the old (sim desc, cid asc) window."""
     spark = index_df.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(centroids, "cid int, cv array<double>")
+    ordered = sorted(centroids, key=lambda c: c[0])
+    mat = spark.createDataFrame(
+        [(
+            [int(cid) for cid, _ in ordered],
+            [[float(x) for x in cv] for _, cv in ordered],
+        )],
+        "__cids array<int>, __cvm array<array<double>>",
     )
-    w = Window.partitionBy("__row").orderBy(
-        F.col("__csim").desc(), F.col("cid").asc()
+    entries = F.transform(
+        F.col("__cvm"),
+        lambda cv, i: F.struct(
+            similarity_col(F.col(vec_col), cv, "cosine").alias("s"),
+            (-i).alias("ni"),
+        ),
     )
+    out_cols = [F.col(c) for c in index_df.columns] + [
+        F.element_at(
+            F.col("__cids"), (-F.col("__best.ni") + F.lit(1)).cast("int")
+        ).alias("cid"),
+        F.col("__best.s").alias("__csim"),
+    ]
     return (
-        index_df.withColumn("__row", F.monotonically_increasing_id())
-        .join(cdf)
-        .withColumn("__csim", similarity_col(F.col(vec_col), F.col("cv"), "cosine"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "cv", "__row")
+        index_df.crossJoin(F.broadcast(mat))
+        .withColumn("__best", F.array_max(entries))
+        .select(*out_cols)
     )
 
 

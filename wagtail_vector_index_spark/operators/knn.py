@@ -114,22 +114,54 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every index row to its most-cosine-similar centroid.
 
-    Broadcast the (small) codebook, one codegen'd similarity per
-    (row, centroid), window argmax with deterministic tie-break on
-    centroid id. At 100 TB this is the partitioning step of an IVF index:
-    the output (id, cid) keys a repartition/bucketing so each posting
-    list is co-located.
-    """
-    c = F.broadcast(centroids_df.select(centroid_id, centroid_vec))
-    w = Window.partitionBy(index_id).orderBy(
-        F.col("__csim").desc(), F.col(centroid_id).asc()
+    At 100 TB this is the partitioning step of an IVF index: the output
+    (id, cid) keys a repartition/bucketing so each posting list is
+    co-located.
+
+    ZERO-SHUFFLE (r12): the codebook is collapsed to a broadcast 1-row
+    (cid, cv) struct array sorted by cid, and the argmax is an
+    ``array_max`` over per-centroid (sim, -index) structs computed in
+    the scan projection. The previous shape exploded every index row
+    k-fold through a broadcast join and ran a row-keyed window — at
+    scale that shuffles k copies of every VECTOR payload just to keep
+    the best row; now the index side never moves. Semantics preserved
+    bit for bit: only same-dimension centroids compete (mismatched dims
+    score null, which struct-max ranks below every real score; rows
+    with NO matching-dim centroid are dropped, as the old inner join
+    did), and ascending-cid evaluation makes the (max sim, max -index)
+    tie-break identical to the old (sim desc, cid asc) window."""
+    mat = F.broadcast(
+        centroids_df.groupBy().agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(centroid_id).alias("i"),
+                        F.col(centroid_vec).alias("v"),
+                    )
+                )
+            ).alias("__cb")
+        )
     )
+    entries = F.transform(
+        F.col("__cb"),
+        lambda c, i: F.struct(
+            F.when(
+                F.array_size(c["v"]) == F.array_size(F.col(index_vec)),
+                similarity_col(F.col(index_vec), c["v"], "cosine"),
+            ).alias("s"),
+            (-i).alias("ni"),
+        ),
+    )
+    out_cols = [F.col(c) for c in index_df.columns] + [
+        F.element_at(
+            F.col("__cb"), (-F.col("__best.ni") + F.lit(1)).cast("int")
+        )["i"].alias(centroid_id)
+    ]
     return (
-        index_df.join(c, F.array_size(F.col(index_vec)) == F.array_size(F.col(centroid_vec)))
-        .withColumn("__csim", similarity_col(F.col(index_vec), F.col(centroid_vec), "cosine"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__csim", "__rn", centroid_vec)
+        index_df.crossJoin(mat)
+        .withColumn("__best", F.array_max(entries))
+        .where(F.col("__best.s").isNotNull())
+        .select(*out_cols)
     )
 
 
