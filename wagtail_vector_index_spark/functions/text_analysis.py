@@ -598,16 +598,41 @@ def cdc_boundaries_col(text: Column, *, window: int = 16, mask: int = 64) -> Col
     """Boundary positions (1-based, ascending) of the content-defined
     chunking: position i is a boundary iff the trailing-``window`` hash
     lands on 0 mod ``mask``. One digest per position — compute this ONCE
-    into its own projection before building chunks from it."""
+    into its own projection before building chunks from it.
+
+    LINEAR in document length (r12): each position's window string is
+    the concat of ``window`` shifted slices of the once-split char
+    array (the :func:`word_ngrams_col` construction). The previous
+    formulation called ``text.substr(i - 15, 16)`` inside the
+    per-position lambda — ``UTF8String`` resolves a codepoint index by
+    scanning from the start, an O(i) seek per position, O(L²) per
+    document: invisible on ~300-char web docs, a cliff at book length
+    (5e9 char-steps for a 100k-char doc). The digest input is the
+    identical window string, so boundaries — and the DuckDB oracle's
+    replay of them — are unchanged."""
     n = F.length(text)
-    scan = F.filter(
+    chars = F.split(text, "")
+    m = n - F.lit(window)
+    z = F.arrays_zip(
         F.sequence(F.lit(window), n - 1),
-        lambda i: F.pmod(
-            sha_hash64(text.substr(i - F.lit(window - 1), F.lit(window))),
-            F.lit(mask),
-        )
-        == 0,
+        *[F.slice(chars, j, m) for j in range(1, window + 1)],
     )
+    cand = F.transform(
+        z,
+        lambda s: F.when(
+            F.pmod(
+                sha_hash64(
+                    F.concat_ws(
+                        "", *[s[str(j)] for j in range(1, window + 1)]
+                    )
+                ),
+                F.lit(mask),
+            )
+            == 0,
+            s["0"],
+        ),
+    )
+    scan = F.filter(cand, lambda x: x.isNotNull())
     # short docs: skip the scan entirely (sequence(start, stop) with
     # start > stop would generate a DESCENDING range)
     return F.when(n > window, scan).otherwise(F.array().cast("array<int>"))
