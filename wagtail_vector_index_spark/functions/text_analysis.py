@@ -642,7 +642,14 @@ def cdc_chunks_from_boundaries(
     text: Column, boundaries: Column, *, window: int = 16
 ) -> Column:
     """Chunk array from a precomputed boundary-position array (cheap:
-    substr slicing only, no hashing)."""
+    substr slicing only, no hashing).
+
+    Residual O(L²/mask) term: each chunk's ``substr`` pays an O(end)
+    codepoint seek, one per ~``mask`` chars — 64x smaller than the
+    boundary scan's old quadratic term (fixed linear in r12) and not
+    the next cliff at book length (SCALE.md r12-E); a char-array
+    rebuild here would need the caller to hoist the split array into
+    its own projection to keep it out of the per-chunk lambda."""
     n = F.length(text)
     starts = F.concat(F.array(F.lit(1)), F.transform(boundaries, lambda b: b + 1))
     ends = F.concat(boundaries, F.array(n))
