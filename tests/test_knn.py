@@ -768,3 +768,31 @@ def test_gemm_block_auto_blocks_parity(spark, embeddings_df):
         ).collect()
     }
     assert auto == bc and len(auto) > 0
+
+
+def test_ivf_assign_tie_break_and_dim_guard(spark):
+    """The r12 zero-shuffle ivf_assign must keep the old window
+    semantics bit for bit: similarity ties resolve to the LOWEST cid
+    regardless of codebook row order, and rows with no matching-dim
+    centroid are dropped (the old inner join's behavior)."""
+    from wagtail_vector_index_spark.operators.knn import ivf_assign
+
+    cdf = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (3, [1.0, 0.0]), (5, [0.0, 1.0])],
+        "cid int, cv array<double>",
+    )
+    idx = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 3.0]), (3, [1.0, 1.0])],
+        "vec_id int, vector array<double>",
+    )
+    got = {r["vec_id"]: r["cid"] for r in ivf_assign(idx, cdf).collect()}
+    # vec 1: exact tie between cid 9 and cid 3 -> 3; vec 3: equidistant
+    # between cid 3 and cid 5 -> 3
+    assert got == {1: 3, 2: 5, 3: 3}
+
+    mixed = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0]), (8, [1.0, 0.0])],
+        "vec_id int, vector array<double>",
+    )
+    survivors = ivf_assign(mixed, cdf).select("vec_id", "cid").collect()
+    assert [(r["vec_id"], r["cid"]) for r in survivors] == [(8, 3)]
