@@ -157,10 +157,22 @@ def ivf_assign(
             F.col("__cb"), (-F.col("__best.ni") + F.lit(1)).cast("int")
         )["i"].alias(centroid_id)
     ]
+    # The no-matching-dim filter must NOT reference __best:
+    # PushDownPredicates substitutes a filtered computed column's
+    # EXPRESSION below the projection (guide §4.4's duplication — no
+    # cheapness guard, unlike CollapseProject), which would evaluate
+    # the whole k-sim argmax twice per row (measured +0.65s on the
+    # sf0.1 eval gates). An exists() over the k centroid SIZES is the
+    # equivalent predicate at negligible cost, and __best then has a
+    # single consumer.
+    dim_match = F.exists(
+        F.col("__cb"),
+        lambda c: F.array_size(c["v"]) == F.array_size(F.col(index_vec)),
+    )
     return (
         index_df.crossJoin(mat)
+        .where(dim_match)
         .withColumn("__best", F.array_max(entries))
-        .where(F.col("__best.s").isNotNull())
         .select(*out_cols)
     )
 
