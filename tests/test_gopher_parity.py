@@ -129,3 +129,35 @@ def test_cdc_chunks_match_python(spark, texts):
     got = {r["i"]: list(r["c"]) for r in rows}
     for i, t in enumerate(texts):
         assert got[i] == py_cdc_chunks(t), repr(t)
+
+
+def test_cdc_chunks_long_docs_match_python(spark):
+    """The r12 length-gated chunk build: docs above _CDC_SEEK_MAX_CHARS
+    take the linear char-array kernel (the hypothesis differential above
+    only generates <=300-char docs, which all take the substr branch) —
+    pin the array branch against the python reference on long docs,
+    unicode / astral-plane chars included, plus one doc on each side of
+    the gate."""
+    import random
+
+    from wagtail_vector_index_spark.functions.text_analysis import (
+        _CDC_SEEK_MAX_CHARS,
+        cdc_chunks_col,
+    )
+
+    rng = random.Random(12)
+    alpha = "ab cd\nef ghijklmnop qrstuv "
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(9000)),
+        "".join(rng.choice(alpha + "é漢😀𝄞") for _ in range(6000)),
+        "".join(rng.choice(alpha) for _ in range(_CDC_SEEK_MAX_CHARS)),
+        "".join(rng.choice(alpha) for _ in range(_CDC_SEEK_MAX_CHARS + 1)),
+    ]
+    assert len(texts[0]) > _CDC_SEEK_MAX_CHARS
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = df.select("i", cdc_chunks_col(F.col("text")).alias("c")).collect()
+    got = {r["i"]: list(r["c"]) for r in rows}
+    for i, t in enumerate(texts):
+        assert got[i] == py_cdc_chunks(t), f"doc {i} (len {len(t)})"

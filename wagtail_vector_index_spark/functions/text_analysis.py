@@ -638,22 +638,73 @@ def cdc_boundaries_col(text: Column, *, window: int = 16, mask: int = 64) -> Col
     return F.when(n > window, scan).otherwise(F.array().cast("array<int>"))
 
 
+# Crossover between the two chunk-build kernels below: the substr form's
+# quadratic seek term is ~L^2/(2*mask) char-steps (trivial below a few
+# thousand chars); the linear array form pays a per-char split constant
+# that only amortizes past ~the staging's 1k/10k par point (r12-F).
+_CDC_SEEK_MAX_CHARS = 4096
+
+
 def cdc_chunks_from_boundaries(
     text: Column, boundaries: Column, *, window: int = 16
 ) -> Column:
     """Chunk array from a precomputed boundary-position array (cheap:
-    substr slicing only, no hashing).
+    array slicing only, no hashing).
 
-    Residual O(L²/mask) term: each chunk's ``substr`` pays an O(end)
-    codepoint seek, one per ~``mask`` chars — 64x smaller than the
-    boundary scan's old quadratic term (fixed linear in r12) and not
-    the next cliff at book length (SCALE.md r12-E); a char-array
-    rebuild here would need the caller to hoist the split array into
-    its own projection to keep it out of the per-chunk lambda."""
+    LINEAR in document length (r12, second pass): chunks are rebuilt
+    from the once-split char array, bound to a LAMBDA VARIABLE via a
+    1-element ``transform`` so the split — and the boundary array —
+    evaluate once per ROW; per-chunk work is then an O(chunk)
+    ``slice`` + ``concat_ws`` over the evaluated array. The previous
+    formulation called ``text.substr(s, e - s + 1)`` per chunk, and
+    ``UTF8String`` resolves a codepoint index by scanning from the
+    start — an O(end) seek per chunk, O(L²/mask) per document: 64x
+    below the boundary scan's old quadratic (fixed earlier in r12,
+    SCALE.md r12-E) but the next seek-term left at book length
+    (SCALE.md r12-F measures the cliff and this fix). The lambda
+    binding matters twice over: a plain hoisted-column reference used
+    once gets re-inlined by CollapseProject into the per-chunk lambda
+    body (where interpreted HOF eval re-runs it per element — the r11
+    lesson), while a lambda variable is an evaluated value the
+    optimizer cannot substitute through. Chunk strings are
+    bit-identical to the substr form — ``split('')``/``slice``/
+    ``concat_ws`` index codepoints exactly as ``substr`` (astral-plane
+    chars included; pinned by the python differential in
+    tests/test_gopher_parity.py) — so boundaries, chunks, and the
+    DuckDB oracle are unchanged.
+
+    Length-gated (measured, SCALE.md r12-F): the array rebuild pays a
+    per-char split/object constant that exceeds the substr seek cost on
+    short documents (staged +38% at 1k chars, par at 10k, 1.6x win at
+    100k chars -- the seek term is L^2/(2*mask) char-steps, invisible
+    below a few thousand chars), so docs at or under
+    ``_CDC_SEEK_MAX_CHARS`` keep the substr form. Both branches emit
+    identical strings (the staging asserts it cell by cell), and
+    CaseWhen evaluates only the matching branch per row, so each regime
+    pays only its own kernel."""
     n = F.length(text)
-    starts = F.concat(F.array(F.lit(1)), F.transform(boundaries, lambda b: b + 1))
-    ends = F.concat(boundaries, F.array(n))
-    chunks = F.zip_with(starts, ends, lambda s, e: text.substr(s, e - s + 1))
+    packed = F.array(
+        F.struct(F.split(text, "").alias("ch"), boundaries.alias("b"))
+    )
+
+    def _build(p):
+        starts = F.concat(F.array(F.lit(1)), F.transform(p["b"], lambda b: b + 1))
+        ends = F.concat(p["b"], F.array(n))
+        return F.zip_with(
+            starts, ends, lambda s, e: F.concat_ws("", F.slice(p["ch"], s, e - s + 1))
+        )
+
+    chunks_array = F.element_at(F.transform(packed, _build), 1)
+    starts_seek = F.concat(
+        F.array(F.lit(1)), F.transform(boundaries, lambda b: b + 1)
+    )
+    ends_seek = F.concat(boundaries, F.array(n))
+    chunks_seek = F.zip_with(
+        starts_seek, ends_seek, lambda s, e: text.substr(s, e - s + 1)
+    )
+    chunks = F.when(n > _CDC_SEEK_MAX_CHARS, chunks_array).otherwise(
+        chunks_seek
+    )
     return F.when(n > window, chunks).otherwise(F.array(text))
 
 
