@@ -566,10 +566,16 @@ class Corpus:
             assign_dense_ids,
         )
 
+        # ONE corpus tokenize (r12): both strategies consume this frame,
+        # and each runs its own range sort over it — unmaterialized, the
+        # two subtrees diverge below their first exchange and the full
+        # tokenize pass runs TWICE (ReuseExchange cannot deduplicate
+        # them). The materialized frame is two narrow columns per doc,
+        # negligible next to the corpus it replaces a second scan of.
         t = self.df.select(
             self.id_col,
             F.size(tokens_col(F.col(self.text_col))).cast("long").alias("n"),
-        )
+        ).localCheckpoint(eager=False)
 
         def _waste(frame, order_cols, label):
             ids = assign_dense_ids(frame, order_cols=order_cols, out_col="rn")
