@@ -78,3 +78,53 @@ def test_trained_codebook_improves_ivf_recall(spark, vectors):
     trained, _ = train_codebook(vectors, k=8, iterations=3)
     assert recall(trained) >= recall(naive) - 0.2  # not worse (tolerance)
     assert recall(trained) > 0
+
+
+def test_norm_hoisted_cosine_bit_identical(vectors):
+    """The r12 norm-hoisted assignment cosine (||row|| folded once per
+    row, ||centroid|| once per codebook) must be BIT-identical to
+    functions.vector.similarity_col's per-pair fold — the ann oracle
+    gates replay every Lloyd argmax by value, so even a one-ulp drift
+    here is a correctness bug, not a perf detail."""
+    import struct
+
+    from wagtail_vector_index_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+        similarity_col,
+    )
+
+    spark = vectors.sparkSession
+    cents = [
+        [float(x) for x in r["vector"]]
+        for r in vectors.orderBy("vec_id").limit(12).collect()
+    ]
+    mat = spark.createDataFrame(
+        [([c for c in cents],)], "cvm array<array<double>>"
+    ).withColumn(
+        "cnorms", F.transform(F.col("cvm"), lambda cv: l2_norm(cv))
+    )
+    old = F.transform(
+        F.col("cvm"), lambda cv: similarity_col(F.col("vector"), cv, "cosine")
+    )
+
+    def entries(nv):
+        return F.transform(
+            F.col("cvm"),
+            lambda cv, i: dot_product(F.col("vector"), cv)
+            / (nv * F.element_at(F.col("cnorms"), i + F.lit(1))),
+        )
+
+    new = F.element_at(
+        F.transform(F.array(l2_norm(F.col("vector"))), lambda nv: entries(nv)),
+        1,
+    )
+    rows = (
+        vectors.crossJoin(F.broadcast(mat))
+        .select(old.alias("o"), new.alias("n"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        for a, b in zip(r["o"], r["n"]):
+            assert struct.pack("<d", a) == struct.pack("<d", b)

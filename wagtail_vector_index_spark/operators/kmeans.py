@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from wagtail_vector_index_spark.functions.vector import similarity_col
-
 
 def _assign(index_df: DataFrame, centroids: list[tuple[int, list[float]]],
             *, vec_col: str) -> DataFrame:
@@ -33,7 +31,22 @@ def _assign(index_df: DataFrame, centroids: list[tuple[int, list[float]]],
     payloads into a row-keyed window (one k x |index| exchange per
     Lloyd round) just to keep the best row. Centroids are evaluated in
     ascending-cid order so the struct-max tie-break (max sim, then max
-    -index) is bit-identical to the old (sim desc, cid asc) window."""
+    -index) is bit-identical to the old (sim desc, cid asc) window.
+
+    NORM-HOISTED (r12, second pass — the ivf_assign rewrite applied to
+    training): ||row|| folds once per row (lambda-bound so the
+    optimizer cannot re-inline it per centroid) and each ||centroid||
+    folds once per codebook in the broadcast build. Same sequential
+    folds, same ``dot / (nv * nc)`` grouping as
+    ``functions.vector.cosine_similarity`` — ``s`` (and therefore every
+    argmax, ``__csim``, and the oracle's Lloyd replay) is
+    bit-identical; only where the norm subtrees evaluate moved. Cuts
+    the dominant interpreted-fold cost of every Lloyd round ~2x."""
+    from wagtail_vector_index_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+
     spark = index_df.sparkSession
     ordered = sorted(centroids, key=lambda c: c[0])
     mat = spark.createDataFrame(
@@ -42,13 +55,29 @@ def _assign(index_df: DataFrame, centroids: list[tuple[int, list[float]]],
             [[float(x) for x in cv] for _, cv in ordered],
         )],
         "__cids array<int>, __cvm array<array<double>>",
+    ).withColumn(
+        "__cnorms",
+        F.transform(F.col("__cvm"), lambda cv: l2_norm(cv)),
     )
-    entries = F.transform(
-        F.col("__cvm"),
-        lambda cv, i: F.struct(
-            similarity_col(F.col(vec_col), cv, "cosine").alias("s"),
-            (-i).alias("ni"),
+
+    def _entries(nv):
+        return F.transform(
+            F.col("__cvm"),
+            lambda cv, i: F.struct(
+                (
+                    dot_product(F.col(vec_col), cv)
+                    / (nv * F.element_at(F.col("__cnorms"), i + F.lit(1)))
+                ).alias("s"),
+                (-i).alias("ni"),
+            ),
+        )
+
+    best = F.element_at(
+        F.transform(
+            F.array(l2_norm(F.col(vec_col))),
+            lambda nv: F.array_max(_entries(nv)),
         ),
+        1,
     )
     out_cols = [F.col(c) for c in index_df.columns] + [
         F.element_at(
@@ -58,7 +87,7 @@ def _assign(index_df: DataFrame, centroids: list[tuple[int, list[float]]],
     ]
     return (
         index_df.crossJoin(F.broadcast(mat))
-        .withColumn("__best", F.array_max(entries))
+        .withColumn("__best", best)
         .select(*out_cols)
     )
 
@@ -87,6 +116,20 @@ def train_codebook(
     both engines on identical centroids while moving each coordinate by
     <= 5e-7, which is noise for clustering quality.
     """
+    # Training-side parallelism guard (r12): a narrow source (one small
+    # parquet file, a 1-partition checkpoint) serializes every Lloyd
+    # round's argmax pass — the CPU-bound step — onto one core. Spread
+    # it to the cluster's parallelism by id hash; no-op when the input
+    # is already wide (the 100 TB case), so no extra shuffle at scale.
+    # Width is probed via the physical partitioning (the plan is being
+    # analyzed for the init collect below anyway). Cluster means'
+    # float-summation order moves with partitioning; ``round_decimals``
+    # is the pin (the same argument that makes the DuckDB oracle's
+    # different order match).
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     init = (
         df.orderBy(F.col(id_col).asc())
         .limit(k)

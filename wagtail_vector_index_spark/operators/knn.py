@@ -129,9 +129,28 @@ def ivf_assign(
     score null, which struct-max ranks below every real score; rows
     with NO matching-dim centroid are dropped, as the old inner join
     did), and ascending-cid evaluation makes the (max sim, max -index)
-    tie-break identical to the old (sim desc, cid asc) window."""
+    tie-break identical to the old (sim desc, cid asc) window.
+
+    NORM-HOISTED (r12, second pass): cosine against k centroids used to
+    re-fold BOTH norms per (row, centroid) — 3 interpreted O(dim) folds
+    per centroid where only the dot varies. ||row|| now folds ONCE per
+    row (bound to a lambda variable via a 1-element transform, so the
+    optimizer cannot re-inline it into the per-centroid body) and each
+    ||centroid|| folds once per CODEBOOK in the broadcast build
+    (``__cbn``). The similarity VALUE is bit-identical: same sequential
+    folds, same ``dot / (nv * nc)`` grouping as
+    ``functions.vector.cosine_similarity`` — only where the two norm
+    subtrees evaluate moved, so every argmax (and the oracle's replay
+    of it) is unchanged. ~2x fewer interpreted fold steps on the kernel
+    that IS the 100 TB IVF build's partitioning pass."""
+    from wagtail_vector_index_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+
     mat = F.broadcast(
-        centroids_df.groupBy().agg(
+        centroids_df.groupBy()
+        .agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -141,16 +160,31 @@ def ivf_assign(
                 )
             ).alias("__cb")
         )
+        .withColumn(
+            "__cbn",
+            F.transform(F.col("__cb"), lambda c: l2_norm(c["v"])),
+        )
     )
-    entries = F.transform(
-        F.col("__cb"),
-        lambda c, i: F.struct(
-            F.when(
-                F.array_size(c["v"]) == F.array_size(F.col(index_vec)),
-                similarity_col(F.col(index_vec), c["v"], "cosine"),
-            ).alias("s"),
-            (-i).alias("ni"),
+
+    def _entries(nv):
+        return F.transform(
+            F.col("__cb"),
+            lambda c, i: F.struct(
+                F.when(
+                    F.array_size(c["v"]) == F.array_size(F.col(index_vec)),
+                    dot_product(F.col(index_vec), c["v"])
+                    / (nv * F.element_at(F.col("__cbn"), i + F.lit(1))),
+                ).alias("s"),
+                (-i).alias("ni"),
+            ),
+        )
+
+    best = F.element_at(
+        F.transform(
+            F.array(l2_norm(F.col(index_vec))),
+            lambda nv: F.array_max(_entries(nv)),
         ),
+        1,
     )
     out_cols = [F.col(c) for c in index_df.columns] + [
         F.element_at(
@@ -172,7 +206,7 @@ def ivf_assign(
     return (
         index_df.crossJoin(mat)
         .where(dim_match)
-        .withColumn("__best", F.array_max(entries))
+        .withColumn("__best", best)
         .select(*out_cols)
     )
 

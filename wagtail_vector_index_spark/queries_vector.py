@@ -1489,7 +1489,29 @@ def ann_recall_ivf_learned(spark, sf_dir):
         + F.when(i == F.col("label"), F.lit(2.0)).otherwise(F.lit(0.0)),
     )
     vecs = emb.select("vec_id", planted.alias("vector"))
-    index = vecs.where(F.col("vec_id") >= 16)
+    # Materialize the planted index ONCE (r12): it rides ~11 consumers —
+    # five Lloyd rounds (train_codebook re-reads df per round), the final
+    # ivf_assign, the brute ranking, the IVF probe scan, and the index
+    # count — and each consumer otherwise re-runs the parquet scan + the
+    # per-coordinate plant transform (the read-once pattern of the
+    # pagerank edge frame / LSH hashed frame, guide §3.3/§5). |index| x
+    # dim doubles, small by construction at gate scale; a 100 TB
+    # deployment would train on a sampled/materialized subset the same
+    # way rather than re-scan the full index per Lloyd round. The
+    # repartition BEFORE the checkpoint spreads a single-file source
+    # across the cluster (the embeddings table arrives as one split at
+    # bench scale, which serialized every argmax pass onto one core);
+    # parallelism-derived, so it stays a cheap reshuffle of an already
+    # -wide frame on a real cluster. Means' float-summation order moves
+    # with partitioning; the 6 dp round in train_codebook is the pin
+    # (same cross-engine argument as the oracle's own replay).
+    index = (
+        vecs.where(F.col("vec_id") >= 16)
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("vec_id")
+        )
+        .localCheckpoint(eager=False)
+    )
     probes = vecs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("vector").alias("probe_vec")
     )
