@@ -1770,8 +1770,16 @@ def text_lang_id_ngram(spark, sf_dir):
         char_trigrams_col,
         lang_id_from_trigrams_col,
     )
+    from wagtail_vector_index_spark.operators.dedup import _ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # the trigram build is the CPU of this query (one intersect set per
+    # profile over ~L trigrams/doc) and the table arrives as ONE split
+    # at bench scale — spread it like dedup_shared_passages does (r12:
+    # noop A/B 1.8s -> 0.3s warm; the 4 MB text exchange is far cheaper
+    # than serializing the build on one core, reversing the earlier
+    # "single-task scan" judgment, which was made under contention).
+    # No-op on an already-wide source, so free at 100 TB.
+    docs = _ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
     withtris = docs.select(
         "doc_id", char_trigrams_col(F.col("text")).alias("__tris")
     )
