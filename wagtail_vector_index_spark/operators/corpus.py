@@ -45,6 +45,18 @@ def _eval_gram_side(ev: DataFrame, max_broadcast_grams: int) -> DataFrame:
     return F.broadcast(ev) if n <= max_broadcast_grams else ev
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """r12: hash-spread a narrow source before a CPU-bound per-token
+    kernel (one small parquet file serializes the corpus pass onto one
+    core); no-op on an already-wide input — see
+    operators/dedup._ensure_parallelism."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    return _ensure_parallelism(df, key_col)
+
+
 class Corpus:
     """A lazily-transformed document corpus.
 
@@ -227,15 +239,16 @@ class Corpus:
 
         if (eval_sources is None) == (eval_df is None):
             raise ValueError("pass exactly one of eval_sources / eval_df")
+        base = _spread(self.df, self.id_col)
         if eval_sources is not None:
-            train_docs = self.df.where(
+            train_docs = base.where(
                 ~F.col(self.source_col).isin(list(eval_sources))
             )
-            eval_docs = self.df.where(
+            eval_docs = base.where(
                 F.col(self.source_col).isin(list(eval_sources))
             )
         else:
-            train_docs = self.df
+            train_docs = base
             eval_docs = eval_df
 
         def shingled(df, id_alias, n_alias):
@@ -301,15 +314,16 @@ class Corpus:
 
         if (eval_sources is None) == (eval_df is None):
             raise ValueError("pass exactly one of eval_sources / eval_df")
+        base = _spread(self.df, self.id_col)
         if eval_sources is not None:
-            train_docs = self.df.where(
+            train_docs = base.where(
                 ~F.col(self.source_col).isin(list(eval_sources))
             )
-            eval_docs = self.df.where(
+            eval_docs = base.where(
                 F.col(self.source_col).isin(list(eval_sources))
             )
         else:
-            train_docs = self.df
+            train_docs = base
             eval_docs = eval_df
         def grams(df, *cols):
             # token hashes bound to a column before fingerprinting (see
@@ -361,15 +375,16 @@ class Corpus:
 
         if (eval_sources is None) == (eval_df is None):
             raise ValueError("pass exactly one of eval_sources / eval_df")
+        base = _spread(self.df, self.id_col)
         if eval_sources is not None:
-            train_docs = self.df.where(
+            train_docs = base.where(
                 ~F.col(self.source_col).isin(list(eval_sources))
             )
-            eval_docs = self.df.where(
+            eval_docs = base.where(
                 F.col(self.source_col).isin(list(eval_sources))
             )
         else:
-            train_docs = self.df
+            train_docs = base
             eval_docs = eval_df
 
         # The fingerprint array is exploded INLINE (generator child is an
@@ -1072,7 +1087,7 @@ class Corpus:
             token_sha_hashes_col,
         )
 
-        ex = self.df.select(
+        ex = _spread(self.df, self.id_col).select(
             self.source_col,
             token_sha_hashes_col(F.col(self.text_col)).alias("__th"),
         ).select(

@@ -210,6 +210,8 @@ def substring_duplicate_coverage(
     means.
     """
     kk = int(k)
+    # r12: same narrow-source spread as the APPLY twin below.
+    df = _ensure_parallelism(df, id_col)
     toks = df.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("__tk")
     )
@@ -348,6 +350,11 @@ def remove_duplicated_spans(
     long-document staging measures both shapes). The oracle replays
     the same hash convention and semantics."""
     kk = int(k)
+    # r12: spread a narrow source before the per-token sha pass — the
+    # map-only corpus pass is this operator's CPU and a single-split
+    # table serializes it onto one core (no-op on a wide input; both
+    # consumers of the spread frame reuse one exchange).
+    df = _ensure_parallelism(df, id_col)
     wins = (
         df.select(
             F.col(id_col), tokens_col(F.col(text_col)).alias("__tk")
