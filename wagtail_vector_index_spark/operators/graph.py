@@ -298,6 +298,7 @@ def kcore(
     k: int = 2,
     rounds: int = 6,
     checkpoint_every: int = 2,
+    broadcast_filter: bool = False,
 ) -> DataFrame:
     """k-core peel (Seidman 1983; the distributed fixed-point form of
     Matula & Beck's peeling): repeatedly delete every node whose degree
@@ -335,9 +336,19 @@ def kcore(
     for i in range(int(rounds)):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
         keep = deg.where(F.col("__d") >= int(k)).select("u")
-        sym = sym.join(keep, "u", "left_semi").join(
-            keep.select(F.col("u").alias("v")), "v", "left_semi"
-        )
+        # broadcast_filter declares the node set broadcast-sized (the
+        # hits broadcast_scores argument): the keep filter is at most
+        # node-grain but hangs off checkpointed leaves with no stats,
+        # so the planner otherwise sort-merges BOTH semi joins — a full
+        # sort of the edge frame per round on u plus an exchange+sort
+        # on v. Broadcast, both filters go map-side and the edge frame
+        # never moves after the initial repartition (r12; semantics
+        # identical — semi-join filters).
+        ku = F.broadcast(keep) if broadcast_filter else keep
+        kv = keep.select(F.col("u").alias("v"))
+        if broadcast_filter:
+            kv = F.broadcast(kv)
+        sym = sym.join(ku, "u", "left_semi").join(kv, "v", "left_semi")
         if (i + 1) % int(checkpoint_every) == 0 and i + 1 < int(rounds):
             sym = sym.localCheckpoint(eager=True)
     return sym.groupBy(F.col("u").alias("node")).agg(
@@ -351,6 +362,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 3,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007); returns (node, community) after a FIXED number of
@@ -388,8 +400,14 @@ def label_propagation(
         F.col("__c").desc(), F.col("community").asc()
     )
     for _ in range(int(rounds)):
+        # broadcast_labels: same declaration as kcore's broadcast_filter
+        # — the label table is node-grain but stats-less, and the join
+        # key (v) is not the edge frame's partition key (u), so the
+        # planner otherwise re-shuffles the WHOLE edge frame by v every
+        # round (r12).
+        lside = F.broadcast(labels) if broadcast_labels else labels
         neigh = sym.join(
-            labels, sym["v"] == labels["node"]
+            lside, sym["v"] == lside["node"]
         ).select(F.col("u").alias("node"), "community")
         counted = neigh.groupBy("node", "community").agg(
             F.count(F.lit(1)).alias("__c")

@@ -1973,7 +1973,9 @@ def graph_kcore(spark, sf_dir):
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .distinct()
     )
-    core = kcore(edges, k=18, rounds=6)
+    # broadcast_filter: the part co-occurrence node set is ~20k parts
+    # vs ~600k edges — the hits broadcast_scores argument
+    core = kcore(edges, k=18, rounds=6, broadcast_filter=True)
     w = Window.orderBy(F.col("deg").desc(), F.col("node").asc())
     return (
         core.withColumn("__rn", F.row_number().over(w))
@@ -2005,7 +2007,8 @@ def graph_communities(spark, sf_dir):
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .distinct()
     )
-    labels = label_propagation(edges, rounds=3)
+    # broadcast_labels: same node-set-vs-edges argument as graph_kcore
+    labels = label_propagation(edges, rounds=3, broadcast_labels=True)
     w = Window.orderBy(F.col("n_nodes").desc(), F.col("community").asc())
     return (
         labels.groupBy("community")
