@@ -49,12 +49,14 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     """r12: hash-spread a narrow source before a CPU-bound per-token
     kernel (one small parquet file serializes the corpus pass onto one
     core); no-op on an already-wide input — see
-    operators/dedup._ensure_parallelism."""
-    from wagtail_vector_index_spark.operators.dedup import (
-        _ensure_parallelism,
+    operators/_util.ensure_parallelism (r13: the shared public guard,
+    whose non-file fallback also stops this from blindly shuffling an
+    already-wide checkpointed/in-memory Corpus.df)."""
+    from wagtail_vector_index_spark.operators._util import (
+        ensure_parallelism,
     )
 
-    return _ensure_parallelism(df, key_col)
+    return ensure_parallelism(df, key_col)
 
 
 class Corpus:

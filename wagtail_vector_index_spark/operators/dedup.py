@@ -57,20 +57,12 @@ from wagtail_vector_index_spark.functions.text_analysis import (
 from wagtail_vector_index_spark.functions.vector import cosine_similarity
 
 
-def _ensure_parallelism(df: DataFrame, key_col: str) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the source arrived
-    in fewer partitions (e.g. one small parquet file) — the hash/shingle
-    stages below are CPU-bound per row, and a single input file must not
-    serialize them onto one core. No-op when the input is already wide
-    (the 100 TB case), so no extra shuffle at scale."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # width via the source file listing — touching df.rdd would force plan
-    # analysis and an RDD-conversion node into every dedup plan. A source
-    # spread over >= target files is already wide; anything narrower (one
-    # small parquet file, a local relation) gets one hash repartition.
-    if len(df.inputFiles()) >= target:
-        return df
-    return df.repartition(target, F.col(key_col))
+# Promoted to operators/_util.ensure_parallelism (r13, ADVICE): one
+# public width guard instead of three modules importing this privately.
+# The old name stays as an alias for in-package callers.
+from wagtail_vector_index_spark.operators._util import (  # noqa: E402
+    ensure_parallelism as _ensure_parallelism,
+)
 
 
 def exact_duplicates(

@@ -16,8 +16,50 @@ Simplified update (dangling mass dropped, documented):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_BCAST_CAP_CONF = "spark.wvi.graph.broadcastMaxRows"
+_BCAST_CAP_DEFAULT = 8_000_000
+
+
+def _honor_broadcast_declaration(spark, n_rows, *, what: str) -> bool:
+    """Size-guard for the loop operators' broadcast declarations
+    (``broadcast_ranks`` / ``broadcast_scores`` / ``broadcast_filter``
+    / ``broadcast_labels`` / the personalized-teleport seed join; r13).
+
+    Each declaration is a caller statement that the node-grain side is
+    far smaller than the edge side. Honoring it blindly turns a
+    mis-declared huge node set into a broadcast OOM instead of a slow
+    plan; this gate makes the declaration safe: ONE bounded probe per
+    operator call (a row count the operator already has, or computes
+    over an already-materialized frame — never per round; node sets
+    only shrink or stay node-grain inside the loops, so a pre-loop
+    bound stays valid every round). Above the cap the operator falls
+    back to the shuffled shape with a warning instead of OOMing.
+
+    The cap counts ROWS, not bytes: these frames are 1-2 longs + a
+    double wide, so the default 8M rows builds <= ~1 GB of hash
+    relation per executor — far under Spark's 512M-row / 8 GB
+    broadcast hard cap, and far above any graph for which the
+    node << edge declaration is actually true. Tune (or disable the
+    probe with a value <= 0) via ``spark.wvi.graph.broadcastMaxRows``.
+    """
+    cap = int(spark.conf.get(_BCAST_CAP_CONF, str(_BCAST_CAP_DEFAULT)))
+    if cap <= 0:
+        return True
+    if int(n_rows) <= cap:
+        return True
+    warnings.warn(
+        f"{what}: node-grain side has {int(n_rows)} rows, above "
+        f"{_BCAST_CAP_CONF}={cap}; ignoring the broadcast declaration "
+        "and falling back to the shuffled shape",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return False
 
 
 def pagerank(
@@ -128,6 +170,13 @@ def pagerank(
     n = float(nodes.count())
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("pr"))
+    # r13 size guard: the roster count above is the node-grain bound for
+    # every per-round frame the declaration broadcasts (ranks and the
+    # per-destination sums are both at most node-grain) — honoring the
+    # declaration is gated on it at zero extra cost.
+    broadcast_ranks = _honor_broadcast_declaration(
+        edges.sparkSession, n, what="pagerank(broadcast_ranks)"
+    ) if broadcast_ranks else False
     if teleport is not None:
         seeds = teleport.select(F.col("node")).distinct()
         ns = float(seeds.count())
@@ -135,9 +184,15 @@ def pagerank(
             raise ValueError("teleport frame has no nodes")
         # one broadcast join annotates the node frame with its teleport
         # weight; measured round-loop cost is identical to the uniform
-        # variant (the per-round plan shape is unchanged)
+        # variant (the per-round plan shape is unchanged). The broadcast
+        # hint is size-guarded on the seed count already in hand (r13).
+        seed_side = seeds.withColumn("__is_seed", F.lit(True))
+        if _honor_broadcast_declaration(
+            edges.sparkSession, ns, what="pagerank(teleport seed join)"
+        ):
+            seed_side = F.broadcast(seed_side)
         nodes = nodes.join(
-            F.broadcast(seeds.withColumn("__is_seed", F.lit(True))),
+            seed_side,
             "node",
             "left",
         ).select(
@@ -333,9 +388,18 @@ def kcore(
         .repartition("u")
         .localCheckpoint(eager=True)
     )
+    if broadcast_filter:
+        # r13 size guard: the keep filter is bounded by the node roster
+        # and only SHRINKS round over round, so one pre-loop probe (a
+        # distinct count over the already-materialized edge blocks)
+        # bounds every round's broadcast.
+        broadcast_filter = _honor_broadcast_declaration(
+            sym.sparkSession,
+            sym.select("u").distinct().count(),
+            what="kcore(broadcast_filter)",
+        )
     for i in range(int(rounds)):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
-        keep = deg.where(F.col("__d") >= int(k)).select("u")
         # broadcast_filter declares the node set broadcast-sized (the
         # hits broadcast_scores argument): the keep filter is at most
         # node-grain but hangs off checkpointed leaves with no stats,
@@ -343,12 +407,20 @@ def kcore(
         # sort of the edge frame per round on u plus an exchange+sort
         # on v. Broadcast, both filters go map-side and the edge frame
         # never moves after the initial repartition (r12; semantics
-        # identical — semi-join filters).
-        ku = F.broadcast(keep) if broadcast_filter else keep
-        kv = keep.select(F.col("u").alias("v"))
+        # identical — semi-join filters). Both semi joins consume ONE
+        # shared projection of the keep table (r13, ADVICE): with the
+        # key expressed as a join condition rather than a rename below
+        # the exchange, the two broadcast builds are canonically equal
+        # and ReuseExchange ships the node set once per round, not
+        # twice (the SMJ fallback's two exchanges dedup the same way).
+        keep = deg.where(F.col("__d") >= int(k)).select(
+            F.col("u").alias("__keep")
+        )
         if broadcast_filter:
-            kv = F.broadcast(kv)
-        sym = sym.join(ku, "u", "left_semi").join(kv, "v", "left_semi")
+            keep = F.broadcast(keep)
+        sym = sym.join(
+            keep, F.col("u") == F.col("__keep"), "left_semi"
+        ).join(keep, F.col("v") == F.col("__keep"), "left_semi")
         if (i + 1) % int(checkpoint_every) == 0 and i + 1 < int(rounds):
             sym = sym.localCheckpoint(eager=True)
     return sym.groupBy(F.col("u").alias("node")).agg(
@@ -396,6 +468,17 @@ def label_propagation(
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
     )
+    if broadcast_labels:
+        # r13 size guard: the label table stays node-grain every round,
+        # so one pre-loop bound covers the loop. The round-0 table is
+        # materialized first (tiny — two longs per node) so the probe
+        # count is a cheap scan of its blocks AND round 1 reads the
+        # materialization instead of re-deriving the distinct roster.
+        labels = labels.localCheckpoint(eager=True)
+        broadcast_labels = _honor_broadcast_declaration(
+            sym.sparkSession, labels.count(),
+            what="label_propagation(broadcast_labels)",
+        )
     w = Window.partitionBy("node").orderBy(
         F.col("__c").desc(), F.col("community").asc()
     )
@@ -470,7 +553,21 @@ def hits(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     if broadcast_scores:
         e_u = e.localCheckpoint(eager=True)
-        e_v = e_u
+        # r13 size guard: score tables stay node-grain every round; one
+        # probe over the just-materialized edge blocks bounds the loop.
+        # A rejected declaration falls back to the shuffled layout
+        # (one extra repartition+checkpoint of the already-materialized
+        # frame — the price of the misdeclaration, never an OOM).
+        broadcast_scores = _honor_broadcast_declaration(
+            e_u.sparkSession,
+            e_u.select("u").distinct().count(),
+            what="hits(broadcast_scores)",
+        )
+        if not broadcast_scores:
+            e_u = e_u.repartition("u").localCheckpoint(eager=True)
+            e_v = e_u.repartition("v").localCheckpoint(eager=True)
+        else:
+            e_v = e_u
     else:
         e_u = e.repartition("u").localCheckpoint(eager=True)
         e_v = e_u.repartition("v").localCheckpoint(eager=True)

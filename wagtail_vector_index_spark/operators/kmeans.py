@@ -114,22 +114,28 @@ def train_codebook(
     means differ in the last ulps, and over several Lloyd rounds that
     drift can flip an argmax; rounding (6 dp in the oracle gate) lands
     both engines on identical centroids while moving each coordinate by
-    <= 5e-7, which is noise for clustering quality.
+    <= 5e-7, which is noise for clustering quality. The parallelism
+    spread below changes the input partitioning and therefore the
+    float-summation ORDER of each cluster mean, so it is applied ONLY
+    when ``round_decimals`` pins the result (r13, ADVICE): the default
+    ``round_decimals=None`` path keeps the caller's partitioning and
+    the "Deterministic" claim above stays exactly true for it.
     """
     # Training-side parallelism guard (r12): a narrow source (one small
     # parquet file, a 1-partition checkpoint) serializes every Lloyd
     # round's argmax pass — the CPU-bound step — onto one core. Spread
     # it to the cluster's parallelism by id hash; no-op when the input
     # is already wide (the 100 TB case), so no extra shuffle at scale.
-    # Width is probed via the physical partitioning (the plan is being
-    # analyzed for the init collect below anyway). Cluster means'
-    # float-summation order moves with partitioning; ``round_decimals``
-    # is the pin (the same argument that makes the DuckDB oracle's
-    # different order match).
+    # r13: the probe is the shared operators/_util.ensure_parallelism
+    # (file count JVM-side, physical-partition fallback for checkpointed
+    # frames) instead of an inconsistent local df.rdd probe (ADVICE).
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(id_col))
+    if round_decimals is not None:
+        from wagtail_vector_index_spark.operators._util import (
+            ensure_parallelism,
+        )
+
+        df = ensure_parallelism(df, id_col)
     init = (
         df.orderBy(F.col(id_col).asc())
         .limit(k)

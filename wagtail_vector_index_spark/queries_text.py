@@ -1349,7 +1349,9 @@ def dedup_shared_passages(spark, sf_dir):
         cdc_boundaries_col,
         cdc_chunks_from_boundaries,
     )
-    from wagtail_vector_index_spark.operators.dedup import _ensure_parallelism
+    from wagtail_vector_index_spark.operators._util import (
+        ensure_parallelism as _ensure_parallelism,
+    )
 
     # the boundary scan is one sha256 per character position — CPU-bound
     # per row. A single-file source must not serialize ~1.5M digests onto
@@ -1770,7 +1772,9 @@ def text_lang_id_ngram(spark, sf_dir):
         char_trigrams_col,
         lang_id_from_trigrams_col,
     )
-    from wagtail_vector_index_spark.operators.dedup import _ensure_parallelism
+    from wagtail_vector_index_spark.operators._util import (
+        ensure_parallelism as _ensure_parallelism,
+    )
 
     # the trigram build is the CPU of this query (one intersect set per
     # profile over ~L trigrams/doc) and the table arrives as ONE split
