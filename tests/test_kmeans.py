@@ -128,3 +128,50 @@ def test_norm_hoisted_cosine_bit_identical(vectors):
     for r in rows:
         for a, b in zip(r["o"], r["n"]):
             assert struct.pack("<d", a) == struct.pack("<d", b)
+
+
+def test_onelevel_mean_agg_matches_posexplode_reference(vectors):
+    """r13: train_codebook's re-estimation became ONE groupBy(cid) of
+    per-position avg(element_at(vector, i)) aggregates (driver-known
+    dim) instead of posexplode + (cid,pos) + cid double aggregation.
+    Pin the rewrite against the old shape: same assignment, both mean
+    paths, 6-dp rounded (the cross-engine pin train_codebook's gated
+    callers use) — centroid vectors must be identical."""
+    init = [
+        (i, [float(x) for x in r["vector"]])
+        for i, r in enumerate(vectors.orderBy("vec_id").limit(8).collect())
+    ]
+    assigned = _assign(vectors, init, vec_col="vector")
+    dim = len(init[0][1])
+    one_level = {
+        r["cid"]: [float(r[i + 1]) for i in range(dim)]
+        for r in assigned.groupBy("cid")
+        .agg(
+            *[
+                F.round(
+                    F.avg(F.element_at(F.col("vector"), i + 1)), 6
+                ).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        )
+        .collect()
+    }
+    per_pos = (
+        assigned.select("cid", F.posexplode(F.col("vector")))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("mean_val"))
+    )
+    reference = {
+        r["cid"]: [float(x) for x in r["cv"]]
+        for r in per_pos.groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
+                ),
+                lambda s: s["mean_val"],
+            ).alias("cv")
+        )
+        .collect()
+    }
+    assert one_level == reference

@@ -1,12 +1,19 @@
 """Phase-level timing of train_codebook's Lloyd rounds (r13 item 1).
 
 Reproduces the ann_recall_ivf_learned gate's training input (planted
-index at sf0.1), then times each per-round phase separately so the
-optimization attacks the measured cost, not the assumed one:
-  - mat_build: spark.createDataFrame of the broadcast codebook matrix
-  - plan_build: constructing the assignment + aggregation Column tree
-  - collect: the per-round action (broadcast job + main job)
-Prints one JSON line per run plus a phase summary.
+index at sf0.1). Two modes:
+
+- the original phase split that motivated the rewrite (2026-08-18, at
+  8fde3f5): init 0.06 / mat_build 0.12 / plan_build 1.10 / collect 3.69
+  (warm, 5 rounds) — per-round Python Column-tree construction plus the
+  posexplode double-aggregation action dominated, while the data is only
+  |index| x dim doubles.
+- after the rewrite this script times the REAL train_codebook (the old
+  phase reproduction no longer matches the internals) plus a one-round
+  phase split of the new shape (mat frame build / plan analysis /
+  execution) so the remaining floor is attributable.
+
+Run: python tools/profile_kmeans_r13.py
 """
 from __future__ import annotations
 
@@ -53,74 +60,55 @@ def main() -> None:
         .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
         .localCheckpoint(eager=False)
     )
-    # force the checkpoint materialization outside the timed region
     n = index.count()
     dim = len(index.select("vector").first()[0])
     print(f"index rows={n} dim={dim}", flush=True)
 
     k, iterations = 40, 5
-
-    def timed_train() -> dict:
-        phases = {"init": 0.0, "mat_build": 0.0, "plan_build": 0.0,
-                  "collect": 0.0}
-        t0 = time.time()
-        init = (
-            index.orderBy(F.col("vec_id").asc())
-            .limit(k).select("vector").collect()
-        )
-        centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
-        phases["init"] = time.time() - t0
-        for _ in range(iterations):
-            t0 = time.time()
-            # reproduce _assign's mat build alone
-            ordered = sorted(centroids, key=lambda c: c[0])
-            mat = spark.createDataFrame(
-                [(
-                    [int(cid) for cid, _ in ordered],
-                    [[float(x) for x in cv] for _, cv in ordered],
-                )],
-                "__cids array<int>, __cvm array<array<double>>",
-            )
-            phases["mat_build"] += time.time() - t0
-
-            t0 = time.time()
-            assigned = kmeans._assign(index, centroids, vec_col="vector")
-            mean_val = F.round(F.avg("col"), 6)
-            per_pos = (
-                assigned.select("cid", F.posexplode(F.col("vector")))
-                .groupBy("cid", "pos")
-                .agg(mean_val.alias("mean_val"))
-            )
-            new_frame = (
-                per_pos.groupBy("cid")
-                .agg(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(
-                                F.struct(F.col("pos"), F.col("mean_val"))
-                            )
-                        ),
-                        lambda s: s["mean_val"],
-                    ).alias("cv")
-                )
-            )
-            phases["plan_build"] += time.time() - t0
-
-            t0 = time.time()
-            new_rows = new_frame.collect()
-            phases["collect"] += time.time() - t0
-
-            updated = {r["cid"]: [float(x) for x in r["cv"]] for r in new_rows}
-            centroids = [(cid, updated.get(cid, cv)) for cid, cv in centroids]
-        return phases
-
     for run in range(3):
+        spark.sparkContext.setJobDescription(f"train_codebook run={run}")
         t0 = time.time()
-        phases = timed_train()
-        total = time.time() - t0
-        print(json.dumps({"run": run, "total_s": round(total, 3),
-                          **{p: round(v, 3) for p, v in phases.items()}}),
-              flush=True)
+        cents, _ = kmeans.train_codebook(
+            index, k=k, iterations=iterations, round_decimals=6
+        )
+        print(
+            json.dumps({"run": run, "train_s": round(time.time() - t0, 3)}),
+            flush=True,
+        )
+    spark.sparkContext.setJobDescription(None)
+
+    # one-round phase split of the current shape
+    exprs = kmeans._assign_exprs(index.columns, "vector")
+    mean_cols = [
+        F.round(F.avg(F.element_at(F.col("vector"), i + 1)), 6).alias(
+            f"m{i}"
+        )
+        for i in range(dim)
+    ]
+    t0 = time.time()
+    mat = kmeans._mat_frame(spark, cents)
+    t1 = time.time()
+    plan = kmeans._assign_with_exprs(index, mat, exprs).groupBy("cid").agg(
+        *mean_cols
+    )
+    t2 = time.time()
+    plan._jdf.queryExecution().executedPlan()
+    t3 = time.time()
+    plan.collect()
+    t4 = time.time()
+    print(
+        json.dumps(
+            {
+                "round_phase": {
+                    "mat_frame": round(t1 - t0, 3),
+                    "tree_build": round(t2 - t1, 3),
+                    "analyze": round(t3 - t2, 3),
+                    "execute": round(t4 - t3, 3),
+                }
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -42,14 +42,19 @@ def _assign(index_df: DataFrame, centroids: list[tuple[int, list[float]]],
     argmax, ``__csim``, and the oracle's Lloyd replay) is
     bit-identical; only where the norm subtrees evaluate moved. Cuts
     the dominant interpreted-fold cost of every Lloyd round ~2x."""
-    from wagtail_vector_index_spark.functions.vector import (
-        dot_product,
-        l2_norm,
+    return _assign_with_exprs(
+        index_df,
+        _mat_frame(index_df.sparkSession, centroids),
+        _assign_exprs(index_df.columns, vec_col),
     )
 
-    spark = index_df.sparkSession
+
+def _mat_frame(spark, centroids: list[tuple[int, list[float]]]):
+    """The broadcast 1-row codebook matrix frame (cids, vectors, norms)."""
+    from wagtail_vector_index_spark.functions.vector import l2_norm
+
     ordered = sorted(centroids, key=lambda c: c[0])
-    mat = spark.createDataFrame(
+    return spark.createDataFrame(
         [(
             [int(cid) for cid, _ in ordered],
             [[float(x) for x in cv] for _, cv in ordered],
@@ -58,6 +63,20 @@ def _assign(index_df: DataFrame, centroids: list[tuple[int, list[float]]],
     ).withColumn(
         "__cnorms",
         F.transform(F.col("__cvm"), lambda cv: l2_norm(cv)),
+    )
+
+
+def _assign_exprs(columns: list[str], vec_col: str):
+    """(best, out_cols) Column trees for the assignment projection.
+
+    Split out of ``_assign`` (r13): Columns are immutable unresolved
+    expression trees keyed by NAME, so one build serves every Lloyd
+    round — the per-round Python tree construction was ~20% of
+    train_codebook's measured wall (plan_build 1.1s of 4.9s warm,
+    tools/profile_kmeans_r13.py)."""
+    from wagtail_vector_index_spark.functions.vector import (
+        dot_product,
+        l2_norm,
     )
 
     def _entries(nv):
@@ -79,12 +98,17 @@ def _assign(index_df: DataFrame, centroids: list[tuple[int, list[float]]],
         ),
         1,
     )
-    out_cols = [F.col(c) for c in index_df.columns] + [
+    out_cols = [F.col(c) for c in columns] + [
         F.element_at(
             F.col("__cids"), (-F.col("__best.ni") + F.lit(1)).cast("int")
         ).alias("cid"),
         F.col("__best.s").alias("__csim"),
     ]
+    return best, out_cols
+
+
+def _assign_with_exprs(index_df: DataFrame, mat, exprs) -> DataFrame:
+    best, out_cols = exprs
     return (
         index_df.crossJoin(F.broadcast(mat))
         .withColumn("__best", best)
@@ -144,30 +168,46 @@ def train_codebook(
     )
     centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
 
+    # r13 (profile-driven, tools/profile_kmeans_r13.py: warm 5-round
+    # training = plan_build 1.1s + collect 3.7s; execution data is
+    # k x dim doubles — plan work dominated): the assignment Column
+    # trees build ONCE (they reference the matrix frame's columns by
+    # name, so the same tree serves every round), and the mean
+    # re-estimation is ONE groupBy(cid) with a per-position
+    # avg(element_at(vector, i)) for the driver-known dim — one
+    # exchange of k x dim partial aggregates instead of posexplode's
+    # |index| x dim row blowup through (cid,pos) + cid exchanges.
+    # Values: avg over element_at(vector, i) aggregates exactly the
+    # rows posexplode produced for position i (element_at is null past
+    # a short array, and avg skips nulls); only the float-summation
+    # ASSOCIATION ORDER moves (partial aggs per input partition vs per
+    # (cid,pos) shuffle partition) — the same order-of-summation class
+    # the ``round_decimals`` pin already absorbs for cross-engine
+    # replay, verified by the learned gate's full Lloyd value replay
+    # at three SFs.
+    exprs = _assign_exprs(df.columns, vec_col)
+    dim = len(centroids[0][1]) if centroids else 0
+
+    def _mean(i: int):
+        m = F.avg(F.element_at(F.col(vec_col), i + 1))
+        if round_decimals is not None:
+            m = F.round(m, round_decimals)
+        return m.alias(f"__m{i}")
+
+    mean_cols = [_mean(i) for i in range(dim)]
+
     assigned = None
     for _ in range(iterations):
-        assigned = _assign(df, centroids, vec_col=vec_col)
-        mean_val = F.avg("col")
-        if round_decimals is not None:
-            mean_val = F.round(mean_val, round_decimals)
-        per_pos = (
-            assigned.select("cid", F.posexplode(F.col(vec_col)))
-            .groupBy("cid", "pos")
-            .agg(mean_val.alias("mean_val"))
+        assigned = _assign_with_exprs(
+            df, _mat_frame(spark, centroids), exprs
         )
-        new_rows = (
-            per_pos.groupBy("cid")
-            .agg(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
-                    ),
-                    lambda s: s["mean_val"],
-                ).alias("cv")
-            )
-            .collect()
-        )
-        updated = {r["cid"]: [float(x) for x in r["cv"]] for r in new_rows}
+        if not dim:
+            continue
+        new_rows = assigned.groupBy("cid").agg(*mean_cols).collect()
+        updated = {
+            r["cid"]: [float(r[i + 1]) for i in range(dim)]
+            for r in new_rows
+        }
         # empty clusters keep their previous centroid
         centroids = [
             (cid, updated.get(cid, cv)) for cid, cv in centroids
