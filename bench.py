@@ -173,6 +173,9 @@ ADDED = [
     # r12 linear-trigram rework)
     "text_lang_id_ngram",
     "knn_matryoshka_recall",
+    # r13 addition (verdict ask #7): the largest catalog row — tracked
+    # so the Lloyd-round work (and any regression) is machine-readable
+    "ann_recall_ivf_learned",
 ]
 
 # r8 (verdict ask): expensive families promoted to round-over-round

@@ -165,6 +165,45 @@ def test_gc_collects_unreferenced_token_generations(tmp_path):
     assert "token-1" in log.current().tokens
 
 
+def test_gc_reader_grace_protects_superseded_generations(tmp_path):
+    """r13: ``reader_grace_s`` protects in-flight READERS against a
+    concurrent compactor. min_age_s guards by CREATION age, but a
+    reader resolves current() once and then scans — the hazard window
+    is time since the generation was SUPERSEDED. With the grace set,
+    every manifest whose successor committed inside the window stays
+    protected (with its generations); with it 0 (the single-maintainer
+    in-band path), the old behavior is unchanged."""
+    log = ManifestLog(str(tmp_path))
+    g_a = log.new_generation()
+    os.makedirs(log.gen_path(g_a))
+    log.commit(lambda cur: ([g_a], {}))
+    g_merged = log.new_generation()
+    os.makedirs(log.gen_path(g_merged))
+    # the "compaction" rewrite: g_a superseded by g_merged JUST NOW
+    log.commit(lambda cur: ([g_merged], {}))
+    # a reader that resolved version 1 before the rewrite may still be
+    # scanning g_a -> the grace window protects it even at
+    # keep_manifests=1 / min_age_s=0
+    assert log.gc(keep_manifests=1, min_age_s=0.0, reader_grace_s=3600.0) == []
+    assert os.path.isdir(log.gen_path(g_a))
+    # manifest file for version 1 survives too (the rule needs it)
+    assert os.path.exists(os.path.join(log.mdir, "manifest-000000000001.json"))
+    # outside the window (successor ts aged out) the generation goes
+    import json as _json
+    m2 = os.path.join(log.mdir, "manifest-000000000002.json")
+    rec = _json.load(open(m2))
+    rec["ts"] = rec["ts"] - int(7200 * 1e9)
+    _json.dump(rec, open(m2, "w"))
+    deleted = log.gc(keep_manifests=1, min_age_s=0.0, reader_grace_s=3600.0)
+    assert log.gen_path(g_a) in deleted
+    # grace 0: superseded generations collect immediately (pre-r13 shape)
+    g_b = log.new_generation()
+    os.makedirs(log.gen_path(g_b))
+    log.commit(lambda cur: ([g_b], {}))
+    deleted = log.gc(keep_manifests=1, min_age_s=0.0)
+    assert log.gen_path(g_merged) in deleted
+
+
 # -- DocumentStore on the manifest log --------------------------------------
 
 

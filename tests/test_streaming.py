@@ -778,3 +778,85 @@ def test_decontaminated_corpus_stream_eval_set_refresh(spark, tmp_path):
         q2.stop()
     got = {r["doc_id"] for r in read_live_table(spark, table).collect()}
     assert got == {2, 4}
+
+
+def test_out_of_band_compaction_entry(spark, tmp_path):
+    """r13: ``compact_neardup_corpus`` / ``compact_decontaminated_corpus``
+    run the SAME merge cycle as the in-band ``compact_every`` hook but
+    from outside the stream — a deployment runs its triggers with
+    compaction off and compacts from a maintenance process. One call
+    on a 6-generation neardup table merges to ONE live generation with
+    a consolidated sidecar and an identical surviving corpus;
+    exactly-once survives (a restart over one extra file processes only
+    that file); a second call with nothing to merge returns False; and
+    ``fanout`` applies the same tier rule as the in-band path."""
+    from wagtail_vector_index_spark.sources.manifest import (
+        ManifestLog,
+        read_live_table,
+    )
+    from wagtail_vector_index_spark.streaming.maintenance import (
+        _sigs_dirname,
+        compact_neardup_corpus,
+        neardup_corpus_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "oob_stream")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, base), (2, "totally unrelated subject matter here")])
+    for i in range(1, 6):
+        write_batch([
+            (10 * i, base.replace("river", f"canal{i}")),
+            (10 * i + 1, f"unique standalone document number {i} "
+                         f"about topic {i * 7} and subject {i * 13}"),
+        ])
+
+    table = str(tmp_path / "oob_corpus")
+    ckpt = str(tmp_path / "oob_ck")
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = neardup_corpus_stream(
+            stream, path=table, checkpoint_dir=ckpt, threshold=0.4,
+            compact_every=0,
+        )
+        q.awaitTermination(600)
+
+    run()
+    before = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+    assert len(ManifestLog(table).live_paths()) == 6
+
+    # out-of-band full merge (min_age_s=0: no concurrent writer here)
+    assert compact_neardup_corpus(spark, table, min_age_s=0.0) is True
+    live = ManifestLog(table).live_paths()
+    assert len(live) == 1
+    after = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+    assert after == before
+    sd = os.path.join(live[0], _sigs_dirname(3, 16))
+    assert {r["doc_id"] for r in spark.read.parquet(sd).collect()} == after
+
+    # nothing left to merge -> False, state untouched
+    assert compact_neardup_corpus(spark, table, min_age_s=0.0) is False
+    assert len(ManifestLog(table).live_paths()) == 1
+
+    # exactly-once across the out-of-band merge: same checkpoint, one
+    # new file -> only that batch lands
+    write_batch([(90, base.replace("river", "harbor")),
+                 (91, "a seventh wholly distinct body of text entirely")])
+    run()
+    got2 = {r["doc_id"] for r in read_live_table(spark, table).collect()}
+    assert got2 == after | {91}
+    # tiered rule: 2 live generations < 2*fanout -> no merge
+    assert (
+        compact_neardup_corpus(spark, table, fanout=3, min_age_s=0.0)
+        is False
+    )
+    assert len(ManifestLog(table).live_paths()) == 2

@@ -7,14 +7,22 @@ parallel scaling even though bench.py honors $SPARK_GRAFT_CPUS. This
 staging sizes the CORPUS so the map stages carry real CPU (>= 10s) and
 re-runs the same declared queries at 8 and 32 cores in fresh JVMs.
 
-Corpus: sf0.1 documents replicated KX with doc ids shifted and every
+Corpus: sf0.1 documents replicated 10x with doc ids shifted and every
 token suffixed with a per-copy tag (tokenization is lowercase
 whitespace split, so the tag rides inside each token) — within-copy
 duplicate/shingle structure is preserved exactly while cross-copy
 n-gram overlap is zero, so pair counts grow linearly, never K^2.
-Embeddings are replicated with vec_id shifts and a +100*copy offset on
-coordinate 0, pushing copies into disjoint density regions (DBSCAN
-neighborhoods stay within-copy => linear growth).
+Embeddings are replicated 3x with vec_id shifts and a PER-COPY RANDOM
+SIGN-FLIP pattern (xxhash64(copy, i) parity per coordinate): negation
+is exact in IEEE floats and both vectors of a within-copy pair carry
+the same pattern, so within-copy cosines are BIT-IDENTICAL to the
+original corpus, while cross-copy patterns differ in ~half the
+coordinates and cross cosines land near 0 (<< the 0.3 eps) — the
+density structure replicates instead of collapsing into one
+coordinate-dominated blob (which a +offset scheme would cause under
+cosine). 3x not 10x because the blocked-GEMM neighbor stage is
+inherently quadratic in corpus size: 9x GEMM work is exactly the
+>=10s-of-CPU map stage the staging needs, 100x would be minutes.
 
 Usage:
   python tools/scale_cores.py prep            # write the scaled corpus
@@ -38,7 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = "/tmp/r13_scale_cores"
 SF_SRC = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = 10      # documents (linear pair growth by construction)
+COPIES_EMB = 3   # embeddings (GEMM stage is quadratic: 3x -> 9x CPU)
 QUERIES = [
     "dedup_components",
     "pipeline_dup_aware_weights",
@@ -102,19 +111,21 @@ def prep() -> None:
 
     emb = spark.read.parquet(f"{SF_SRC}/embeddings.parquet")
     max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
+    ecopies = spark.range(COPIES_EMB).select(F.col("id").alias("__copy"))
+    # per-copy random sign flips: exact under IEEE negation, cosine
+    # within a copy bit-identical, cross-copy cosines ~0 (see module
+    # docstring)
+    sign = lambda x, i: x * (  # noqa: E731
+        F.lit(1.0)
+        - F.lit(2.0) * F.pmod(F.xxhash64(F.col("__copy"), i), F.lit(2))
+    ).cast("float")
     scaled_e = (
-        emb.crossJoin(copies)
+        emb.crossJoin(ecopies)
         .select(
             (F.col("vec_id") + F.col("__copy") * F.lit(max_vid)).alias(
                 "vec_id"
             ),
-            F.transform(
-                F.col("embedding"),
-                lambda x, i: F.when(
-                    i == 0,
-                    x + (F.col("__copy") * F.lit(100.0)).cast("float"),
-                ).otherwise(x),
-            ).alias("embedding"),
+            F.transform(F.col("embedding"), sign).alias("embedding"),
             "label",
         )
     )

@@ -197,12 +197,34 @@ class ManifestLog:
 
     # -- garbage collection --------------------------------------------------
 
-    def gc(self, *, keep_manifests: int = 3, min_age_s: float = 3600.0) -> list[str]:
+    def gc(
+        self,
+        *,
+        keep_manifests: int = 3,
+        min_age_s: float = 3600.0,
+        reader_grace_s: float = 0.0,
+    ) -> list[str]:
         """Delete generation directories unreferenced by the
         ``keep_manifests`` newest manifests, plus superseded manifest
         files. ``min_age_s`` protects in-flight writers: a staged
         generation younger than the window is never collected even though
-        no manifest references it yet. Returns the deleted paths."""
+        no manifest references it yet. Returns the deleted paths.
+
+        ``reader_grace_s`` (r13) protects in-flight READERS against a
+        CONCURRENT compactor: ``min_age_s`` measures age since a
+        generation was created, but the hazard window for a reader is
+        time since the generation was SUPERSEDED — a reader resolves
+        ``current()`` once and then scans what it references, so a
+        rewrite+gc landing mid-scan would delete files under it (the
+        r13 out-of-band-compaction soak reproduced exactly this:
+        FAILED_READ_FILE on a superseded signature sidecar). With
+        ``reader_grace_s`` > 0, every manifest that WAS the table's
+        current state at any point within the window — i.e. whose
+        successor committed inside it — stays protected, along with
+        everything it references. A manifest-chain gap errs protective
+        (the next PRESENT manifest's ts bounds the true successor's
+        from above). Single-maintainer callers (the in-band stream
+        hooks) keep the default 0."""
         import shutil
 
         cur = self.current()
@@ -214,6 +236,20 @@ class ManifestLog:
             if _MANIFEST_RE.match(n)
         )
         kept = set(versions[-keep_manifests:])
+        if reader_grace_s > 0 and len(versions) > 1:
+            grace_cutoff_ns = time.time_ns() - int(reader_grace_s * 1e9)
+
+            def _ts(v: int) -> int:
+                try:
+                    with open(
+                        os.path.join(self.mdir, f"manifest-{v:012d}.json")
+                    ) as f:
+                        return int(json.load(f).get("ts", 0))
+                except (OSError, ValueError):
+                    return time.time_ns()  # unreadable: protect
+            for i, v in enumerate(versions[:-1]):
+                if _ts(versions[i + 1]) >= grace_cutoff_ns:
+                    kept.add(v)
         referenced: set[str] = set()
         for v in kept:
             with open(os.path.join(self.mdir, f"manifest-{v:012d}.json")) as f:

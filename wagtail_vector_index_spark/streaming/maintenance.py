@@ -171,6 +171,225 @@ def _sigs_dirname(n: int, num_hashes: int) -> str:
     return f"_sigs-n{int(n)}-h{int(num_hashes)}"
 
 
+def _dir_parquet_bytes(p: str) -> int:
+    import os
+
+    total = 0
+    for dp, _dirs, fs in os.walk(p):
+        for f in fs:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(dp, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _select_compaction(log, fanout: int) -> list | None:
+    """The generations one compaction cycle should merge, or None.
+
+    ``fanout`` == 0: full merge — every live generation into one.
+    >= 2: size-tiered — when the live count reaches ``2 * fanout``,
+    merge the ``fanout`` SMALLEST generations, leaving the big ones
+    untouched. The tiered policy bounds BOTH sides at scale: live
+    generations stay < 2*fanout forever, and per-compaction write cost
+    is bounded by the smallest-fanout set instead of O(corpus) —
+    merged generations grow ~fanout-fold per promotion, so each row is
+    rewritten O(log_fanout(corpus/batch)) times total (the LSM
+    amortization). Full merge keeps exactly one live generation but
+    rewrites the whole corpus every cycle — right for bounded tables;
+    tiered is the 100-TB continuous-ingest setting."""
+    base = log.current()
+    if base is None or len(base.live) <= 1:
+        return None
+    if fanout >= 2:
+        if len(base.live) < 2 * fanout:
+            return None
+        by_size = sorted(
+            (_dir_parquet_bytes(log.gen_path(g)), g) for g in base.live
+        )
+        return [g for _, g in by_size[:fanout]]
+    return list(base.live)
+
+
+def _gen_sigs_read(spark, gp: str, *, sigs_dir: str, batch_sigs):
+    """One generation's signature frame: the sidecar leaf scan when
+    present, a stage+rename backfill when absent, and — when the
+    backfill itself fails (shared-FS hiccup) — a direct compute over
+    that generation's data, so a generation is NEVER silently missing
+    from the standing dedup side. POSIX-rename caveat as documented on
+    :func:`neardup_corpus_stream`."""
+    import os
+    import shutil
+    import uuid
+
+    from wagtail_vector_index_spark.sources.manifest import has_data_files
+
+    sp = os.path.join(gp, sigs_dir)
+    if not has_data_files(sp):
+        sigs = batch_sigs(spark.read.parquet(gp))
+        stage = f"{sp}.stage-{uuid.uuid4().hex[:12]}"
+        sigs.write.mode("overwrite").parquet(stage)
+        try:
+            os.rename(stage, sp)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    if has_data_files(sp):
+        return spark.read.parquet(sp)
+    return batch_sigs(spark.read.parquet(gp))
+
+
+def _compact_corpus_table(
+    spark,
+    log,
+    *,
+    fanout: int,
+    sidecar: tuple[str, object] | None,
+    min_age_s: float,
+    keep_manifests: int,
+    reader_grace_s: float,
+) -> bool:
+    """One compaction cycle over a manifest corpus table: pick the merge
+    set (``_select_compaction``), union those generations' data (plus
+    ONE consolidated signature sidecar derived from THEIR sidecars when
+    ``sidecar=(dirname, batch_sigs_fn)`` — a 16-longs/doc scan, never a
+    corpus re-shingle), write both into the new generation directory
+    BEFORE the single manifest commit publishes it, carry over
+    untouched and concurrently appended generations via the commit's
+    update function, then GC superseded generations. A crash at any
+    point leaves the previous state serving. Returns True iff a merge
+    committed."""
+    import os
+    import shutil
+    from functools import reduce
+
+    from wagtail_vector_index_spark.sources.manifest import has_data_files
+
+    merge = _select_compaction(log, fanout)
+    if not merge:
+        return False
+    # coalesce (narrow — no shuffle) to the session's declared
+    # parallelism: N micro-batches leave O(N x parallelism) small
+    # files; the rewrite folds them back to at most shuffle.partitions
+    # files without paying a corpus shuffle
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    paths = [log.gen_path(g) for g in merge]
+    data = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
+        [spark.read.parquet(p) for p in paths],
+    ).coalesce(nparts)
+    sigs = None
+    if sidecar is not None:
+        sigs_dir, batch_sigs = sidecar
+        sigs = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                _gen_sigs_read(
+                    spark, gp, sigs_dir=sigs_dir, batch_sigs=batch_sigs
+                )
+                for gp in paths
+            ],
+        ).coalesce(nparts)
+    gen = log.new_generation()
+    gp = log.gen_path(gen)
+    data.write.mode("overwrite").parquet(gp)
+    ok = has_data_files(gp)
+    if ok and sigs is not None:
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(gp, sidecar[0])
+        )
+    if not ok:
+        shutil.rmtree(gp, ignore_errors=True)
+    merged = set(merge)
+
+    def up(cur):
+        out = [g for g in (cur.live if cur else ()) if g not in merged]
+        if ok:
+            out.append(gen)
+        return out, {}
+
+    log.commit(up)
+    log.gc(
+        keep_manifests=keep_manifests,
+        min_age_s=min_age_s,
+        reader_grace_s=reader_grace_s,
+    )
+    return ok
+
+
+def compact_neardup_corpus(
+    spark,
+    path: str,
+    *,
+    fanout: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    min_age_s: float = 3600.0,
+    keep_manifests: int = 1,
+    reader_grace_s: float = 600.0,
+) -> bool:
+    """OUT-OF-BAND compaction for a :func:`neardup_corpus_stream` table
+    (r13): one merge cycle, callable from a separate maintenance
+    process so the ingest stream itself can run with
+    ``compact_every=0`` and keep every trigger merge-free. Safe
+    concurrent with the stream's appends — the manifest commit's update
+    function carries over generations that land during the rewrite, and
+    ``min_age_s`` (default 1h; the stream-internal call uses 0 because
+    the stream owns maintenance there) keeps GC away from a concurrent
+    trigger's still-staged directory. MinHash parameters must match the
+    stream's (they name the signature sidecar); a mismatch falls back
+    to recompute-and-backfill exactly like a stream restart would.
+    Returns True iff a merge committed (False: nothing to do yet —
+    call it on a schedule)."""
+    from wagtail_vector_index_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from wagtail_vector_index_spark.sources.manifest import ManifestLog
+
+    def batch_sigs(rows: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            rows, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, cache=False,
+        )
+
+    return _compact_corpus_table(
+        spark,
+        ManifestLog(path),
+        fanout=fanout,
+        sidecar=(_sigs_dirname(n, num_hashes), batch_sigs),
+        min_age_s=min_age_s,
+        keep_manifests=keep_manifests,
+        reader_grace_s=reader_grace_s,
+    )
+
+
+def compact_decontaminated_corpus(
+    spark,
+    path: str,
+    *,
+    fanout: int = 0,
+    min_age_s: float = 3600.0,
+    keep_manifests: int = 1,
+    reader_grace_s: float = 600.0,
+) -> bool:
+    """OUT-OF-BAND compaction for a :func:`decontaminated_corpus_stream`
+    table (no sidecars — plain data merge); same protocol and
+    concurrency story as :func:`compact_neardup_corpus`."""
+    from wagtail_vector_index_spark.sources.manifest import ManifestLog
+
+    return _compact_corpus_table(
+        spark,
+        ManifestLog(path),
+        fanout=fanout,
+        sidecar=None,
+        min_age_s=min_age_s,
+        keep_manifests=keep_manifests,
+        reader_grace_s=reader_grace_s,
+    )
+
+
 def neardup_corpus_stream(
     doc_stream: DataFrame,
     *,
@@ -261,8 +480,6 @@ def neardup_corpus_stream(
     manifest-aware reader).
     """
     import os
-    import shutil
-    import uuid
     from functools import reduce
 
     from wagtail_vector_index_spark.operators.ann_index import (
@@ -319,109 +536,24 @@ def neardup_corpus_stream(
         return reduce(lambda a, b: a.unionByName(b), frames)
 
     def _gen_sigs(spark, gp) -> DataFrame:
-        """One generation's signature frame: the sidecar leaf scan when
-        present, a stage+rename backfill when absent, and — when the
-        backfill itself fails (shared-FS hiccup) — a direct compute
-        over that generation's data, so a generation is NEVER silently
-        missing from the standing dedup side (the pre-r12 shape
-        dropped a failed-backfill generation's frame entirely and only
-        fell back to a full-table recompute when EVERY backfill
-        failed)."""
-        sp = os.path.join(gp, sigs_dir)
-        if not has_data_files(sp):
-            sigs = _batch_sigs(spark.read.parquet(gp))
-            stage = f"{sp}.stage-{uuid.uuid4().hex[:12]}"
-            sigs.write.mode("overwrite").parquet(stage)
-            try:
-                os.rename(stage, sp)
-            except OSError:
-                shutil.rmtree(stage, ignore_errors=True)
-        if has_data_files(sp):
-            return spark.read.parquet(sp)
-        return _batch_sigs(spark.read.parquet(gp))
-
-    def _dir_bytes(p: str) -> int:
-        total = 0
-        for dp, _dirs, fs in os.walk(p):
-            for f in fs:
-                if f.endswith(".parquet"):
-                    try:
-                        total += os.path.getsize(os.path.join(dp, f))
-                    except OSError:
-                        pass
-        return total
-
-    def _merge_gens(spark, merge: list) -> None:
-        """Merge the named live generations into one — data union plus
-        ONE consolidated signature sidecar derived from THEIR sidecars
-        (16 longs + shingles per doc read back; the text is never
-        re-shingled) — and commit live = (untouched) + [merged]. Both
-        writes land in the new generation directory BEFORE the single
-        manifest commit publishes it, so a crash at any point leaves
-        the previous state serving; untouched generations and any
-        concurrently appended ones are carried over by the commit's
-        update function."""
-        # coalesce (narrow — no shuffle) to the session's declared
-        # parallelism: N micro-batches leave O(N x parallelism) small
-        # files; the rewrite folds them back to at most
-        # shuffle.partitions files without paying a corpus shuffle
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        paths = [log.gen_path(g) for g in merge]
-        sigs = reduce(
-            lambda a, b: a.unionByName(b),
-            [_gen_sigs(spark, gp) for gp in paths],
-        ).coalesce(nparts)
-        data = reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True),
-            [spark.read.parquet(p) for p in paths],
-        ).coalesce(nparts)
-        gen = log.new_generation()
-        gp = log.gen_path(gen)
-        data.write.mode("overwrite").parquet(gp)
-        ok = has_data_files(gp)
-        if ok:
-            sigs.write.mode("overwrite").parquet(os.path.join(gp, sigs_dir))
-        else:
-            shutil.rmtree(gp, ignore_errors=True)
-        merged = set(merge)
-
-        def up(cur):
-            out = [g for g in (cur.live if cur else ()) if g not in merged]
-            if ok:
-                out.append(gen)
-            return out, {}
-
-        log.commit(up)
+        # shared sidecar read/backfill/direct-compute (r13: module-level
+        # so the out-of-band compaction entry reuses it verbatim)
+        return _gen_sigs_read(
+            spark, gp, sigs_dir=sigs_dir, batch_sigs=_batch_sigs
+        )
 
     def _compact(spark) -> None:
-        """``compact_fanout`` == 0: full merge — every live generation
-        into one. >= 2: size-tiered — when the live count reaches
-        ``2 * compact_fanout``, merge the ``compact_fanout`` SMALLEST
-        generations into one, leaving the big ones untouched. The
-        tiered policy bounds BOTH sides at scale: live generations stay
-        < 2*fanout forever, and per-compaction write cost is bounded by
-        the smallest-fanout set instead of O(corpus) — merged
-        generations grow ~fanout-fold per promotion, so each row is
-        rewritten O(log_fanout(corpus/batch)) times total, the LSM
-        amortization argument. Full merge keeps exactly one live
-        generation but rewrites the whole corpus every cycle — right
-        for bounded tables; tiered is the 100-TB continuous-ingest
-        setting. GC reclaims superseded generations after each merge
-        (min_age_s=0 — the stream owns maintenance, see docstring)."""
-        base = log.current()
-        if base is None or len(base.live) <= 1:
-            return  # nothing to merge
-        if compact_fanout >= 2:
-            if len(base.live) < 2 * compact_fanout:
-                return
-            by_size = sorted(
-                (_dir_bytes(log.gen_path(g)), g) for g in base.live
-            )
-            merge = [g for _, g in by_size[:compact_fanout]]
-        else:
-            merge = list(base.live)
-        _merge_gens(spark, merge)
-        log.gc(keep_manifests=1, min_age_s=0.0)
+        """One in-band compaction cycle — the shared machinery behind
+        :func:`compact_neardup_corpus` (r13), with min_age_s=0 because
+        the stream owns table maintenance here (see docstring). A
+        deployment that wants merge-free triggers instead runs
+        ``compact_every=0`` and calls :func:`compact_neardup_corpus`
+        from a separate maintenance process."""
+        compact_neardup_corpus(
+            spark, path, fanout=compact_fanout, id_col=id_col,
+            text_col=text_col, n=n, num_hashes=num_hashes,
+            min_age_s=0.0, keep_manifests=1, reader_grace_s=0.0,
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -536,10 +668,6 @@ def decontaminated_corpus_stream(
     at live count 2F; bounded live set + LSM-amortized rewrites for
     continuous 100-TB ingest). Same single-maintainer caveat.
     """
-    import os
-    import shutil
-    from functools import reduce
-
     from wagtail_vector_index_spark.functions.text_analysis import (
         ngram_fingerprints_col,
         token_sha_hashes_col,
@@ -550,58 +678,17 @@ def decontaminated_corpus_stream(
         _gen_write_path,
         _publish_gen_dir,
     )
-    from wagtail_vector_index_spark.sources.manifest import (
-        ManifestLog,
-        has_data_files,
-    )
+    from wagtail_vector_index_spark.sources.manifest import ManifestLog
 
     log = ManifestLog(path)
 
-    def _dir_bytes(p: str) -> int:
-        total = 0
-        for dp, _dirs, fs in os.walk(p):
-            for f in fs:
-                if f.endswith(".parquet"):
-                    try:
-                        total += os.path.getsize(os.path.join(dp, f))
-                    except OSError:
-                        pass
-        return total
-
     def _compact(spark) -> None:
-        base = log.current()
-        if base is None or len(base.live) <= 1:
-            return
-        if compact_fanout >= 2:
-            if len(base.live) < 2 * compact_fanout:
-                return
-            by_size = sorted(
-                (_dir_bytes(log.gen_path(g)), g) for g in base.live
-            )
-            merge = [g for _, g in by_size[:compact_fanout]]
-        else:
-            merge = list(base.live)
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        data = reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True),
-            [spark.read.parquet(log.gen_path(g)) for g in merge],
-        ).coalesce(nparts)
-        gen = log.new_generation()
-        gp = log.gen_path(gen)
-        data.write.mode("overwrite").parquet(gp)
-        ok = has_data_files(gp)
-        if not ok:
-            shutil.rmtree(gp, ignore_errors=True)
-        merged = set(merge)
-
-        def up(cur):
-            out = [g for g in (cur.live if cur else ()) if g not in merged]
-            if ok:
-                out.append(gen)
-            return out, {}
-
-        log.commit(up)
-        log.gc(keep_manifests=1, min_age_s=0.0)
+        # shared machinery behind compact_decontaminated_corpus (r13);
+        # min_age_s=0 — the stream owns table maintenance here
+        compact_decontaminated_corpus(
+            spark, path, fanout=compact_fanout, min_age_s=0.0,
+            keep_manifests=1, reader_grace_s=0.0,
+        )
 
     def _gram_rows(src: DataFrame, *cols: str) -> DataFrame:
         # token hashes bound before fingerprinting (see
